@@ -1,0 +1,227 @@
+"""Deterministic, cross-engine hashing primitives.
+
+Everything here is built on md5 so the DuckDB oracle can reproduce the
+exact same integers: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``. 15 hex chars = 60 bits,
+always positive in a signed 64-bit long. Seeded variants prepend
+``'<seed>|'`` to the input.
+
+Used by: the deterministic embedder (operators/embed.py), MinHash /
+SimHash / n-gram dedup (operators/dedup.py), document fingerprinting
+(operators/text_analysis.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_HEX_CHARS = 15  # 60 bits, positive in int64 both engines
+
+# Tokenization shared with the oracle: lowercase, split on runs of
+# non-alphanumerics, drop empties.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        "list_filter(regexp_split_to_array(lower({e}), '[^a-z0-9]+'), "
+        "t -> t <> '')"
+    ).format(e=expr)
+
+
+def hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit positive hash of a string column."""
+    inp = col if seed is None else F.concat(F.lit(f"{seed}|"), col)
+    return F.conv(F.substring(F.md5(inp), 1, HASH_HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+
+
+def hash64_sql(expr: str, seed: int | None = None) -> str:
+    inp = expr if seed is None else f"('{seed}|' || {expr})"
+    return f"('0x' || substr(md5({inp}), 1, {HASH_HEX_CHARS}))::BIGINT"
+
+
+def word_shingles(tok: Column, n: int) -> Column:
+    """Word n-grams joined with spaces from a token array.
+
+    Empty result when the document has < n tokens (matches oracle).
+    Note Spark's sequence(1, 0) counts DOWN, so short docs need an
+    explicit empty-array branch.
+    """
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    return F.when(
+        F.size(tok) < F.lit(n), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
+    )
+
+
+def word_shingles_sql(tokens_expr: str, n: int) -> str:
+    return (
+        "list_transform(range(1, greatest(len({t}) - {n} + 1, 0) + 1), "
+        "i -> array_to_string(list_slice({t}, i, i + {n} - 1), ' '))"
+    ).format(t=tokens_expr, n=n)
+
+
+def minhash_signature(shingles: Column, k: int) -> Column:
+    """k-permutation MinHash: permutation i == seeded hash64(·, i).
+
+    min over an empty shingle set is NULL (documents shorter than the
+    shingle width produce a NULL signature slot — callers filter).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+                        1,
+                        HASH_HEX_CHARS,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def minhash_signature_sql(shingles_expr: str, k: int) -> str:
+    return (
+        "list_transform(range(0, {k}), i -> "
+        "list_min(list_transform({s}, s -> "
+        "('0x' || substr(md5(i::VARCHAR || '|' || s), 1, {h}))::BIGINT)))"
+    ).format(k=k, s=shingles_expr, h=HASH_HEX_CHARS)
+
+
+# --- SimHash ----------------------------------------------------------
+# 60-bit simhash (hash64 yields 60 random bits; value stays positive in
+# a signed 64-bit long in both engines). Bit extraction must stay in
+# exact integer arithmetic — float division silently loses precision
+# above 2^53 — so bit_j(h) = (h % 2^(j+1)) >= 2^j.
+
+SIMHASH_BITS = 60
+
+
+def _bit(h: Column, j: Column, pw: Column, pw2: Column) -> Column:
+    """Exact bit_j(h) using only %, >= on longs."""
+    return F.when(
+        (h % F.element_at(pw2, j)) >= F.element_at(pw, j), F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def _powers() -> tuple[Column, Column]:
+    pw = F.array(*[F.lit(1 << j) for j in range(SIMHASH_BITS)])
+    pw2 = F.array(*[F.lit(1 << (j + 1)) for j in range(SIMHASH_BITS)])
+    return pw, pw2
+
+
+def simhash(tok: Column) -> Column:
+    """SimHash over token hashes: for each bit, sum +/-1 across tokens,
+    set the bit when the sum is positive."""
+    hashes = F.transform(
+        tok,
+        lambda t: F.conv(
+            F.substring(F.md5(t), 1, HASH_HEX_CHARS), 16, 10
+        ).cast("long"),
+    )
+    pw, pw2 = _powers()
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s + (_bit(h, j, pw, pw2) * 2 - 1),
+            )
+            > 0,
+            F.element_at(pw, j),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def simhash_sql(tokens_expr: str) -> str:
+    pw = "[" + ", ".join(str(1 << j) for j in range(SIMHASH_BITS)) + "]"
+    pw2 = "[" + ", ".join(str(1 << (j + 1)) for j in range(SIMHASH_BITS)) + "]"
+    h = (
+        "list_transform({t}, s -> "
+        "('0x' || substr(md5(s), 1, {hh}))::BIGINT)"
+    ).format(t=tokens_expr, hh=HASH_HEX_CHARS)
+    return (
+        "list_sum(list_transform(range(1, {b} + 1), j -> CASE WHEN "
+        "list_sum(list_transform({h}, v -> CASE WHEN "
+        "v % ({p2}[j]) >= ({p}[j]) THEN 1 ELSE -1 END)) > 0 "
+        "THEN {p}[j] ELSE 0 END))::BIGINT"
+    ).format(b=SIMHASH_BITS, h=h, p=pw, p2=pw2)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR, same exact-integer bit extraction."""
+    x = a.bitwiseXOR(b)
+    pw, pw2 = _powers()
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+        F.lit(0),
+        lambda acc, j: acc + _bit(x, j, pw, pw2),
+    )
+
+
+def hamming_distance_sql(a: str, b: str) -> str:
+    pw = "[" + ", ".join(str(1 << j) for j in range(SIMHASH_BITS)) + "]"
+    pw2 = "[" + ", ".join(str(1 << (j + 1)) for j in range(SIMHASH_BITS)) + "]"
+    return (
+        "list_sum(list_transform(range(1, {b_} + 1), j -> CASE WHEN "
+        "xor({a}, {b}) % ({p2}[j]) >= ({p}[j]) THEN 1 ELSE 0 END))::BIGINT"
+    ).format(b_=SIMHASH_BITS, a=a, b=b, p=pw, p2=pw2)
+
+
+# --- Rolling / polynomial fingerprint --------------------------------
+# Polynomial rolling hash over token hashes mod 2^61-1 — order
+# sensitive, so reordered documents fingerprint differently.
+FP_MOD = (1 << 61) - 1
+FP_BASE = 1_000_003
+
+
+def fingerprint(tok: Column) -> Column:
+    hashes = F.transform(
+        tok,
+        lambda t: F.conv(
+            F.substring(F.md5(t), 1, HASH_HEX_CHARS), 16, 10
+        ).cast("long"),
+    )
+    # acc*BASE + h can overflow int64; do it in modular steps that fit:
+    # acc' = ((acc % MOD) * BASE + h) is still too big for int64 when
+    # acc ~ 2^61. Use DECIMAL(38,0) intermediate in both engines.
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, h: (
+            acc * F.lit(FP_BASE) + h.cast("decimal(38,0)")
+        ) % F.lit(FP_MOD).cast("decimal(38,0)"),
+        lambda acc: acc.cast("long"),
+    )
+
+
+def fingerprint_sql(tokens_expr: str) -> str:
+    h = (
+        "list_transform({t}, s -> "
+        "('0x' || substr(md5(s), 1, {hh}))::BIGINT)"
+    ).format(t=tokens_expr, hh=HASH_HEX_CHARS)
+    return (
+        "list_reduce(list_prepend(0::HUGEINT, {h}), "
+        "(acc, v) -> (acc * {base}::HUGEINT + v::HUGEINT) % {mod}::HUGEINT"
+        ")::BIGINT"
+    ).format(h=h, base=FP_BASE, mod=FP_MOD)

@@ -1,0 +1,395 @@
+"""Clustering operators (SURVEY §2.3 J4, §2.8 M3, §2.4 A2).
+
+The reference clusters with ``DBSCAN(eps=0.10, min_samples=2,
+metric='precomputed')`` over a cosine-distance matrix
+(process_records.py:301-308, clustering.py:53-118). With
+``min_samples=2`` every point with at least one ε-neighbor is a core
+point, so DBSCAN degenerates *exactly* to connected components of the
+ε-neighborhood graph — which is how we implement it, as a composition
+of a similarity join (edge generation) and an iterative hash-min label
+propagation (component search). Both pieces are plain DataFrame ops, so
+they scale out; nothing is materialized on the driver.
+
+Similarity-join strategies:
+  * ``cross``  — full O(n²) pair filter. Right for pools ≤ ~10⁴ rows
+                 (bench scale); Catalyst keeps the distance expression
+                 in codegen and AQE picks broadcast when one side fits.
+  * ``lsh``    — MLlib BucketedRandomProjectionLSH approxSimilarityJoin.
+                 For unit vectors, ‖a-b‖² = 2·cos_dist(a,b), so the
+                 cosine threshold eps maps to euclidean sqrt(2·eps).
+                 This is the 100 TB path: candidate pairs only, no n².
+  * ``auto``   — cross below ``LSH_THRESHOLD`` rows, else lsh.
+
+Incremental semantics replicated from the reference (SURVEY §7.4):
+  - distances are computed new-batch × (pool ∪ new-batch) only; settled
+    pool-vs-pool pairs are never revisited (clustering.py:88-118 stores
+    just the new block).
+  - the component representative is the lowest pool position
+    (process_records.py:369-371); merged-in rows that are *not* already
+    clusters are absorbed and purged; rows that are clusters keep their
+    identity and only donate their centroid to the new mean
+    (process_records.py:386-416 — ``to_remove`` skips is_cluster rows).
+  - the representative's centroid becomes the mean of the *pool-row*
+    vectors in the component (centroids count once, not per-member:
+    process_records.py:393-400).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+DEFAULT_EPS = 0.10  # reference process_records.py:304
+LSH_THRESHOLD = 20_000  # pool size above which cross-join is replaced
+
+# --- edge generation (J4) --------------------------------------------
+
+
+def brute_force_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    eps: float,
+    id_col: str = "row_id",
+    vec_col: str = "centroid",
+) -> DataFrame:
+    """All pairs (left.id, right.id) with cosine distance <= eps.
+
+    Output: l_id, r_id, dist. Skips self-pairs.
+    """
+    a = left.select(
+        F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec")
+    )
+    b = right.select(
+        F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("l_id") != F.col("r_id"))
+        .withColumn(
+            "dist", V.cosine_distance(F.col("l_vec"), F.col("r_vec"))
+        )
+        .where(F.col("dist") <= F.lit(eps))
+        .select("l_id", "r_id", "dist")
+    )
+
+
+def lsh_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    eps: float,
+    id_col: str = "row_id",
+    vec_col: str = "centroid",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate ε-pairs via MLlib BucketedRandomProjectionLSH.
+
+    Vectors are L2-normalized first so euclidean and cosine thresholds
+    are interchangeable. Same output contract as brute_force_pairs.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    euclid = float((2.0 * eps) ** 0.5)
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            array_to_vector(
+                V.l2_normalize(F.col(vec_col)).cast("array<double>")
+            ).alias("features"),
+        )
+
+    a = prep(left, "l_id")
+    b = prep(right, "r_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(a)
+    joined = model.approxSimilarityJoin(a, b, euclid, distCol="euclid")
+    return (
+        joined.select(
+            F.col("datasetA.l_id").alias("l_id"),
+            F.col("datasetB.r_id").alias("r_id"),
+            (F.col("euclid") * F.col("euclid") / 2.0).alias("dist"),
+        )
+        .where(F.col("l_id") != F.col("r_id"))
+    )
+
+
+def similarity_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    eps: float = DEFAULT_EPS,
+    id_col: str = "row_id",
+    vec_col: str = "centroid",
+    strategy: str = "auto",
+) -> DataFrame:
+    if strategy == "auto":
+        n = left.count() + right.count()
+        strategy = "cross" if n <= LSH_THRESHOLD else "lsh"
+    if strategy == "cross":
+        return brute_force_pairs(left, right, eps, id_col, vec_col)
+    if strategy == "lsh":
+        return lsh_candidate_pairs(left, right, eps, id_col, vec_col)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# --- connected components (M3 core) ----------------------------------
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "row_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Hash-min label propagation: component = min vertex id reachable.
+
+    vertices: one column ``id_col``; edges: ``l_id``/``r_id``
+    (direction-free). Each iteration is one shuffle join; lineage is
+    cut with localCheckpoint so 50 iterations don't stack a 50-deep
+    plan. Converges in O(graph diameter) iterations — ε-graphs of
+    near-duplicate clusters are shallow.
+    Output: (id_col, component).
+    """
+    sym = (
+        edges.select("l_id", "r_id")
+        .union(edges.select(F.col("r_id").alias("l_id"), F.col("l_id").alias("r_id")))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("component")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.r_id == labels.vid, "inner")
+            .groupBy("l_id")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels.vid == neighbor_min.l_id, "left"
+            )
+            .select(
+                "vid",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
+                ).alias("component"),
+                (F.col("n_comp") < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), "component")
+
+
+# --- batch clustering (flagship composition) -------------------------
+
+
+def cluster_batch(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    eps: float = DEFAULT_EPS,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Batch ε-graph clustering of one embedded table.
+
+    Output: (id_col, cluster_rep, is_cluster) where cluster_rep is the
+    minimum member id of the component (DBSCAN label surrogate) and
+    is_cluster is True for components of size >= 2 (min_samples=2
+    noise rule: singletons are noise / remain singleton rows).
+    """
+    nodes = df.select(id_col, vec_col)
+    edges = similarity_pairs(
+        nodes, nodes, eps, id_col=id_col, vec_col=vec_col, strategy=strategy
+    )
+    comp = connected_components(nodes.select(id_col), edges, id_col=id_col)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("_n"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            id_col,
+            F.col("component").alias("cluster_rep"),
+            (F.col("_n") >= 2).alias("is_cluster"),
+        )
+    )
+
+
+def centroids(
+    df: DataFrame,
+    member_col: str = "cluster_rep",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A2: per-cluster mean vector, computed distributed by exploding
+    vector positions (no collect; scales to any cluster size).
+    Output: (member_col, centroid array<double>)."""
+    exploded = df.select(
+        member_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    means = exploded.groupBy(member_col, "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("mean")
+    )
+    return (
+        means.groupBy(member_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean"))
+            ).alias("_pm")
+        )
+        .select(
+            member_col,
+            F.transform(F.col("_pm"), lambda s: s["mean"]).alias("centroid"),
+        )
+    )
+
+
+# --- incremental pool update (M3 stateful step) ----------------------
+
+
+def incremental_cluster_update(
+    state: DataFrame,
+    batch: DataFrame,
+    eps: float = DEFAULT_EPS,
+    strategy: str = "auto",
+    batch_id_col: str = "id",
+    batch_vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """One reference micro-batch step (process_records.py:283-445).
+
+    state: CLUSTER_STATE_SCHEMA table (row_id, cluster_id, article_ids,
+    is_cluster, centroid). batch: new articles with embeddings and a
+    deterministic arrival order on ``batch_id_col``.
+
+    Returns {"state": new_state, "updates": cluster_updates} where
+    updates carries one row per touched cluster for the serving-table
+    merge (op=INSERT for brand-new rows, MODIFY for grown clusters).
+    """
+    max_row = state.agg(F.coalesce(F.max("row_id"), F.lit(0))).collect()[0][0]
+
+    # Arrival order -> pool positions after the existing rows
+    # (reference label_tracker.extend, process_records.py:321-327).
+    new_rows = (
+        batch.select(
+            F.col(batch_id_col).alias("article_id"),
+            F.col(batch_vec_col).cast("array<double>").alias("centroid"),
+        )
+        .withColumn(
+            "row_id",
+            F.row_number().over(Window.orderBy("article_id")) + F.lit(max_row),
+        )
+        .select(
+            "row_id",
+            F.concat(F.lit("c-"), F.col("article_id")).alias("cluster_id"),
+            F.array("article_id").alias("article_ids"),
+            F.lit(False).alias("is_cluster"),
+            "centroid",
+        )
+    )
+    new_rows = new_rows.localCheckpoint(eager=True)
+
+    pool = state.unionByName(new_rows)
+    # Fresh edges: new × (pool ∪ new) only — settled pairs not revisited.
+    edges = similarity_pairs(
+        new_rows, pool, eps, id_col="row_id", vec_col="centroid",
+        strategy=strategy,
+    )
+    comp = connected_components(pool.select("row_id"), edges, id_col="row_id")
+
+    sizes = comp.groupBy("component").agg(F.count("*").alias("_n"))
+    labeled = (
+        pool.join(comp, "row_id")
+        .join(sizes, "component")
+    )
+
+    multi = labeled.where(F.col("_n") >= 2)
+    single = labeled.where(F.col("_n") < 2)
+
+    # Representative = lowest row_id in component.
+    rep_w = Window.partitionBy("component").orderBy("row_id")
+    multi = multi.withColumn("_rank", F.row_number().over(rep_w))
+
+    reps = multi.where(F.col("_rank") == 1)
+    absorbed = multi.where((F.col("_rank") > 1) & (~F.col("is_cluster")))
+    kept_clusters = multi.where((F.col("_rank") > 1) & F.col("is_cluster"))
+
+    # Centroid = mean of pool-row vectors in the component (A2).
+    cent = centroids(
+        multi.select("component", "centroid"),
+        member_col="component",
+        vec_col="centroid",
+    ).withColumnRenamed("centroid", "new_centroid")
+
+    gained = (
+        absorbed.groupBy("component")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("row_id", "article_ids"))
+                ).getField("article_ids")
+            ).alias("gained_articles")
+        )
+    )
+
+    updated_reps = (
+        reps.join(cent, "component")
+        .join(gained, "component", "left")
+        .select(
+            "row_id",
+            "cluster_id",
+            F.concat(
+                F.col("article_ids"),
+                F.coalesce(
+                    F.col("gained_articles"),
+                    F.array().cast("array<string>"),
+                ),
+            ).alias("article_ids"),
+            F.lit(True).alias("is_cluster"),
+            F.col("new_centroid").alias("centroid"),
+        )
+    )
+
+    new_state = (
+        updated_reps
+        .unionByName(
+            kept_clusters.select(
+                "row_id", "cluster_id", "article_ids", "is_cluster", "centroid"
+            )
+        )
+        .unionByName(
+            single.select(
+                "row_id", "cluster_id", "article_ids", "is_cluster", "centroid"
+            )
+        )
+    )
+
+    updates = (
+        updated_reps.join(
+            state.select("row_id", F.lit(True).alias("_existed")),
+            "row_id",
+            "left",
+        )
+        .select(
+            F.when(F.col("_existed").isNotNull(), F.lit("MODIFY"))
+            .otherwise(F.lit("INSERT"))
+            .alias("op"),
+            F.col("cluster_id").alias("PK"),
+            F.concat(F.lit("#METADATA#"), F.col("cluster_id")).alias("SK"),
+            F.lit("metadata").alias("type"),
+            F.size("article_ids").cast("long").alias("number_of_articles"),
+            F.col("article_ids"),
+        )
+    )
+    return {"state": new_state, "updates": updates}

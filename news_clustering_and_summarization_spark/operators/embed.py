@@ -1,0 +1,151 @@
+"""Embedding operator (SURVEY §2.8 M1/M2; reference embed_docs.py:70-95,
+model_artifacts/embedding/model/code/inference.py).
+
+Pluggable backends behind one pandas-UDF surface:
+
+* ``DeterministicHashEmbedder`` — seeded hashing-trick projection into
+  ``dim`` buckets with ±1 signs, L2-normalized. Fully deterministic, so
+  clustering golden tests are reproducible (SURVEY §7.2.3). This is the
+  test/bench backend.
+* ``BedrockTitanBackend`` / ``SageMakerBackend`` — stubs with the
+  reference's batching contract (≤200 texts/call, dims=512,
+  variables.tf:51-55, 103-107); they raise unless the respective SDK
+  is importable and configured. The Spark-side plumbing (Arrow batches,
+  schema) is identical to the deterministic backend, so swapping the
+  backend does not change the plan.
+
+The embedding column is ``array<array<float>>`` with a single-element
+outer list, matching the reference wire format (embed_docs.py:97-98,
+unwrapped at process_records.py:86).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Protocol
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_ARTICLES_PER_CALL = 200  # reference variables.tf:103-107
+DEFAULT_DIM = 64  # test tables use 64; reference deploys 512
+
+
+class EmbeddingBackend(Protocol):
+    dim: int
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray: ...
+
+
+class DeterministicHashEmbedder:
+    """Hashing-trick bag-of-words embedding.
+
+    token -> md5(f'{seed}|{token}') -> (bucket, sign); vector is the
+    signed token-count histogram, L2-normalized. Same instruction-prefix
+    hook as the reference models (embedding_model_utils.py:60-61).
+    """
+
+    def __init__(self, dim: int = DEFAULT_DIM, seed: int = 42, instruction: str = ""):
+        self.dim = dim
+        self.seed = seed
+        self.instruction = instruction
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for row, text in enumerate(texts):
+            if not text:
+                continue
+            for token in (self.instruction + text).lower().split():
+                token = "".join(ch for ch in token if ch.isalnum())
+                if not token:
+                    continue
+                h = int.from_bytes(
+                    hashlib.md5(f"{self.seed}|{token}".encode()).digest()[:8],
+                    "big",
+                )
+                bucket = h % self.dim
+                sign = 1.0 if (h >> 62) & 1 else -1.0
+                out[row, bucket] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return out / norms
+
+
+class BedrockTitanBackend:
+    """Titan v2 parity stub (embed_docs.py:70-95: dimensions=512,
+    normalize=true, one text per invoke)."""
+
+    def __init__(self, dim: int = 512, model_id: str = "amazon.titan-embed-text-v2:0"):
+        self.dim = dim
+        self.model_id = model_id
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        raise NotImplementedError(
+            "Bedrock backend requires boto3 + AWS credentials; use "
+            "DeterministicHashEmbedder for local runs."
+        )
+
+
+class SageMakerBackend:
+    """SageMaker endpoint parity stub (embed_docs.py:57-68: batched
+    ≤200 texts per call; inference.py:23-98)."""
+
+    def __init__(self, dim: int = 512, endpoint_name: str = ""):
+        self.dim = dim
+        self.endpoint_name = endpoint_name
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        raise NotImplementedError(
+            "SageMaker backend requires boto3 + an endpoint; use "
+            "DeterministicHashEmbedder for local runs."
+        )
+
+
+def make_embed_udf(backend: EmbeddingBackend | None = None, wrapped: bool = True):
+    """Series->Series pandas UDF embedding texts with the backend.
+
+    Arrow moves whole batches; the backend sees ≤MAX_ARTICLES_PER_CALL
+    texts per call to honor the reference's endpoint contract.
+    """
+    backend = backend or DeterministicHashEmbedder()
+    ret = (
+        T.ArrayType(T.ArrayType(T.FloatType()))
+        if wrapped
+        else T.ArrayType(T.FloatType())
+    )
+
+    @F.pandas_udf(ret)
+    def embed(texts: pd.Series) -> pd.Series:
+        vals = texts.fillna("").tolist()
+        chunks = []
+        for i in range(0, len(vals), MAX_ARTICLES_PER_CALL):
+            chunks.append(backend.embed_batch(vals[i : i + MAX_ARTICLES_PER_CALL]))
+        if chunks:
+            mat = np.vstack(chunks).astype(np.float32)
+        else:
+            mat = np.zeros((0, backend.dim), dtype=np.float32)
+        if wrapped:
+            return pd.Series([[row.tolist()] for row in mat])
+        return pd.Series([row.tolist() for row in mat])
+
+    return embed
+
+
+def embed_articles(
+    df: DataFrame,
+    text_col: str = "embed_text",
+    backend: EmbeddingBackend | None = None,
+) -> DataFrame:
+    """M1: attach ``concat_embedding`` (wrapped wire format)."""
+    udf = make_embed_udf(backend, wrapped=True)
+    return df.withColumn("concat_embedding", udf(F.col(text_col)))
+
+
+def unwrap_embedding(col: Column | str) -> Column:
+    """Reference unwraps the 1-element outer list at
+    process_records.py:86."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.element_at(c, 1)
