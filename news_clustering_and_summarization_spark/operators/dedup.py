@@ -1,0 +1,352 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious and all (except the embedding
+variant's candidate stage) reproducible by a DuckDB SQL oracle via the
+md5-based primitives in functions.hashing:
+
+  * exact            — md5(normalized text) groupBy. One shuffle on a
+                       16-byte key; keeps the lowest doc id per group.
+  * minhash LSH      — shingle -> k-minhash signature -> band buckets ->
+                       bucket equi-join -> exact-Jaccard verify. The
+                       classic web-scale near-dup path: candidate
+                       generation is an equi-join on (band, band-hash),
+                       never an n² compare.
+  * simhash          — 60-bit fingerprint; near-dups = hamming ≤ r on
+                       bucket-joined candidates (here: exact-match
+                       buckets on rotated halves for r≤3-style recall,
+                       plus a verify).
+  * n-gram Jaccard   — exact Jaccard over word shingles for pairs
+                       sharing ≥1 shingle (inverted-index join).
+  * embedding cosine — near-dup = cosine distance ≤ eps on embedding
+                       vectors; reuses cluster.similarity_pairs (cross
+                       below LSH_THRESHOLD, MLlib LSH above).
+
+The reference's own near-dup stage is J5 (TF-IDF cosine > 0.9 inside
+each cluster, summarization notebook cell 7 `remove_dup_article`,
+"keep the earlier article"); `tfidf_near_duplicates` reproduces it
+with MLlib HashingTF/IDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vectors as V
+from . import cluster as C
+
+# --- exact -----------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts. Output: one row per duplicate
+    document (id, canonical_id, content_hash); canonical = min id."""
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("_n", F.count("*").over(w))
+        .where(F.col("_n") >= 2)
+        .select(id_col, "canonical_id", "content_hash")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group
+    (single shuffle on the hash)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word n-grams for all
+    pairs sharing at least one shingle (inverted-index equi-join on
+    the shingle — no cross join). Output: (l_id, r_id, jaccard) with
+    l_id < r_id and jaccard >= threshold."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            H.word_shingles(H.tokens(text_col), n)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    inv = shingled.select("id", F.explode("sh").alias("s"))
+    co = (
+        inv.alias("a")
+        .join(inv.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed("id", "l_id"), "l_id")
+        .withColumnRenamed("n_sh", "l_n")
+        .join(sizes.withColumnRenamed("id", "r_id"), "r_id")
+        .withColumnRenamed("n_sh", "r_n")
+        .select(
+            "l_id",
+            "r_id",
+            (
+                F.col("inter")
+                / (F.col("l_n") + F.col("r_n") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in >= 1 band.
+
+    Banding: signature split into `bands` slices of k/bands values;
+    bucket key = (band index, md5 of joined slice). The join is a plain
+    equi-join on the bucket key — the 100 TB-safe path.
+    Output: (l_id, r_id) distinct, l_id < r_id.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        H.minhash_signature(
+            H.word_shingles(H.tokens(text_col), n), k
+        ).alias("sig"),
+    ).where(~F.exists("sig", lambda v: v.isNull()))
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig.sig, b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (no false positives;
+    recall bounded by the banding curve). Output like
+    ngram_jaccard_pairs."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            H.word_shingles(H.tokens(text_col), n)
+        ).alias("sh"),
+    )
+    return (
+        cands.join(
+            shingled.select(
+                F.col("id").alias("l_id"), F.col("sh").alias("l_sh")
+            ),
+            "l_id",
+        )
+        .join(
+            shingled.select(
+                F.col("id").alias("r_id"), F.col("sh").alias("r_sh")
+            ),
+            "r_id",
+        )
+        .select(
+            "l_id",
+            "r_id",
+            (
+                F.size(F.array_intersect("l_sh", "r_sh"))
+                / F.size(F.array_union("l_sh", "r_sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), H.simhash(H.tokens(text_col)).alias("simhash")
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by simhash: candidates share an identical quarter of
+    the fingerprint (pigeonhole: hamming <= 3 over 4 blocks ⇒ at least
+    one block identical), then verified by exact hamming distance.
+    Output: (l_id, r_id, hamming), l_id < r_id."""
+    blocks = 4
+    bits_per = H.SIMHASH_BITS // blocks  # 15
+    fp = simhash_fingerprints(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    # block b = (simhash % 2^((b+1)*15)) // 2^(b*15), done with exact
+    # integer ops (modulo then subtract-shift via division by power of
+    # two AFTER the modulo keeps everything < 2^15 — exact in double,
+    # but use decimal-safe floor on longs instead)
+    keyed = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        (F.col("simhash") % F.lit(1 << ((b + 1) * bits_per)))
+                        - (F.col("simhash") % F.lit(1 << (b * bits_per)))
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    cands = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["block", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("l_id"),
+            F.col("a.simhash").alias("l_fp"),
+            F.col("b.id").alias("r_id"),
+            F.col("b.simhash").alias("r_fp"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", H.hamming_distance(F.col("l_fp"), F.col("r_fp"))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("l_id", "r_id", "hamming")
+    )
+
+
+# --- embedding cosine ------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine distance <= eps.
+    Output: (l_id, r_id, dist), l_id < r_id."""
+    pairs = C.similarity_pairs(
+        df, df, eps, id_col=id_col, vec_col=vec_col, strategy=strategy
+    )
+    return pairs.where(F.col("l_id") < F.col("r_id"))
+
+
+# --- reference J5: TF-IDF near-dup within clusters -------------------
+
+
+def tfidf_near_duplicates(
+    df: DataFrame,
+    group_col: str = "cluster",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_features: int = 1 << 16,
+) -> DataFrame:
+    """J5 (summarization notebook cell 7): within each group, TF-IDF
+    cosine similarity > threshold marks the later doc a duplicate.
+    MLlib Tokenizer/StopWordsRemover/HashingTF/IDF, then a same-group
+    pair join. Output: (group, l_id, r_id, cosine) with l_id < r_id —
+    r_id is the one the reference drops."""
+    from pyspark.ml.feature import (
+        HashingTF,
+        IDF,
+        StopWordsRemover,
+        Tokenizer,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("doc"),
+    )
+    tokened = Tokenizer(inputCol="doc", outputCol="words").transform(base)
+    filtered = StopWordsRemover(
+        inputCol="words", outputCol="filtered"
+    ).transform(tokened)
+    tf = HashingTF(
+        inputCol="filtered", outputCol="tf", numFeatures=num_features
+    ).transform(filtered)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf).transform(tf)
+    vecs = idf.select(
+        "grp", "id", vector_to_array("tfidf").alias("v")
+    )
+    pairs = (
+        vecs.alias("a")
+        .join(vecs.alias("b"), "grp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("a.id").alias("l_id"),
+            F.col("b.id").alias("r_id"),
+            V.cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") > threshold)
+    )
+    return pairs

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (engine extension for
+training-data pipelines; generalizes the reference's J4 similarity
+join into query-time ANN).
+
+Two paths:
+  * brute-force top-k — exact cosine top-k via crossJoin + window.
+    O(Q·N) but fully distributed and vectorized; right for small Q
+    (the usual "query batch vs corpus" shape) or as the rerank stage.
+  * IVF (inverted-file) top-k — corpus is pre-partitioned into
+    ``nlist`` Voronoi cells around k-means-style centroids; a query
+    probes its ``nprobe`` nearest cells only, cutting the scanned
+    fraction to nprobe/nlist. Centroids are broadcast; the probe is an
+    equi-join on cell id — the plan that survives a 1000-executor
+    100 TB corpus. Recall < 1.0 by construction; verified ≥ floor in
+    tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nv")
+    )
+    scored = q.crossJoin(c).select(
+        "qid",
+        "nid",
+        V.cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    corpus_vec: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """K-means centroids for IVF cells via MLlib (distributed Lloyd's).
+    Output: (cell, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    km = KMeans(k=nlist, maxIter=max_iter, seed=seed).fit(feats)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 1,
+) -> DataFrame:
+    """Attach the nearest `n_cells` centroid ids to each row via a
+    broadcast crossJoin + rank (centroid set is tiny by design)."""
+    scored = df.crossJoin(
+        F.broadcast(centroids.select("cell", F.col("centroid").alias("_c")))
+    ).withColumn(
+        "_sim", V.cosine_similarity(F.col(vec_col), F.col("_c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_cells)
+        .drop("_c", "_sim", "_r")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest IVF cells.
+
+    The corpus-cell assignment would be precomputed/bucketed in a real
+    deployment; the query-side probe is a broadcast join on cell.
+    Output schema matches brute_force_topk.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, corpus_vec)
+    corpus_cells = assign_cells(
+        corpus.select(corpus_id, corpus_vec), centroids, corpus_vec,
+        corpus_id, n_cells=1,
+    )
+    query_cells = assign_cells(
+        queries.select(query_id, query_vec), centroids, query_vec,
+        query_id, n_cells=nprobe,
+    )
+    probed = query_cells.alias("q").join(
+        corpus_cells.alias("c"), "cell"
+    ).select(
+        F.col(f"q.{query_id}").alias("qid"),
+        F.col(f"c.{corpus_id}").alias("nid"),
+        V.cosine_similarity(
+            F.col(f"q.{query_vec}"), F.col(f"c.{corpus_vec}")
+        ).alias("cosine"),
+    ).where(F.col("qid") != F.col("nid")).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        probed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )

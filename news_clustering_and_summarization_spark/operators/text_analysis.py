@@ -1,0 +1,208 @@
+"""Text-analysis operators for training-data curation (engine
+extension): language ID, quality scoring, token counting, document
+fingerprinting. All pure Column expressions (JVM-side, codegen) with
+exact DuckDB oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+# --- language ID (stopword-hit heuristic) ----------------------------
+# Tiny per-language function-word lists; score = fraction of tokens
+# that are language stopwords; argmax with deterministic tie-break on
+# language code. 'und' when nothing matches.
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "como", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "que", "pour", "une", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+}
+
+
+def _lang_score(tok: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+    return hits / F.greatest(F.size(tok), F.lit(1))
+
+
+def language_id(text_col: Column | str) -> Column:
+    tok = H.tokens(text_col)
+    scores = [(lang, _lang_score(tok, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
+    best = scores[0]
+    # fold: keep the max score, earlier (lexically-first) language wins ties
+    lang_expr, score_expr = F.lit(best[0]), best[1]
+    for lang, sc in scores[1:]:
+        lang_expr = F.when(sc > score_expr, F.lit(lang)).otherwise(lang_expr)
+        score_expr = F.when(sc > score_expr, sc).otherwise(score_expr)
+    return F.when(score_expr > 0, lang_expr).otherwise(F.lit("und"))
+
+
+def language_id_sql(expr: str) -> str:
+    tok = H.tokens_sql(expr)
+    parts_score = []
+    for lang, ws in sorted(LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        parts_score.append(
+            (
+                lang,
+                "(len(list_filter({t}, x -> list_contains({a}, x)))::DOUBLE"
+                " / greatest(len({t}), 1))".format(t=tok, a=arr),
+            )
+        )
+    lang_expr, score_expr = f"'{parts_score[0][0]}'", parts_score[0][1]
+    for lang, sc in parts_score[1:]:
+        lang_expr = (
+            f"CASE WHEN {sc} > {score_expr} THEN '{lang}' ELSE {lang_expr} END"
+        )
+        score_expr = (
+            f"CASE WHEN {sc} > {score_expr} THEN {sc} ELSE {score_expr} END"
+        )
+    return f"CASE WHEN {score_expr} > 0 THEN {lang_expr} ELSE 'und' END"
+
+
+# --- quality scoring -------------------------------------------------
+# length / punctuation-density / stopword-ratio heuristics in the
+# Gopher/C4 style, combined into one [0,1] score.
+
+_STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    tok = H.tokens(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(c)
+    n_tokens = F.size(tok)
+    arr = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
+    stop_hits = F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    mean_word_len = F.when(n_tokens > 0,
+        F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "stopword_ratio": (
+                stop_hits / F.greatest(n_tokens, F.lit(1))
+            ).cast("double"),
+            "punct_ratio": (
+                n_punct / F.greatest(n_chars, F.lit(1))
+            ).cast("double"),
+            "mean_word_len": mean_word_len.cast("double"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: in-range length, sane mean word
+    length, some stopwords, low punctuation density (C4/Gopher-style
+    rules re-expressed as smooth penalties)."""
+    feats = quality_features(df, text_col)
+    len_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0
+    ).otherwise(0.25)
+    wl_ok = F.when(
+        (F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0), 1.0
+    ).otherwise(0.5)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.5)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    return feats.withColumn(
+        "quality_score",
+        F.round((len_ok * wl_ok * stop_ok * punct_ok).cast("double"), 6),
+    )
+
+
+QUALITY_SQL_FRAGMENTS = {
+    # mirrors quality_features/quality_score for the oracle; {t} = text expr
+    "n_chars": "length(coalesce({t}, ''))",
+    "n_tokens": "len({tok})",
+}
+
+
+def quality_score_sql(text_expr: str) -> str:
+    tok = H.tokens_sql(text_expr)
+    t = f"coalesce({text_expr}, '')"
+    arr = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS_EN) + "]"
+    n_chars = f"length({t})"
+    n_tokens = f"len({tok})"
+    stop_ratio = (
+        f"(len(list_filter({tok}, x -> list_contains({arr}, x)))::DOUBLE"
+        f" / greatest({n_tokens}, 1))"
+    )
+    punct_ratio = (
+        f"(({n_chars} - length(regexp_replace({t}, '[^\\w\\s]', '', 'g')))::DOUBLE"
+        f" / greatest({n_chars}, 1))"
+    )
+    mean_wl = (
+        f"CASE WHEN {n_tokens} > 0 THEN "
+        f"list_reduce(list_prepend(0, list_transform({tok}, x -> length(x))), (a, v) -> a + v)::DOUBLE / {n_tokens} "
+        f"ELSE 0.0 END"
+    )
+    return (
+        "round("
+        f"(CASE WHEN {n_tokens} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * "
+        f"(CASE WHEN {mean_wl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * "
+        f"(CASE WHEN {stop_ratio} >= 0.05 THEN 1.0 ELSE 0.5 END) * "
+        f"(CASE WHEN {punct_ratio} <= 0.2 THEN 1.0 ELSE 0.5 END)"
+        ", 6)"
+    )
+
+
+# --- token counting --------------------------------------------------
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate: words are
+    split every 4 characters (ceil(len/4) pieces), digits/punctuation
+    count singly — a deterministic stand-in for a real tokenizer's
+    piece count, good enough for budget accounting."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    ws_tokens = F.size(
+        F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    )
+    tok = H.tokens(text_col)
+    bpe_est = F.aggregate(
+        tok,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+    return df.withColumns(
+        {
+            "ws_token_count": ws_tokens.cast("long"),
+            "bpe_token_estimate": bpe_est.cast("long"),
+        }
+    )
+
+
+def token_counts_sql(text_expr: str) -> tuple[str, str]:
+    t = f"coalesce({text_expr}, '')"
+    tok = H.tokens_sql(text_expr)
+    ws = (
+        f"len(list_filter(regexp_split_to_array({t}, '\\s+'), x -> x <> ''))"
+    )
+    bpe = (
+        f"list_reduce(list_prepend(0, list_transform({tok}, "
+        f"x -> ceil(length(x) / 4.0)::INT)), (a, v) -> a + v)"
+    )
+    return ws, bpe
+
+
+# --- fingerprinting --------------------------------------------------
+
+
+def document_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (functions.hashing.fingerprint) + the order-free content md5 —
+    the pair distinguishes reordered from identical documents."""
+    return df.select(
+        F.col(id_col),
+        H.fingerprint(H.tokens(text_col)).alias("rolling_fp"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"),
+    )

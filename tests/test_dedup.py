@@ -1,0 +1,166 @@
+"""Dedup operators vs DuckDB oracles on the real documents table, plus
+planted-duplicate golden cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.functions import hashing as H
+from news_clustering_and_summarization_spark.operators import dedup as D
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _planted(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog again and once"),   # near dup of 0
+        (3, "completely different content about spark query engines at scale"),
+        (4, "completely different content about spark query engines at scale"),  # exact dup of 3
+        (5, "unrelated text regarding weather patterns in northern regions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_planted(spark):
+    df = _planted(spark)
+    dups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in D.exact_duplicates(df).collect()
+    }
+    assert dups == {(0, 0), (1, 0), (3, 3), (4, 3)}
+    kept = {r["doc_id"] for r in D.dedup_exact(df).collect()}
+    assert kept == {0, 2, 3, 5}
+
+
+def test_exact_duplicates_oracle(spark, docs, duck):
+    got = D.exact_duplicates(docs)
+    oracle = """
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    g AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n
+          FROM h GROUP BY content_hash)
+    SELECT h.doc_id, g.canonical_id, h.content_hash
+    FROM h JOIN g USING (content_hash) WHERE g.n >= 2
+    """
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_ngram_jaccard_planted(spark):
+    df = _planted(spark)
+    pairs = {
+        (r["l_id"], r["r_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) in pairs
+    assert not any({l, r} == {0, 3} for l, r in pairs)
+
+
+def test_ngram_jaccard_oracle(spark, docs, duck):
+    got = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    oracle = f"""
+    WITH s AS (
+      SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
+      WHERE len({sh}) > 0
+    ),
+    inv AS (SELECT id, unnest(sh) AS g FROM s),
+    co AS (
+      SELECT a.id AS l_id, b.id AS r_id, count(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT co.l_id, co.r_id,
+           round(inter::DOUBLE / (la.n + lb.n - inter), 6) AS jaccard
+    FROM co
+    JOIN (SELECT id, len(sh) AS n FROM s) la ON la.id = co.l_id
+    JOIN (SELECT id, len(sh) AS n FROM s) lb ON lb.id = co.r_id
+    WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.5
+    """
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_minhash_candidates_and_verify(spark):
+    df = _planted(spark)
+    nd = {
+        (r["l_id"], r["r_id"])
+        for r in D.minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+    # exact dups always collide in every band
+    assert (0, 1) in nd and (3, 4) in nd
+    # verified: no false positives vs exact jaccard
+    exact = {
+        (r["l_id"], r["r_id"])
+        for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert nd <= exact
+
+
+def test_minhash_signature_oracle(spark, docs, duck):
+    sig = docs.select(
+        "doc_id",
+        H.minhash_signature(
+            H.word_shingles(H.tokens("text"), 3), 8
+        ).alias("sig"),
+    ).where(~F.exists("sig", lambda v: v.isNull()))
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    oracle = f"""
+    SELECT doc_id, {H.minhash_signature_sql(sh, 8)} AS sig
+    FROM documents WHERE len({sh}) > 0
+    """
+    assert_matches_oracle(sig, duck, oracle)
+
+
+def test_simhash_duplicates_planted(spark):
+    # identical docs -> hamming 0; verify candidates found via blocks
+    df = _planted(spark)
+    got = {
+        (r["l_id"], r["r_id"]): r["hamming"]
+        for r in D.simhash_duplicates(df, max_hamming=10).collect()
+    }
+    assert got.get((0, 1)) == 0
+    assert got.get((3, 4)) == 0
+    assert (0, 2) in got  # one word changed -> small hamming distance
+
+
+def test_simhash_fingerprint_oracle(spark, docs, duck):
+    got = D.simhash_fingerprints(docs)
+    tok = H.tokens_sql("text")
+    oracle = f"SELECT doc_id, {H.simhash_sql(tok)} AS simhash FROM documents"
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_embedding_near_duplicates(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = D.embedding_near_duplicates(
+        emb, eps=0.6, strategy="cross"
+    ).collect()
+    assert all(r["l_id"] < r["r_id"] and r["dist"] <= 0.6 for r in pairs)
+    assert len(pairs) > 0
+
+
+def test_tfidf_near_duplicates_reference_semantics(spark):
+    rows = [
+        ("g1", 0, "stocks rally as markets surge on earnings beat today"),
+        ("g1", 1, "stocks rally as markets surge on earnings beat today"),
+        ("g1", 2, "central bank holds interest rates steady this quarter"),
+        ("g2", 3, "stocks rally as markets surge on earnings beat today"),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, doc_id long, text string")
+    got = {
+        (r["cluster"], r["l_id"], r["r_id"])
+        for r in D.tfidf_near_duplicates(df, threshold=0.9).collect()
+    }
+    # only the same-group identical pair; cross-group twin untouched
+    assert got == {("g1", 0, 1)}

@@ -1,0 +1,91 @@
+"""ANN operators: brute-force exactness vs a DuckDB oracle; IVF recall
+floor vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.functions import vectors as V
+from news_clustering_and_summarization_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def _queries(emb, n=5):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_brute_force_topk_oracle(spark, emb, duck):
+    got = S.brute_force_topk(_queries(emb), emb, k=5).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+    cos = V.dot_sql("q.embedding", "c.embedding")
+    nrm = f"({V.norm_sql('q.embedding')} * {V.norm_sql('c.embedding')})"
+    oracle = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} / {nrm} AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_brute_force_self_neighbor_excluded(spark, emb):
+    got = S.brute_force_topk(_queries(emb, 3), emb, k=3).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_ivf_recall_floor(spark, emb):
+    q = _queries(emb, 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, emb, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(q, emb, k=10, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_more_probes_higher_recall(spark, emb):
+    q = _queries(emb, 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, emb, k=10).collect()
+    }
+    cents = S.train_ivf_centroids(emb, nlist=8)
+    r_low = len(exact & {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(q, emb, cents, k=10, nprobe=1).collect()
+    })
+    r_high = len(exact & {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(q, emb, cents, k=10, nprobe=8).collect()
+    })
+    assert r_high >= r_low
+    # probing every cell == exact
+    assert r_high == len(exact)

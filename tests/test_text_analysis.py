@@ -1,0 +1,107 @@
+"""Text-analysis operators vs DuckDB oracles on the documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.functions import hashing as H
+from news_clustering_and_summarization_spark.operators import text_analysis as TA
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_language_id_known_samples(spark):
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house"),
+        (1, "el gato esta en la casa y los perros en el jardin"),
+        (2, "le chat est dans la maison pour les vacances sur la mer"),
+        (3, "der hund ist nicht mit der katze und das haus von zu"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {
+        r["i"]: r["lang"]
+        for r in df.select(
+            "i", TA.language_id("text").alias("lang")
+        ).collect()
+    }
+    assert got == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_language_id_oracle(spark, docs, duck):
+    got = docs.select(
+        "doc_id", TA.language_id("text").alias("lang_pred")
+    )
+    oracle = (
+        f"SELECT doc_id, {TA.language_id_sql('text')} AS lang_pred "
+        "FROM documents"
+    )
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_quality_score_oracle(spark, docs, duck):
+    got = TA.quality_score(docs, "text").select("doc_id", "quality_score")
+    oracle = (
+        f"SELECT doc_id, {TA.quality_score_sql('text')} AS quality_score "
+        "FROM documents"
+    )
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_quality_score_edge_cases(spark):
+    rows = [
+        (0, "short"),                                   # too few tokens
+        (1, " ".join(["the word is fine and solid"] * 5)),  # healthy
+        (2, "!!! ??? ,,, ;;; ..." * 10),                # punctuation soup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["quality_score"]
+        for r in TA.quality_score(df, "text").select(
+            "doc_id", "quality_score"
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[0] < 1.0
+    assert got[2] < got[1]
+
+
+def test_token_counts_oracle(spark, docs, duck):
+    got = TA.token_counts(docs, "text").select(
+        "doc_id", "ws_token_count", "bpe_token_estimate"
+    )
+    ws, bpe = TA.token_counts_sql("text")
+    oracle = (
+        f"SELECT doc_id, {ws} AS ws_token_count, "
+        f"{bpe} AS bpe_token_estimate FROM documents"
+    )
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_fingerprints_order_sensitivity(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "gamma beta alpha"),   # same tokens, different order
+        (2, "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TA.document_fingerprints(df).collect()}
+    assert got[0]["rolling_fp"] == got[2]["rolling_fp"]
+    assert got[0]["rolling_fp"] != got[1]["rolling_fp"]
+    assert got[0]["content_md5"] == got[2]["content_md5"]
+
+
+def test_fingerprints_oracle(spark, docs, duck):
+    got = TA.document_fingerprints(docs)
+    tok = H.tokens_sql("text")
+    oracle = f"""
+    SELECT doc_id, {H.fingerprint_sql(tok)} AS rolling_fp,
+           md5(coalesce(text, '')) AS content_md5
+    FROM documents
+    """
+    assert_matches_oracle(got, duck, oracle)
