@@ -72,37 +72,67 @@ def word_shingles_sql(tokens_expr: str, n: int) -> str:
     ).format(t=tokens_expr, n=n)
 
 
-def minhash_signature(shingles: Column, k: int) -> Column:
-    """k-permutation MinHash: permutation i == seeded hash64(·, i).
+# MinHash permutations: one md5 per shingle (base hash), then k affine
+# permutations perm_i(h) = (a_i * h31 + b_i) mod P with P = 2^31-1 and
+# h31 = hash64(s) mod P. a_i < P and h31 < P keep the product < 2^62 —
+# exact in int64 in BOTH engines, and ~k× cheaper than k md5 calls.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(k)
+    ]
+
+
+def shingle_hash31(s: Column) -> Column:
+    """Base 31-bit shingle hash shared by all permutations."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, HASH_HEX_CHARS), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+
+
+def shingle_hash31_sql(expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5({expr}), 1, {HASH_HEX_CHARS}))::BIGINT"
+        f" % {MINHASH_PRIME})"
+    )
+
+
+def minhash_signature(shingles: Column, k: int, seed: int = 42) -> Column:
+    """k-permutation MinHash signature as an array column.
 
     min over an empty shingle set is NULL (documents shorter than the
     shingle width produce a NULL signature slot — callers filter).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-                        1,
-                        HASH_HEX_CHARS,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ),
+    params = minhash_params(k, seed)
+    hashes = F.transform(shingles, shingle_hash31)
+
+    def perm(a: int, b: int):
+        # plain closure: Spark derives lambda arity from the signature,
+        # so default-arg tricks would read as a 3-arg lambda
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in params]
     )
 
 
-def minhash_signature_sql(shingles_expr: str, k: int) -> str:
-    return (
-        "list_transform(range(0, {k}), i -> "
-        "list_min(list_transform({s}, s -> "
-        "('0x' || substr(md5(i::VARCHAR || '|' || s), 1, {h}))::BIGINT)))"
-    ).format(k=k, s=shingles_expr, h=HASH_HEX_CHARS)
+def minhash_signature_sql(shingles_expr: str, k: int, seed: int = 42) -> str:
+    params = minhash_params(k, seed)
+    h = "list_transform({s}, s -> {h31})".format(
+        s=shingles_expr, h31=shingle_hash31_sql("s")
+    )
+    slots = ", ".join(
+        f"list_min(list_transform({h}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in params
+    )
+    return f"[{slots}]"
 
 
 # --- SimHash ----------------------------------------------------------

@@ -53,26 +53,67 @@ def brute_force_pairs(
     eps: float,
     id_col: str = "row_id",
     vec_col: str = "centroid",
+    upper_only: bool = False,
+    with_dist: bool = True,
 ) -> DataFrame:
     """All pairs (left.id, right.id) with cosine distance <= eps.
+    Output: l_id, r_id, dist (float64). Skips self-pairs.
 
-    Output: l_id, r_id, dist. Skips self-pairs.
-    """
-    a = left.select(
-        F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec")
+    Implementation: the right side is collected and broadcast (this
+    strategy is only chosen when it fits — similarity_pairs switches
+    to LSH above LSH_THRESHOLD), then each left partition computes a
+    vectorized NumPy block matmul against it inside mapInPandas — the
+    same normalized-dot kernel the reference hand-rolls
+    (clustering.py:53-85), but per-executor with Arrow batches and in
+    float64 (no fp16 artifacts, SURVEY §7.4 risk 6). O(n·m/p) per
+    task, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    spark = left.sparkSession
+    dist_part = ", dist double" if with_dist else ""
+    out_schema = (
+        f"l_id {dict(left.dtypes)[id_col]}, "
+        f"r_id {dict(right.dtypes)[id_col]}{dist_part}"
     )
-    b = right.select(
-        F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec")
+    r_rows = right.select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec")
+    ).collect()
+    if not r_rows:
+        return spark.createDataFrame([], out_schema)
+    r_ids = np.array([row["rid"] for row in r_rows])
+    r_mat = np.array([row["rvec"] for row in r_rows], dtype=np.float64)
+    r_norm = r_mat / np.maximum(
+        np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-300
     )
-    return (
-        a.crossJoin(b)
-        .where(F.col("l_id") != F.col("r_id"))
-        .withColumn(
-            "dist", V.cosine_distance(F.col("l_vec"), F.col("r_vec"))
-        )
-        .where(F.col("dist") <= F.lit(eps))
-        .select("l_id", "r_id", "dist")
-    )
+    bc = spark.sparkContext.broadcast((r_ids, r_norm))
+
+    def block(batches):
+        ids_r, mat_r = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            l_ids = pdf["lid"].to_numpy()
+            l_mat = np.array(pdf["lvec"].tolist(), dtype=np.float64)
+            l_norm = l_mat / np.maximum(
+                np.linalg.norm(l_mat, axis=1, keepdims=True), 1e-300
+            )
+            sim = l_norm @ mat_r.T
+            dist = np.clip(1.0 - sim, 0.0, 1.0)
+            li, ri = np.nonzero(dist <= eps)
+            keep = (
+                (l_ids[li] < ids_r[ri])
+                if upper_only
+                else (l_ids[li] != ids_r[ri])
+            )
+            cols = {"l_id": l_ids[li][keep], "r_id": ids_r[ri][keep]}
+            if with_dist:
+                cols["dist"] = dist[li, ri][keep]
+            yield pd.DataFrame(cols)
+
+    return left.select(
+        F.col(id_col).alias("lid"), F.col(vec_col).alias("lvec")
+    ).mapInPandas(block, schema=out_schema)
 
 
 def lsh_candidate_pairs(
@@ -150,48 +191,82 @@ def connected_components(
     id_col: str = "row_id",
     max_iterations: int = 50,
 ) -> DataFrame:
-    """Hash-min label propagation: component = min vertex id reachable.
+    """Connected components by graph contraction with pointer doubling.
 
     vertices: one column ``id_col``; edges: ``l_id``/``r_id``
-    (direction-free). Each iteration is one shuffle join; lineage is
-    cut with localCheckpoint so 50 iterations don't stack a 50-deep
-    plan. Converges in O(graph diameter) iterations — ε-graphs of
-    near-duplicate clusters are shallow.
-    Output: (id_col, component).
+    (direction-free). Per round:
+
+      1. m(u) = min(u, min neighbor)          (one groupBy over E)
+      2. m    = m ∘ m                          (pointer doubling — halves
+                                                chain lengths, O(log n)
+                                                rounds on paths)
+      3. labels.comp = m(labels.comp)          (mapping composition)
+      4. E   = {(m(u), m(v)) | (u,v) ∈ E, m(u) ≠ m(v)} distinct
+
+    Dense components collapse to self-loops after the first round, so
+    unlike plain hash-min the big edge set is joined ONCE — the edge
+    list shrinks geometrically. Chains are handled by FULL path
+    compression of the pointer map inside each round (m := m∘m to a
+    fixpoint, log₂(chain) cheap self-joins of the small map — without
+    it a path graph shrinks by O(1) per round and a 40-node chain
+    takes ~15 expensive rounds). Lineage is cut per round with
+    localCheckpoint. Output: (id_col, component).
     """
-    sym = (
-        edges.select("l_id", "r_id")
-        .union(edges.select(F.col("r_id").alias("l_id"), F.col("l_id").alias("r_id")))
-        .distinct()
+    sym = edges.select("l_id", "r_id").union(
+        edges.select(
+            F.col("r_id").alias("l_id"), F.col("l_id").alias("r_id")
+        )
     )
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("component")
     )
-    sym = sym.localCheckpoint(eager=True)
+    e = sym.localCheckpoint(eager=True)
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.r_id == labels.vid, "inner")
-            .groupBy("l_id")
-            .agg(F.min("component").alias("n_comp"))
-        )
-        updated = (
-            labels.join(
-                neighbor_min, labels.vid == neighbor_min.l_id, "left"
-            )
-            .select(
-                "vid",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("n_comp"), F.col("component")),
-                ).alias("component"),
-                (F.col("n_comp") < F.col("component")).alias("_changed"),
-            )
-        )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.where(F.col("_changed")).limit(1).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
+        if e.limit(1).count() == 0:
             break
+        # 1. min over neighbors, self included
+        m = (
+            e.groupBy("l_id")
+            .agg(F.min("r_id").alias("m"))
+            .select("l_id", F.least("l_id", "m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        # 2. full path compression: m := m∘m until fixpoint. Pointer
+        # values only decrease, so an unchanged sum ⇔ converged —
+        # one scalar agg per composition instead of a row diff.
+        prev_sum = m.agg(F.sum("m")).collect()[0][0]
+        for _ in range(60):
+            m2 = m.select(F.col("l_id").alias("_k"), F.col("m").alias("_v"))
+            m = (
+                m.join(m2, m.m == m2._k, "left")
+                .select("l_id", F.coalesce("_v", "m").alias("m"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = m.agg(F.sum("m")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        # 3. compose into the vertex mapping
+        labels = (
+            labels.join(m, labels.component == m.l_id, "left")
+            .select(
+                "vid", F.coalesce("m", "component").alias("component")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # 4. contract the edge set
+        ml = m.select(F.col("l_id").alias("_u"), F.col("m").alias("_mu"))
+        mr = m.select(F.col("l_id").alias("_w"), F.col("m").alias("_mw"))
+        e = (
+            e.join(ml, e.l_id == ml._u)
+            .join(mr, e.r_id == mr._w)
+            .select(
+                F.col("_mu").alias("l_id"), F.col("_mw").alias("r_id")
+            )
+            .where(F.col("l_id") != F.col("r_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     return labels.select(F.col("vid").alias(id_col), "component")
 
 
@@ -211,11 +286,28 @@ def cluster_batch(
     minimum member id of the component (DBSCAN label surrogate) and
     is_cluster is True for components of size >= 2 (min_samples=2
     noise rule: singletons are noise / remain singleton rows).
+
+    The projected nodes are materialized once (localCheckpoint):
+    edge generation, the CC iterations, and the size join each re-read
+    them, and without the cut an upstream embedding UDF would be
+    recomputed per action.
     """
-    nodes = df.select(id_col, vec_col)
-    edges = similarity_pairs(
-        nodes, nodes, eps, id_col=id_col, vec_col=vec_col, strategy=strategy
-    )
+    nodes = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    if strategy == "cross" or (
+        strategy == "auto" and nodes.count() * 2 <= LSH_THRESHOLD
+    ):
+        # self-join: emit each undirected edge once, no distance column
+        # (CC symmetrizes internally) — halves the Arrow/checkpoint
+        # volume of dense graphs
+        edges = brute_force_pairs(
+            nodes, nodes, eps, id_col=id_col, vec_col=vec_col,
+            upper_only=True, with_dist=False,
+        )
+    else:
+        edges = similarity_pairs(
+            nodes, nodes, eps, id_col=id_col, vec_col=vec_col,
+            strategy=strategy,
+        )
     comp = connected_components(nodes.select(id_col), edges, id_col=id_col)
     sizes = comp.groupBy("component").agg(F.count("*").alias("_n"))
     return (
@@ -278,6 +370,15 @@ def incremental_cluster_update(
     merge (op=INSERT for brand-new rows, MODIFY for grown clusters).
     """
     max_row = state.agg(F.coalesce(F.max("row_id"), F.lit(0))).collect()[0][0]
+
+    # Idempotence on article_id (SURVEY §7.4 risk 5): drop re-delivered
+    # articles already tracked anywhere in the pool, so at-least-once
+    # replay cannot double-count (the reference only dedups within a
+    # batch — process_records.py:77-83 — and would double-count here).
+    known = state.select(
+        F.explode("article_ids").alias(batch_id_col)
+    ).distinct()
+    batch = batch.join(known, batch_id_col, "left_anti")
 
     # Arrival order -> pool positions after the existing rows
     # (reference label_tracker.extend, process_records.py:321-327).

@@ -121,6 +121,39 @@ MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """MinHash signatures computed the columnar way: explode distinct
+    shingles (one md5 each, JVM-native), then k affine-permutation
+    ``min`` aggregates — everything whole-stage-codegen, one shuffle
+    on the doc id. Docs with no shingle (shorter than n tokens) drop
+    out, matching the expression variant's NULL-filter.
+    Output: (id, sig array<long>)."""
+    params = H.minhash_params(k)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(H.word_shingles(H.tokens(text_col), n))
+        ).alias("s"),
+    ).withColumn("h31", H.shingle_hash31(F.col("s")))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(H.MINHASH_PRIME)
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_mh{i}" for i in range(k)]).alias("sig"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,12 +170,7 @@ def minhash_lsh_candidates(
     Output: (l_id, r_id) distinct, l_id < r_id.
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        H.minhash_signature(
-            H.word_shingles(H.tokens(text_col), n), k
-        ).alias("sig"),
-    ).where(~F.exists("sig", lambda v: v.isNull()))
+    sig = minhash_signatures(df, id_col, text_col, n, k)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -219,8 +247,47 @@ def minhash_near_duplicates(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), H.simhash(H.tokens(text_col)).alias("simhash")
+    """SimHash the columnar way: explode tokens (duplicates kept — the
+    fingerprint weights by frequency), one native md5 per token, then
+    60 conditional-sum aggregates (one per bit) and a final bit
+    reassembly — all inside whole-stage codegen, one shuffle.
+    Token-less docs get fingerprint 0 (the empty-input convention of
+    the expression variant)."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(H.tokens(text_col)).alias("t"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5("t"), 1, H.HASH_HEX_CHARS), 16, 10
+        ).cast("long"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.col("h") % F.lit(1 << (j + 1))) >= F.lit(1 << j), 1
+            ).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(H.SIMHASH_BITS)
+    ]
+    fp = (
+        exploded.groupBy("_id")
+        .agg(*bit_sums)
+        .select(
+            "_id",
+            sum(
+                [
+                    F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(0)
+                    for j in range(H.SIMHASH_BITS)
+                ],
+                F.lit(0),
+            ).cast("long").alias("simhash"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(fp, F.col(id_col) == fp._id, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
 
 

@@ -1,0 +1,897 @@
+"""Query catalog: every operator family from SURVEY §2 plus the
+training-data extensions, each as (spark_fn, oracle_sql) so the
+driver's DuckDB hash-compare can gate correctness.
+
+Determinism rules used throughout (so both engines hash identically):
+  * money sums go through DECIMAL(18,4) (exact, order-free), then
+    round(2) and cast to double;
+  * double averages divide an exact decimal sum cast to double by the
+    count (single IEEE division — identical in both engines);
+  * every top-k has a total order (tiebreak on the key);
+  * timestamps leave the engine as formatted strings, never native
+    timestamps (Spark is session-TZ, DuckDB UTC-naive);
+  * float expressions are rounded to 6 places at the edge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as TX
+from ..functions import vectors as V
+from ..operators import cluster as C
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import summarize as SM
+from ..operators import text_analysis as TA
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and rebuild a micros
+        # timestamp (exactly what DuckDB's reader produces).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+def _money(c: F.Column) -> F.Column:
+    return F.round(c, 2).cast("double")
+
+
+# ---------------------------------------------------------------------
+# Relational core (SURVEY §2.3 J*, §2.4 A*, §2.5 O*, §2.6 windows)
+# ---------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: multi-agg groupBy (A1/A5/A6 family)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE
+         AS sum_base_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE
+         AS sum_disc_price,
+       round(sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE / count(*), 6)
+         AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf):
+    """J1-style broadcast equi-join + A7 top-k with total order."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.sum(_dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_customers_without_orders(spark, sf):
+    """J3/O4: anti join (requested-minus-found split)."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    return customer.join(
+        orders.select("o_custkey"),
+        customer.c_custkey == orders.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_mode_event_type(spark, sf):
+    """A3: mode per group via count + row_number (deterministic
+    lexical tiebreak)."""
+    ev = load(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
+ORACLE_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rn = 1
+"""
+
+
+def q_order_date_range(spark, sf):
+    """A4 + P14: min/max dates per customer, string-formatted."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), TX.DATE_FMT).alias("earliest"),
+        F.date_format(F.max("o_orderdate"), TX.DATE_FMT).alias("latest"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_DATE_RANGE = """
+SELECT o_custkey,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS earliest,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS latest,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_running_total(spark, sf):
+    """§2.6 window: per-user running event-value total in time order."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2
+        ).cast("double").alias("running_value"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT user_id, event_id,
+       round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+         AS running_value
+FROM events
+"""
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: lag-gap > 30 min starts a new session."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_sess",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+            > 1800 * 1_000_000
+        ).cast("int"),
+    )
+    return gapped.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_sess"), F.lit(0)) + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, coalesce(sum(new_sess), 0) + 1 AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_event_pivot(spark, sf):
+    """Pivot: per-user event-type counts as columns."""
+    ev = load(spark, sf, "events")
+    piv = (
+        ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_json_extract(spark, sf):
+    """S3 family: JSON payload field extraction (props is a JSON
+    string column)."""
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
+FROM events
+"""
+
+
+def q_entity_threshold(spark, sf):
+    """P5 semantics on real data: per order, parts with discount >=
+    threshold joined into a labeled string ('' when none pass —
+    organizations-style)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    kept = joined.where(F.col("l_discount") >= 0.08)
+    agg = kept.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("p_name")), ", "
+        ).alias("_names")
+    )
+    all_orders = li.select("l_orderkey").distinct()
+    return all_orders.join(agg, "l_orderkey", "left").select(
+        "l_orderkey",
+        F.when(
+            F.col("_names").isNull() | (F.col("_names") == ""), F.lit("")
+        )
+        .otherwise(F.concat(F.lit("RelevantParts: "), F.col("_names")))
+        .alias("relevant_parts"),
+    )
+
+
+ORACLE_ENTITY = """
+WITH kept AS (
+  SELECT l_orderkey, string_agg(p_name, ', ' ORDER BY p_name) AS names
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_discount >= 0.08
+  GROUP BY l_orderkey
+)
+SELECT o.l_orderkey,
+       CASE WHEN k.names IS NULL OR k.names = '' THEN ''
+            ELSE 'RelevantParts: ' || k.names END AS relevant_parts
+FROM (SELECT DISTINCT l_orderkey FROM lineitem) o
+LEFT JOIN kept k ON o.l_orderkey = k.l_orderkey
+"""
+
+
+def q_last_writer_wins(spark, sf):
+    """P13/O5: keep-last per key by a deterministic order column —
+    latest order per customer."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", TX.DATE_FMT).alias("last_orderdate"),
+        )
+    )
+
+
+ORACLE_LWW = """
+WITH r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS last_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+FROM r WHERE rn = 1
+"""
+
+
+def q_union_set_ops(spark, sf):
+    """O4/O6: union + except composition — customers active in orders
+    or high-balance, minus those in the BUILDING segment."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    active = customer.join(
+        orders.select("o_custkey"),
+        customer.c_custkey == orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey")
+    rich = customer.where("c_acctbal > 9000").select("c_custkey")
+    building = customer.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    return (
+        active.union(rich).distinct().exceptAll(building.distinct())
+        .select("c_custkey")
+    )
+
+
+ORACLE_SETOPS = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+)
+EXCEPT ALL
+SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_summarize_trigger(spark, sf):
+    """ST6: the reference's summarize-trigger predicate over derived
+    (n_articles, summary_count) pairs (trigger_sfn.py:45-55)."""
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("event_id") % 40).cast("long").alias("n_articles"),
+        (F.col("user_id") % 4).cast("long").alias("summary_count"),
+    )
+    return base.select(
+        "event_id",
+        "n_articles",
+        "summary_count",
+        SM.should_summarize("n_articles", "summary_count").alias("fire"),
+    )
+
+
+ORACLE_TRIGGER = """
+SELECT event_id, n AS n_articles, c AS summary_count,
+       ((n > 5 * (c + 1)) AND (n < 15)) OR ((n > 5 * (c + 1)) AND c = 0)
+         AS fire
+FROM (
+  SELECT event_id, (event_id % 40)::BIGINT AS n, (user_id % 4)::BIGINT AS c
+  FROM events
+) t(event_id, n, c)
+"""
+
+
+# ---------------------------------------------------------------------
+# Text / preprocess (P2-P6, P11-P12)
+# ---------------------------------------------------------------------
+
+
+def q_clean_text(spark, sf):
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.clean_text(F.col("text")).alias("cleaned"),
+        TX.strip_tags_expr(F.col("text")).alias("stripped"),
+        F.length(TX.concat_embed_text("source", "lang", "text")).alias(
+            "embed_text_len"
+        ),
+    )
+
+
+def oracle_clean_text() -> str:
+    return f"""
+SELECT doc_id,
+       {TX.clean_text_sql('text')} AS cleaned,
+       {TX.strip_tags_sql('text')} AS stripped,
+       length(concat_ws(chr(10), source, lang, text)) AS embed_text_len
+FROM documents
+"""
+
+
+def q_tag_parse(spark, sf):
+    """P12: wrap text in tags, parse back with last-open-tag
+    semantics."""
+    docs = load(spark, sf, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("preamble <title>"),
+            F.col("source"),
+            F.lit("</title> body <summary>"),
+            F.substring("text", 1, 40),
+            F.lit("</summary> tail"),
+        ).alias("res"),
+    )
+    return tagged.select(
+        "doc_id",
+        TX.parse_tag("res", "title").alias("title"),
+        TX.parse_tag("res", "summary").alias("summary"),
+    )
+
+
+ORACLE_TAG_PARSE = """
+WITH t AS (
+  SELECT doc_id,
+         'preamble <title>' || source || '</title> body <summary>' ||
+         substr(text, 1, 40) || '</summary> tail' AS res
+  FROM documents
+)
+SELECT doc_id,
+       string_split(string_split(res, '<title>')[-1], '</title>')[1] AS title,
+       string_split(string_split(res, '<summary>')[-1], '</summary>')[1]
+         AS summary
+FROM t
+"""
+
+
+def q_oversize_filter(spark, sf):
+    """P8 semantics: payload-size guard (byte length on the text
+    column; the real operator measures the JSON row)."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        (F.octet_length("text") <= F.lit(TX.SQS_MAX_BYTES)).alias("fits"),
+    )
+
+
+ORACLE_OVERSIZE = f"""
+SELECT doc_id, strlen(text) AS n_bytes,
+       strlen(text) <= {TX.SQS_MAX_BYTES} AS fits
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# Dedup suite
+# ---------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    docs = load(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def oracle_ngram_jaccard() -> str:
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
+  WHERE len({sh}) > 0
+),
+inv AS (SELECT id, unnest(sh) AS g FROM s),
+co AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT co.l_id, co.r_id,
+       round(inter::DOUBLE / (la.n + lb.n - inter), 6) AS jaccard
+FROM co
+JOIN (SELECT id, len(sh) AS n FROM s) la ON la.id = co.l_id
+JOIN (SELECT id, len(sh) AS n FROM s) lb ON lb.id = co.r_id
+WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    """Full LSH path: banded candidates verified with exact Jaccard."""
+    docs = load(spark, sf, "documents")
+    return D.minhash_near_duplicates(
+        docs, n=3, threshold=0.5, k=16, bands=4
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+def oracle_minhash() -> str:
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    sig = H.minhash_signature_sql("sh", 16)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
+),
+sigs AS (
+  SELECT id, sh, {sig} AS sig FROM s
+  WHERE len(sh) > 0
+),
+banded AS (
+  SELECT id, b AS band,
+         md5(array_to_string(list_transform(
+           list_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ','))
+           AS bucket
+  FROM sigs, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.l_id, c.r_id,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN s sa ON sa.id = c.l_id
+JOIN s sb ON sb.id = c.r_id
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    docs = load(spark, sf, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+def oracle_simhash() -> str:
+    tok = H.tokens_sql("text")
+    return f"SELECT doc_id, {H.simhash_sql(tok)} AS simhash FROM documents"
+
+
+def q_dedup_embedding(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return D.embedding_near_duplicates(
+        emb, eps=0.6, strategy="cross"
+    ).withColumn("dist", F.round("dist", 6))
+
+
+def oracle_embedding_neardup() -> str:
+    d = V.cosine_distance_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS l_id, b.vec_id AS r_id, round({d}, 6) AS dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {d} <= 0.6
+"""
+
+
+# ---------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------
+
+
+def q_ann_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.brute_force_topk(q, emb, k=5).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+def oracle_ann_topk() -> str:
+    cos = V.dot_sql("q.embedding", "c.embedding")
+    nrm = f"({V.norm_sql('q.embedding')} * {V.norm_sql('c.embedding')})"
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} / {nrm} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_ivf(spark, sf):
+    """IVF probe path — approximate by construction, so no SQL oracle
+    (driver records the rows-only check); recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.ivf_topk(q, emb, k=5, nlist=8, nprobe=4).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf):
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id", "lang", TA.language_id("text").alias("lang_pred")
+    )
+
+
+def oracle_lang_id() -> str:
+    return (
+        "SELECT doc_id, lang, "
+        f"{TA.language_id_sql('text')} AS lang_pred FROM documents"
+    )
+
+
+def q_quality_score(spark, sf):
+    docs = load(spark, sf, "documents")
+    return TA.quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+def oracle_quality() -> str:
+    tok = H.tokens_sql("text")
+    return (
+        f"SELECT doc_id, len({tok}) AS n_tokens, "
+        f"{TA.quality_score_sql('text')} AS quality_score FROM documents"
+    )
+
+
+def q_token_counts(spark, sf):
+    docs = load(spark, sf, "documents")
+    return TA.token_counts(docs, "text").select(
+        "doc_id", "ws_token_count", "bpe_token_estimate"
+    )
+
+
+def oracle_token_counts() -> str:
+    ws, bpe = TA.token_counts_sql("text")
+    return (
+        f"SELECT doc_id, {ws} AS ws_token_count, "
+        f"{bpe} AS bpe_token_estimate FROM documents"
+    )
+
+
+def q_fingerprint(spark, sf):
+    docs = load(spark, sf, "documents")
+    return TA.document_fingerprints(docs)
+
+
+def oracle_fingerprint() -> str:
+    tok = H.tokens_sql("text")
+    return f"""
+SELECT doc_id, {H.fingerprint_sql(tok)} AS rolling_fp,
+       md5(coalesce(text, '')) AS content_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# Clustering (the flagship)
+# ---------------------------------------------------------------------
+
+CLUSTER_EPS = 0.8  # synthetic vectors are near-orthogonal; see tests
+
+
+def q_cluster_assign(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return C.cluster_batch(
+        emb, id_col="vec_id", vec_col="embedding", eps=CLUSTER_EPS,
+        strategy="cross",
+    )
+
+
+def oracle_cluster_assign() -> str:
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND {dist} <= {CLUSTER_EPS}
+),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT c.id AS vec_id, c.component AS cluster_rep, (cnt.n >= 2) AS is_cluster
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) cnt
+  USING (component)
+"""
+
+
+def q_cluster_serving(spark, sf):
+    """Serving view over the clustering: cluster sizes > 2, top-10 by
+    size (UI query shape, P10/A6/A7/O2)."""
+    assigned = q_cluster_assign(spark, sf)
+    return (
+        assigned.where("is_cluster")
+        .groupBy("cluster_rep")
+        .agg(F.count("*").alias("n_members"))
+        .where("n_members > 2")
+        .orderBy(F.desc("n_members"), F.asc("cluster_rep"))
+        .limit(10)
+    )
+
+
+def oracle_cluster_serving() -> str:
+    return f"""
+WITH assigned AS ({oracle_cluster_assign()})
+SELECT cluster_rep, count(*) AS n_members
+FROM assigned WHERE is_cluster
+GROUP BY cluster_rep
+HAVING count(*) > 2
+ORDER BY n_members DESC, cluster_rep ASC
+LIMIT 10
+"""
+
+
+def q_pipeline_e2e(spark, sf):
+    """Full document pipeline (preprocess -> deterministic embed ->
+    cluster -> cluster sizes). The embedding UDF is not
+    SQL-expressible, so no oracle — rows-only check; the components
+    are golden-tested in tests/."""
+    from ..operators.embed import embed_articles, unwrap_embedding
+    from ..operators.preprocess import with_embed_text
+
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("source").alias("title"),
+        F.col("text").alias("summary"),
+        "text",
+    )
+    emb = embed_articles(with_embed_text(docs)).withColumn(
+        "vec", unwrap_embedding("concat_embedding")
+    )
+    assigned = C.cluster_batch(
+        emb, id_col="id", vec_col="vec", eps=0.2, strategy="auto"
+    )
+    return (
+        assigned.groupBy("is_cluster")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("is_cluster")
+    )
+
+
+# ---------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "customers_without_orders": q_customers_without_orders,
+    "mode_event_type": q_mode_event_type,
+    "order_date_range": q_order_date_range,
+    "running_total": q_running_total,
+    "sessionize": q_sessionize,
+    "event_pivot": q_event_pivot,
+    "json_extract": q_json_extract,
+    "entity_threshold": q_entity_threshold,
+    "last_writer_wins": q_last_writer_wins,
+    "union_set_ops": q_union_set_ops,
+    "summarize_trigger": q_summarize_trigger,
+    "clean_text": q_clean_text,
+    "tag_parse": q_tag_parse,
+    "oversize_filter": q_oversize_filter,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "cluster_assign": q_cluster_assign,
+    "cluster_serving": q_cluster_serving,
+    "pipeline_e2e": q_pipeline_e2e,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+    "customers_without_orders": ORACLE_NO_ORDERS,
+    "mode_event_type": ORACLE_MODE,
+    "order_date_range": ORACLE_DATE_RANGE,
+    "running_total": ORACLE_RUNNING,
+    "sessionize": ORACLE_SESSIONIZE,
+    "event_pivot": ORACLE_PIVOT,
+    "json_extract": ORACLE_JSON,
+    "entity_threshold": ORACLE_ENTITY,
+    "last_writer_wins": ORACLE_LWW,
+    "union_set_ops": ORACLE_SETOPS,
+    "summarize_trigger": ORACLE_TRIGGER,
+    "clean_text": oracle_clean_text(),
+    "tag_parse": ORACLE_TAG_PARSE,
+    "oversize_filter": ORACLE_OVERSIZE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": oracle_ngram_jaccard(),
+    "dedup_minhash": oracle_minhash(),
+    "dedup_simhash": oracle_simhash(),
+    "dedup_embedding": oracle_embedding_neardup(),
+    "ann_topk": oracle_ann_topk(),
+    "lang_id": oracle_lang_id(),
+    "quality_score": oracle_quality(),
+    "token_counts": oracle_token_counts(),
+    "fingerprint": oracle_fingerprint(),
+    "cluster_assign": oracle_cluster_assign(),
+    "cluster_serving": oracle_cluster_serving(),
+    # ann_ivf, pipeline_e2e: intentionally no oracle (approximate /
+    # UDF-dependent) -> rows-only check.
+}

@@ -1,0 +1,149 @@
+"""Streaming assembly tests: file-source replay at a paced rate,
+count-based batching, restart/restore equivalence, redelivery
+idempotence (SURVEY §5 test plan items 4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.streaming.pipeline import (
+    ClusteringPipeline,
+    start_ingest_embed_stream,
+)
+
+
+def _write_articles(path: str, start: int, count: int, story: str, text: str):
+    os.makedirs(path, exist_ok=True)
+    fn = os.path.join(path, f"{story}-{start}.json")
+    with open(fn, "w") as f:
+        for i in range(start, start + count):
+            f.write(
+                json.dumps(
+                    {
+                        "id": f"{story}-{i}",
+                        "title": f"{story} headline {i}",
+                        "text": f"{text} detail {i}",
+                        "date": f"2024-03-01 10:{i % 60:02d}:00",
+                    }
+                )
+                + "\n"
+            )
+
+
+STORIES = {
+    "quake": "a strong earthquake shook the coastal city damaging bridges and buildings",
+    "cup": "the national team won the cup final after a dramatic penalty shootout",
+}
+
+
+def test_ingest_embed_stream(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for s, txt in STORIES.items():
+        _write_articles(inp, 0, 3, s, txt)
+    q = start_ingest_embed_stream(spark, inp, out, ckpt, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    row = got.where("id = 'quake-0'").collect()[0]
+    assert row["embed_text"].startswith("quake headline 0")
+    assert len(row["concat_embedding"]) == 1  # wrapped wire format
+    assert len(row["concat_embedding"][0]) == 64
+
+    # restart with no new files -> no duplicates (checkpoint replay)
+    q2 = start_ingest_embed_stream(spark, inp, out, ckpt, max_files_per_trigger=1)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_count_trigger_spools_until_threshold(spark, tmp_path):
+    pipe = ClusteringPipeline(
+        spark, str(tmp_path / "state"), batch_size=5, eps=0.35,
+        strategy="cross",
+    )
+    emb = spark.createDataFrame(
+        [(f"a{i}", f"t{i}", f"s{i}", f"x{i}", "2024-01-01 00:00:00",
+          [[1.0 if j == i else 0.0 for j in range(4)]])
+         for i in range(3)],
+        "id string, title string, summary string, text string, "
+        "publication_date string, concat_embedding array<array<double>>",
+    )
+    pipe.process_batch(emb)
+    # below threshold: spooled, nothing clustered
+    assert pipe.pending().count() == 3
+    assert pipe.pool().count() == 0
+
+    emb2 = spark.createDataFrame(
+        [(f"b{i}", f"t{i}", f"s{i}", f"x{i}", "2024-01-01 00:00:00",
+          [[0.5, 0.5, 0.0, 0.0]]) for i in range(2)],
+        "id string, title string, summary string, text string, "
+        "publication_date string, concat_embedding array<array<double>>",
+    )
+    pipe.process_batch(emb2)
+    # threshold reached: spool drained, pool populated. b0/b1 sit at
+    # cosine dist ~0.29 from a0 AND a1, so {a0,a1,b0,b1} merge into one
+    # pool row (absorbed singletons purged) and a2 stays singleton.
+    assert pipe.pending().count() == 0
+    pool = pipe.pool().collect()
+    total_articles = sum(len(r["article_ids"]) for r in pool)
+    assert total_articles == 5
+    sizes = sorted(len(r["article_ids"]) for r in pool)
+    assert sizes == [1, 4]
+
+
+def test_clustering_stream_end_to_end_with_restart(spark, tmp_path):
+    """Full §3.2 path via the streaming entrypoint, killed and
+    restarted halfway: final state equals uninterrupted processing."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "embedded")
+    for s, txt in STORIES.items():
+        _write_articles(inp, 0, 6, s, txt)
+    q = start_ingest_embed_stream(
+        spark, inp, out, str(tmp_path / "ckpt1")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    state_dir = str(tmp_path / "state")
+    pipe = ClusteringPipeline(
+        spark, state_dir, batch_size=4, eps=0.35, strategy="cross"
+    )
+    # paced replay: one file per trigger (ST7 rate simulation)
+    sq = pipe.start(out, str(tmp_path / "ckpt2"), max_files_per_trigger=1)
+    sq.processAllAvailable()
+    sq.stop()
+    pipe.flush()
+
+    pool = pipe.pool().collect()
+    stories = {r["cluster_id"]: sorted(r["article_ids"]) for r in pool}
+    # both stories fully clustered (6 articles each)
+    sizes = sorted(len(v) for v in stories.values())
+    assert sizes == [6, 6], stories
+    clusters = {r["PK"]: r for r in pipe.clusters().collect()}
+    assert all(r["number_of_articles"] == 6 for r in clusters.values())
+    # ST6 fired at T=5: summaries generated
+    assert all(r["generated_summary"] != "" for r in clusters.values())
+    assert pipe.cluster_articles().count() == 12
+
+    # restart the pipeline object from disk only (ST5 restore)
+    pipe2 = ClusteringPipeline(
+        spark, state_dir, batch_size=4, eps=0.35, strategy="cross"
+    )
+    assert pipe2.pool().count() == pipe.pool().count()
+    # re-delivering the same embedded data must not change the store
+    sq2 = pipe2.start(out, str(tmp_path / "ckpt3"), max_files_per_trigger=2)
+    sq2.processAllAvailable()
+    sq2.stop()
+    pipe2.flush()
+    clusters2 = {r["PK"]: r for r in pipe2.clusters().collect()}
+    assert {k: v["number_of_articles"] for k, v in clusters2.items()} == {
+        k: v["number_of_articles"] for k, v in clusters.items()
+    }
+    assert pipe2.cluster_articles().count() == 12
