@@ -1,0 +1,153 @@
+"""Temporal join operators (engine extensions).
+
+Spark has no native AS-OF or range join; these are the standard
+compositions (pyspark guide "Common OLAP patterns"):
+
+* ``asof_join`` — union-tag-sort-window: tag both sides, union on the
+  key, sort by (key, time, side-priority) within partitions, carry the
+  last-seen right row forward with ``last(ignorenulls)``. ONE shuffle
+  on the key + one intra-partition sort — no per-row probing, no
+  pairwise blowup; this survives arbitrarily many rows per key.
+
+* ``range_join`` — bucketize the time axis on both sides (bucket width
+  = range width), equi-join on (key, bucket) for the bucket and its
+  predecessor, then apply the exact range predicate. Turns an
+  inequality join Catalyst would nest-loop into a hash join with a
+  bounded candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right_ts <= left_ts on the same key (pd.merge_asof semantics,
+    'backward'). Right columns come back null when nothing precedes.
+
+    Ties on timestamp: the right row sorts first (so an equal-time
+    right row IS visible to the left row), and among equal-time right
+    rows the last one in (ts, original order) wins — deterministic
+    given unique (key, right_ts).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rt"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_rt"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "_k",
+        "_t",
+        "_side",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_cols
+        ],
+        F.last("_rt", ignorenulls=True).over(w).alias("_c_ts"),
+    ).where(F.col("_side") == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.col("_t").cast("double") - F.col("_c_ts").cast("double")
+        ) <= F.lit(float(tolerance_s))
+        carried = carried.select(
+            "_k",
+            "_t",
+            "_l",
+            *[
+                F.when(in_tol, F.col(f"_c_{c}"))
+                .otherwise(F.lit(None))
+                .alias(f"_c_{c}")
+                for c in right_cols
+            ],
+        )
+    return carried.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[F.col(f"_c_{c}").alias(f"right_{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    range_seconds: int,
+) -> DataFrame:
+    """Pairs (left, right) on the same key with
+    left_ts <= right_ts < left_ts + range_seconds.
+
+    Bucketized: bucket width == range width, right joins to its own
+    bucket and the previous one, exact predicate applied after — a
+    pure equi-join plan (hash join + filter), no BroadcastNestedLoop.
+    Output: all left columns + all right columns (right names prefixed
+    ``r_`` on collision).
+    """
+    width = int(range_seconds)
+    lb = left.withColumn(
+        "_bucket", (F.col(left_ts).cast("long") / width).cast("long")
+    ).withColumn("_lt", F.col(left_ts).cast("long"))
+    rb = right.withColumn(
+        "_rt", F.col(right_ts).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                (F.col("_rt") / width).cast("long"),
+                (F.col("_rt") / width).cast("long") - 1,
+            )
+        ),
+    )
+    rename = {
+        c: (f"r_{c}" if c in left.columns else c) for c in right.columns
+    }
+    rb = rb.select(
+        "_bucket",
+        "_rt",
+        F.col(key).alias("_rk"),
+        *[F.col(c).alias(rename[c]) for c in right.columns],
+    )
+    joined = lb.join(
+        rb,
+        (lb[key] == rb["_rk"]) & (lb["_bucket"] == rb["_bucket"]),
+        "inner",
+    )
+    exact = joined.where(
+        (F.col("_rt") >= F.col("_lt"))
+        & (F.col("_rt") < F.col("_lt") + F.lit(width))
+    )
+    return exact.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(rename[c]) for c in right.columns],
+    )

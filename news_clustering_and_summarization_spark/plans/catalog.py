@@ -421,6 +421,107 @@ FROM (
 """
 
 
+def q_asof_join(spark, sf):
+    """AS-OF join (backward): for each event, the most recent order of
+    the same key at or before the event time. Union-sort-window
+    composition — one shuffle on the key (operators/temporal.py)."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("right_o_orderdate", TX.DATE_FMT).alias("asof_orderdate"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT e.event_id, e.user_id,
+       (SELECT strftime(max(o.o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         AS asof_orderdate
+FROM events e
+"""
+
+
+def q_range_join(spark, sf):
+    """Range join: clicks within 1 hour after each signup, per user —
+    bucketized equi-join composition (operators/temporal.py), not a
+    nested-loop inequality join."""
+    from ..operators.temporal import range_join
+
+    ev = load(spark, sf, "events")
+    signups = ev.where("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"), "user_id", "ts"
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    pairs = range_join(
+        signups, clicks, key="user_id", left_ts="ts",
+        right_ts="click_ts", range_seconds=3600,
+    )
+    return (
+        signups.join(
+            pairs.groupBy("signup_id").agg(
+                F.count("*").alias("n_clicks_1h")
+            ),
+            "signup_id",
+            "left",
+        )
+        .select(
+            "signup_id",
+            "user_id",
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        )
+    )
+
+
+ORACLE_RANGE = """
+SELECT s.event_id AS signup_id, s.user_id,
+       count(c.event_id) AS n_clicks_1h
+FROM events s
+LEFT JOIN events c
+  ON c.user_id = s.user_id AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(s.ts)
+ AND epoch_us(c.ts) < epoch_us(s.ts) + 3600::BIGINT * 1000000
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+"""
+
+
+def q_rollup_summary(spark, sf):
+    """ROLLUP aggregation (free via Catalyst; no reference analogue —
+    SURVEY §2.4 note)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE
+         AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------
 # Text / preprocess (P2-P6, P11-P12)
 # ---------------------------------------------------------------------
@@ -499,6 +600,168 @@ ORACLE_OVERSIZE = f"""
 SELECT doc_id, strlen(text) AS n_bytes,
        strlen(text) <= {TX.SQS_MAX_BYTES} AS fits
 FROM documents
+"""
+
+
+def q_decode_fanout(spark, sf):
+    """S3 + M6: base64(JSON list) -> unbase64 -> from_json -> explode,
+    the reference's Kinesis wire format (pre_process_docs.py:139-143),
+    exercised round-trip on real rows."""
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf, "documents")
+    b64 = docs.select(
+        "doc_id",
+        F.base64(
+            F.concat(
+                F.lit('[{"id":"'),
+                F.col("doc_id").cast("string"),
+                F.lit('-a"},{"id":"'),
+                F.col("doc_id").cast("string"),
+                F.lit('-b"}]'),
+            ).cast("binary")
+        ).alias("data"),
+    )
+    schema = T.ArrayType(T.StructType([T.StructField("id", T.StringType())]))
+    return (
+        b64.withColumn("_json", F.unbase64("data").cast("string"))
+        .withColumn("_docs", F.from_json("_json", schema))
+        .select("doc_id", F.explode("_docs").alias("d"))
+        .select("doc_id", F.col("d.id").alias("fanout_id"))
+    )
+
+
+ORACLE_DECODE = """
+WITH b AS (
+  SELECT doc_id,
+         to_base64(('[{"id":"' || doc_id || '-a"},{"id":"' || doc_id ||
+                    '-b"}]')::BLOB) AS data
+  FROM documents
+),
+d AS (SELECT doc_id, decode(from_base64(data)) AS j FROM b)
+SELECT doc_id, json_extract_string(j, '$[0].id') AS fanout_id FROM d
+UNION ALL
+SELECT doc_id, json_extract_string(j, '$[1].id') AS fanout_id FROM d
+"""
+
+
+def q_prompt_assembly(spark, sf):
+    """P15 + P11 + O1: per-group prompt with chronologically ordered
+    `title:, summary:` context lines and the 12k truncation budget."""
+    ev = load(spark, sf, "events")
+    lines = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.lit("title: "),
+            F.col("event_type"),
+            F.lit(", summary: "),
+            F.substring(F.col("props"), 1, 1500),
+        ).alias("line"),
+    )
+    ctx = lines.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_ctx")
+    )
+    return ctx.select(
+        "user_id",
+        F.substring(
+            F.concat(
+                F.lit(TX.SUMMARY_INSTRUCTIONS),
+                F.lit(" <context>\n"),
+                F.col("_ctx"),
+                F.lit("\n</context>\n"),
+            ),
+            1,
+            TX.PROMPT_LIMIT,
+        ).alias("prompt"),
+    )
+
+
+ORACLE_PROMPT = f"""
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         'title: ' || event_type || ', summary: ' || substr(props, 1, 1500)
+           AS line
+  FROM events
+),
+c AS (
+  SELECT user_id,
+         string_agg(line, chr(10) ORDER BY ts, event_id) AS ctx
+  FROM l GROUP BY user_id
+)
+SELECT user_id,
+       substr('{TX.SUMMARY_INSTRUCTIONS}' || ' <context>' || chr(10) ||
+              ctx || chr(10) || '</context>' || chr(10),
+              1, {TX.PROMPT_LIMIT}) AS prompt
+FROM c
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """§2.6 window: top-3 orders by price per customer, total order."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 3")
+        .select(
+            "o_custkey",
+            "rank",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("price"),
+        )
+    )
+
+
+ORACLE_TOPK_GROUP = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, rank, o_orderkey,
+       round(CAST(o_totalprice AS DECIMAL(18,4)), 2)::DOUBLE AS price
+FROM r WHERE rank <= 3
+"""
+
+
+def q_date_roundtrip(spark, sf):
+    """P14: ISO-with-trailing-Z parse (summarization.py:33-35 rstrip)
+    then reformat '%Y-%m-%d %H:%M:%S'."""
+    orders = load(spark, sf, "orders")
+    iso = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+        ).alias("iso_z"),
+    )
+    return iso.select(
+        "o_orderkey",
+        TX.format_date(TX.parse_pub_date("iso_z")).alias("parsed"),
+    )
+
+
+ORACLE_DATE_RT = """
+SELECT o_orderkey,
+       strftime(
+         strptime(rtrim(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || 'Z',
+                        'Z'),
+                  '%Y-%m-%dT%H:%M:%S'),
+         '%Y-%m-%d %H:%M:%S') AS parsed
+FROM orders
 """
 
 
@@ -799,6 +1062,33 @@ LIMIT 10
 """
 
 
+def q_pool_metrics(spark, sf):
+    """A5 (process_records.py:313-316, 428-434): pool telemetry over
+    the clustering assignment — cluster count, singleton count, total
+    tracked stories."""
+    assigned = q_cluster_assign(spark, sf)
+    return assigned.agg(
+        F.count_distinct(
+            F.when(F.col("is_cluster"), F.col("cluster_rep"))
+        ).alias("n_clusters"),
+        F.sum(F.when(~F.col("is_cluster"), 1).otherwise(0)).alias(
+            "n_singletons"
+        ),
+        F.count("*").alias("total_members"),
+    )
+
+
+def oracle_pool_metrics() -> str:
+    return f"""
+WITH assigned AS ({oracle_cluster_assign()})
+SELECT count(DISTINCT CASE WHEN is_cluster THEN cluster_rep END)
+         AS n_clusters,
+       sum(CASE WHEN NOT is_cluster THEN 1 ELSE 0 END) AS n_singletons,
+       count(*) AS total_members
+FROM assigned
+"""
+
+
 def q_pipeline_e2e(spark, sf):
     """Full document pipeline (preprocess -> deterministic embed ->
     cluster -> cluster sizes). The embedding UDF is not
@@ -847,6 +1137,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": q_clean_text,
     "tag_parse": q_tag_parse,
     "oversize_filter": q_oversize_filter,
+    "decode_fanout": q_decode_fanout,
+    "prompt_assembly": q_prompt_assembly,
+    "topk_per_group": q_topk_per_group,
+    "date_roundtrip": q_date_roundtrip,
+    "pool_metrics": q_pool_metrics,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "rollup_summary": q_rollup_summary,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -880,6 +1178,14 @@ ORACLES: dict[str, str] = {
     "clean_text": oracle_clean_text(),
     "tag_parse": ORACLE_TAG_PARSE,
     "oversize_filter": ORACLE_OVERSIZE,
+    "decode_fanout": ORACLE_DECODE,
+    "prompt_assembly": ORACLE_PROMPT,
+    "topk_per_group": ORACLE_TOPK_GROUP,
+    "date_roundtrip": ORACLE_DATE_RT,
+    "pool_metrics": oracle_pool_metrics(),
+    "asof_join": ORACLE_ASOF,
+    "range_join": ORACLE_RANGE,
+    "rollup_summary": ORACLE_ROLLUP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),

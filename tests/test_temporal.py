@@ -1,0 +1,106 @@
+"""As-of and range join operators: golden micro cases + tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:05")),
+            (2, "A", _ts("2024-01-01 10:00:00")),  # equal-time quote visible
+            (3, "A", _ts("2024-01-01 09:59:59")),  # before any quote
+            (4, "B", _ts("2024-01-01 10:00:10")),
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:03"), 101.0),
+            ("B", _ts("2024-01-01 10:00:01"), 50.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+    got = {
+        r["trade_id"]: r["right_px"]
+        for r in asof_join(
+            trades, quotes, key="sym", left_ts="ts", right_ts="qts",
+            right_cols=["px"],
+        ).collect()
+    }
+    assert got == {1: 101.0, 2: 100.0, 3: None, 4: 50.0}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:01:00"))],
+        "i long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:00"), 1.0)],
+        "sym string, qts timestamp, px double",
+    )
+    with_tol = asof_join(
+        left, right, "sym", "ts", "qts", ["px"], tolerance_s=30
+    ).collect()[0]
+    assert with_tol["right_px"] is None  # 60s gap > 30s tolerance
+    no_tol = asof_join(
+        left, right, "sym", "ts", "qts", ["px"], tolerance_s=120
+    ).collect()[0]
+    assert no_tol["right_px"] == 1.0
+
+
+def test_range_join_window(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 09:59:59"), 0),   # before -> out
+            ("u", _ts("2024-01-01 10:00:00"), 1),   # boundary -> in
+            ("u", _ts("2024-01-01 10:59:59"), 2),   # in
+            ("u", _ts("2024-01-01 11:00:00"), 3),   # end-exclusive -> out
+            ("v", _ts("2024-01-01 10:30:00"), 4),   # wrong key -> out
+        ],
+        "k string, rts timestamp, rid long",
+    )
+    got = sorted(
+        r["rid"]
+        for r in range_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            range_seconds=3600,
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_bucket_boundary(spark):
+    # right rows in the NEXT bucket but inside the range must appear
+    # (the predecessor-bucket trick)
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:30:00"))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 11:15:00"), 9)],  # next hour bucket, in range
+        "k string, rts timestamp, rid long",
+    )
+    got = range_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        range_seconds=3600,
+    ).collect()
+    assert [r["rid"] for r in got] == [9]
