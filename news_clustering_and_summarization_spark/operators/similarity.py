@@ -50,7 +50,7 @@ def brute_force_topk(
         scored = scored.where(F.col("qid") != F.col("nid"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias(query_id),
@@ -147,7 +147,7 @@ def ivf_topk(
     ).where(F.col("qid") != F.col("nid")).dropDuplicates(["qid", "nid"])
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        probed.withColumn("rank", F.row_number().over(w))
+        probed.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias(query_id),

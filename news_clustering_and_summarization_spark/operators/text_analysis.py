@@ -143,13 +143,15 @@ def quality_score_sql(text_expr: str) -> str:
         f"list_reduce(list_prepend(0, list_transform({tok}, x -> length(x))), (a, v) -> a + v)::DOUBLE / {n_tokens} "
         f"ELSE 0.0 END"
     )
+    # the ::DOUBLE casts keep DuckDB from inferring DECIMAL from the
+    # 1.0/0.25 literals (schema parity with Spark's double)
     return (
-        "round("
+        "round(("
         f"(CASE WHEN {n_tokens} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.25 END) * "
         f"(CASE WHEN {mean_wl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * "
         f"(CASE WHEN {stop_ratio} >= 0.05 THEN 1.0 ELSE 0.5 END) * "
         f"(CASE WHEN {punct_ratio} <= 0.2 THEN 1.0 ELSE 0.5 END)"
-        ", 6)"
+        ")::DOUBLE, 6)"
     )
 
 
@@ -187,7 +189,7 @@ def token_counts_sql(text_expr: str) -> tuple[str, str]:
     )
     bpe = (
         f"list_reduce(list_prepend(0, list_transform({tok}, "
-        f"x -> ceil(length(x) / 4.0)::INT)), (a, v) -> a + v)"
+        f"x -> ceil(length(x) / 4.0)::INT)), (a, v) -> a + v)::BIGINT"
     )
     return ws, bpe
 

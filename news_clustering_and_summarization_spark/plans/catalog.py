@@ -249,7 +249,7 @@ WITH g AS (
          THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, coalesce(sum(new_sess), 0) + 1 AS n_sessions,
+SELECT user_id, (coalesce(sum(new_sess), 0) + 1)::BIGINT AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
 """
@@ -533,9 +533,9 @@ def q_clean_text(spark, sf):
         "doc_id",
         TX.clean_text(F.col("text")).alias("cleaned"),
         TX.strip_tags_expr(F.col("text")).alias("stripped"),
-        F.length(TX.concat_embed_text("source", "lang", "text")).alias(
-            "embed_text_len"
-        ),
+        F.length(TX.concat_embed_text("source", "lang", "text"))
+        .cast("long")
+        .alias("embed_text_len"),
     )
 
 
@@ -591,7 +591,7 @@ def q_oversize_filter(spark, sf):
     docs = load(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        F.octet_length("text").alias("n_bytes"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
         (F.octet_length("text") <= F.lit(TX.SQS_MAX_BYTES)).alias("fits"),
     )
 
@@ -711,7 +711,7 @@ def q_topk_per_group(spark, sf):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rank", F.row_number().over(w))
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
         .where("rank <= 3")
         .select(
             "o_custkey",
@@ -1083,7 +1083,8 @@ def oracle_pool_metrics() -> str:
 WITH assigned AS ({oracle_cluster_assign()})
 SELECT count(DISTINCT CASE WHEN is_cluster THEN cluster_rep END)
          AS n_clusters,
-       sum(CASE WHEN NOT is_cluster THEN 1 ELSE 0 END) AS n_singletons,
+       sum(CASE WHEN NOT is_cluster THEN 1 ELSE 0 END)::BIGINT
+         AS n_singletons,
        count(*) AS total_members
 FROM assigned
 """
