@@ -231,21 +231,28 @@ def connected_components(
             .select("l_id", F.least("l_id", "m").alias("m"))
             .localCheckpoint(eager=True)
         )
-        # 2. full path compression: m := m∘m until fixpoint. Pointer
-        # values only decrease, so an unchanged sum ⇔ converged —
-        # one scalar agg per composition instead of a row diff.
-        prev_sum = m.agg(F.sum("m")).collect()[0][0]
+        # 2. full path compression: m := m∘m until fixpoint. Change
+        # detection rides along inside the composition join (exact and
+        # type-agnostic — vertex ids may be strings; a numeric sum
+        # would break on string ids, and hash-sums overflow under
+        # ANSI mode).
         for _ in range(60):
             m2 = m.select(F.col("l_id").alias("_k"), F.col("m").alias("_v"))
-            m = (
+            composed = (
                 m.join(m2, m.m == m2._k, "left")
-                .select("l_id", F.coalesce("_v", "m").alias("m"))
+                .select(
+                    "l_id",
+                    F.coalesce("_v", "m").alias("m"),
+                    (F.col("_v").isNotNull() & (F.col("_v") != F.col("m"))).alias(
+                        "_ch"
+                    ),
+                )
                 .localCheckpoint(eager=True)
             )
-            cur_sum = m.agg(F.sum("m")).collect()[0][0]
-            if cur_sum == prev_sum:
+            changed = composed.where("_ch").limit(1).count()
+            m = composed.drop("_ch")
+            if changed == 0:
                 break
-            prev_sum = cur_sum
         # 3. compose into the vertex mapping
         labels = (
             labels.join(m, labels.component == m.l_id, "left")

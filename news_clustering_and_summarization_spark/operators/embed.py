@@ -52,6 +52,22 @@ class DeterministicHashEmbedder:
         self.dim = dim
         self.seed = seed
         self.instruction = instruction
+        # token -> (bucket, sign) memo: natural-language corpora repeat
+        # a small vocabulary, so the md5 cost collapses to one call per
+        # distinct token per worker (capped to bound memory)
+        self._memo: dict[str, tuple[int, float]] = {}
+
+    def _bucket_sign(self, token: str) -> tuple[int, float]:
+        hit = self._memo.get(token)
+        if hit is not None:
+            return hit
+        h = int.from_bytes(
+            hashlib.md5(f"{self.seed}|{token}".encode()).digest()[:8], "big"
+        )
+        val = (h % self.dim, 1.0 if (h >> 62) & 1 else -1.0)
+        if len(self._memo) < 1_000_000:
+            self._memo[token] = val
+        return val
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
@@ -62,12 +78,7 @@ class DeterministicHashEmbedder:
                 token = "".join(ch for ch in token if ch.isalnum())
                 if not token:
                     continue
-                h = int.from_bytes(
-                    hashlib.md5(f"{self.seed}|{token}".encode()).digest()[:8],
-                    "big",
-                )
-                bucket = h % self.dim
-                sign = 1.0 if (h >> 62) & 1 else -1.0
+                bucket, sign = self._bucket_sign(token)
                 out[row, bucket] += sign
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0

@@ -1090,6 +1090,38 @@ FROM assigned
 """
 
 
+def q_incremental_cluster(spark, sf):
+    """ST2/M3 stateful path in the gate: two micro-batches through
+    incremental_cluster_update (centroid collapse, representative =
+    lowest pool position, absorbed singletons purged). Stateful and
+    order-dependent by design -> rows-only check; semantics are
+    golden-tested in tests/test_cluster.py."""
+    from ..schemas import CLUSTER_STATE_SCHEMA
+
+    emb = load(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        (F.col("vec_id") % 2).alias("_half"),
+    )
+    state = spark.createDataFrame([], CLUSTER_STATE_SCHEMA)
+    for half in (0, 1):
+        res = C.incremental_cluster_update(
+            state,
+            emb.where(F.col("_half") == half).drop("_half"),
+            eps=CLUSTER_EPS,
+            strategy="cross",
+        )
+        state = res["state"].localCheckpoint(eager=True)
+    return (
+        state.groupBy("is_cluster")
+        .agg(
+            F.count("*").alias("n_pool_rows"),
+            F.sum(F.size("article_ids")).alias("n_articles"),
+        )
+        .orderBy("is_cluster")
+    )
+
+
 def q_pipeline_e2e(spark, sf):
     """Full document pipeline (preprocess -> deterministic embed ->
     cluster -> cluster sizes). The embedding UDF is not
@@ -1159,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "cluster_assign": q_cluster_assign,
     "cluster_serving": q_cluster_serving,
+    "incremental_cluster": q_incremental_cluster,
     "pipeline_e2e": q_pipeline_e2e,
 }
 

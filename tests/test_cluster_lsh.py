@@ -1,0 +1,65 @@
+"""LSH-strategy clustering: the scale path must produce the same
+components as the exact path when recall is sufficient, and the
+incremental update must work end-to-end on strategy='lsh'."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.operators import cluster as C
+
+
+def _planted(spark, n_groups=6, per_group=8, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    gid = 0
+    for g in range(n_groups):
+        base = [0.0] * 8
+        base[g] = 1.0
+        for _ in range(per_group):
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]
+            nrm = math.sqrt(sum(x * x for x in v))
+            rows.append((gid, g, [x / nrm for x in v]))
+            gid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, truth int, embedding array<double>"
+    )
+
+
+def test_lsh_strategy_recovers_planted_groups(spark):
+    df = _planted(spark)
+    assigned = C.cluster_batch(
+        df, id_col="vec_id", vec_col="embedding", eps=0.05, strategy="lsh"
+    )
+    joined = assigned.join(df.select("vec_id", "truth"), "vec_id").collect()
+    by_truth = {}
+    for r in joined:
+        by_truth.setdefault(r["truth"], set()).add(r["cluster_rep"])
+    # tight planted groups survive the approximate edge generation
+    assert all(len(v) == 1 for v in by_truth.values()), by_truth
+    reps = {next(iter(v)) for v in by_truth.values()}
+    assert len(reps) == 6
+
+
+def test_incremental_update_lsh_strategy(spark):
+    df = _planted(spark, n_groups=3, per_group=6)
+    state = spark.createDataFrame(
+        [], "row_id long, cluster_id string, article_ids array<string>, "
+            "is_cluster boolean, centroid array<double>"
+    )
+    batch = df.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding"),
+    )
+    res = C.incremental_cluster_update(
+        state, batch, eps=0.05, strategy="lsh"
+    )
+    pool = res["state"].collect()
+    total = sum(len(r["article_ids"]) for r in pool)
+    assert total == 18
+    sizes = sorted(len(r["article_ids"]) for r in pool if r["is_cluster"])
+    assert sizes == [6, 6, 6], sizes
