@@ -300,9 +300,11 @@ def cluster_batch(
     recomputed per action.
     """
     nodes = df.select(id_col, vec_col).localCheckpoint(eager=True)
-    if strategy == "cross" or (
-        strategy == "auto" and nodes.count() * 2 <= LSH_THRESHOLD
-    ):
+    if strategy == "auto":
+        # resolve here (one count on the checkpointed nodes) so
+        # similarity_pairs doesn't re-count both sides
+        strategy = "cross" if nodes.count() * 2 <= LSH_THRESHOLD else "lsh"
+    if strategy == "cross":
         # self-join: emit each undirected edge once, no distance column
         # (CC symmetrizes internally) — halves the Arrow/checkpoint
         # volume of dense graphs
@@ -483,9 +485,14 @@ def incremental_cluster_update(
         )
     )
 
+    # op semantics follow the reference change feed: INSERT when the
+    # cluster first forms (its rep was new or a mere singleton — no
+    # metadata row exists yet), MODIFY when an existing cluster grew.
     updates = (
         updated_reps.join(
-            state.select("row_id", F.lit(True).alias("_existed")),
+            state.where(F.col("is_cluster")).select(
+                "row_id", F.lit(True).alias("_existed")
+            ),
             "row_id",
             "left",
         )

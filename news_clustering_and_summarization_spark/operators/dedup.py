@@ -83,12 +83,19 @@ def ngram_jaccard_pairs(
     pairs sharing at least one shingle (inverted-index equi-join on
     the shingle — no cross join). Output: (l_id, r_id, jaccard) with
     l_id < r_id and jaccard >= threshold."""
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            H.word_shingles(H.tokens(text_col), n)
-        ).alias("sh"),
-    ).where(F.size("sh") > 0)
+    shingled = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                H.word_shingles(H.tokens(text_col), n)
+            ).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        # materialized once: the sizes branch is scanned twice (l/r
+        # joins) and the inverted index once — tokenize+shingle is the
+        # expensive expression tree
+        .localCheckpoint(eager=True)
+    )
     sizes = shingled.select("id", F.size("sh").alias("n_sh"))
     inv = shingled.select("id", F.explode("sh").alias("s"))
     co = (
@@ -127,19 +134,24 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     k: int = MINHASH_K,
+    preshingled: bool = False,
 ) -> DataFrame:
     """MinHash signatures computed the columnar way: explode distinct
     shingles (one md5 each, JVM-native), then k affine-permutation
     ``min`` aggregates — everything whole-stage-codegen, one shuffle
     on the doc id. Docs with no shingle (shorter than n tokens) drop
     out, matching the expression variant's NULL-filter.
-    Output: (id, sig array<long>)."""
+    Output: (id, sig array<long>). With ``preshingled`` the text
+    column already holds the distinct shingle array."""
     params = H.minhash_params(k)
+    shingle_arr = (
+        F.col(text_col)
+        if preshingled
+        else F.array_distinct(H.word_shingles(H.tokens(text_col), n))
+    )
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(H.word_shingles(H.tokens(text_col), n))
-        ).alias("s"),
+        F.explode(shingle_arr).alias("s"),
     ).withColumn("h31", H.shingle_hash31(F.col("s")))
     aggs = [
         F.min(
@@ -161,6 +173,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    preshingled: bool = False,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in >= 1 band.
 
@@ -170,7 +183,7 @@ def minhash_lsh_candidates(
     Output: (l_id, r_id) distinct, l_id < r_id.
     """
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k, preshingled)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -208,13 +221,26 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (no false positives;
     recall bounded by the banding curve). Output like
-    ngram_jaccard_pairs."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    ngram_jaccard_pairs.
+
+    The shingle arrays are materialized once (localCheckpoint) —
+    signatures, candidate generation, and both sides of the verify
+    join all read them, and tokenize+shingle is the expensive part.
+    """
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             H.word_shingles(H.tokens(text_col), n)
         ).alias("sh"),
+    ).localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(
+        shingled.select("id", F.col("sh").alias("text")),
+        id_col="id",
+        text_col="text",
+        n=n,
+        k=k,
+        bands=bands,
+        preshingled=True,
     )
     return (
         cands.join(

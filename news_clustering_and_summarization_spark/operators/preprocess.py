@@ -60,6 +60,17 @@ def with_embed_text(df: DataFrame) -> DataFrame:
     )
 
 
+def drop_malformed(df: DataFrame) -> DataFrame:
+    """P7 parse guard (process_records.py:69-76): skip rows whose JSON
+    failed to parse. Readers surface those as ``corrupt_record`` !=
+    NULL with all article fields NULL (the reference routes them to a
+    DLQ, eventbridge.tf:22-31); without this cut a NULL-id row would
+    flow into embed/cluster."""
+    if "corrupt_record" in df.columns:
+        df = df.where(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    return df.where(F.col("id").isNotNull())
+
+
 def dedup_by_id(df: DataFrame) -> DataFrame:
     """P7 (process_records.py:69-96): in-batch first-writer-wins by id."""
     return df.dropDuplicates(["id"])
@@ -72,5 +83,7 @@ def filter_oversize(df: DataFrame) -> DataFrame:
 
 
 def preprocess(df: DataFrame, use_udf_html_strip: bool = False) -> DataFrame:
-    """Full preprocess stage: P1 -> P2-P4 -> P7."""
-    return dedup_by_id(enrich(drop_vendor_columns(df), use_udf_html_strip))
+    """Full preprocess stage: P7-guard -> P1 -> P2-P4 -> P7-dedup."""
+    return dedup_by_id(
+        enrich(drop_vendor_columns(drop_malformed(df)), use_udf_html_strip)
+    )

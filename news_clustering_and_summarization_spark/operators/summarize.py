@@ -42,10 +42,14 @@ def should_summarize(
     return (lower & upper) | (lower & (c == 0))
 
 
-def filter_summarize_candidates(updates: DataFrame) -> DataFrame:
-    """P9 + ST6: INSERT/article events whose cluster crosses the
-    threshold (trigger_sfn.py:24-25, 45-55)."""
-    return updates.where(
+def filter_summarize_candidates(clusters: DataFrame) -> DataFrame:
+    """P9 + ST6: clusters crossing the summarize threshold
+    (trigger_sfn.py:24-25, 45-55). Input is the clusters metadata
+    table (which carries summary_count); the raw change feed from
+    incremental_cluster_update doesn't — the reference's trigger
+    lambda likewise reads the metadata item before deciding
+    (trigger_sfn.py:34-44)."""
+    return clusters.where(
         should_summarize("number_of_articles", "summary_count")
     )
 

@@ -114,18 +114,21 @@ def range_join(
     Output: all left columns + all right columns (right names prefixed
     ``r_`` on collision).
     """
-    width = int(range_seconds)
-    lb = left.withColumn(
-        "_bucket", (F.col(left_ts).cast("long") / width).cast("long")
-    ).withColumn("_lt", F.col(left_ts).cast("long"))
+    # microsecond-exact: cast(timestamp as long) truncates to whole
+    # seconds, which silently reorders sub-second neighbors at the
+    # range boundary. `div` is exact integer division (no float round).
+    width_us = int(range_seconds) * 1_000_000
+    lb = left.withColumn("_lt", F.unix_micros(F.col(left_ts))).withColumn(
+        "_bucket", F.expr(f"_lt div {width_us}")
+    )
     rb = right.withColumn(
-        "_rt", F.col(right_ts).cast("long")
+        "_rt", F.unix_micros(F.col(right_ts))
     ).withColumn(
         "_bucket",
         F.explode(
             F.array(
-                (F.col("_rt") / width).cast("long"),
-                (F.col("_rt") / width).cast("long") - 1,
+                F.expr(f"_rt div {width_us}"),
+                F.expr(f"_rt div {width_us}") - 1,
             )
         ),
     )
@@ -145,7 +148,7 @@ def range_join(
     )
     exact = joined.where(
         (F.col("_rt") >= F.col("_lt"))
-        & (F.col("_rt") < F.col("_lt") + F.lit(width))
+        & (F.col("_rt") < F.col("_lt") + F.lit(width_us))
     )
     return exact.select(
         *[F.col(c) for c in left.columns],

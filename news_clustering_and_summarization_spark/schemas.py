@@ -157,7 +157,11 @@ CLUSTER_ARTICLES_SCHEMA = T.StructType(
 )
 
 # Change feed emitted by the cluster-table merge (reference: DynamoDB
-# Stream NEW_IMAGE, main.tf:85-93, consumed by trigger_sfn.py:19-55).
+# Stream NEW_IMAGE, main.tf:85-93). Matches what
+# operators/cluster.incremental_cluster_update actually produces; like
+# the reference's trigger lambda (trigger_sfn.py:34-44), consumers
+# join the clusters metadata table for summary_count before applying
+# the threshold.
 CLUSTER_UPDATES_SCHEMA = T.StructType(
     [
         T.StructField("op", T.StringType(), False),
@@ -165,7 +169,7 @@ CLUSTER_UPDATES_SCHEMA = T.StructType(
         T.StructField("SK", T.StringType(), False),
         T.StructField("type", T.StringType(), False),
         T.StructField("number_of_articles", T.LongType()),
-        T.StructField("summary_count", T.LongType()),
+        T.StructField("article_ids", T.ArrayType(T.StringType())),
     ]
 )
 

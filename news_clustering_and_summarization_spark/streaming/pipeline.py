@@ -81,6 +81,11 @@ def start_ingest_embed_stream(
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    # crash recovery: if the live dir is missing but the aside copy
+    # from an interrupted swap exists, restore it first
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
     if os.path.exists(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
@@ -89,14 +94,23 @@ def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Write-new-then-swap so a crash mid-write never corrupts state.
-    (A Delta/Iceberg MERGE would make this a transactional commit; the
-    dataflow is identical.)"""
+    """Write-new, rename-old-aside, swap, drop-aside — there is no
+    instant at which neither the old nor the new state exists, so a
+    crash at any point leaves a readable table (_read_or_empty
+    restores the aside copy). A Delta/Iceberg MERGE would make this a
+    transactional commit; the dataflow is identical."""
     tmp = path + ".tmp"
+    old = path + ".old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, old)
     os.replace(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 class ClusteringPipeline:
@@ -180,7 +194,10 @@ class ClusteringPipeline:
             .cast("array<double>")
             .alias("embedding"),
         ).dropDuplicates(["id"])  # P7 in-batch dedup
-        spooled = self.pending().unionByName(incoming)
+        # dedup across the spool too: foreachBatch replay after a crash
+        # re-appends the same epoch, and double rows would survive the
+        # pool's known-id filter (it only checks already-pooled ids)
+        spooled = self.pending().unionByName(incoming).dropDuplicates(["id"])
         n = spooled.count()
         if n == 0:
             return

@@ -182,6 +182,25 @@ def test_incremental_update_absorbs_singletons(spark):
     assert ups[0]["number_of_articles"] == 3
 
 
+def test_incremental_update_insert_op_for_newly_formed_cluster(spark):
+    """A cluster whose rep was a pre-existing SINGLETON row must emit
+    op=INSERT (no metadata row exists yet in the serving store) —
+    row_id existence alone is not cluster existence."""
+    state = spark.createDataFrame(
+        [(1, "s-a", ["a1"], False, [1.0, 0.0])],
+        "row_id long, cluster_id string, article_ids array<string>, "
+        "is_cluster boolean, centroid array<double>",
+    )
+    batch = spark.createDataFrame(
+        [("n1", [1.0, 0.001])], "id string, embedding array<double>"
+    )
+    res = C.incremental_cluster_update(state, batch, eps=0.10, strategy="cross")
+    ups = res["updates"].collect()
+    assert len(ups) == 1
+    assert ups[0]["op"] == "INSERT"
+    assert ups[0]["number_of_articles"] == 2
+
+
 def test_incremental_update_keeps_linked_clusters_separate(spark):
     """Reference quirk: two existing clusters linked by a new point do
     NOT merge — only non-cluster rows are absorbed

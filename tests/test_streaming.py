@@ -80,6 +80,11 @@ def test_count_trigger_spools_until_threshold(spark, tmp_path):
     assert pipe.pending().count() == 3
     assert pipe.pool().count() == 0
 
+    # crash-replay: the SAME micro-batch delivered again must not
+    # double-spool (foreachBatch at-least-once)
+    pipe.process_batch(emb)
+    assert pipe.pending().count() == 3
+
     emb2 = spark.createDataFrame(
         [(f"b{i}", f"t{i}", f"s{i}", f"x{i}", "2024-01-01 00:00:00",
           [[0.5, 0.5, 0.0, 0.0]]) for i in range(2)],
