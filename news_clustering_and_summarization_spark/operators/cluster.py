@@ -38,11 +38,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vectors as V
 
 DEFAULT_EPS = 0.10  # reference process_records.py:304
 LSH_THRESHOLD = 20_000  # pool size above which cross-join is replaced
+# Below these sizes the ε-graph fits trivially on the driver and a
+# local union-find beats rounds of distributed joins (same planner
+# heuristic as the broadcast side of brute_force_pairs — the driver
+# already holds the whole vector pool there). Above them CC runs as
+# distributed graph contraction.
+LOCAL_CC_EDGES = 2_000_000
+LOCAL_CC_VERTICES = 1_000_000
 
 # --- edge generation (J4) --------------------------------------------
 
@@ -87,6 +95,12 @@ def brute_force_pairs(
         np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-300
     )
     bc = spark.sparkContext.broadcast((r_ids, r_norm))
+
+    # A small parquet scan arrives as 1 partition — that would run the
+    # whole matmul in one task. Fan the left side out to the cluster.
+    par = spark.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < par:
+        left = left.repartition(par)
 
     def block(batches):
         ids_r, mat_r = bc.value
@@ -185,11 +199,63 @@ def similarity_pairs(
 # --- connected components (M3 core) ----------------------------------
 
 
+def _local_connected_components(
+    vertices: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Union-find on the driver for graphs under the LOCAL_CC_* gates.
+
+    Exact same contract as the distributed path: component = minimum
+    member id (string ids compare lexicographically in both engines).
+    Path-halving + union-by-size; O(E α(V))."""
+    import pandas as pd
+
+    spark = vertices.sparkSession
+    v_pdf = vertices.select(F.col(id_col).alias("vid")).toPandas()
+    e_pdf = edges.select("l_id", "r_id").toPandas()
+    codes, uniques = pd.factorize(
+        pd.concat(
+            [v_pdf["vid"], e_pdf["l_id"], e_pdf["r_id"]], ignore_index=True
+        )
+    )
+    nv = len(v_pdf)
+    parent = list(range(len(uniques)))
+    size = [1] * len(uniques)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    lc = codes[nv : nv + len(e_pdf)]
+    rc = codes[nv + len(e_pdf) :]
+    for u, w in zip(lc.tolist(), rc.tolist()):
+        ru, rw = find(u), find(w)
+        if ru == rw:
+            continue
+        if size[ru] < size[rw]:
+            ru, rw = rw, ru
+        parent[rw] = ru
+        size[ru] += size[rw]
+    roots = [find(c) for c in codes[:nv].tolist()]
+    out = pd.DataFrame({"vid": v_pdf["vid"], "_root": roots})
+    comp = out.groupby("_root")["vid"].transform("min")
+    out = pd.DataFrame({"vid": out["vid"], "component": comp})
+    vid_field = vertices.select(F.col(id_col).alias("vid")).schema[0]
+    schema = T.StructType(
+        [vid_field, T.StructField("component", vid_field.dataType, True)]
+    )
+    return spark.createDataFrame(out, schema=schema).select(
+        F.col("vid").alias(id_col), "component"
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "row_id",
     max_iterations: int = 50,
+    method: str = "auto",
 ) -> DataFrame:
     """Connected components by graph contraction with pointer doubling.
 
@@ -211,9 +277,22 @@ def connected_components(
     it a path graph shrinks by O(1) per round and a 40-node chain
     takes ~15 expensive rounds). Lineage is cut per round with
     localCheckpoint. Output: (id_col, component).
+
+    ``method``: 'auto' gates on LOCAL_CC_EDGES/LOCAL_CC_VERTICES and
+    picks 'local' (driver union-find) or 'distributed' (contraction).
     """
-    sym = edges.select("l_id", "r_id").union(
-        edges.select(
+    e0 = edges.select("l_id", "r_id").localCheckpoint(eager=True)
+    if method == "auto":
+        method = (
+            "local"
+            if e0.count() <= LOCAL_CC_EDGES
+            and vertices.count() <= LOCAL_CC_VERTICES
+            else "distributed"
+        )
+    if method == "local":
+        return _local_connected_components(vertices, e0, id_col)
+    sym = e0.union(
+        e0.select(
             F.col("r_id").alias("l_id"), F.col("l_id").alias("r_id")
         )
     )

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import fan_out
 from ..functions import hashing as H
 from ..functions import vectors as V
 from . import cluster as C
@@ -84,7 +85,8 @@ def ngram_jaccard_pairs(
     the shingle — no cross join). Output: (l_id, r_id, jaccard) with
     l_id < r_id and jaccard >= threshold."""
     shingled = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(
                 H.word_shingles(H.tokens(text_col), n)
@@ -149,7 +151,7 @@ def minhash_signatures(
         if preshingled
         else F.array_distinct(H.word_shingles(H.tokens(text_col), n))
     )
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingle_arr).alias("s"),
     ).withColumn("h31", H.shingle_hash31(F.col("s")))
@@ -227,7 +229,7 @@ def minhash_near_duplicates(
     signatures, candidate generation, and both sides of the verify
     join all read them, and tokenize+shingle is the expensive part.
     """
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             H.word_shingles(H.tokens(text_col), n)
@@ -279,7 +281,7 @@ def simhash_fingerprints(
     reassembly — all inside whole-stage codegen, one shuffle.
     Token-less docs get fingerprint 0 (the empty-input convention of
     the expression variant)."""
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.explode(H.tokens(text_col)).alias("t"),
     ).withColumn(

@@ -203,6 +203,9 @@ def document_fingerprints(
     """Order-sensitive polynomial rolling hash over the token stream
     (functions.hashing.fingerprint) + the order-free content md5 —
     the pair distinguishes reordered from identical documents."""
+    from ..functions import fan_out
+
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         H.fingerprint(H.tokens(text_col)).alias("rolling_fp"),

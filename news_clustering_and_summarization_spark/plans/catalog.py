@@ -1130,11 +1130,17 @@ def q_pipeline_e2e(spark, sf):
     from ..operators.embed import embed_articles, unwrap_embedding
     from ..operators.preprocess import with_embed_text
 
-    docs = load(spark, sf, "documents").select(
-        F.col("doc_id").cast("string").alias("id"),
-        F.col("source").alias("title"),
-        F.col("text").alias("summary"),
-        "text",
+    docs = (
+        load(spark, sf, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("source").alias("title"),
+            F.col("text").alias("summary"),
+            "text",
+        )
+        # small parquet arrives as 1 partition; fan out so the embed
+        # UDF runs on all cores
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     emb = embed_articles(with_embed_text(docs)).withColumn(
         "vec", unwrap_embedding("concat_embedding")
