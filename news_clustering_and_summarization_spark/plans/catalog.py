@@ -1156,6 +1156,167 @@ def q_pipeline_e2e(spark, sf):
 
 
 # ---------------------------------------------------------------------
+# Relational breadth beyond strict parity (free via Catalyst — SURVEY
+# §2.4 note "approx_count_distinct etc. ... come free"; each keeps a
+# 100 TB-safe shape: partial aggregation, broadcastable dims, windows
+# partitioned on high-cardinality keys)
+# ---------------------------------------------------------------------
+
+
+def q_cube_summary(spark, sf):
+    """CUBE over (returnflag, linestatus): all 4 grouping-set levels
+    in ONE pass (map-side partial agg per set — no re-scan per level)."""
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).withColumn("sum_qty", F.round("sum_qty", 4))
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_lag_lead_delta(spark, sf):
+    """lag/lead windows: per-customer day gap between consecutive
+    orders and the next order's price. Partitioned by customer (high
+    cardinality — parallel at any scale); deterministic tiebreak."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("days_since_prev"),
+        F.round(
+            F.lead(F.col("o_totalprice")).over(w).cast("decimal(18,4)"), 2
+        ).cast("double").alias("next_price"),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+         lag(o_orderdate::DATE) OVER w, o_orderdate::DATE) AS days_since_prev,
+       round(lead(o_totalprice) OVER w::DECIMAL(18,4), 2)::DOUBLE
+         AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_group_quantiles(spark, sf):
+    """Exact linearly-interpolated quantiles per group (median + p90).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    (n-1)·p interpolation rule; rounded at the edge."""
+    li = load(spark, sf, "lineitem")
+    q = F.expr("percentile(CAST(l_quantity AS DOUBLE), array(0.5D, 0.9D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(q.getItem(0), 6).alias("median_qty"),
+            F.round(q.getItem(1), 6).alias("p90_qty"),
+            F.round(F.min(F.col("l_quantity").cast("double")), 6).alias("min_qty"),
+            F.round(F.max(F.col("l_quantity").cast("double")), 6).alias("max_qty"),
+        )
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(min(l_quantity), 6) AS min_qty,
+       round(max(l_quantity), 6) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_exists_composition(spark, sf):
+    """Correlated EXISTS / NOT EXISTS as semi + anti joins: customers
+    with an urgent order but no low-priority one. Both probe sides
+    reduce to key sets (broadcastable at dim scale)."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    urgent = orders.where("o_orderpriority = '1-URGENT'").select("o_custkey")
+    low = orders.where("o_orderpriority = '5-LOW'").select("o_custkey")
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .join(low, customer.c_custkey == low.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_EXISTS = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '5-LOW')
+"""
+
+
+def q_intersect_keys(spark, sf):
+    """INTERSECT (§2.5 notes the reference has none — engine breadth):
+    customers active in both 1995 and 1996."""
+    orders = load(spark, sf, "orders")
+    y = lambda yr: orders.where(
+        F.year("o_orderdate") == yr
+    ).select("o_custkey")
+    return y(1995).intersect(y(1996))
+
+
+ORACLE_INTERSECT = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_above_brand_avg(spark, sf):
+    """Correlated scalar subquery as aggregate + broadcast re-join:
+    parts priced above their brand's average retail price. The brand
+    aggregate is tiny — Catalyst broadcasts it; the big side never
+    shuffles."""
+    part = load(spark, sf, "part")
+    avg_per_brand = part.groupBy("p_brand").agg(
+        (
+            F.sum(_dec("p_retailprice")).cast("double") / F.count("*")
+        ).alias("_avg")
+    )
+    return (
+        part.join(F.broadcast(avg_per_brand), "p_brand")
+        .where(F.col("p_retailprice").cast("double") > F.col("_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round(_dec("p_retailprice"), 2).cast("double").alias("price"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT p_partkey, p_brand,
+       round(p_retailprice::DECIMAL(18,4), 2)::DOUBLE AS price
+FROM part p
+WHERE p_retailprice::DOUBLE >
+  (SELECT sum(p_retailprice::DECIMAL(18,4))::DOUBLE / count(*)
+   FROM part b WHERE b.p_brand = p.p_brand)
+"""
+
+
+# ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
 
@@ -1184,6 +1345,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "rollup_summary": q_rollup_summary,
+    "cube_summary": q_cube_summary,
+    "lag_lead_delta": q_lag_lead_delta,
+    "group_quantiles": q_group_quantiles,
+    "exists_composition": q_exists_composition,
+    "intersect_keys": q_intersect_keys,
+    "above_brand_avg": q_above_brand_avg,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1226,6 +1393,12 @@ ORACLES: dict[str, str] = {
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE,
     "rollup_summary": ORACLE_ROLLUP,
+    "cube_summary": ORACLE_CUBE,
+    "lag_lead_delta": ORACLE_LAG_LEAD,
+    "group_quantiles": ORACLE_QUANTILES,
+    "exists_composition": ORACLE_EXISTS,
+    "intersect_keys": ORACLE_INTERSECT,
+    "above_brand_avg": ORACLE_ABOVE_AVG,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
