@@ -199,19 +199,14 @@ def similarity_pairs(
 # --- connected components (M3 core) ----------------------------------
 
 
-def _local_connected_components(
-    vertices: DataFrame, edges: DataFrame, id_col: str
-) -> DataFrame:
-    """Union-find on the driver for graphs under the LOCAL_CC_* gates.
-
-    Exact same contract as the distributed path: component = minimum
-    member id (string ids compare lexicographically in both engines).
-    Path-halving + union-by-size; O(E α(V))."""
+def union_find_components(v_pdf, e_pdf):
+    """Pure union-find core: pandas Series ``vid`` + edge frame with
+    ``l_id``/``r_id`` -> pandas DataFrame (vid, component) where
+    component = minimum member id. Path-halving + union-by-size,
+    O(E α(V)). Factored out of the Spark wrapper so it is directly
+    property-testable against a reference BFS."""
     import pandas as pd
 
-    spark = vertices.sparkSession
-    v_pdf = vertices.select(F.col(id_col).alias("vid")).toPandas()
-    e_pdf = edges.select("l_id", "r_id").toPandas()
     codes, uniques = pd.factorize(
         pd.concat(
             [v_pdf["vid"], e_pdf["l_id"], e_pdf["r_id"]], ignore_index=True
@@ -240,7 +235,20 @@ def _local_connected_components(
     roots = [find(c) for c in codes[:nv].tolist()]
     out = pd.DataFrame({"vid": v_pdf["vid"], "_root": roots})
     comp = out.groupby("_root")["vid"].transform("min")
-    out = pd.DataFrame({"vid": out["vid"], "component": comp})
+    return pd.DataFrame({"vid": out["vid"], "component": comp})
+
+
+def _local_connected_components(
+    vertices: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Union-find on the driver for graphs under the LOCAL_CC_* gates.
+
+    Exact same contract as the distributed path: component = minimum
+    member id (string ids compare lexicographically in both engines)."""
+    v_pdf = vertices.select(F.col(id_col).alias("vid")).toPandas()
+    e_pdf = edges.select("l_id", "r_id").toPandas()
+    spark = vertices.sparkSession
+    out = union_find_components(v_pdf, e_pdf)
     vid_field = vertices.select(F.col(id_col).alias("vid")).schema[0]
     schema = T.StructType(
         [vid_field, T.StructField("component", vid_field.dataType, True)]
