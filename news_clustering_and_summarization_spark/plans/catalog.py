@@ -1316,6 +1316,113 @@ WHERE p_retailprice::DOUBLE >
 """
 
 
+def q_distinct_agg(spark, sf):
+    """Multi-column DISTINCT aggregation (SURVEY §2.4 notes the
+    reference has none — engine breadth). Catalyst plans this as one
+    Expand + two-phase HashAggregate: partial per-partition distinct
+    before the shuffle, so the wire carries distinct keys only."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_string_agg(spark, sf):
+    """Ordered string aggregation per group (DuckDB ``string_agg ...
+    ORDER BY``): region -> comma-joined sorted nation names. Both
+    sides are dims; the join broadcasts and the agg is map-side."""
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_ntile_buckets(spark, sf):
+    """ntile(4) price quartiles per order priority. Partitioned by
+    priority (bounded fan-in per partition) with a unique-key
+    tiebreak so bucket assignment is deterministic cross-engine."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("double"), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+ORACLE_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice::DOUBLE, o_orderkey)
+         AS price_quartile
+FROM orders
+"""
+
+
+def q_range_frame_window(spark, sf):
+    """RANGE-frame window: per-customer rolling 30-day order spend.
+    Spark ``rangeBetween`` needs a numeric sort key, so both engines
+    order by days-since-epoch; RANGE includes all peers, making the
+    result tie-order independent. Partitioned by customer — high
+    cardinality, parallel at any scale."""
+    orders = load(spark, sf, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias(
+            "spend_30d"
+        ),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice::DECIMAL(18,4)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       )::DOUBLE, 2) AS spend_30d
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1351,6 +1458,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exists_composition": q_exists_composition,
     "intersect_keys": q_intersect_keys,
     "above_brand_avg": q_above_brand_avg,
+    "distinct_agg": q_distinct_agg,
+    "string_agg": q_string_agg,
+    "ntile_buckets": q_ntile_buckets,
+    "range_frame_window": q_range_frame_window,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1399,6 +1510,10 @@ ORACLES: dict[str, str] = {
     "exists_composition": ORACLE_EXISTS,
     "intersect_keys": ORACLE_INTERSECT,
     "above_brand_avg": ORACLE_ABOVE_AVG,
+    "distinct_agg": ORACLE_DISTINCT_AGG,
+    "string_agg": ORACLE_STRING_AGG,
+    "ntile_buckets": ORACLE_NTILE,
+    "range_frame_window": ORACLE_RANGE_FRAME,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
