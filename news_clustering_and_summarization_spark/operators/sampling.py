@@ -1,0 +1,93 @@
+"""Deterministic sampling / split operators for training-data
+pipelines.
+
+A 100 TB corpus can't be sampled with ``rand()`` if the sample must be
+reproducible across runs, retries, and cluster sizes — Spark's
+``sample()`` is seed-stable only for a fixed partitioning. These
+operators are *content-addressed* instead: membership depends only on
+an md5 hash of a stable key (``functions.hashing.hash64``), so the
+same row lands in the same split everywhere, any engine can reproduce
+the selection (the DuckDB oracles in plans/catalog.py do), and the
+sample predicate is a plain filter that pushes down onto the scan —
+no shuffle, no state.
+
+The reference has no sampling stage (its ``COUNT``/``MAX_ARTICLES``
+truncations, data/put_records.py:40 and embed_docs.py:67-68, are
+head-limits, O7 in SURVEY §2.5); these are engine-breadth operators
+for the training-data suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+# One-in-a-million bucket resolution: fractions down to 1e-6 are
+# representable exactly, and the bucket id fits comfortably in the
+# 60-bit hash range without modulo bias mattering (2^60 / 1e6 buckets
+# leaves bias < 1e-12).
+SAMPLE_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    return H.hash64(key.cast("string"), seed) % SAMPLE_BUCKETS
+
+
+def bucket_sql(expr: str, seed: int) -> str:
+    """DuckDB fragment computing the identical bucket id."""
+    return f"({H.hash64_sql(f'({expr})::VARCHAR', seed)} % {SAMPLE_BUCKETS})"
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the
+    bucket space. Deterministic, partition-independent, and a pure
+    filter — Catalyst pushes it to the scan; zero shuffle."""
+    keep = int(round(fraction * SAMPLE_BUCKETS))
+    return df.where(_bucket(F.col(key_col), seed) < keep)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'test' by hash bucket. Disjoint and
+    exhaustive by construction; a row's split never changes when the
+    data around it does (critical for incremental corpus builds)."""
+    cut = int(round(test_fraction * SAMPLE_BUCKETS))
+    b = _bucket(F.col(key_col), seed)
+    return df.withColumn(
+        split_col, F.when(b < cut, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact per-stratum fraction: rank rows inside each stratum by
+    content hash (a deterministic, data-independent order) and keep
+    ``ceil(n_g * fraction)`` of each group. One shuffle, hash-
+    partitioned on the stratum key; strata are processed in parallel
+    and a skewed stratum degrades only its own partition's sort."""
+    b = _bucket(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col)
+    wo = w.orderBy(b, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_n", F.count("*").over(w))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )

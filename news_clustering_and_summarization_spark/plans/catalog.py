@@ -1423,6 +1423,83 @@ FROM orders
 """
 
 
+def q_sample_hash(spark, sf):
+    """Deterministic content-addressed 10% sample of documents: a
+    pure hash filter, partition-independent and pushed to the scan
+    (zero shuffle) — the reproducible way to sample a 100 TB corpus."""
+    from ..operators import sampling as S
+
+    docs = load(spark, sf, "documents")
+    return S.hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
+def oracle_sample_hash() -> str:
+    from ..operators.sampling import bucket_sql
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {bucket_sql('doc_id', 42)} < 100000
+"""
+
+
+def q_sample_split(spark, sf):
+    """Hash-bucket train/test split of orders (row membership stable
+    under corpus growth), summarized per split."""
+    from ..operators import sampling as S
+
+    orders = load(spark, sf, "orders")
+    return (
+        S.train_test_split(orders, "o_orderkey", test_fraction=0.2)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+def oracle_sample_split() -> str:
+    from ..operators.sampling import bucket_sql
+
+    return f"""
+SELECT CASE WHEN {bucket_sql('o_orderkey', 42)} < 200000
+            THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n,
+       round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 2) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_sample_stratified(spark, sf):
+    """Exact 10%-per-stratum sample of events by event_type: rank by
+    content hash inside each stratum, keep ceil(n*0.1). One shuffle
+    on the stratum key; strata sampled in parallel."""
+    from ..operators import sampling as S
+
+    ev = load(spark, sf, "events")
+    return S.stratified_sample(ev, "event_type", "event_id", 0.1).select(
+        "event_id", "event_type"
+    )
+
+
+def oracle_sample_stratified() -> str:
+    from ..operators.sampling import bucket_sql
+
+    b = bucket_sql("event_id", 42)
+    return f"""
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {b}, event_id) AS _rn,
+         count(*) OVER (PARTITION BY event_type) AS _n
+  FROM events
+) WHERE _rn <= ceil(_n * 0.1)
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1462,6 +1539,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_agg": q_string_agg,
     "ntile_buckets": q_ntile_buckets,
     "range_frame_window": q_range_frame_window,
+    "sample_hash": q_sample_hash,
+    "sample_split": q_sample_split,
+    "sample_stratified": q_sample_stratified,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1514,6 +1594,9 @@ ORACLES: dict[str, str] = {
     "string_agg": ORACLE_STRING_AGG,
     "ntile_buckets": ORACLE_NTILE,
     "range_frame_window": ORACLE_RANGE_FRAME,
+    "sample_hash": oracle_sample_hash(),
+    "sample_split": oracle_sample_split(),
+    "sample_stratified": oracle_sample_stratified(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),

@@ -1,0 +1,71 @@
+"""Deterministic sampling operators: membership must be content-
+addressed (stable under repartitioning and corpus growth), splits
+disjoint+exhaustive, stratified sizes exact."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.operators import sampling as S
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_hash_sample_partition_independent(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in S.hash_sample(docs, "doc_id", 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in S.hash_sample(docs.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert a == b and a
+
+
+def test_hash_sample_stable_under_growth(spark):
+    """A row's membership doesn't change when other rows appear."""
+    docs = _docs(spark)
+    full = {r.doc_id for r in S.hash_sample(docs, "doc_id", 0.2).collect()}
+    half_input = docs.where(F.col("n_chars") % 2 == 0)
+    half = {
+        r.doc_id for r in S.hash_sample(half_input, "doc_id", 0.2).collect()
+    }
+    kept_ids = {r.doc_id for r in half_input.select("doc_id").collect()}
+    assert half == full & kept_ids
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    split = S.train_test_split(docs, "doc_id", test_fraction=0.25)
+    counts = dict(
+        split.groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert counts.get("test", 0) + counts.get("train", 0) == n
+    # hash buckets approximate the fraction; 3-sigma binomial bound
+    sigma = math.sqrt(n * 0.25 * 0.75)
+    assert abs(counts.get("test", 0) - 0.25 * n) < 4 * sigma
+
+
+def test_stratified_sample_exact_per_group(spark):
+    # events.parquet carries TIMESTAMP(NANOS); catalog.load sets the
+    # nanosAsLong conf the plain reader lacks
+    from news_clustering_and_summarization_spark.plans.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    totals = dict(
+        ev.groupBy("event_type").count().rdd.map(tuple).collect()
+    )
+    got = dict(
+        S.stratified_sample(ev, "event_type", "event_id", 0.1)
+        .groupBy("event_type")
+        .count()
+        .rdd.map(tuple)
+        .collect()
+    )
+    for k, n in totals.items():
+        assert got.get(k, 0) == math.ceil(n * 0.1), (k, n, got.get(k))
