@@ -1500,6 +1500,42 @@ SELECT event_id, event_type FROM (
 """
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary: top-100 token frequencies with document
+    frequency — the tokenizer-training / BPE-prep scan. Explode is
+    map-side; the count shuffles only (token, partial-count) pairs
+    (two-phase agg), and top-k is a TakeOrdered, never a global sort
+    of the vocabulary."""
+    from ..functions import fan_out
+    from ..functions import hashing as H
+
+    docs = load(spark, sf, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(H.tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+def oracle_vocab_topk() -> str:
+    from ..functions.hashing import tokens_sql
+
+    return f"""
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1542,6 +1578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash": q_sample_hash,
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
+    "vocab_topk": q_vocab_topk,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1597,6 +1634,7 @@ ORACLES: dict[str, str] = {
     "sample_hash": oracle_sample_hash(),
     "sample_split": oracle_sample_split(),
     "sample_stratified": oracle_sample_stratified(),
+    "vocab_topk": oracle_vocab_topk(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
