@@ -1536,6 +1536,63 @@ LIMIT 100
 """
 
 
+def q_bucketed_join(spark, sf):
+    """Fact-fact join on co-located bucketed tables: orders and
+    lineitem written ``bucketBy(orderkey)`` once, then joined with
+    ZERO exchanges — the storage-level answer to the biggest shuffle
+    at 100 TB. Revenue per order priority; tests assert the physical
+    plan is Exchange-free between the scans and the join."""
+    from ..sources import tables as T
+
+    tag = _safe_sf_tag(sf)
+    o = T.write_bucketed(
+        load(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        f"orders_bkt_{tag}",
+        8,
+        "o_orderkey",
+        sort_cols=["o_orderkey"],
+    )
+    l = T.write_bucketed(
+        load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        f"lineitem_bkt_{tag}",
+        8,
+        "l_orderkey",
+        sort_cols=["l_orderkey"],
+    )
+    orders_b, li_b = spark.table(o), spark.table(l)
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    )
+    return (
+        li_b.join(orders_b, li_b.l_orderkey == orders_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(revenue.cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _safe_sf_tag(sf: str) -> str:
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+
+
+ORACLE_BUCKETED = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice::DECIMAL(18,4)
+                 * (1 - l_discount::DECIMAL(18,4)))::DOUBLE, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1579,6 +1636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
     "vocab_topk": q_vocab_topk,
+    "bucketed_join": q_bucketed_join,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1635,6 +1693,7 @@ ORACLES: dict[str, str] = {
     "sample_split": oracle_sample_split(),
     "sample_stratified": oracle_sample_stratified(),
     "vocab_topk": oracle_vocab_topk(),
+    "bucketed_join": ORACLE_BUCKETED,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
