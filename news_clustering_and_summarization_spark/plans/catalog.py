@@ -1593,6 +1593,44 @@ GROUP BY o_orderpriority
 """
 
 
+def q_window_counts(spark, sf):
+    """Tumbling event-time window aggregation (batch mode of the
+    streaming operator — same code path, streaming/windows.py): events
+    per hour per type. Spark ``window()`` buckets are epoch-aligned,
+    exactly DuckDB ``time_bucket``. One shuffle on (bucket, type)."""
+    from ..streaming.windows import windowed_counts
+
+    ev = load(spark, sf, "events")
+    out = windowed_counts(
+        ev,
+        "ts",
+        window_size="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.round(F.sum(F.col("value").cast("double")), 4).alias(
+                "sum_value"
+            )
+        ],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+ORACLE_WINDOW_COUNTS = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS wstart,
+       event_type,
+       count(*) AS n,
+       round(sum(value::DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1637,6 +1675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "vocab_topk": q_vocab_topk,
     "bucketed_join": q_bucketed_join,
+    "window_counts": q_window_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1694,6 +1733,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": oracle_sample_stratified(),
     "vocab_topk": oracle_vocab_topk(),
     "bucketed_join": ORACLE_BUCKETED,
+    "window_counts": ORACLE_WINDOW_COUNTS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),

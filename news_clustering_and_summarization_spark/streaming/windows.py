@@ -1,0 +1,49 @@
+"""Event-time windowed aggregation with watermarks.
+
+The reference has NO event-time processing — arrival order wins and
+late data is clustered whenever it shows up (SURVEY §2.7 ST3, absence
+at process_records.py:469-494). For an engine that must also serve
+training-data pipelines, event-time analytics (article volume per
+source per hour, late-arrival tolerance) is table stakes, so this
+module adds the canonical Structured Streaming shape:
+
+    withWatermark(ts, delay) -> groupBy(window(ts, size, slide), keys)
+
+State stays bounded: Spark drops window state once the watermark
+passes the window end, and append-mode sinks emit each window exactly
+once, finalized. Late rows beyond the watermark are discarded — the
+deliberate, bounded-memory trade the reference never makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_size: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) event-time
+    window aggregation. Works identically on a streaming or a batch
+    DataFrame; on a stream the watermark bounds state and late data.
+
+    Output: window_start, window_end, *keys, n (+ any extra ``aggs``).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_size, slide or window_size)
+    out = df.groupBy(win.alias("w"), *(keys or [])).agg(
+        F.count("*").alias("n"), *(aggs or [])
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )

@@ -1,0 +1,94 @@
+"""Watermarked event-time windows: append-mode streams must finalize
+a window exactly once after the watermark passes its end, and drop
+late rows that arrive beyond the watermark."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from news_clustering_and_summarization_spark.streaming.windows import (
+    windowed_counts,
+)
+
+SCHEMA = StructType(
+    [StructField("id", StringType()), StructField("ts", StringType())]
+)
+
+
+def _write(path, name, rows):
+    with open(os.path.join(path, name), "w") as f:
+        for i, ts in enumerate(rows):
+            f.write(json.dumps({"id": f"{name}-{i}", "ts": ts}) + "\n")
+
+
+def test_watermark_finalizes_and_drops_late(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: three rows in the 10:00-10:05 window, plus one at 10:20
+    # that advances max event time (watermark -> 10:10 after batch 1)
+    _write(
+        src,
+        "f1.json",
+        [
+            "2024-01-01 10:00:30",
+            "2024-01-01 10:01:00",
+            "2024-01-01 10:02:00",
+            "2024-01-01 10:20:00",
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = windowed_counts(
+        stream, "ts", window_size="5 minutes", watermark="10 minutes"
+    )
+    sink = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-closed 10:00 window
+        # (watermark is 10:10 > 10:05 close) and an on-time row
+        _write(
+            src, "f2.json", ["2024-01-01 10:01:30", "2024-01-01 10:21:00"]
+        )
+        q.processAllAvailable()
+        rows = {
+            r.window_start.strftime("%H:%M"): r.n
+            for r in spark.table(sink).collect()
+        }
+        # 10:00 window finalized with the 3 on-time rows only — the
+        # late 10:01:30 arrival was dropped by the watermark
+        assert rows.get("10:00") == 3, rows
+        # the 10:20 window is still open (watermark hasn't passed it)
+        assert "10:20" not in rows, rows
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_batch_mode(spark):
+    """Same operator works on a batch frame (no watermark applied)."""
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:10"), ("b", "2024-01-01 10:07:00")],
+        SCHEMA,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_counts(df, "ts", window_size="5 minutes")
+    got = {
+        r.window_start.strftime("%H:%M"): r.n for r in out.collect()
+    }
+    assert got == {"10:00": 1, "10:05": 1}
