@@ -35,11 +35,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # managed-table location (bucketed tables, sources/tables.py);
-        # keep it out of the repo tree — static conf, set at create
+        # keep it out of the repo tree and per-process — concurrent
+        # drivers (pytest + bench on one box) must not race on the
+        # same table locations
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", "/tmp/news_clustering_warehouse"
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/news_clustering_warehouse_{os.getpid()}",
             ),
         )
     )

