@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "quality_score",       # text heuristics
     "token_counts",        # token stats
     "lang_id",             # language ID
+    "window_counts",       # event-time tumbling windows
+    "bucketed_join",       # bucketed write + shuffle-free join
+    "skew_join",           # salted hot-key join
+    "sample_stratified",   # exact per-stratum sampling
 ]
 
 

@@ -1631,6 +1631,36 @@ GROUP BY 1, 2
 """
 
 
+def q_skew_join(spark, sf):
+    """Salted equi-join: lineitem ⋈ orders with the shuffle spread 16
+    ways per key (hot-key insurance when the dim is too big/dynamic to
+    broadcast). Result is identical to the plain join — the oracle IS
+    the plain join."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "okey")
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="okey", salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("double")), 4).alias(
+            "sum_qty"
+        ),
+    )
+
+
+ORACLE_SKEW_JOIN = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1676,6 +1706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bucketed_join": q_bucketed_join,
     "window_counts": q_window_counts,
+    "skew_join": q_skew_join,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1734,6 +1765,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": oracle_vocab_topk(),
     "bucketed_join": ORACLE_BUCKETED,
     "window_counts": ORACLE_WINDOW_COUNTS,
+    "skew_join": ORACLE_SKEW_JOIN,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),

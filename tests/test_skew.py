@@ -1,0 +1,47 @@
+"""Salted join must be row-for-row identical to the plain join and
+must actually spread a hot key across salt buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.operators.skew import salted_join
+from news_clustering_and_summarization_spark.plans.catalog import load
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_inner_equals_plain(spark):
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = load(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    salted = salted_join(li, orders, on="okey", salt=8)
+    plain = li.join(orders, "okey")
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_keeps_unmatched(spark):
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("orphan", -1)], ["k", "v"]
+    )
+    small = spark.createDataFrame([("hot", "H")], ["k", "tag"])
+    out = salted_join(big, small, on="k", salt=4, how="left")
+    assert out.count() == 101
+    assert out.where("k = 'orphan' AND tag IS NULL").count() == 1
+
+
+def test_hot_key_spreads_over_salt_buckets(spark):
+    big = spark.createDataFrame([("hot", i) for i in range(500)], ["k", "v"])
+    buckets = (
+        big.withColumn(
+            "_salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)).cast("int")
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert buckets == 8
