@@ -1661,6 +1661,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_unpivot_measures(spark, sf):
+    """UNPIVOT / melt: wide lineitem measures to long (measure, value)
+    rows — the inverse of `event_pivot` (§2.5 breadth). Spark's
+    ``unpivot`` is a zero-shuffle Expand (rows fan out in place);
+    aggregated per measure per returnflag afterwards."""
+    li = load(spark, sf, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity::DOUBLE AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice::DOUBLE
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount::DOUBLE FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1707,6 +1746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "window_counts": q_window_counts,
     "skew_join": q_skew_join,
+    "unpivot_measures": q_unpivot_measures,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1766,6 +1806,7 @@ ORACLES: dict[str, str] = {
     "bucketed_join": ORACLE_BUCKETED,
     "window_counts": ORACLE_WINDOW_COUNTS,
     "skew_join": ORACLE_SKEW_JOIN,
+    "unpivot_measures": ORACLE_UNPIVOT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
