@@ -1700,6 +1700,62 @@ FROM long GROUP BY l_returnflag, measure
 """
 
 
+def _media_frame(spark, sf):
+    """Synthetic media table derived deterministically from documents
+    (payload = utf-8 bytes of text; type keyed off doc_id) — identical
+    construction is expressible in DuckDB for the stats oracle."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def q_media_stats(spark, sf):
+    """Multimodal corpus stats over the opaque binary column (no
+    decode touches the payload bytes; scan + one groupBy on a
+    3-value key with map-side partials)."""
+    from ..operators.multimodal import media_stats
+
+    return media_stats(_media_frame(spark, sf))
+
+
+ORACLE_MEDIA_STATS = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       count(*) AS n_assets,
+       sum(octet_length(encode(text))) AS total_bytes,
+       round(avg(octet_length(encode(text))), 2) AS mean_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_multimodal_decode(spark, sf):
+    """Decode -> frame-sample over mapInPandas with the deterministic
+    fake codec (real codecs absent in this container — the Spark-side
+    plumbing is the thing under test). Not SQL-expressible ->
+    rows-only check; exact semantics golden-tested in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import decode_media, sample_frames
+
+    decoded = decode_media(_media_frame(spark, sf), fake=True)
+    frames = sample_frames(decoded, every_nth=5)
+    return (
+        decoded.select("asset_id", "media_type")
+        .join(frames, "asset_id", "left")
+        .groupBy("media_type")
+        .agg(
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.count("frame_index").alias("n_sampled_frames"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1747,6 +1803,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_counts": q_window_counts,
     "skew_join": q_skew_join,
     "unpivot_measures": q_unpivot_measures,
+    "media_stats": q_media_stats,
+    "multimodal_decode": q_multimodal_decode,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1807,6 +1865,9 @@ ORACLES: dict[str, str] = {
     "window_counts": ORACLE_WINDOW_COUNTS,
     "skew_join": ORACLE_SKEW_JOIN,
     "unpivot_measures": ORACLE_UNPIVOT,
+    "media_stats": ORACLE_MEDIA_STATS,
+    # multimodal_decode: intentionally no oracle (mapInPandas fake
+    # codec) -> rows-only check.
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
