@@ -1756,6 +1756,61 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_regional_revenue(spark, sf):
+    """Six-table star join (TPC-H Q5 shape): ASIA revenue per nation
+    for 1996, where the supplying and ordering nations match. The
+    three dims (region→nation→supplier) broadcast; the fact-fact
+    chain (customer⨝orders⨝lineitem) shuffles on its keys with the
+    date filter pushed to the orders scan — Catalyst reorders freely
+    because the plan is declared, not scheduled."""
+    region = load(spark, sf, "region").where("r_name = 'ASIA'")
+    nation = load(spark, sf, "nation")
+    supplier = load(spark, sf, "supplier")
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+    )
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(18,4)
+                 * (1 - l_discount::DECIMAL(18,4)))::DOUBLE, 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1805,6 +1860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_measures": q_unpivot_measures,
     "media_stats": q_media_stats,
     "multimodal_decode": q_multimodal_decode,
+    "regional_revenue": q_regional_revenue,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1866,6 +1922,7 @@ ORACLES: dict[str, str] = {
     "skew_join": ORACLE_SKEW_JOIN,
     "unpivot_measures": ORACLE_UNPIVOT,
     "media_stats": ORACLE_MEDIA_STATS,
+    "regional_revenue": ORACLE_REGIONAL_REVENUE,
     # multimodal_decode: intentionally no oracle (mapInPandas fake
     # codec) -> rows-only check.
     "dedup_exact": ORACLE_DEDUP_EXACT,
