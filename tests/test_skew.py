@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from news_clustering_and_summarization_spark.operators.skew import salted_join
+from news_clustering_and_summarization_spark.operators.skew import (
+    adaptive_salted_join,
+    salted_join,
+)
 from news_clustering_and_summarization_spark.plans.catalog import load
 from tests.conftest import SF_SMOKE
 
@@ -32,6 +35,27 @@ def test_salted_left_keeps_unmatched(spark):
     out = salted_join(big, small, on="k", salt=4, how="left")
     assert out.count() == 101
     assert out.where("k = 'orphan' AND tag IS NULL").count() == 1
+
+
+def test_adaptive_salted_equals_plain(spark):
+    # one hot key (400 rows), many cold keys, plus an orphan
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(400)]
+        + [(f"cold{i}", i) for i in range(50)]
+        + [("orphan", -1)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(50)],
+        ["k", "tag"],
+    )
+    for how in ("inner", "left"):
+        got = adaptive_salted_join(
+            big, small, on="k", salt=4, hot_threshold=100, how=how
+        )
+        want = big.join(small, "k", how)
+        assert got.exceptAll(want).count() == 0, how
+        assert want.exceptAll(got).count() == 0, how
 
 
 def test_hot_key_spreads_over_salt_buckets(spark):
