@@ -84,3 +84,67 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath):
         fs.delete(hpath, True)
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # match a default HDFS/scan block
+
+
+def dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a dataset path (Hadoop FS contentSummary)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~TARGET_FILE_BYTES files.
+
+    The small-files problem: a streaming sink or fine-grained merge
+    leaves thousands of KB-scale files, and at scale the scan pays a
+    task + open() per file. Compaction reads once, repartitions to
+    size (or range-partitions by ``sort_by``, which also clusters the
+    data for later predicate pruning via min/max footer stats), and
+    atomically swaps the directory (write temp -> delete old ->
+    rename), so concurrent readers see either the old or the new
+    dataset, never a partial one. Returns the new file count.
+    """
+    df = spark.read.parquet(path)
+    if target_files is None:
+        target_files = max(1, dataset_bytes(spark, path) // TARGET_FILE_BYTES)
+    if sort_by:
+        out = df.repartitionByRange(int(target_files), *sort_by)
+    else:
+        out = df.repartition(int(target_files))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+    return len(
+        [f for f in spark.read.parquet(path).inputFiles()]
+    )
+
+
+def read_evolved(
+    spark: SparkSession, *paths: str, merge_schema: bool = True
+):
+    """Read parquet written under evolving schemas (columns added over
+    corpus versions): ``mergeSchema`` unions the footers' schemas and
+    back-fills missing columns with NULL — append-only evolution
+    without rewriting old data. Column renames/drops still require a
+    rewrite (parquet has no rename metadata); keep additions
+    append-only."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .parquet(*paths)
+    )

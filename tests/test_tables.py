@@ -61,6 +61,59 @@ def test_bucketed_groupby_reuses_bucketing(spark):
     assert "Exchange" not in _physical_plan(agg)
 
 
+def test_compact_parquet_reduces_files_keeps_rows(spark):
+    li = load(spark, SF_SMOKE, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "li")
+        li.repartition(20).write.parquet(path)  # fragment: 20 files
+        before = spark.read.parquet(path)
+        n_rows = before.count()
+        total = before.agg(F.sum("l_quantity")).first()[0]
+        assert len(before.inputFiles()) == 20
+        n_files = T.compact_parquet(spark, path, target_files=2)
+        after = spark.read.parquet(path)
+        assert n_files == len(after.inputFiles()) == 2
+        assert after.count() == n_rows
+        assert abs(after.agg(F.sum("l_quantity")).first()[0] - total) < 1e-6
+
+
+def test_compact_with_sort_clusters_ranges(spark):
+    """repartitionByRange compaction leaves each file covering a
+    disjoint key range (footer min/max become useful for pruning)."""
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "li")
+        li.repartition(10).write.parquet(path)
+        T.compact_parquet(spark, path, target_files=4, sort_by=["l_orderkey"])
+        after = spark.read.parquet(path)
+        spans = (
+            after.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+            )
+            .collect()
+        )
+        spans = sorted([(r.lo, r.hi) for r in spans])
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next, spans
+
+
+def test_read_evolved_merges_added_column(spark):
+    with tempfile.TemporaryDirectory() as d:
+        v1 = os.path.join(d, "p1")
+        v2 = os.path.join(d, "p2")
+        spark.createDataFrame(
+            [("a", "hello")], ["id", "text"]
+        ).write.parquet(v1)
+        spark.createDataFrame(
+            [("b", "welt", "de")], ["id", "text", "lang"]
+        ).write.parquet(v2)
+        df = T.read_evolved(spark, v1, v2)
+        assert set(df.columns) == {"id", "text", "lang"}
+        rows = {r.id: r.lang for r in df.collect()}
+        assert rows == {"a": None, "b": "de"}
+
+
 def test_partitioned_write_prunes(spark):
     # load() already surfaces ts as a proper timestamp (nanos handled)
     ev = load(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
