@@ -1811,6 +1811,24 @@ GROUP BY n_name
 """
 
 
+def q_stable_ids(spark, sf):
+    """Dense global rank without a global sort (operators/ids.py):
+    range partitions number themselves, driver folds the offsets.
+    Oracle is the single-partition ``row_number()`` formulation —
+    identical output, completely different (scalable) plan."""
+    from ..operators.ids import stable_ids
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    return stable_ids(docs, ["doc_id"], num_partitions=8)
+
+
+ORACLE_STABLE_IDS = """
+SELECT doc_id, lang,
+       row_number() OVER (ORDER BY doc_id) - 1 AS stable_id
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -1861,6 +1879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "multimodal_decode": q_multimodal_decode,
     "regional_revenue": q_regional_revenue,
+    "stable_ids": q_stable_ids,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -1923,6 +1942,7 @@ ORACLES: dict[str, str] = {
     "unpivot_measures": ORACLE_UNPIVOT,
     "media_stats": ORACLE_MEDIA_STATS,
     "regional_revenue": ORACLE_REGIONAL_REVENUE,
+    "stable_ids": ORACLE_STABLE_IDS,
     # multimodal_decode: intentionally no oracle (mapInPandas fake
     # codec) -> rows-only check.
     "dedup_exact": ORACLE_DEDUP_EXACT,
