@@ -17,10 +17,102 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+
+
+def _sign_hyperplanes(dim: int, nbits: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_bucket_udf(dim: int, nbits: int = 10, seed: int = 42):
+    """Pandas UDF: random-hyperplane (sign) LSH bucket of a vector —
+    bit j = sign(v·h_j). Cosine-similar vectors collide with
+    probability 1 - θ/π per bit. One Arrow-batched matmul per
+    partition; the hyperplane matrix rides in the closure (tiny)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _sign_hyperplanes(dim, nbits, seed)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 10,
+    probe_radius: int = 1,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via sign-LSH buckets with multiprobe.
+
+    Corpus rows hash to one of 2^nbits buckets; each query probes
+    every bucket within hamming distance ``probe_radius`` of its own
+    (multiprobe trades candidate fan-out for recall — C(nbits, ≤r)
+    probes of 2^nbits buckets). Candidates rerank by exact cosine.
+    The probe is a plain equi-join on the bucket id — shuffle-sized by
+    the collision rate, never O(Q·N). Tune (nbits, probe_radius) to
+    the corpus: structured embeddings tolerate many bits; data with
+    weak neighborhood structure needs a larger probed fraction.
+    Output schema matches brute_force_topk.
+    """
+    from itertools import combinations
+
+    bucket = lsh_bucket_udf(dim, nbits, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nv")
+    ).withColumn("bucket", bucket(F.col("nv").cast("array<double>")))
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).withColumn("_b0", bucket(F.col("qv").cast("array<double>")))
+    masks = [0] + [
+        sum(1 << j for j in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(nbits), r)
+    ]
+    probes = F.array(
+        *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
+    )
+    q = q.select("qid", "qv", F.explode(probes).alias("bucket"))
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            V.cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
 
 
 def brute_force_topk(

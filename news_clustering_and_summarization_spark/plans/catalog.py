@@ -937,6 +937,20 @@ def q_ann_ivf(spark, sf):
     )
 
 
+def q_ann_lsh(spark, sf):
+    """Sign-LSH bucketed probe with 1-bit multiprobe — the second
+    scale path for ANN (bucket equi-join, never O(Q·N)). Approximate
+    -> rows-only; recall floor asserted in tests/test_similarity.py."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.lsh_topk(
+        q, emb, dim=64, k=5, nbits=6, probe_radius=2
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
 # ---------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------
@@ -1887,6 +1901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,

@@ -89,3 +89,40 @@ def test_ivf_more_probes_higher_recall(spark, emb):
     assert r_high >= r_low
     # probing every cell == exact
     assert r_high == len(exact)
+
+
+def test_lsh_recall_floor(spark, emb):
+    q = _queries(emb, 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, emb, k=10).collect()
+    }
+    # the synthetic embeddings are near-orthogonal random vectors —
+    # the worst case for LSH (no neighborhood structure), so probe a
+    # generous fraction and assert a conservative floor
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(
+            q, emb, dim=64, k=10, nbits=6, probe_radius=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, f"LSH recall {recall:.2f}"
+
+
+def test_lsh_candidates_subset_and_exact_rerank(spark, emb):
+    """Every returned pair's cosine must equal the exact cosine (the
+    rerank is exact; only the candidate set is approximate)."""
+    q = _queries(emb, 5)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.lsh_topk(
+            q, emb, dim=64, k=10, nbits=6, probe_radius=2
+        ).collect()
+    }
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.brute_force_topk(q, emb, k=len(emb.collect())).collect()
+    }
+    for pair, cos in got.items():
+        assert abs(cos - exact_all[pair]) < 1e-9, pair
