@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the scale properties SCALE.md
+claims (pushdown, broadcast, single-Exchange windows, no cartesian)
+are asserted here so a future edit can't silently regress them.
+tools/explain_audit.py sweeps every query; these pin the flagship
+plans precisely."""
+
+from __future__ import annotations
+
+import re
+
+from news_clustering_and_summarization_spark.plans import catalog
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    # default truncates FileScan metadata (PushedFilters/ReadSchema)
+    # at 100 chars — widen so assertions see the full scan line
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = catalog.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    # projection pruned: the scan must not read all 16 lineitem cols
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 8, m and m.group(1)
+
+
+def test_top_customers_broadcasts_the_dim(spark):
+    plan = _plan(spark, "top_customers")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_window_queries_have_single_exchange(spark):
+    for name in ("lag_lead_delta", "running_total", "range_frame_window"):
+        plan = _plan(spark, name)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, (name, n_exchanges)
+        assert "SinglePartition" not in plan, name
+
+
+def test_distinct_agg_partials_before_shuffle(spark):
+    plan = _plan(spark, "distinct_agg")
+    assert "Expand" in plan
+    # partial aggregate must appear below the first exchange:
+    # the plan string lists operators top-down, so the LAST
+    # HashAggregate (deepest) must come after the LAST Exchange
+    assert plan.rfind("HashAggregate") > plan.rfind("Exchange"), plan
+
+
+def test_no_cartesian_in_relational_queries(spark):
+    for name in ("regional_revenue", "skew_join", "asof_join", "range_join"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
