@@ -1972,6 +1972,8 @@ ORACLES: dict[str, str] = {
     "fingerprint": oracle_fingerprint(),
     "cluster_assign": oracle_cluster_assign(),
     "cluster_serving": oracle_cluster_serving(),
-    # ann_ivf, pipeline_e2e: intentionally no oracle (approximate /
-    # UDF-dependent) -> rows-only check.
+    # Intentionally no oracle (approximate / stateful / UDF-dependent)
+    # -> rows-only check: ann_ivf, ann_lsh, pipeline_e2e,
+    # incremental_cluster, multimodal_decode. Everything else above is
+    # hash-compared against DuckDB by the driver.
 }
