@@ -81,6 +81,58 @@ def test_watermark_finalizes_and_drops_late(spark, tmp_path):
         q.stop()
 
 
+def test_window_state_survives_restart(spark, tmp_path):
+    """Open-window state must live in the checkpoint: rows arrive in
+    run 1 with no emission (watermark hasn't passed the window); run 2
+    restarts from the checkpoint, sees the watermark advance, and must
+    finalize the window with run 1's rows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    _write(
+        src,
+        "f1.json",
+        ["2024-01-01 10:00:30", "2024-01-01 10:01:00", "2024-01-01 10:02:00"],
+    )
+
+    def start():
+        # memory sink can't recover from a checkpoint — use the
+        # fault-tolerant file sink for the restart scenario
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        agg = windowed_counts(
+            stream, "ts", window_size="5 minutes", watermark="10 minutes"
+        )
+        return (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    _write(src, "f2.json", ["2024-01-01 10:20:00"])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        rows = {
+            r.window_start.strftime("%H:%M"): r.n
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows.get("10:00") == 3, rows
+    finally:
+        q2.stop()
+
+
 def test_windowed_counts_batch_mode(spark):
     """Same operator works on a batch frame (no watermark applied)."""
     df = spark.createDataFrame(
