@@ -1437,6 +1437,31 @@ FROM orders
 """
 
 
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — ((returnflag), (linestatus)): two
+    independent aggregate views in ONE scan + Expand (not two scans
+    unioned). Complements cube/rollup with a mixed-set shape."""
+    li = load(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(CAST(l_quantity AS DOUBLE)), 4) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 def q_sample_hash(spark, sf):
     """Deterministic content-addressed 10% sample of documents: a
     pure hash filter, partition-independent and pushed to the scan
@@ -1882,6 +1907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_agg": q_string_agg,
     "ntile_buckets": q_ntile_buckets,
     "range_frame_window": q_range_frame_window,
+    "grouping_sets": q_grouping_sets,
     "sample_hash": q_sample_hash,
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
@@ -1947,6 +1973,7 @@ ORACLES: dict[str, str] = {
     "string_agg": ORACLE_STRING_AGG,
     "ntile_buckets": ORACLE_NTILE,
     "range_frame_window": ORACLE_RANGE_FRAME,
+    "grouping_sets": ORACLE_GROUPING_SETS,
     "sample_hash": oracle_sample_hash(),
     "sample_split": oracle_sample_split(),
     "sample_stratified": oracle_sample_stratified(),
