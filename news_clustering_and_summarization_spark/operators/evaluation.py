@@ -1,0 +1,92 @@
+"""Clustering-quality metrics: homogeneity, completeness, V-measure.
+
+The reference's README promises a `test` folder with "epsilon tests
+with notebooks for evaluating clustering" (README.md:258-262) that is
+absent from the snapshot (SURVEY §5) — this module supplies that
+evaluation capability as a first-class distributed operator: given
+predicted cluster labels and ground-truth labels, compute the
+entropy-based external metrics (Rosenberg & Hirschberg 2007,
+"V-Measure: A conditional entropy-based external cluster evaluation
+measure", EMNLP) entirely as DataFrame aggregations — one contingency
+groupBy plus marginal aggregates, no collect of per-row data, so it
+runs at corpus scale.
+
+    homogeneity  h = 1 - H(truth | pred) / H(truth)
+    completeness c = 1 - H(pred | truth) / H(pred)
+    v_measure    v = 2hc / (h + c)
+
+Degenerate conventions match sklearn: an entropy of 0 yields a metric
+of 1.0; h + c == 0 yields v = 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clustering_quality(
+    df: DataFrame, pred_col: str, truth_col: str
+) -> DataFrame:
+    """One-row DataFrame (n, homogeneity, completeness, v_measure),
+    all double, rounded to 6dp for cross-engine comparison."""
+    cont = (
+        df.groupBy(
+            F.col(pred_col).alias("_k"), F.col(truth_col).alias("_c")
+        )
+        .agg(F.count("*").alias("n_ck"))
+    )
+    total = cont.agg(F.sum("n_ck").alias("n")).select(
+        F.col("n").cast("double").alias("n")
+    )
+    k_marg = cont.groupBy("_k").agg(F.sum("n_ck").alias("n_k"))
+    c_marg = cont.groupBy("_c").agg(F.sum("n_ck").alias("n_c"))
+
+    joint = (
+        cont.join(k_marg, "_k")
+        .join(c_marg, "_c")
+        .crossJoin(F.broadcast(total))
+    )
+    # conditional entropies from the contingency table
+    hck = joint.agg(
+        (-F.sum(
+            (F.col("n_ck") / F.col("n"))
+            * F.log(F.col("n_ck") / F.col("n_k"))
+        )).alias("h_c_given_k"),
+        (-F.sum(
+            (F.col("n_ck") / F.col("n"))
+            * F.log(F.col("n_ck") / F.col("n_c"))
+        )).alias("h_k_given_c"),
+    )
+    hc = c_marg.crossJoin(F.broadcast(total)).agg(
+        (-F.sum(
+            (F.col("n_c") / F.col("n")) * F.log(F.col("n_c") / F.col("n"))
+        )).alias("h_c")
+    )
+    hk = k_marg.crossJoin(F.broadcast(total)).agg(
+        (-F.sum(
+            (F.col("n_k") / F.col("n")) * F.log(F.col("n_k") / F.col("n"))
+        )).alias("h_k")
+    )
+    h = F.when(F.col("h_c") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("h_c_given_k") / F.col("h_c")
+    )
+    c = F.when(F.col("h_k") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("h_k_given_c") / F.col("h_k")
+    )
+    return (
+        hck.crossJoin(hc)
+        .crossJoin(hk)
+        .crossJoin(total)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(h, 6).alias("homogeneity"),
+            F.round(c, 6).alias("completeness"),
+            F.round(
+                F.when(h + c == 0, F.lit(0.0)).otherwise(
+                    2 * h * c / (h + c)
+                ),
+                6,
+            ).alias("v_measure"),
+        )
+    )

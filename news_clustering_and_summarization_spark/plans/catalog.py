@@ -1029,13 +1029,13 @@ def q_cluster_assign(spark, sf):
     )
 
 
-def oracle_cluster_assign() -> str:
+def oracle_cluster_assign(eps: float = CLUSTER_EPS) -> str:
     dist = V.cosine_distance_sql("a.embedding", "b.embedding")
     return f"""
 WITH RECURSIVE edges AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM embeddings a JOIN embeddings b
-    ON a.vec_id <> b.vec_id AND {dist} <= {CLUSTER_EPS}
+    ON a.vec_id <> b.vec_id AND {dist} <= {eps}
 ),
 reach AS (
   SELECT vec_id AS id, vec_id AS comp FROM embeddings
@@ -1047,6 +1047,63 @@ SELECT c.id AS vec_id, c.component AS cluster_rep, (cnt.n >= 2) AS is_cluster
 FROM comp c
 JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) cnt
   USING (component)
+"""
+
+
+def q_clustering_quality(spark, sf):
+    """External cluster-evaluation metrics over the ε-graph assignment
+    vs the ground-truth label column — the eval capability the
+    reference's missing `test/` folder promised (README.md:258-262).
+    Entirely aggregation-shaped (contingency groupBy + marginals);
+    oracle recomputes clustering AND metrics in SQL."""
+    from ..operators.evaluation import clustering_quality
+
+    emb = load(spark, sf, "embeddings")
+    # tighter eps than CLUSTER_EPS: the synthetic vectors' pairwise
+    # distances start ~0.52, so 0.56 yields a mix of clusters and
+    # singletons — non-degenerate metrics (0.8 merges everything)
+    assigned = C.cluster_batch(
+        emb, id_col="vec_id", vec_col="embedding", eps=0.56,
+        strategy="cross",
+    )
+    joined = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return clustering_quality(joined, pred_col="cluster_rep", truth_col="label")
+
+
+def oracle_clustering_quality() -> str:
+    assign = oracle_cluster_assign(eps=0.56).strip().rstrip(";")
+    return f"""
+WITH assigned AS ({assign}),
+joined AS (
+  SELECT a.cluster_rep AS _k, e.label AS _c
+  FROM assigned a JOIN embeddings e USING (vec_id)
+),
+cont AS (SELECT _k, _c, count(*) AS n_ck FROM joined GROUP BY _k, _c),
+tot AS (SELECT sum(n_ck)::DOUBLE AS n FROM cont),
+km AS (SELECT _k, sum(n_ck) AS n_k FROM cont GROUP BY _k),
+cm AS (SELECT _c, sum(n_ck) AS n_c FROM cont GROUP BY _c),
+cond AS (
+  SELECT -sum((n_ck / n) * ln(n_ck / n_k)) AS h_c_given_k,
+         -sum((n_ck / n) * ln(n_ck / n_c)) AS h_k_given_c
+  FROM cont JOIN km USING (_k) JOIN cm USING (_c), tot
+),
+ents AS (
+  SELECT (SELECT -sum((n_c / n) * ln(n_c / n)) FROM cm, tot) AS h_c,
+         (SELECT -sum((n_k / n) * ln(n_k / n)) FROM km, tot) AS h_k
+),
+hv AS (
+  SELECT CASE WHEN h_c = 0 THEN 1.0 ELSE 1.0 - h_c_given_k / h_c END AS h,
+         CASE WHEN h_k = 0 THEN 1.0 ELSE 1.0 - h_k_given_c / h_k END AS c
+  FROM cond, ents
+)
+SELECT (SELECT n::BIGINT FROM tot) AS n,
+       round(h, 6) AS homogeneity,
+       round(c, 6) AS completeness,
+       round(CASE WHEN h + c = 0 THEN 0.0 ELSE 2 * h * c / (h + c) END, 6)
+         AS v_measure
+FROM hv
 """
 
 
@@ -1933,6 +1990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "cluster_assign": q_cluster_assign,
+    "clustering_quality": q_clustering_quality,
     "cluster_serving": q_cluster_serving,
     "incremental_cluster": q_incremental_cluster,
     "pipeline_e2e": q_pipeline_e2e,
@@ -1998,6 +2056,7 @@ ORACLES: dict[str, str] = {
     "token_counts": oracle_token_counts(),
     "fingerprint": oracle_fingerprint(),
     "cluster_assign": oracle_cluster_assign(),
+    "clustering_quality": oracle_clustering_quality(),
     "cluster_serving": oracle_cluster_serving(),
     # Intentionally no oracle (approximate / stateful / UDF-dependent)
     # -> rows-only check: ann_ivf, ann_lsh, pipeline_e2e,

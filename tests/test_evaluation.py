@@ -1,0 +1,55 @@
+"""clustering_quality must reproduce the textbook V-measure values
+(hand-computed; matches sklearn's homogeneity/completeness/v_measure
+conventions for the degenerate cases)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from news_clustering_and_summarization_spark.operators.evaluation import (
+    clustering_quality,
+)
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, ["pred", "truth"])
+    return clustering_quality(df, "pred", "truth").first()
+
+
+def test_perfect_clustering(spark):
+    r = _run(spark, [(1, "a"), (1, "a"), (2, "b"), (2, "b")])
+    assert (r.homogeneity, r.completeness, r.v_measure) == (1.0, 1.0, 1.0)
+
+
+def test_single_cluster_of_mixed_truth(spark):
+    # all predictions identical: completeness 1, homogeneity 0
+    r = _run(spark, [(1, "a"), (1, "a"), (1, "b"), (1, "b")])
+    assert r.homogeneity == 0.0
+    assert r.completeness == 1.0
+    assert r.v_measure == 0.0
+
+
+def test_hand_computed_split(spark):
+    # truth {a,a,b,b}; pred {1,1,1,2}: one 'b' split off.
+    # contingency: (1,a)=2 (1,b)=1 (2,b)=1, N=4
+    pairs = [(1, "a"), (1, "a"), (1, "b"), (2, "b")]
+    n = 4
+    h_c = -(2 / 4) * math.log(2 / 4) * 2  # H(truth): two classes of 2
+    h_ck = -(
+        (2 / n) * math.log(2 / 3) + (1 / n) * math.log(1 / 3)
+        + (1 / n) * math.log(1 / 1)
+    )
+    h_k = -((3 / 4) * math.log(3 / 4) + (1 / 4) * math.log(1 / 4))
+    h_kc = -(
+        (2 / n) * math.log(2 / 2) + (1 / n) * math.log(1 / 2)
+        + (1 / n) * math.log(1 / 2)
+    )
+    h = 1 - h_ck / h_c
+    c = 1 - h_kc / h_k
+    v = 2 * h * c / (h + c)
+    r = _run(spark, pairs)
+    assert r.homogeneity == pytest.approx(h, abs=1e-6)
+    assert r.completeness == pytest.approx(c, abs=1e-6)
+    assert r.v_measure == pytest.approx(v, abs=1e-6)
