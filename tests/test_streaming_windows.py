@@ -144,3 +144,32 @@ def test_windowed_counts_batch_mode(spark):
         r.window_start.strftime("%H:%M"): r.n for r in out.collect()
     }
     assert got == {"10:00": 1, "10:05": 1}
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static equi-join: each micro-batch joins against a
+    static dim (broadcast — no stream-side shuffle), the standard
+    enrichment shape for a streaming ingest pipeline."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(src, "f1.json", ["2024-01-01 10:00:00", "2024-01-01 10:01:00"])
+    static = spark.createDataFrame(
+        [("f1.json-0", "en"), ("f1.json-1", "de")], ["id", "lang"]
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).json(src)
+        .join(F.broadcast(static), "id", "left")
+    )
+    sink = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.id: r.lang for r in spark.table(sink).collect()}
+        assert rows == {"f1.json-0": "en", "f1.json-1": "de"}, rows
+    finally:
+        q.stop()
