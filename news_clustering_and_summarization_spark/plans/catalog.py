@@ -1494,6 +1494,36 @@ FROM orders
 """
 
 
+def q_profile_columns(spark, sf):
+    """ANALYZE-style column profile of orders in one scan (counts,
+    nulls, distincts, min/max). Single aggregation job; the melt to
+    long form is a zero-shuffle Expand. Columns chosen for identical
+    string rendering across engines (ints + strings)."""
+    from ..operators.profiling import profile_columns
+
+    orders = load(spark, sf, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+
+
+def _profile_oracle_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column, count(*) AS n,
+       sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT {col}) AS n_distinct,
+       min({col})::VARCHAR AS min_value,
+       max({col})::VARCHAR AS max_value
+FROM orders
+"""
+
+
+ORACLE_PROFILE = " UNION ALL ".join(
+    _profile_oracle_one(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderpriority"]
+)
+
+
 def q_grouping_sets(spark, sf):
     """Explicit GROUPING SETS — ((returnflag), (linestatus)): two
     independent aggregate views in ONE scan + Expand (not two scans
@@ -1965,6 +1995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_buckets": q_ntile_buckets,
     "range_frame_window": q_range_frame_window,
     "grouping_sets": q_grouping_sets,
+    "profile_columns": q_profile_columns,
     "sample_hash": q_sample_hash,
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
@@ -2032,6 +2063,7 @@ ORACLES: dict[str, str] = {
     "ntile_buckets": ORACLE_NTILE,
     "range_frame_window": ORACLE_RANGE_FRAME,
     "grouping_sets": ORACLE_GROUPING_SETS,
+    "profile_columns": ORACLE_PROFILE,
     "sample_hash": oracle_sample_hash(),
     "sample_split": oracle_sample_split(),
     "sample_stratified": oracle_sample_stratified(),
