@@ -445,3 +445,66 @@ def tfidf_near_duplicates(
         .where(F.col("cosine") > threshold)
     )
     return pairs
+
+
+# --- benchmark decontamination --------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Flag training documents sharing word n-grams with a benchmark
+    ("test") set — the standard pre-training decontamination check.
+
+    Output per train doc: ``(doc_id, n_ngrams, n_hit_ngrams,
+    contamination_frac, contaminated)`` where ``n_hit_ngrams`` counts
+    the doc's distinct n-grams that occur anywhere in the test set.
+
+    Scale: the benchmark side is tiny relative to a 100 TB train
+    corpus, so its distinct n-gram set is broadcast; the train side is
+    exploded once and the only shuffles are the two per-doc groupBys
+    (both partial-aggregated map-side). No cross join, no driver
+    collect.
+    """
+
+    def shingle(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.array_distinct(
+                H.word_shingles(H.tokens(text_col), n)
+            ).alias("sh"),
+        )
+
+    train_sh = shingle(fan_out(train)).where(F.size("sh") > 0)
+    test_grams = (
+        shingle(test)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    inv = train_sh.select(id_col, F.explode("sh").alias("g"))
+    hits = (
+        inv.join(F.broadcast(test_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return (
+        train_sh.select(id_col, F.size("sh").alias("n_ngrams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            F.round(
+                F.coalesce("n_hit_ngrams", F.lit(0))
+                / F.col("n_ngrams").cast("double"),
+                6,
+            ).alias("contamination_frac"),
+            F.when(F.coalesce("n_hit_ngrams", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )

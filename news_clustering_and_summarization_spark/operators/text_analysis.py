@@ -211,3 +211,62 @@ def document_fingerprints(
         H.fingerprint(H.tokens(text_col)).alias("rolling_fp"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"),
     )
+
+
+# --- repetition signals (Gopher-style) -------------------------------
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition metrics in the Gopher/MassiveText
+    style: duplicate-token fraction, most-common-token fraction, and
+    the same two over word bigrams. High values mark boilerplate and
+    degenerate (repeated-phrase) documents.
+
+    Computed as explode + two-level groupBy aggregates (partial
+    map-side combine, shuffle keyed on (doc, gram) then doc) rather
+    than per-row higher-order-function loops — the aggregate path
+    vectorizes in codegen and spreads a single huge document across
+    tasks instead of pinning it to one row.
+    """
+    base = df.select(
+        F.col(id_col), H.tokens(text_col).alias("tok")
+    )
+
+    def stats(col: Column, prefix: str) -> DataFrame:
+        counted = (
+            base.select(F.col(id_col), F.explode(col).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return counted.groupBy(id_col).agg(
+            F.sum("c").alias(f"{prefix}_n"),
+            F.count("*").alias(f"{prefix}_distinct"),
+            F.max("c").alias(f"{prefix}_top"),
+        )
+
+    tok_stats = stats(F.col("tok"), "tok")
+    big_stats = stats(H.word_shingles(F.col("tok"), 2), "big")
+
+    def frac(num: Column, den: str) -> Column:
+        return F.round(
+            F.coalesce(num / F.col(den).cast("double"), F.lit(0.0)), 6
+        )
+
+    return (
+        base.select(id_col)
+        .join(tok_stats, id_col, "left")
+        .join(big_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            frac(F.col("tok_n") - F.col("tok_distinct"), "tok_n").alias(
+                "dup_token_frac"
+            ),
+            frac(F.col("tok_top"), "tok_n").alias("top_token_frac"),
+            frac(F.col("big_n") - F.col("big_distinct"), "big_n").alias(
+                "dup_bigram_frac"
+            ),
+            frac(F.col("big_top"), "big_n").alias("top_bigram_frac"),
+        )
+    )

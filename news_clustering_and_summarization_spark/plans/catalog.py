@@ -1014,6 +1014,76 @@ FROM documents
 """
 
 
+def q_repetition_signals(spark, sf):
+    docs = load(spark, sf, "documents")
+    return TA.repetition_signals(docs)
+
+
+def oracle_repetition() -> str:
+    tok = H.tokens_sql("text")
+    big = H.word_shingles_sql("t", 2)
+    return f"""
+WITH tok AS (SELECT doc_id, {tok} AS t FROM documents),
+tc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY doc_id, g
+),
+ta AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS m
+  FROM tc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({big}) AS g FROM tok) GROUP BY doc_id, g
+),
+ba AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d, max(c) AS m
+  FROM bc GROUP BY doc_id
+)
+SELECT docs.doc_id,
+       round(coalesce((ta.n - ta.d)::DOUBLE / ta.n, 0), 6) AS dup_token_frac,
+       round(coalesce(ta.m::DOUBLE / ta.n, 0), 6) AS top_token_frac,
+       round(coalesce((ba.n - ba.d)::DOUBLE / ba.n, 0), 6) AS dup_bigram_frac,
+       round(coalesce(ba.m::DOUBLE / ba.n, 0), 6) AS top_bigram_frac
+FROM documents docs
+LEFT JOIN ta ON ta.doc_id = docs.doc_id
+LEFT JOIN ba ON ba.doc_id = docs.doc_id
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: train docs (doc_id % 13 != 0) that
+    share word 3-grams with the held-out "benchmark" slice
+    (doc_id % 13 == 0). The benchmark n-gram set is broadcast."""
+    docs = load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 13 != 0)
+    test = docs.where(F.col("doc_id") % 13 == 0)
+    return D.decontaminate(train, test, n=3)
+
+
+def oracle_decontaminate() -> str:
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    return f"""
+WITH s AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents),
+train AS (SELECT * FROM s WHERE doc_id % 13 <> 0 AND len(sh) > 0),
+test_g AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 13 = 0
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+  JOIN test_g USING (g) GROUP BY t.doc_id
+)
+SELECT tr.doc_id, len(tr.sh) AS n_ngrams,
+       coalesce(h.n_hit, 0) AS n_hit_ngrams,
+       round(coalesce(h.n_hit, 0)::DOUBLE / len(tr.sh), 6)
+         AS contamination_frac,
+       CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Clustering (the flagship)
 # ---------------------------------------------------------------------
@@ -2020,6 +2090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "repetition_signals": q_repetition_signals,
+    "decontaminate": q_decontaminate,
     "cluster_assign": q_cluster_assign,
     "clustering_quality": q_clustering_quality,
     "cluster_serving": q_cluster_serving,
@@ -2087,6 +2159,8 @@ ORACLES: dict[str, str] = {
     "quality_score": oracle_quality(),
     "token_counts": oracle_token_counts(),
     "fingerprint": oracle_fingerprint(),
+    "repetition_signals": oracle_repetition(),
+    "decontaminate": oracle_decontaminate(),
     "cluster_assign": oracle_cluster_assign(),
     "clustering_quality": oracle_clustering_quality(),
     "cluster_serving": oracle_cluster_serving(),

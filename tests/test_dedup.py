@@ -164,3 +164,32 @@ def test_tfidf_near_duplicates_reference_semantics(spark):
     }
     # only the same-group identical pair; cross-group twin untouched
     assert got == {("g1", 0, 1)}
+
+
+def test_decontaminate_hand_computed(spark):
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words nothing shared here today"),
+            (3, "ab"),  # < n tokens -> excluded (no n-grams)
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, test, n=3).collect()}
+    assert set(got) == {1, 2}
+    # train doc 1 has 7 distinct 3-grams; "the quick brown" and
+    # "quick brown fox" appear in the test doc
+    assert got[1]["n_ngrams"] == 7
+    assert got[1]["n_hit_ngrams"] == 2
+    assert got[1]["contaminated"] == 1
+    assert got[1]["contamination_frac"] == round(2 / 7, 6)
+    assert got[2]["n_hit_ngrams"] == 0
+    assert got[2]["contaminated"] == 0

@@ -105,3 +105,34 @@ def test_fingerprints_oracle(spark, docs, duck):
     FROM documents
     """
     assert_matches_oracle(got, duck, oracle)
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a a b": tokens n=3 d=2 top=2 -> dup=1/3, top=2/3;
+    # bigrams ["a a","a b"] n=2 d=2 top=1 -> dup=0, top=1/2
+    rows = [(0, "a a b"), (1, "x"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["dup_token_frac"],
+            r["top_token_frac"],
+            r["dup_bigram_frac"],
+            r["top_bigram_frac"],
+        )
+        for r in TA.repetition_signals(df).collect()
+    }
+    assert got[0] == (round(1 / 3, 6), round(2 / 3, 6), 0.0, 0.5)
+    # single token: no dup, top=1/1; no bigrams -> 0s
+    assert got[1] == (0.0, 1.0, 0.0, 0.0)
+    # null text: all-zero signals, row preserved
+    assert got[2] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_repetition_signals_flags_degenerate_doc(spark):
+    rows = [(0, "spam ham " * 50), (1, "one two three four five six")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in TA.repetition_signals(df).collect()
+    }
+    assert got[0]["dup_bigram_frac"] > 0.9 > got[1]["dup_bigram_frac"]
+    assert got[0]["top_token_frac"] == 0.5
