@@ -2007,6 +2007,44 @@ GROUP BY n_name
 """
 
 
+def q_sql_shipping_priority(spark, sf):
+    """Pure-SQL surface: TPC-H Q3 shape submitted as ANSI SQL via
+    ``spark.sql`` over temp views — the engine's declarative entry
+    point. Catalyst plans it identically to the DataFrame builds
+    (broadcast customer dim, pushed date filters, partial aggs); the
+    oracle differs only in the date-format function name."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_shipping_priority_sql("date_format", "yyyy-MM-dd"))
+
+
+# {fmt}: Spark spells it date_format(ts, fmt), DuckDB strftime(ts, fmt)
+# with an incompatible pattern language — everything else is shared.
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+         AS revenue,
+       {fmt}(o_orderdate, '{pat}') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _shipping_priority_sql(fmt: str, pat: str) -> str:
+    return _SHIPPING_PRIORITY_SQL.replace("{fmt}", fmt).replace("{pat}", pat)
+
+
+ORACLE_SQL_SHIPPING = _shipping_priority_sql("strftime", "%Y-%m-%d")
+
+
 def q_stable_ids(spark, sf):
     """Dense global rank without a global sort (operators/ids.py):
     range partitions number themselves, driver folds the offsets.
@@ -2077,6 +2115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "multimodal_decode": q_multimodal_decode,
     "regional_revenue": q_regional_revenue,
+    "sql_shipping_priority": q_sql_shipping_priority,
     "stable_ids": q_stable_ids,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2146,6 +2185,7 @@ ORACLES: dict[str, str] = {
     "unpivot_measures": ORACLE_UNPIVOT,
     "media_stats": ORACLE_MEDIA_STATS,
     "regional_revenue": ORACLE_REGIONAL_REVENUE,
+    "sql_shipping_priority": ORACLE_SQL_SHIPPING,
     "stable_ids": ORACLE_STABLE_IDS,
     # multimodal_decode: intentionally no oracle (mapInPandas fake
     # codec) -> rows-only check.
