@@ -1,0 +1,139 @@
+"""Document chunking / sequence packing for training-data prep
+(engine extension, no reference counterpart): split long documents
+into fixed-token windows with overlap, and assign short documents to
+fixed-token-budget training sequences.
+
+Both are pure Column/window expressions (JVM-side, codegen) with
+exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document's token stream into windows of
+    ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap``
+    (so consecutive chunks share ``overlap`` tokens). The final chunk
+    may be short; empty documents produce no chunks.
+
+    Token starts are generated per row with ``sequence`` and fanned
+    out with ``posexplode`` — one narrow projection, no shuffle at
+    all; at 100 TB the chunker is embarrassingly parallel and
+    preserves the input partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = H.tokens(text_col)
+    starts = F.when(F.size(tok) <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size(tok), F.lit(stride)).cast("array<int>")
+    )
+    exploded = df.select(
+        F.col(id_col),
+        tok.alias("_tok"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_tok"), F.col("_start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    text_expr: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_expr: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB formulation of :func:`chunk_documents` (same semantics,
+    1-based slicing, 0-based chunk_id)."""
+    stride = chunk_tokens - overlap
+    tok = H.tokens_sql(text_expr)
+    return f"""
+WITH tok AS (SELECT {id_expr} AS doc_id, {tok} AS t FROM {table}),
+starts AS (
+  SELECT doc_id, t, g.s AS start,
+         (g.s - 1) // {stride} AS chunk_id
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1, {stride})) AS s) g
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(list_slice(t, start, start + {chunk_tokens} - 1)) AS chunk_tokens,
+       array_to_string(list_slice(t, start, start + {chunk_tokens} - 1), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences: in
+    deterministic ``id_col`` order, a document starts in the bin its
+    cumulative token offset falls in (``seq_id = cum_before //
+    budget``) — the standard offset-packing approximation (documents
+    may straddle bin edges; the chunker above handles the splits).
+
+    With ``shard_col`` the running sum is windowed per shard, so the
+    cumsum parallelizes across shards instead of collapsing to one
+    partition — at scale, pack within shards (language, source,
+    date-bucket), never globally.
+    """
+    tok_n = F.size(H.tokens(text_col))
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = [F.col(shard_col)] if shard_col else []
+    # integer DIV, not float division: cumulative token counts at
+    # corpus scale can exceed 2^53 where double division goes inexact
+    return df.select(
+        *out,
+        F.col(id_col),
+        tok_n.alias("n_tokens"),
+        (F.sum(tok_n).over(w) - tok_n).alias("_cum_before"),
+    ).select(
+        *([shard_col] if shard_col else []),
+        id_col,
+        "n_tokens",
+        F.expr(f"_cum_before DIV {budget}").alias("seq_id"),
+    )
+
+
+def pack_sequences_sql(
+    text_expr: str,
+    budget: int = 256,
+    id_expr: str = "doc_id",
+    shard_expr: str | None = None,
+    table: str = "documents",
+) -> str:
+    tok = H.tokens_sql(text_expr)
+    part = f"PARTITION BY {shard_expr} " if shard_expr else ""
+    shard_sel = f"{shard_expr}, " if shard_expr else ""
+    return f"""
+SELECT {shard_sel}{id_expr} AS doc_id, len({tok}) AS n_tokens,
+       ((sum(len({tok})) OVER ({part}ORDER BY {id_expr}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - len({tok})) // {budget})::BIGINT AS seq_id
+FROM {table}
+"""

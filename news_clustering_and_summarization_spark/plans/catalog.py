@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as TX
 from ..functions import vectors as V
+from ..operators import chunking as CH
 from ..operators import cluster as C
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -1049,6 +1050,20 @@ FROM documents docs
 LEFT JOIN ta ON ta.doc_id = docs.doc_id
 LEFT JOIN ba ON ba.doc_id = docs.doc_id
 """
+
+
+def q_chunk_documents(spark, sf):
+    """Fixed-token chunking with overlap — shuffle-free posexplode
+    fan-out, preserves input partitioning."""
+    docs = load(spark, sf, "documents")
+    return CH.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def q_pack_sequences(spark, sf):
+    """Offset packing into 256-token training sequences, windowed per
+    language shard so the cumsum parallelizes."""
+    docs = load(spark, sf, "documents")
+    return CH.pack_sequences(docs, budget=256, shard_col="lang")
 
 
 def q_decontaminate(spark, sf):
@@ -2131,6 +2146,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "cluster_assign": q_cluster_assign,
     "clustering_quality": q_clustering_quality,
     "cluster_serving": q_cluster_serving,
@@ -2201,6 +2218,8 @@ ORACLES: dict[str, str] = {
     "fingerprint": oracle_fingerprint(),
     "repetition_signals": oracle_repetition(),
     "decontaminate": oracle_decontaminate(),
+    "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
+    "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),
     "cluster_assign": oracle_cluster_assign(),
     "clustering_quality": oracle_clustering_quality(),
     "cluster_serving": oracle_cluster_serving(),

@@ -1,0 +1,62 @@
+"""Chunking / sequence-packing operators (training-data prep)."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_clustering_and_summarization_spark.operators import chunking as CH
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    # 10 tokens, chunk=4, overlap=2 -> starts 1,3,5,7,9 (stride 2)
+    text = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    df = spark.createDataFrame([(0, text), (1, ""), (2, None)],
+                               "doc_id long, text string")
+    rows = CH.chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    by_chunk = {r["chunk_id"]: r for r in rows}
+    assert {r["doc_id"] for r in rows} == {0}  # empty/null -> no chunks
+    assert len(rows) == 5
+    assert by_chunk[0]["chunk_text"] == "t1 t2 t3 t4"
+    assert by_chunk[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert by_chunk[4]["chunk_text"] == "t9 t10"  # short tail kept
+    assert by_chunk[4]["chunk_tokens"] == 2
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = by_chunk[0]["chunk_text"].split(), by_chunk[1]["chunk_text"].split()
+    assert a[-2:] == b[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        CH.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_bin_assignment(spark):
+    # budget 10, in id order token counts 4,4,4,4 -> cum_before
+    # 0,4,8,12 -> seq 0,0,0,1 (doc may straddle the edge; offset rule)
+    rows = [(i, "w x y z") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["seq_id"]
+           for r in CH.pack_sequences(df, budget=10).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_pack_sequences_sharded_windows_reset(spark):
+    rows = [(0, "en", "a b c d e f"), (1, "en", "a b c d e f"),
+            (2, "fr", "a b c d e f"), (3, "fr", "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["seq_id"]
+           for r in CH.pack_sequences(df, budget=8, shard_col="lang")
+           .collect()}
+    # each shard restarts at cum 0: docs 0/2 in seq 0, docs 1/3 spill
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0} or got == {0: 0, 1: 0, 2: 0, 3: 0}
+    # second doc per shard has cum_before 6 < 8 -> still seq 0; third
+    # would spill. Verify with a 3-doc shard:
+    df2 = spark.createDataFrame(
+        [(0, "en", "a b c d e f"), (1, "en", "a b c d e f"),
+         (2, "en", "a b c d e f")],
+        "doc_id long, lang string, text string")
+    got2 = {r["doc_id"]: r["seq_id"]
+            for r in CH.pack_sequences(df2, budget=8, shard_col="lang")
+            .collect()}
+    assert got2 == {0: 0, 1: 0, 2: 1}
