@@ -56,3 +56,23 @@ def test_no_cartesian_in_relational_queries(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan
+
+
+def test_pack_sequences_partitions_by_shard(spark):
+    plan = _plan(spark, "pack_sequences")
+    # windowed per lang shard: exactly one hash exchange, never a
+    # global single-partition sort
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
