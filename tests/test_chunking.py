@@ -60,3 +60,37 @@ def test_pack_sequences_sharded_windows_reset(spark):
             for r in CH.pack_sequences(df2, budget=8, shard_col="lang")
             .collect()}
     assert got2 == {0: 0, 1: 0, 2: 1}
+
+
+def test_chunk_reconstruction_property(spark):
+    """Chunks reassemble to the exact token stream: chunk 0 whole,
+    every later chunk minus its first `overlap` tokens. Holds for any
+    doc length including empty, shorter-than-chunk, and tails that
+    fall entirely inside the overlap."""
+    import random
+
+    rng = random.Random(42)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(20)}" for _ in range(rng.randrange(0, 50))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk_tokens, overlap in ((4, 1), (8, 3), (16, 8)):
+        out = CH.chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+        got: dict[int, list[tuple[int, str]]] = {}
+        for r in out:
+            assert r["chunk_tokens"] == len(r["chunk_text"].split())
+            assert 1 <= r["chunk_tokens"] <= chunk_tokens
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"])
+            )
+        for doc_id, text in docs:
+            toks = text.split()
+            chunks = [t for _, t in sorted(got.get(doc_id, []))]
+            rebuilt: list[str] = []
+            for j, c in enumerate(chunks):
+                parts = c.split()
+                rebuilt.extend(parts if j == 0 else parts[overlap:])
+            assert rebuilt == toks, (doc_id, chunk_tokens, overlap)
