@@ -256,6 +256,52 @@ FROM g GROUP BY user_id
 """
 
 
+def q_session_windows(spark, sf):
+    """Native session_window aggregation (streaming-ready shape run
+    in batch): per-user sessions closing after a 30-minute silence,
+    with start / end(+gap) / event count. The oracle re-derives the
+    same sessions with the gap-cumsum formulation — two formulations,
+    one answer."""
+    from ..streaming.windows import session_counts
+
+    ev = load(spark, sf, "events")
+    out = session_counts(ev, "ts", gap="30 minutes", keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n",
+    )
+
+
+ORACLE_SESSION_WINDOWS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*) AS n
+FROM s GROUP BY user_id, sess
+"""
+
+
 def q_event_pivot(spark, sf):
     """Pivot: per-user event-type counts as columns."""
     ev = load(spark, sf, "events")
@@ -2090,6 +2136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_date_range": q_order_date_range,
     "running_total": q_running_total,
     "sessionize": q_sessionize,
+    "session_windows": q_session_windows,
     "event_pivot": q_event_pivot,
     "json_extract": q_json_extract,
     "entity_threshold": q_entity_threshold,
@@ -2163,6 +2210,7 @@ ORACLES: dict[str, str] = {
     "order_date_range": ORACLE_DATE_RANGE,
     "running_total": ORACLE_RUNNING,
     "sessionize": ORACLE_SESSIONIZE,
+    "session_windows": ORACLE_SESSION_WINDOWS,
     "event_pivot": ORACLE_PIVOT,
     "json_extract": ORACLE_JSON,
     "entity_threshold": ORACLE_ENTITY,

@@ -47,3 +47,34 @@ def windowed_counts(
         F.col("w.end").alias("window_end"),
         *[c for c in out.columns if c != "w"],
     )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Native session windows: events from the same key belong to one
+    session while each arrives within ``gap`` of the session's end
+    (Spark merges on event_time < session_end, i.e. a new session
+    starts at diff >= gap). Streaming-ready — with a watermark the
+    session state is finalized and dropped once no earlier event can
+    arrive; in batch mode it is a plain aggregation.
+
+    Output: *keys, session_start, session_end (= last event + gap), n.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(win.alias("w"), *(keys or [])).agg(
+        F.count("*").alias("n"), *(aggs or [])
+    )
+    return out.select(
+        *(keys or []),
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *[c for c in out.columns if c != "w" and c not in (keys or [])],
+    )

@@ -173,3 +173,54 @@ def test_stream_static_broadcast_join(spark, tmp_path):
         assert rows == {"f1.json-0": "en", "f1.json-1": "de"}, rows
     finally:
         q.stop()
+
+
+def test_session_window_stream_finalizes_sessions(spark, tmp_path):
+    from news_clustering_and_summarization_spark.streaming.windows import (
+        session_counts,
+    )
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # one user: a 3-event burst, then silence > gap, then a far-future
+    # event that pushes the watermark past the first session's close
+    _write(
+        src,
+        "f1.json",
+        [
+            "2024-01-01 10:00:00",
+            "2024-01-01 10:03:00",
+            "2024-01-01 10:06:00",
+            "2024-01-01 12:00:00",
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("user", F.lit("u1"))
+    )
+    agg = session_counts(
+        stream, "ts", gap="10 minutes", watermark="5 minutes", keys=["user"]
+    )
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.session_start.strftime("%H:%M"): r.n
+            for r in spark.table(sink).collect()
+        }
+        # burst merged into ONE session (gaps of 3 min < 10 min gap),
+        # finalized once the 12:00 event moved the watermark past its
+        # end; the 12:00 session itself is still open -> not emitted
+        assert rows == {"10:00": 3}, rows
+    finally:
+        q.stop()
