@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -55,6 +57,19 @@ def main() -> None:
     )
     # warm the JVM + parquet footers with a trivial action
     catalog.load(spark, sf_dir, "region").count()
+
+    # warm the Python/Arrow UDF path too: daemon + worker spin-up and
+    # first Arrow batch cost ~2-7s that otherwise lands entirely on
+    # whichever UDF query runs first (pd imported at module level —
+    # pandas_udf type-hint resolution requires it)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    spark.range(256).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
