@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _safe_name(name: str) -> str:
@@ -148,3 +149,79 @@ def read_evolved(
         spark.read.option("mergeSchema", str(merge_schema).lower())
         .parquet(*paths)
     )
+
+
+# --- Z-order clustering ---------------------------------------------
+
+
+def zorder_key(
+    cols: list[Column], mins: list[float], maxs: list[float], bits: int = 8
+) -> Column:
+    """Morton (Z-order) key over up to ~4 numeric columns: each value
+    is uniform-bucketed to ``2^bits`` cells inside [min, max], then the
+    cells' bits are interleaved (col 0 owns the most-significant bit of
+    each group). Pure integer Column arithmetic — JVM codegen, no UDF.
+    """
+    d = len(cols)
+    if not (len(mins) == len(maxs) == d):
+        raise ValueError("cols/mins/maxs length mismatch")
+    cells = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        cell = F.floor((c.cast("double") - F.lit(lo)) / F.lit(span) * (1 << bits))
+        cells.append(
+            F.least(F.greatest(cell, F.lit(0)), F.lit((1 << bits) - 1)).cast(
+                "long"
+            )
+        )
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, cell in enumerate(cells):
+            bit = F.shiftright(cell, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, j * d + (d - 1 - i)).cast("long")
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 16,
+) -> list[tuple[float, float]]:
+    """Write ``df`` range-partitioned and sorted by the Morton key of
+    ``cols`` — multi-dimensional clustering so a selective filter on
+    ANY of the columns touches few files (tight per-file min/max
+    ranges let parquet row-group stats and file-level skipping prune).
+
+    Column ranges come from one tiny min/max aggregate (a driver
+    round-trip over d columns, not a global sort); the data path is
+    repartitionByRange(zkey) + sortWithinPartitions — the same
+    machinery as a global sort's first phase, one shuffle. Returns the
+    (min, max) per column used for the bucketing, which a reader needs
+    to recompute keys.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    ranges = [
+        (stats[f"lo_{i}"], stats[f"hi_{i}"]) for i in range(len(cols))
+    ]
+    key = zorder_key(
+        [F.col(c) for c in cols],
+        [r[0] for r in ranges],
+        [r[1] for r in ranges],
+        bits=bits,
+    )
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return ranges

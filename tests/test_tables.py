@@ -136,3 +136,68 @@ def test_partitioned_write_prunes(spark):
         plan = _physical_plan(one)
         assert "PartitionFilters" in plan and "day" in plan
         assert one.count() == ev.where(F.col("day") == days[0]).count()
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from news_clustering_and_summarization_spark.sources.tables import (
+        zorder_key,
+    )
+
+    def ref_key(cells, bits):
+        d, key = len(cells), 0
+        for j in range(bits):
+            for i, c in enumerate(cells):
+                key |= ((c >> j) & 1) << (j * d + (d - 1 - i))
+        return key
+
+    bits = 4
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    # min=0, max=n: value v lands in cell v exactly (span n, * 2^bits)
+    got = df.select(
+        "x", "y",
+        zorder_key(
+            [F.col("x"), F.col("y")], [0.0, 0.0], [float(n), float(n)],
+            bits=bits,
+        ).alias("z"),
+    ).collect()
+    for r in got:
+        assert r["z"] == ref_key([r["x"], r["y"]], bits), r
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    import random
+
+    from news_clustering_and_summarization_spark.sources.tables import (
+        write_zordered,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.random() * 100, rng.random() * 100) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x double, y double").repartition(16)
+
+    zpath = str(tmp_path / "zordered")
+    ranges = write_zordered(df, zpath, ["x", "y"], num_files=16)
+    assert [round(r[0]) for r in ranges] == [0, 0]
+
+    def mean_bbox_area(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .select(F.avg(F.col("dx") * F.col("dy")).alias("a"))
+            .collect()
+        )
+        return per_file[0]["a"]
+
+    rpath = str(tmp_path / "random_layout")
+    df.write.parquet(rpath)
+
+    za, ra = mean_bbox_area(zpath), mean_bbox_area(rpath)
+    # random layout: every file spans ~the whole 100x100 space
+    # (area ~10000); z-order files cover tight cells — well under half
+    assert za < ra * 0.5, (za, ra)
