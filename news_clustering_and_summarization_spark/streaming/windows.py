@@ -78,3 +78,39 @@ def session_counts(
         F.col("w.end").alias("session_end"),
         *[c for c in out.columns if c != "w" and c not in (keys or [])],
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair rows sharing ``key``
+    where the right event lands within ``[left_ts, left_ts +
+    tolerance]`` — e.g. attach engagement events to the article that
+    just published. The two watermarks plus the explicit time-range
+    predicate are what let Spark age join state out instead of
+    buffering both streams forever; without the range condition a
+    stream-stream join is unbounded-state and rejected in append mode.
+
+    Works on batch DataFrames too (the condition is ordinary SQL).
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    return lw.join(rw, cond, "inner")

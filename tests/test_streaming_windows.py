@@ -224,3 +224,51 @@ def test_session_window_stream_finalizes_sessions(spark, tmp_path):
         assert rows == {"10:00": 3}, rows
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from news_clustering_and_summarization_spark.streaming.windows import (
+        interval_join_streams,
+    )
+
+    lsrc, rsrc = str(tmp_path / "arts"), str(tmp_path / "clicks")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    with open(os.path.join(lsrc, "a.json"), "w") as f:
+        f.write(json.dumps({"id": "k1", "ts": "2024-01-01 10:00:00"}) + "\n")
+        f.write(json.dumps({"id": "k2", "ts": "2024-01-01 11:00:00"}) + "\n")
+    with open(os.path.join(rsrc, "c.json"), "w") as f:
+        # in-window for k1 (+5 min), out-of-window for k2 (+30 min)
+        f.write(json.dumps({"id": "k1", "ts": "2024-01-01 10:05:00"}) + "\n")
+        f.write(json.dumps({"id": "k2", "ts": "2024-01-01 11:30:00"}) + "\n")
+
+    def read(src):
+        return (
+            spark.readStream.schema(SCHEMA)
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    joined = interval_join_streams(
+        read(src=lsrc).alias("l"),
+        read(src=rsrc).withColumnRenamed("ts", "click_ts").alias("r"),
+        key="id",
+        left_ts="ts",
+        right_ts="click_ts",
+        tolerance="15 minutes",
+    ).select("l.id", "click_ts")
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = [(r.id, r.click_ts.strftime("%H:%M"))
+                for r in spark.table(sink).collect()]
+        assert rows == [("k1", "10:05")], rows
+    finally:
+        q.stop()
