@@ -91,3 +91,40 @@ def stratified_sample(
         .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
     )
+
+
+def mix_datasets(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted dataset mixture: keep each source at its own sampling
+    rate and union the results — the standard way training corpora are
+    combined at fixed mixing ratios (rates > 1.0 mean oversampling by
+    whole-copy repetition plus a fractional remainder sample).
+
+    Content-addressed like everything above: membership is a pure
+    pushed-down filter per source, the union is a no-shuffle
+    UnionExec, and the same row survives at the same rate on any
+    cluster layout. Repeated copies get a ``mix_epoch`` column so
+    downstream shuffles can spread them.
+    """
+    parts: list[DataFrame] = []
+    for i, (df, rate) in enumerate(sources):
+        if rate < 0:
+            raise ValueError(f"negative rate for source {i}")
+        whole, frac = int(rate), rate - int(rate)
+        for epoch in range(whole):
+            parts.append(df.withColumn("mix_epoch", F.lit(epoch)))
+        if frac > 0:
+            parts.append(
+                hash_sample(df, key_col, frac, seed=seed + i).withColumn(
+                    "mix_epoch", F.lit(whole)
+                )
+            )
+    if not parts:
+        raise ValueError("no sources")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1098,6 +1098,32 @@ LEFT JOIN ba ON ba.doc_id = docs.doc_id
 """
 
 
+def q_mix_datasets(spark, sf):
+    """Weighted corpus mixture: even-id docs oversampled at 1.5x
+    (one whole copy + a content-addressed half sample), odd-id docs
+    downsampled to 0.25x. Pure pushed-down filters + UnionExec."""
+    from ..operators.sampling import mix_datasets
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return mix_datasets([(a, 1.5), (b, 0.25)], key_col="doc_id")
+
+
+def oracle_mix_datasets() -> str:
+    from ..operators.sampling import bucket_sql
+
+    return f"""
+SELECT doc_id, lang, 0 AS mix_epoch FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, 1 AS mix_epoch FROM documents
+WHERE doc_id % 2 = 0 AND {bucket_sql('doc_id', 42)} < 500000
+UNION ALL
+SELECT doc_id, lang, 0 AS mix_epoch FROM documents
+WHERE doc_id % 2 = 1 AND {bucket_sql('doc_id', 43)} < 250000
+"""
+
+
 def q_chunk_documents(spark, sf):
     """Fixed-token chunking with overlap — shuffle-free posexplode
     fan-out, preserves input partitioning."""
@@ -2195,6 +2221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "mix_datasets": q_mix_datasets,
     "cluster_assign": q_cluster_assign,
     "clustering_quality": q_clustering_quality,
     "cluster_serving": q_cluster_serving,
@@ -2268,6 +2295,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": oracle_decontaminate(),
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),
+    "mix_datasets": oracle_mix_datasets(),
     "cluster_assign": oracle_cluster_assign(),
     "clustering_quality": oracle_clustering_quality(),
     "cluster_serving": oracle_cluster_serving(),

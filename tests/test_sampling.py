@@ -69,3 +69,43 @@ def test_stratified_sample_exact_per_group(spark):
     )
     for k, n in totals.items():
         assert got.get(k, 0) == math.ceil(n * 0.1), (k, n, got.get(k))
+
+
+def test_mix_datasets_rates_and_epochs(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        mix_datasets,
+    )
+
+    n = 2000
+    a = spark.range(n).withColumnRenamed("id", "k")
+    b = spark.range(n, 2 * n).withColumnRenamed("id", "k")
+    out = mix_datasets([(a, 2.5), (b, 0.1)], key_col="k").toPandas()
+    a_rows = out[out.k < n]
+    b_rows = out[out.k >= n]
+    # every A row appears exactly twice at epochs 0/1, plus ~half at 2
+    assert set(a_rows.mix_epoch.unique()) == {0, 1, 2}
+    assert (a_rows.groupby("k").size() >= 2).all()
+    frac_a = (a_rows.mix_epoch == 2).sum() / n
+    assert 0.4 < frac_a < 0.6
+    # B kept at ~10%, epoch 0 only
+    assert set(b_rows.mix_epoch.unique()) == {0}
+    assert 0.05 < len(b_rows) / n < 0.15
+    # determinism: second run identical
+    out2 = mix_datasets([(a, 2.5), (b, 0.1)], key_col="k").toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, out2.values.tolist())
+    )
+
+
+def test_mix_datasets_rejects_bad_input(spark):
+    import pytest as _pytest
+
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        mix_datasets,
+    )
+
+    a = spark.range(5).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        mix_datasets([(a, -0.5)], key_col="k")
+    with _pytest.raises(ValueError):
+        mix_datasets([], key_col="k")
