@@ -51,3 +51,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_filters(
+    spark: SparkSession, force_for_small_scans: bool = False
+) -> None:
+    """Turn on Spark's runtime Bloom-filter join pruning: a selective
+    filter on one join side builds a bloom filter that is pushed into
+    the other side's scan, cutting shuffle input before the join — at
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~matching slice.
+
+    Defaults only engage when the application side scans >= 10 GB
+    (`...applicationSideScanSizeThreshold`), i.e. exactly the regime
+    this engine targets; ``force_for_small_scans`` zeroes the
+    threshold so local tests can observe the injected
+    ``bloom_filter_agg`` / ``might_contain`` operators.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    if force_for_small_scans:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )

@@ -76,3 +76,33 @@ def test_pack_sequences_partitions_by_shard(spark):
     # global single-partition sort
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from news_clustering_and_summarization_spark.session import (
+        enable_runtime_filters,
+    )
+
+    enable_runtime_filters(spark, force_for_small_scans=True)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
