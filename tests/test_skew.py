@@ -69,3 +69,46 @@ def test_hot_key_spreads_over_salt_buckets(spark):
         .count()
     )
     assert buckets == 8
+
+
+def test_aqe_splits_skewed_bare_join(spark):
+    """AQE's OptimizeSkewedJoin splits the hot partition when the join
+    is shuffle-terminal; a downstream groupBy suppresses it (extra
+    shuffle) — which is exactly when operators/skew.py's salted joins
+    earn their keep."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(200_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(2_000).select(
+                    (F.col("id") % 100 + 1).alias("k"),
+                    F.col("id").alias("v"),
+                )
+            )
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = left.join(right, "k")
+        assert j.count() == 202_000
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
