@@ -272,3 +272,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert rows == [("k1", "10:05")], rows
     finally:
         q.stop()
+
+
+def test_training_data_ops_compose_in_streaming(spark, tmp_path):
+    """The curation operators are stateless Column expressions, so the
+    batch-tested pipeline (quality score -> filter -> chunk) runs
+    unchanged as a structured stream."""
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    good = "the quick brown fox jumps over the lazy dog " * 4
+    with open(os.path.join(src, "d1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": good}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "x"}) + "\n")  # too short
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    curated = quality_score(stream, "text").where("quality_score >= 0.5")
+    chunks = chunk_documents(curated, chunk_tokens=16, overlap=4)
+    sink_dir = str(tmp_path / "chunk_sink")
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink_dir)
+    assert out.where("doc_id = 2").count() == 0  # filtered by quality
+    n_tokens = len(good.split())
+    got = sorted(
+        r["chunk_text"] for r in out.where("doc_id = 1").collect()
+    )
+    assert len(got) == len(range(0, n_tokens, 12))  # stride 12
+    assert all(len(c.split()) <= 16 for c in got)
