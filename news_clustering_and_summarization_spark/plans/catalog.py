@@ -256,6 +256,45 @@ FROM g GROUP BY user_id
 """
 
 
+def q_full_outer_reconcile(spark, sf):
+    """Full outer join of two independently aggregated streams (orders
+    vs events per day) with zero-filled gaps — the reconciliation
+    shape. Both sides pre-aggregate before the join, so the shuffle
+    carries one row per day, not per event."""
+    ev = load(spark, sf, "events")
+    orders = load(spark, sf, "orders")
+    od = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    ed = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        od.join(ed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH od AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(od.day, ed.day) AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+
 def q_session_windows(spark, sf):
     """Native session_window aggregation (streaming-ready shape run
     in batch): per-user sessions closing after a 30-minute silence,
@@ -2163,6 +2202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": q_running_total,
     "sessionize": q_sessionize,
     "session_windows": q_session_windows,
+    "full_outer_reconcile": q_full_outer_reconcile,
     "event_pivot": q_event_pivot,
     "json_extract": q_json_extract,
     "entity_threshold": q_entity_threshold,
@@ -2238,6 +2278,7 @@ ORACLES: dict[str, str] = {
     "running_total": ORACLE_RUNNING,
     "sessionize": ORACLE_SESSIONIZE,
     "session_windows": ORACLE_SESSION_WINDOWS,
+    "full_outer_reconcile": ORACLE_FULL_OUTER,
     "event_pivot": ORACLE_PIVOT,
     "json_extract": ORACLE_JSON,
     "entity_threshold": ORACLE_ENTITY,
