@@ -256,6 +256,48 @@ FROM g GROUP BY user_id
 """
 
 
+def q_quality_deciles(spark, sf):
+    """Curriculum prep: rank documents into quality deciles (ntile
+    over the composite quality score, doc_id tiebreak) and summarize
+    each bucket — the shape used to schedule training data from
+    low- to high-quality."""
+    docs = load(spark, sf, "documents")
+    scored = TA.quality_score(docs, "text")
+    # deciles within each language shard: the window partitions by
+    # lang, so ranking parallelizes — a global ntile would serialize
+    # into one partition (the trap the audit sweep flags)
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def oracle_quality_deciles() -> str:
+    tok = H.tokens_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, len({tok}) AS n_tokens,
+         {TA.quality_score_sql('text')} AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT *, ntile(10) OVER (
+    PARTITION BY lang ORDER BY quality_score, doc_id) AS decile
+  FROM scored
+)
+SELECT lang, decile, count(*) AS n_docs,
+       round(avg(quality_score), 6) AS avg_quality,
+       round(avg(n_tokens), 6) AS avg_tokens
+FROM ranked GROUP BY lang, decile
+"""
+
+
 def q_full_outer_reconcile(spark, sf):
     """Full outer join of two independently aggregated streams (orders
     vs events per day) with zero-filled gaps — the reconciliation
@@ -2203,6 +2245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_windows": q_session_windows,
     "full_outer_reconcile": q_full_outer_reconcile,
+    "quality_deciles": q_quality_deciles,
     "event_pivot": q_event_pivot,
     "json_extract": q_json_extract,
     "entity_threshold": q_entity_threshold,
@@ -2279,6 +2322,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "session_windows": ORACLE_SESSION_WINDOWS,
     "full_outer_reconcile": ORACLE_FULL_OUTER,
+    "quality_deciles": oracle_quality_deciles(),
     "event_pivot": ORACLE_PIVOT,
     "json_extract": ORACLE_JSON,
     "entity_threshold": ORACLE_ENTITY,
