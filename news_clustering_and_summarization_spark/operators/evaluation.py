@@ -90,3 +90,47 @@ def clustering_quality(
             ).alias("v_measure"),
         )
     )
+
+
+def embedding_outlier_scores(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Data-cleaning signal: per-label cosine distance to the label
+    centroid, plus its z-score within the label — high z marks
+    mislabeled or off-distribution rows. Pure aggregations: centroid
+    via posexplode+avg (distributed, no collect), one broadcast-sized
+    join back, moment stats per label. Emits scores for every row
+    (thresholding is the caller's policy — keeps the output free of
+    float-boundary membership flips).
+    """
+    from ..functions import vectors as V
+    from .cluster import centroids
+
+    cent = centroids(df.select(label_col, vec_col), label_col, vec_col)
+    dists = df.join(cent, label_col).select(
+        label_col,
+        id_col,
+        V.cosine_distance(
+            F.col(vec_col).cast("array<double>"), F.col("centroid")
+        ).alias("dist"),
+    )
+    stats = dists.groupBy(label_col).agg(
+        F.avg("dist").alias("_mu"),
+        F.stddev_samp("dist").alias("_sd"),
+        F.count("*").alias("n_members"),
+    )
+    return dists.join(stats, label_col).select(
+        label_col,
+        id_col,
+        "n_members",
+        F.round("dist", 6).alias("dist"),
+        F.round(
+            F.when(
+                F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd")
+            ).otherwise(F.lit(0.0)),
+            3,
+        ).alias("zscore"),
+    )

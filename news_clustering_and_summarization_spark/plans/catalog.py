@@ -1015,6 +1015,43 @@ WHERE {d} <= 0.6
 """
 
 
+def q_embedding_outliers(spark, sf):
+    """Distance-to-centroid z-scores per label over the embeddings
+    table — the mislabeled-row / off-distribution cleaning signal."""
+    from ..operators.evaluation import embedding_outlier_scores
+
+    emb = load(spark, sf, "embeddings")
+    return embedding_outlier_scores(emb)
+
+
+def oracle_embedding_outliers() -> str:
+    d = V.cosine_distance_sql("e.embedding", "c.centroid")
+    return f"""
+WITH c AS (
+  SELECT label, list(m ORDER BY dim) AS centroid FROM (
+    -- dims fixed at 64 (TESTDATA embeddings); literal bounds because
+    -- this DuckDB build lacks lateral column params in range()
+    SELECT label, r.i AS dim, avg(embedding[r.i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN range(1, 65) r(i)
+    GROUP BY label, r.i
+  ) GROUP BY label
+),
+d AS (
+  SELECT e.label, e.vec_id, {d} AS dist
+  FROM embeddings e JOIN c ON e.label = c.label
+),
+s AS (
+  SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd,
+         count(*) AS n_members
+  FROM d GROUP BY label
+)
+SELECT d.label, d.vec_id, s.n_members, round(d.dist, 6) AS dist,
+       round(CASE WHEN s.sd > 0 THEN (d.dist - s.mu) / s.sd
+                  ELSE 0.0 END, 3) AS zscore
+FROM d JOIN s ON d.label = s.label
+"""
+
+
 # ---------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------
@@ -2305,6 +2342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "mix_datasets": q_mix_datasets,
+    "embedding_outliers": q_embedding_outliers,
     "cluster_assign": q_cluster_assign,
     "clustering_quality": q_clustering_quality,
     "cluster_serving": q_cluster_serving,
@@ -2381,6 +2419,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),
     "mix_datasets": oracle_mix_datasets(),
+    "embedding_outliers": oracle_embedding_outliers(),
     "cluster_assign": oracle_cluster_assign(),
     "clustering_quality": oracle_clustering_quality(),
     "cluster_serving": oracle_cluster_serving(),
