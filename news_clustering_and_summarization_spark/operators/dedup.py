@@ -508,3 +508,48 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+# --- corpus-level dedup: pair graph -> components -------------------
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "minhash",
+) -> DataFrame:
+    """Corpus-level near-duplicate resolution: pair edges from the
+    chosen detector, connected components over them (transitive
+    closure — A~B, B~C dedups all three together), and the min-id
+    member as each group's canonical representative.
+
+    Output: (doc_id, canonical_id, is_duplicate) for EVERY input doc —
+    ``is_duplicate`` marks rows a dedup pass would drop
+    (``doc_id != canonical_id``). Reuses the clustering engine's graph
+    contraction CC, so the same code path that scales the ε-graph
+    clustering scales this.
+    """
+    from .cluster import connected_components
+
+    if method == "minhash":
+        pairs = minhash_near_duplicates(
+            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+        )
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    vertices = df.select(F.col(id_col).alias("_v"))
+    comp = connected_components(
+        vertices, pairs.select("l_id", "r_id"), id_col="_v"
+    )
+    return comp.select(
+        F.col("_v").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        (F.col("_v") != F.col("component")).alias("is_duplicate"),
+    )

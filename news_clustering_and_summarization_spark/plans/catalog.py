@@ -946,6 +946,52 @@ WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.5
 """
 
 
+def q_dedup_components(spark, sf):
+    """Corpus-level dedup resolution: n-gram Jaccard pairs →
+    connected components (transitive closure) → min-id canonical
+    representative per dup group. The oracle rebuilds the same edge
+    set and closes it with a recursive CTE."""
+    docs = load(spark, sf, "documents")
+    return D.dedup_components(docs, n=3, threshold=0.5, method="ngram")
+
+
+def oracle_dedup_components() -> str:
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
+  WHERE len({sh}) > 0
+),
+inv AS (SELECT id, unnest(sh) AS g FROM s),
+co AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pair AS (
+  SELECT co.l_id, co.r_id
+  FROM co
+  JOIN (SELECT id, len(sh) AS n FROM s) la ON la.id = co.l_id
+  JOIN (SELECT id, len(sh) AS n FROM s) lb ON lb.id = co.r_id
+  WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.5
+),
+edges AS (
+  SELECT l_id AS src, r_id AS dst FROM pair
+  UNION ALL SELECT r_id, l_id FROM pair
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS canonical FROM reach GROUP BY id)
+SELECT id AS doc_id, canonical AS canonical_id,
+       (id <> canonical) AS is_duplicate
+FROM comp
+"""
+
+
 def q_dedup_minhash(spark, sf):
     """Full LSH path: banded candidates verified with exact Jaccard."""
     docs = load(spark, sf, "documents")
@@ -2328,6 +2374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
@@ -2407,6 +2454,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
+    "dedup_components": oracle_dedup_components(),
     "dedup_simhash": oracle_simhash(),
     "dedup_embedding": oracle_embedding_neardup(),
     "ann_topk": oracle_ann_topk(),
