@@ -2185,8 +2185,9 @@ GROUP BY 1
 def q_multimodal_decode(spark, sf):
     """Decode -> frame-sample over mapInPandas with the deterministic
     fake codec (real codecs absent in this container — the Spark-side
-    plumbing is the thing under test). Not SQL-expressible ->
-    rows-only check; exact semantics golden-tested in
+    plumbing is the thing under test). The fake derives dimensions
+    from md5(payload), so the oracle can replay it in SQL; exact
+    per-row semantics are also golden-tested in
     tests/test_multimodal.py."""
     from ..operators.multimodal import decode_media, sample_frames
 
@@ -2201,6 +2202,32 @@ def q_multimodal_decode(spark, sf):
             F.count("frame_index").alias("n_sampled_frames"),
         )
     )
+
+
+ORACLE_MULTIMODAL_DECODE = """
+WITH m AS (
+  SELECT doc_id::VARCHAR AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(coalesce(text, '')) AS h
+  FROM documents
+),
+dec AS (
+  SELECT asset_id, media_type,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + ('0x' || substr(h, 5, 2))::INT % 30
+         END AS n_frames
+  FROM m
+),
+frames AS (
+  SELECT asset_id, unnest(range(0, n_frames, 5)) AS frame_index
+  FROM dec WHERE n_frames > 1
+)
+SELECT d.media_type, count(DISTINCT d.asset_id) AS n_assets,
+       count(f.frame_index) AS n_sampled_frames
+FROM dec d LEFT JOIN frames f ON d.asset_id = f.asset_id
+GROUP BY d.media_type
+"""
 
 
 def q_regional_revenue(spark, sf):
@@ -2449,8 +2476,7 @@ ORACLES: dict[str, str] = {
     "regional_revenue": ORACLE_REGIONAL_REVENUE,
     "sql_shipping_priority": ORACLE_SQL_SHIPPING,
     "stable_ids": ORACLE_STABLE_IDS,
-    # multimodal_decode: intentionally no oracle (mapInPandas fake
-    # codec) -> rows-only check.
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
@@ -2473,6 +2499,6 @@ ORACLES: dict[str, str] = {
     "cluster_serving": oracle_cluster_serving(),
     # Intentionally no oracle (approximate / stateful / UDF-dependent)
     # -> rows-only check: ann_ivf, ann_lsh, pipeline_e2e,
-    # incremental_cluster, multimodal_decode. Everything else above is
-    # hash-compared against DuckDB by the driver.
+    # incremental_cluster. Everything else above is hash-compared
+    # against DuckDB by the driver.
 }
