@@ -1516,9 +1516,13 @@ def q_incremental_cluster(spark, sf):
 
 def q_pipeline_e2e(spark, sf):
     """Full document pipeline (preprocess -> deterministic embed ->
-    cluster -> cluster sizes). The embedding UDF is not
-    SQL-expressible, so no oracle — rows-only check; the components
-    are golden-tested in tests/."""
+    cluster -> cluster sizes). The hashing-trick embedder is
+    md5-derived, so the ENTIRE pipeline replays in SQL: the oracle
+    rebuilds embed_text, tokens, signed bucket histograms, the
+    float32 wire quantization (::REAL::DOUBLE — IEEE-identical to the
+    UDF's astype(float32)), unit vectors, the ε=0.2 edge set, and the
+    recursive-CTE closure. Per-row embedding semantics are also
+    golden-tested in tests/."""
     from ..operators.embed import embed_articles, unwrap_embedding
     from ..operators.preprocess import with_embed_text
 
@@ -2204,6 +2208,87 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def oracle_pipeline_e2e() -> str:
+    """SQL replay of preprocess → hash embed → ε-graph → counts.
+
+    The only float32 in the pipeline is the embedding wire format;
+    ``::REAL::DOUBLE`` reproduces that rounding exactly, after which
+    both engines do float64 arithmetic (dot products differ only in
+    summation order, ~1e-15 — far from the ε=0.2 boundary)."""
+    dot = V.dot_sql("a.uv", "b.uv")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id::VARCHAR AS id,
+         concat_ws(chr(10), source, text, text) AS embed_text
+  FROM documents
+),
+tok AS (
+  SELECT id, regexp_replace(t, '[^a-z0-9]', '', 'g') AS tk
+  FROM (
+    SELECT id, unnest(list_filter(
+      string_split_regex(lower(embed_text), '\\s+'), x -> x <> '')) AS t
+    FROM docs)
+),
+hashed AS (
+  SELECT id,
+    ('0x' || substr(md5('42|' || tk), 15, 2))::INT % 64 AS bucket,
+    CASE WHEN (('0x' || substr(md5('42|' || tk), 1, 2))::INT // 64) % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS sgn
+  FROM tok WHERE tk <> ''
+),
+hist AS (SELECT id, bucket, sum(sgn) AS v FROM hashed GROUP BY id, bucket),
+vec AS (
+  SELECT d.id, list(coalesce(h.v, 0.0) ORDER BY b.i) AS raw
+  FROM (SELECT id FROM docs) d
+  CROSS JOIN range(0, 64) b(i)
+  LEFT JOIN hist h ON h.id = d.id AND h.bucket = b.i
+  GROUP BY d.id
+),
+n1 AS (
+  SELECT id, raw,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(raw, x -> x*x)), (a,v) -> a+v)) AS nrm
+  FROM vec
+),
+q AS (
+  SELECT id, list_transform(raw,
+           x -> (x / CASE WHEN nrm = 0 THEN 1 ELSE nrm END)::REAL::DOUBLE)
+         AS qv
+  FROM n1
+),
+u AS (
+  SELECT id, qv,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(qv, x -> x*x)), (a,v) -> a+v)) AS qn
+  FROM q
+),
+unit AS (
+  SELECT id, list_transform(qv,
+           x -> x / (CASE WHEN qn < 1e-300 THEN 1e-300 ELSE qn END)) AS uv
+  FROM u
+),
+pair AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM unit a JOIN unit b ON a.id < b.id
+  WHERE greatest(0.0, least(1.0, 1.0 - {dot})) <= 0.2
+),
+edges AS (
+  SELECT src, dst FROM pair UNION ALL SELECT dst, src FROM pair
+),
+reach AS (
+  SELECT id, id AS comp FROM docs
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT (cnt.n >= 2) AS is_cluster, count(*) AS n_docs
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) cnt
+  USING (component)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_MULTIMODAL_DECODE = """
 WITH m AS (
   SELECT doc_id::VARCHAR AS asset_id,
@@ -2477,6 +2562,7 @@ ORACLES: dict[str, str] = {
     "sql_shipping_priority": ORACLE_SQL_SHIPPING,
     "stable_ids": ORACLE_STABLE_IDS,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "pipeline_e2e": oracle_pipeline_e2e(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
@@ -2497,8 +2583,8 @@ ORACLES: dict[str, str] = {
     "cluster_assign": oracle_cluster_assign(),
     "clustering_quality": oracle_clustering_quality(),
     "cluster_serving": oracle_cluster_serving(),
-    # Intentionally no oracle (approximate / stateful / UDF-dependent)
-    # -> rows-only check: ann_ivf, ann_lsh, pipeline_e2e,
+    # Intentionally no oracle (approximate-by-construction or
+    # cross-batch stateful) -> rows-only check: ann_ivf, ann_lsh,
     # incremental_cluster. Everything else above is hash-compared
     # against DuckDB by the driver.
 }
