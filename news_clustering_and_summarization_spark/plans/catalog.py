@@ -1835,7 +1835,7 @@ def q_profile_columns(spark, sf):
 def _profile_oracle_one(col: str) -> str:
     return f"""
 SELECT '{col}' AS column, count(*) AS n,
-       sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
        count(DISTINCT {col}) AS n_distinct,
        min({col})::VARCHAR AS min_value,
        max({col})::VARCHAR AS max_value
@@ -2179,7 +2179,7 @@ ORACLE_MEDIA_STATS = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        count(*) AS n_assets,
-       sum(octet_length(encode(text))) AS total_bytes,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
        round(avg(octet_length(encode(text))), 2) AS mean_bytes
 FROM documents
 GROUP BY 1
