@@ -73,17 +73,59 @@ def dedup_exact(
 # --- n-gram Jaccard --------------------------------------------------
 
 
+def ngram_candidate_pairs(
+    shingled: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Candidate (l_id, r_id) pairs sharing >=1 indexed shingle, from a
+    ``(id, sh array<string>)`` frame. The self-join is quadratic
+    *within* each shingle's posting list, so ``max_shingle_df`` drops
+    shingles whose document frequency exceeds the cap before the join
+    (a stop-word trigram present in 1e5 docs would otherwise emit 1e10
+    candidate rows — the classic inverted-index hot-key blowup; MinHash
+    banding avoids it by construction, this is the equivalent guard for
+    the exact path). ``inter`` counts co-occurrences over *indexed*
+    shingles only — exact when uncapped, a lower bound when capped."""
+    inv = shingled.select("id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        keep = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        # shuffle on s either way — the posting-list self-join below
+        # needs that partitioning, so the cap adds no extra exchange
+        inv = inv.join(keep, "s")
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.7,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word n-grams for all
     pairs sharing at least one shingle (inverted-index equi-join on
     the shingle — no cross join). Output: (l_id, r_id, jaccard) with
-    l_id < r_id and jaccard >= threshold."""
+    l_id < r_id and jaccard >= threshold.
+
+    ``max_shingle_df`` (recommended at corpus scale) caps the document
+    frequency of shingles used for *candidate generation* — see
+    ngram_candidate_pairs. Jaccard is then re-verified exactly over the
+    full shingle sets of each surviving pair, so reported scores are
+    identical to the uncapped path; the only recall loss is pairs whose
+    entire overlap is hot shingles (which MinHash banding would also
+    miss, and whose Jaccard is necessarily low for any non-trivial
+    document)."""
     shingled = (
         fan_out(df)
         .select(
@@ -98,26 +140,49 @@ def ngram_jaccard_pairs(
         # expensive expression tree
         .localCheckpoint(eager=True)
     )
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    inv = shingled.select("id", F.explode("sh").alias("s"))
-    co = (
-        inv.alias("a")
-        .join(inv.alias("b"), "s")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id"))
-        .agg(F.count("*").alias("inter"))
-    )
+    co = ngram_candidate_pairs(shingled, max_shingle_df)
+    if max_shingle_df is None:
+        # uncapped: inter is the exact intersection size, finish with
+        # the cheap size-only joins (no shingle arrays shuffled)
+        sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+        return (
+            co.join(sizes.withColumnRenamed("id", "l_id"), "l_id")
+            .withColumnRenamed("n_sh", "l_n")
+            .join(sizes.withColumnRenamed("id", "r_id"), "r_id")
+            .withColumnRenamed("n_sh", "r_n")
+            .select(
+                "l_id",
+                "r_id",
+                (
+                    F.col("inter")
+                    / (F.col("l_n") + F.col("r_n") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    # capped: inter undercounts pairs that also share hot shingles —
+    # verify exactly against the full shingle sets (candidate volume is
+    # already bounded by cap^2 per posting list, so this join is small)
     return (
-        co.join(sizes.withColumnRenamed("id", "l_id"), "l_id")
-        .withColumnRenamed("n_sh", "l_n")
-        .join(sizes.withColumnRenamed("id", "r_id"), "r_id")
-        .withColumnRenamed("n_sh", "r_n")
+        co.select("l_id", "r_id")
+        .join(
+            shingled.select(
+                F.col("id").alias("l_id"), F.col("sh").alias("l_sh")
+            ),
+            "l_id",
+        )
+        .join(
+            shingled.select(
+                F.col("id").alias("r_id"), F.col("sh").alias("r_sh")
+            ),
+            "r_id",
+        )
         .select(
             "l_id",
             "r_id",
             (
-                F.col("inter")
-                / (F.col("l_n") + F.col("r_n") - F.col("inter"))
+                F.size(F.array_intersect("l_sh", "r_sh"))
+                / F.size(F.array_union("l_sh", "r_sh"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

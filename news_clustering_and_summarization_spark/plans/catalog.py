@@ -916,11 +916,18 @@ FROM documents
 """
 
 
+# Candidate generation caps shingle document-frequency at this value;
+# the oracle below encodes the same cap, so both engines drop the same
+# hot posting lists (pairs overlapping ONLY on hot shingles are out of
+# scope in both — the documented scale guard, not a divergence).
+NGRAM_SHINGLE_DF_CAP = 100
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     docs = load(spark, sf, "documents")
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).withColumn(
-        "jaccard", F.round("jaccard", 6)
-    )
+    return D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=NGRAM_SHINGLE_DF_CAP
+    ).withColumn("jaccard", F.round("jaccard", 6))
 
 
 def oracle_ngram_jaccard() -> str:
@@ -932,17 +939,22 @@ WITH s AS (
   WHERE len({sh}) > 0
 ),
 inv AS (SELECT id, unnest(sh) AS g FROM s),
+keep AS (SELECT g FROM inv GROUP BY g
+         HAVING count(*) <= {NGRAM_SHINGLE_DF_CAP}),
+inv2 AS (SELECT inv.id, inv.g FROM inv JOIN keep USING (g)),
 co AS (
-  SELECT a.id AS l_id, b.id AS r_id, count(*) AS inter
-  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  SELECT a.id AS l_id, b.id AS r_id
+  FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT co.l_id, co.r_id,
-       round(inter::DOUBLE / (la.n + lb.n - inter), 6) AS jaccard
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
 FROM co
-JOIN (SELECT id, len(sh) AS n FROM s) la ON la.id = co.l_id
-JOIN (SELECT id, len(sh) AS n FROM s) lb ON lb.id = co.r_id
-WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.5
+JOIN s sa ON sa.id = co.l_id
+JOIN s sb ON sb.id = co.r_id
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(sa.sh || sb.sh)) >= 0.5
 """
 
 

@@ -90,6 +90,70 @@ def test_ngram_jaccard_oracle(spark, docs, duck):
     assert_matches_oracle(got, duck, oracle)
 
 
+def _shingled(df, n=3):
+    return (
+        df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                H.word_shingles(H.tokens("text"), n)
+            ).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
+
+
+def test_ngram_hot_shingle_cap_bounds_candidates(spark):
+    # 300 docs all sharing one hot trigram, plus one genuine near-dup
+    # pair with unique vocabulary. Uncapped candidate generation is
+    # O(df^2) on the hot posting list; the cap removes it entirely.
+    rows = [
+        (i, f"alpha beta gamma u{i}a u{i}b u{i}c u{i}d") for i in range(300)
+    ]
+    rows += [(1000, "x1 x2 x3 x4 x5 x6"), (1001, "x1 x2 x3 x4 x5 x7")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingled(df)
+    uncapped = D.ngram_candidate_pairs(sh).count()
+    capped = D.ngram_candidate_pairs(sh, max_shingle_df=50).count()
+    assert uncapped >= 300 * 299 // 2  # hot-shingle blowup is real
+    assert capped == 1  # only the genuine near-dup pair survives
+    # and the surviving pair's jaccard is exact (3 shared / 5 union)
+    pairs = {
+        (r["l_id"], r["r_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.5, max_shingle_df=50
+        ).collect()
+    }
+    assert pairs == {(1000, 1001): 0.6}
+
+
+def test_ngram_cap_preserves_scores(spark, docs):
+    # With a cap no posting list on the fixture corpus exceeds, the
+    # capped path (candidate cap + array re-verify) must return exactly
+    # the uncapped result — scores included.
+    uncapped = {
+        (r["l_id"], r["r_id"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r["l_id"], r["r_id"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=10**6
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ngram_jaccard_capped_oracle(spark, docs, duck):
+    # The catalog query runs the capped path; its oracle encodes the
+    # same df cap — both engines drop the same hot shingles.
+    from news_clustering_and_summarization_spark.plans import catalog
+
+    got = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=catalog.NGRAM_SHINGLE_DF_CAP
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    assert_matches_oracle(got, duck, catalog.oracle_ngram_jaccard())
+
+
 def test_minhash_candidates_and_verify(spark):
     df = _planted(spark)
     nd = {
