@@ -18,19 +18,12 @@ from pyspark.sql import types as T
 from ..schemas import ARTICLE_SCHEMA
 
 
-def decode_article_records(
-    records: DataFrame,
-    payload_col: str = "data",
-    schema: T.StructType = ARTICLE_SCHEMA,
+def _parse_article_lists(
+    decoded: DataFrame, schema: T.StructType, corrupt_col: str = "_json"
 ) -> DataFrame:
-    """base64(JSON list of articles) -> one row per article.
-
-    Rows whose payload fails to parse come back with all article
-    fields NULL and the raw payload in ``corrupt_record``.
-    """
-    decoded = records.withColumn(
-        "_json", F.unbase64(F.col(payload_col)).cast("string")
-    )
+    """``_json`` column holding a JSON list of articles -> one row per
+    article; unparseable payloads yield a single all-NULL row with
+    ``corrupt_col`` in ``corrupt_record`` (DLQ semantics, S8/ST8)."""
     parsed = decoded.withColumn(
         "_docs", F.from_json("_json", T.ArrayType(schema))
     )
@@ -44,10 +37,26 @@ def decode_article_records(
         parsed.where(F.col("_docs").isNull())
         .select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields],
-            F.col("_json").alias("corrupt_record"),
+            F.col(corrupt_col).alias("corrupt_record"),
         )
     )
     return good.unionByName(bad)
+
+
+def decode_article_records(
+    records: DataFrame,
+    payload_col: str = "data",
+    schema: T.StructType = ARTICLE_SCHEMA,
+) -> DataFrame:
+    """base64(JSON list of articles) -> one row per article.
+
+    Rows whose payload fails to parse come back with all article
+    fields NULL and the raw payload in ``corrupt_record``.
+    """
+    decoded = records.withColumn(
+        "_json", F.unbase64(F.col(payload_col)).cast("string")
+    )
+    return _parse_article_lists(decoded, schema)
 
 
 def read_articles_json(
@@ -74,6 +83,78 @@ def read_articles_json(
         ).alias("doc")
     )
     return parsed.select("doc.*")
+
+
+# Schema of rows produced by Spark's Kafka source (public
+# spark-sql-kafka-0-10 connector) — the contract articles_from_kafka
+# programs against, and what tests inject without a live broker.
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    options: dict | None = None,
+) -> DataFrame:
+    """Raw Kafka record stream — the live-transport analogue of the
+    reference's Kinesis entry (iac/roots/main/main.tf:128-147). Uses
+    the public spark-sql-kafka-0-10 connector; in production submit
+    with ``--packages org.apache.spark:spark-sql-kafka-0-10_<scala>:
+    <spark-version>`` (the jar is not bundled with pyspark). Rows
+    follow KAFKA_SOURCE_SCHEMA; feed them to articles_from_kafka."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def articles_from_kafka(
+    records: DataFrame,
+    schema: T.StructType = ARTICLE_SCHEMA,
+    payload_encoding: str = "base64",
+) -> DataFrame:
+    """Kafka-shaped records (KAFKA_SOURCE_SCHEMA) -> article rows.
+
+    ``payload_encoding="base64"`` mirrors the reference's wire format —
+    each record value is base64(JSON list of articles)
+    (data/put_records.py:40-71); ``"json"`` accepts plain JSON-list
+    values. Both route through the same corrupt-record capture as the
+    file and S3 paths, so a poison message lands in ``corrupt_record``
+    instead of killing the stream."""
+    payload = F.col("value").cast("string")
+    if payload_encoding == "base64":
+        # try_to_binary, not unbase64: Spark 4's unbase64 RAISES on
+        # malformed base64, which would let one poison message kill the
+        # stream; try_to_binary degrades it to NULL -> corrupt_record.
+        decoded = records.select(payload.alias("_raw")).withColumn(
+            "_json",
+            F.try_to_binary(F.col("_raw"), F.lit("base64")).cast("string"),
+        )
+        return _parse_article_lists(decoded, schema, corrupt_col="_raw")
+    if payload_encoding == "json":
+        decoded = records.select(payload.alias("_json"))
+        return _parse_article_lists(decoded, schema)
+    raise ValueError(
+        f"payload_encoding must be 'base64' or 'json', "
+        f"got {payload_encoding!r}"
+    )
 
 
 def read_articles_stream(

@@ -54,20 +54,54 @@ DEFAULT_BATCH_SIZE = 500  # reference process_records.py:558
 
 def start_ingest_embed_stream(
     spark: SparkSession,
-    input_path: str,
+    input_path: str | None,
     output_path: str,
     checkpoint_path: str,
     backend: EmbeddingBackend | None = None,
     max_files_per_trigger: int | None = None,
+    source: str = "file",
+    kafka_bootstrap_servers: str | None = None,
+    kafka_topic: str | None = None,
+    kafka_payload_encoding: str = "base64",
+    kafka_options: dict | None = None,
+    raw_kafka_frame=None,
 ):
-    """Streaming query #1: raw article JSON files -> embedded parquet.
+    """Streaming query #1: raw articles -> embedded parquet.
+
+    ``source="file"`` replays JSON files from ``input_path``;
+    ``source="kafka"`` subscribes to a live topic (parity with the
+    reference's Kinesis entry, main.tf:128-147) whose record values
+    carry the reference's base64(JSON list) payload — both feed the
+    identical preprocess -> embed chain and parquet/checkpoint sink.
+    ``raw_kafka_frame`` injects a pre-built Kafka-shaped streaming
+    DataFrame (KAFKA_SOURCE_SCHEMA) so tests can drive the kafka
+    decode path without a broker or the connector jar.
 
     Returns the StreamingQuery; callers drive it with
     processAllAvailable() in tests or leave it running in production.
     """
-    raw = read_articles_stream(
-        spark, input_path, ARTICLE_SCHEMA, max_files_per_trigger
-    )
+    if source == "file":
+        raw = read_articles_stream(
+            spark, input_path, ARTICLE_SCHEMA, max_files_per_trigger
+        )
+    elif source == "kafka":
+        from ..sources.json_ingest import articles_from_kafka, read_kafka_stream
+
+        kafka_raw = (
+            raw_kafka_frame
+            if raw_kafka_frame is not None
+            else read_kafka_stream(
+                spark,
+                kafka_bootstrap_servers,
+                kafka_topic,
+                options=kafka_options,
+            )
+        )
+        raw = articles_from_kafka(
+            kafka_raw, ARTICLE_SCHEMA, kafka_payload_encoding
+        ).where(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    else:
+        raise ValueError(f"source must be 'file' or 'kafka', got {source!r}")
     embedded = embed_articles(
         with_embed_text(preprocess(raw)), backend=backend
     )

@@ -55,3 +55,53 @@ def test_drop_malformed_without_corrupt_column(spark):
         [("a", "t"), (None, "bad")], "id string, title string"
     )
     assert [r["id"] for r in drop_malformed(df).collect()] == ["a"]
+
+
+def _kafka_rows(payloads, encoding="base64"):
+    """Kafka-source-shaped rows whose value carries each payload."""
+    import base64
+
+    rows = []
+    for i, p in enumerate(payloads):
+        body = p if isinstance(p, str) else json.dumps(p)
+        if encoding == "base64":
+            body = base64.b64encode(body.encode()).decode()
+        rows.append(
+            (None, body.encode(), "articles", 0, i, None, 0)
+        )
+    return rows
+
+
+def test_articles_from_kafka_base64(spark):
+    from news_clustering_and_summarization_spark.sources.json_ingest import (
+        KAFKA_SOURCE_SCHEMA,
+        articles_from_kafka,
+    )
+
+    good = [
+        {"id": "a", "title": "t1", "text": "x", "date": "2024-01-01 00:00:00"},
+        {"id": "b", "title": "t2", "text": "y", "date": "2024-01-01 00:00:00"},
+    ]
+    df = spark.createDataFrame(
+        _kafka_rows([good, "{not json"]), KAFKA_SOURCE_SCHEMA
+    )
+    out = articles_from_kafka(df)
+    assert sorted(
+        r["id"] for r in out.where("corrupt_record IS NULL").collect()
+    ) == ["a", "b"]
+    # poison message -> corrupt_record row, stream survives
+    assert out.where("corrupt_record IS NOT NULL").count() == 1
+
+
+def test_articles_from_kafka_plain_json(spark):
+    from news_clustering_and_summarization_spark.sources.json_ingest import (
+        KAFKA_SOURCE_SCHEMA,
+        articles_from_kafka,
+    )
+
+    good = [{"id": "c", "title": "t", "text": "z", "date": "2024-01-01 00:00:00"}]
+    df = spark.createDataFrame(
+        _kafka_rows([good], encoding="json"), KAFKA_SOURCE_SCHEMA
+    )
+    out = articles_from_kafka(df, payload_encoding="json")
+    assert [r["id"] for r in out.collect()] == ["c"]
