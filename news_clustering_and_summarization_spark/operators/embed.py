@@ -85,34 +85,168 @@ class DeterministicHashEmbedder:
         return out / norms
 
 
-class BedrockTitanBackend:
-    """Titan v2 parity stub (embed_docs.py:70-95: dimensions=512,
-    normalize=true, one text per invoke)."""
+# Transient AWS error codes worth retrying (public boto3 error shape:
+# exc.response["Error"]["Code"]); anything else is fatal immediately.
+TRANSIENT_ERROR_CODES = frozenset(
+    {
+        "ThrottlingException",
+        "TooManyRequestsException",
+        "ServiceUnavailableException",
+        "ModelTimeoutException",
+        "InternalServerException",
+    }
+)
 
-    def __init__(self, dim: int = 512, model_id: str = "amazon.titan-embed-text-v2:0"):
+
+def _error_code(exc: Exception) -> str | None:
+    response = getattr(exc, "response", None)
+    if isinstance(response, dict):
+        return response.get("Error", {}).get("Code")
+    return None
+
+
+def _invoke_with_retries(call, what: str, max_retries: int, sleep):
+    """Shared retry envelope: transient codes retried with exponential
+    backoff (1s, 2s, 4s...), fatal codes and exhaustion mapped to a
+    RuntimeError naming the endpoint/model so a stream failure is
+    attributable from the driver log alone."""
+    attempt = 0
+    while True:
+        try:
+            return call()
+        except Exception as exc:  # noqa: BLE001 - classified below
+            code = _error_code(exc)
+            if code in TRANSIENT_ERROR_CODES and attempt < max_retries:
+                sleep(2**attempt)
+                attempt += 1
+                continue
+            raise RuntimeError(f"{what} failed (code={code})") from exc
+
+
+class BedrockTitanBackend:
+    """Titan v2 via Bedrock (embed_docs.py:70-95: dimensions=512,
+    normalize=true, one text per InvokeModel call).
+
+    ``client`` injects the transport (anything with
+    ``invoke_model(modelId=..., body=...)`` returning
+    ``{"body": <read()able>}``) — contract tests use a fake; without
+    one, a boto3 bedrock-runtime client is created lazily, and a clear
+    NotImplementedError points local runs at the deterministic
+    backend when boto3 is absent."""
+
+    def __init__(
+        self,
+        dim: int = 512,
+        model_id: str = "amazon.titan-embed-text-v2:0",
+        client=None,
+        max_retries: int = 3,
+        sleep=None,
+    ):
         self.dim = dim
         self.model_id = model_id
+        self._client = client
+        self.max_retries = max_retries
+        import time
+
+        self._sleep = sleep or time.sleep
+
+    def _get_client(self):
+        if self._client is None:
+            try:
+                import boto3
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "Bedrock backend requires boto3 + AWS credentials; "
+                    "use DeterministicHashEmbedder for local runs."
+                ) from exc
+            self._client = boto3.client("bedrock-runtime")
+        return self._client
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
-        raise NotImplementedError(
-            "Bedrock backend requires boto3 + AWS credentials; use "
-            "DeterministicHashEmbedder for local runs."
-        )
+        import json
+
+        client = self._get_client()
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, text in enumerate(texts):
+            body = json.dumps(
+                {
+                    "inputText": text,
+                    "dimensions": self.dim,
+                    "normalize": True,
+                }
+            )
+            resp = _invoke_with_retries(
+                lambda: client.invoke_model(modelId=self.model_id, body=body),
+                f"Bedrock invoke_model({self.model_id})",
+                self.max_retries,
+                self._sleep,
+            )
+            payload = json.loads(resp["body"].read())
+            out[i] = payload["embedding"]
+        return out
 
 
 class SageMakerBackend:
-    """SageMaker endpoint parity stub (embed_docs.py:57-68: batched
-    ≤200 texts per call; inference.py:23-98)."""
+    """SageMaker realtime endpoint (embed_docs.py:57-68: batched ≤200
+    texts per call; inference.py:23-98 accepts ``{"texts": [...]}``
+    and returns ``{"embeddings": [[...], ...]}``).
 
-    def __init__(self, dim: int = 512, endpoint_name: str = ""):
+    The ≤MAX_ARTICLES_PER_CALL contract is enforced HERE, not just in
+    the UDF chunker, so a violation anywhere surfaces as a loud
+    ValueError instead of a silent oversize request. ``client``
+    injects the transport (``invoke_endpoint(EndpointName=...,
+    ContentType=..., Body=...)``)."""
+
+    def __init__(
+        self,
+        dim: int = 512,
+        endpoint_name: str = "",
+        client=None,
+        max_retries: int = 3,
+        sleep=None,
+    ):
         self.dim = dim
         self.endpoint_name = endpoint_name
+        self._client = client
+        self.max_retries = max_retries
+        import time
+
+        self._sleep = sleep or time.sleep
+
+    def _get_client(self):
+        if self._client is None:
+            try:
+                import boto3
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "SageMaker backend requires boto3 + an endpoint; "
+                    "use DeterministicHashEmbedder for local runs."
+                ) from exc
+            self._client = boto3.client("sagemaker-runtime")
+        return self._client
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
-        raise NotImplementedError(
-            "SageMaker backend requires boto3 + an endpoint; use "
-            "DeterministicHashEmbedder for local runs."
+        import json
+
+        if len(texts) > MAX_ARTICLES_PER_CALL:
+            raise ValueError(
+                f"SageMaker endpoint accepts at most "
+                f"{MAX_ARTICLES_PER_CALL} texts per call, got {len(texts)}"
+            )
+        client = self._get_client()
+        body = json.dumps({"texts": texts})
+        resp = _invoke_with_retries(
+            lambda: client.invoke_endpoint(
+                EndpointName=self.endpoint_name,
+                ContentType="application/json",
+                Body=body,
+            ),
+            f"SageMaker invoke_endpoint({self.endpoint_name})",
+            self.max_retries,
+            self._sleep,
         )
+        payload = json.loads(resp["Body"].read())
+        return np.asarray(payload["embeddings"], dtype=np.float64)
 
 
 def make_embed_udf(backend: EmbeddingBackend | None = None, wrapped: bool = True):

@@ -83,8 +83,15 @@ class DeterministicExtractiveSummarizer:
 
 
 class BedrockClaudeBackend:
-    """Parity stub: Claude 3 Haiku via Bedrock with the reference's
-    generation parameters (summarization.py:82-95, lambda.tf:185)."""
+    """Claude 3 Haiku via Bedrock with the reference's generation
+    parameters (summarization.py:82-95, lambda.tf:185).
+
+    ``client`` injects the transport (``invoke_model(modelId=...,
+    body=...)`` returning ``{"body": <read()able>}``) so the request
+    contract — one message per prompt, GENERATION_PARAMS in every
+    body — is testable without AWS; without a client, boto3 is
+    imported lazily and a NotImplementedError points local runs at
+    the deterministic summarizer when it is absent."""
 
     GENERATION_PARAMS = {
         "max_tokens": 500,
@@ -93,14 +100,56 @@ class BedrockClaudeBackend:
         "top_k": 100,
     }
 
-    def __init__(self, model_id: str = "anthropic.claude-3-haiku-20240307-v1:0"):
+    def __init__(
+        self,
+        model_id: str = "anthropic.claude-3-haiku-20240307-v1:0",
+        client=None,
+        max_retries: int = 3,
+        sleep=None,
+    ):
         self.model_id = model_id
+        self._client = client
+        self.max_retries = max_retries
+        import time
+
+        self._sleep = sleep or time.sleep
+
+    def _get_client(self):
+        if self._client is None:
+            try:
+                import boto3
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "Bedrock backend requires boto3 + AWS credentials; "
+                    "use DeterministicExtractiveSummarizer for local runs."
+                ) from exc
+            self._client = boto3.client("bedrock-runtime")
+        return self._client
 
     def summarize_batch(self, prompts: list[str]) -> list[str]:
-        raise NotImplementedError(
-            "Bedrock backend requires boto3 + AWS credentials; use "
-            "DeterministicExtractiveSummarizer for local runs."
-        )
+        import json
+
+        from .embed import _invoke_with_retries
+
+        client = self._get_client()
+        out = []
+        for prompt in prompts:
+            body = json.dumps(
+                {
+                    "anthropic_version": "bedrock-2023-05-31",
+                    "messages": [{"role": "user", "content": prompt}],
+                    **self.GENERATION_PARAMS,
+                }
+            )
+            resp = _invoke_with_retries(
+                lambda: client.invoke_model(modelId=self.model_id, body=body),
+                f"Bedrock invoke_model({self.model_id})",
+                self.max_retries,
+                self._sleep,
+            )
+            payload = json.loads(resp["body"].read())
+            out.append(payload["content"][0]["text"])
+        return out
 
 
 def make_summarize_udf(backend: SummarizerBackend | None = None):

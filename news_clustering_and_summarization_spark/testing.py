@@ -1,0 +1,84 @@
+"""Fake cloud transports for backend contract tests (and for users
+wiring the pipeline without AWS). They implement the public boto3 wire
+shape — ``invoke_model`` / ``invoke_endpoint``, error objects carrying
+``response["Error"]["Code"]`` — so the live backends' request/response
+mapping, batching, and retry envelope can be exercised hermetically.
+Defined inside the package (not in tests/) so Spark executors can
+unpickle them by module name.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+
+class AwsStyleError(Exception):
+    """Error with the boto3 ClientError shape the retry envelope
+    classifies on."""
+
+    def __init__(self, code: str):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class FakeBedrockRuntime:
+    """``invoke_model`` fake: records (modelId, parsed body) per call;
+    fails the first ``fail_first`` calls with ``fail_code``. Returns a
+    Titan-shaped ``{"embedding": [...]}`` payload by default, or a
+    Claude-shaped ``{"content": [{"text": ...}]}`` with
+    ``payload_kind="content"``."""
+
+    def __init__(
+        self,
+        dim: int = 8,
+        fail_first: int = 0,
+        fail_code: str = "ThrottlingException",
+        payload_kind: str = "embedding",
+        text: str = "<title>t</title><summary>s</summary>",
+    ):
+        self.dim = dim
+        self.calls: list[tuple[str, dict]] = []
+        self.fail_first = fail_first
+        self.fail_code = fail_code
+        self.payload_kind = payload_kind
+        self.text = text
+
+    def invoke_model(self, modelId, body):
+        self.calls.append((modelId, json.loads(body)))
+        if len(self.calls) <= self.fail_first:
+            raise AwsStyleError(self.fail_code)
+        if self.payload_kind == "embedding":
+            payload = {"embedding": [0.5] * self.dim}
+        else:
+            payload = {"content": [{"text": self.text}]}
+        return {"body": io.BytesIO(json.dumps(payload).encode())}
+
+
+class FakeSageMakerRuntime:
+    """``invoke_endpoint`` fake: echoes one ``[len(text)] * dim``
+    vector per input text so row order is verifiable end-to-end."""
+
+    def __init__(
+        self,
+        dim: int = 8,
+        fail_first: int = 0,
+        fail_code: str = "ThrottlingException",
+    ):
+        self.dim = dim
+        self.calls: list[tuple[str, str, list[str]]] = []
+        self.fail_first = fail_first
+        self.fail_code = fail_code
+
+    def invoke_endpoint(self, EndpointName, ContentType, Body):
+        texts = json.loads(Body)["texts"]
+        self.calls.append((EndpointName, ContentType, texts))
+        if len(self.calls) <= self.fail_first:
+            raise AwsStyleError(self.fail_code)
+        return {
+            "Body": io.BytesIO(
+                json.dumps(
+                    {"embeddings": [[float(len(t))] * self.dim for t in texts]}
+                ).encode()
+            )
+        }
