@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "sessionize",          # lag window + agg
     "dedup_minhash",       # shingle -> LSH -> verify
     "dedup_embedding",     # similarity self-join
+    "cluster_lsh",         # sign-LSH ε-pairs on 50k vectors (> LSH_THRESHOLD)
     "ann_topk",            # brute-force top-k
     "quality_score",       # text heuristics
     "token_counts",        # token stats

@@ -130,51 +130,105 @@ def brute_force_pairs(
     ).mapInPandas(block, schema=out_schema)
 
 
+def signlsh_bits(
+    eps: float,
+    probe_radius: int,
+    target_recall: float = 0.7,
+    max_bits: int = 24,
+) -> int:
+    """Largest hyperplane count whose multiprobe recall at the ε
+    boundary still meets ``target_recall``.
+
+    Sign-LSH collision probability per bit for a pair at cosine
+    distance d is p = 1 - arccos(1-d)/π; a pair is found iff at most
+    ``probe_radius`` of the bits differ, so boundary recall is the
+    binomial tail P(Binom(nbits, 1-p) <= probe_radius). More bits =
+    smaller buckets = cheaper join, so take the most bits that still
+    clear the floor (pairs well inside ε collide with higher p)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, 1.0 - eps))) / math.pi
+    q = 1.0 - p
+    best = 4
+    for n in range(4, max_bits + 1):
+        tail = sum(
+            math.comb(n, k) * (q**k) * (p ** (n - k))
+            for k in range(probe_radius + 1)
+        )
+        if tail >= target_recall:
+            best = n
+        else:
+            break
+    return best
+
+
 def lsh_candidate_pairs(
     left: DataFrame,
     right: DataFrame,
     eps: float,
     id_col: str = "row_id",
     vec_col: str = "centroid",
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 4,
+    nbits: int | None = None,
+    probe_radius: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate ε-pairs via MLlib BucketedRandomProjectionLSH.
+    """Approximate ε-pairs via sign (random-hyperplane) LSH with
+    multiprobe, verified exactly. Same output contract as
+    brute_force_pairs (both directions, no self-pairs, dist column).
 
-    Vectors are L2-normalized first so euclidean and cosine thresholds
-    are interchangeable. Same output contract as brute_force_pairs.
-    """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    Shape: bucket both sides on ``nbits`` hyperplane signs (one
+    Arrow-batched matmul per partition), explode the left side to
+    every bucket within hamming distance ``probe_radius`` of its own,
+    equi-join on the bucket id, then re-verify candidates with the
+    exact cosine distance — zero false positives, recall = the
+    binomial tail signlsh_bits targets. ``nbits`` defaults to the
+    most selective count that keeps boundary recall >= 0.7; pass it
+    explicitly to trade recall against bucket load.
 
-    euclid = float((2.0 * eps) ** 0.5)
+    This replaced an MLlib BucketedRandomProjectionLSH formulation:
+    on L2-normalized vectors the scalar projections concentrate in
+    (-3/8, 3/8) (E[(u.r)^2] = 1/dim), so any bucketLength of ordinary
+    size collapsed the corpus into a handful of buckets and the
+    "scale path" degenerated into a quadratic within-bucket join —
+    unusable at exactly the >LSH_THRESHOLD sizes it exists for."""
+    from itertools import combinations
 
-    def prep(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            array_to_vector(
-                V.l2_normalize(F.col(vec_col)).cast("array<double>")
-            ).alias("features"),
+    from .similarity import lsh_bucket_udf
+
+    if nbits is None:
+        nbits = signlsh_bits(eps, probe_radius)
+    first = left.select(vec_col).first()
+    if first is None:
+        spark = left.sparkSession
+        id_type = dict(left.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"l_id {id_type}, r_id {id_type}, dist double"
         )
+    dim = len(first[0])
+    bucket = lsh_bucket_udf(dim, nbits, seed)
 
-    a = prep(left, "l_id")
-    b = prep(right, "r_id")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
+    l = left.select(
+        F.col(id_col).alias("l_id"), F.col(vec_col).alias("_lv")
+    ).withColumn("_b0", bucket(F.col("_lv").cast("array<double>")))
+    masks = [0] + [
+        sum(1 << j for j in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(nbits), r)
+    ]
+    probes = F.array(
+        *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )
-    model = lsh.fit(a)
-    joined = model.approxSimilarityJoin(a, b, euclid, distCol="euclid")
+    l = l.select("l_id", "_lv", F.explode(probes).alias("_bucket"))
+    r = right.select(
+        F.col(id_col).alias("r_id"), F.col(vec_col).alias("_rv")
+    ).withColumn("_bucket", bucket(F.col("_rv").cast("array<double>")))
     return (
-        joined.select(
-            F.col("datasetA.l_id").alias("l_id"),
-            F.col("datasetB.r_id").alias("r_id"),
-            (F.col("euclid") * F.col("euclid") / 2.0).alias("dist"),
-        )
+        l.join(r, "_bucket")
         .where(F.col("l_id") != F.col("r_id"))
+        .withColumn("dist", V.cosine_distance(F.col("_lv"), F.col("_rv")))
+        .where(F.col("dist") <= eps)
+        .select("l_id", "r_id", "dist")
+        .dropDuplicates(["l_id", "r_id"])
     )
 
 

@@ -1433,6 +1433,82 @@ JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) cnt
 """
 
 
+def q_cluster_lsh(spark, sf):
+    """Forces the sign-LSH similarity path at >LSH_THRESHOLD scale
+    (cluster.py:LSH_THRESHOLD): the embeddings table is
+    deterministically inflated 25x (50k vectors at sf0.1) and ε-edges
+    come from lsh_candidate_pairs — bucket equi-join on hyperplane
+    signs with multiprobe, never O(n²). Approximate by construction ->
+    no SQL oracle, but two contracts are asserted in-plan so the
+    rows-only check certifies them: (1) zero false positives — the
+    max edge distance must be <= eps (structural: candidates are
+    exact-verified); (2) recall >= 0.5 against a brute-forced ~2%
+    sample of the corpus."""
+    from ..testing import inflate_vectors
+
+    eps = 0.10
+    emb = load(spark, sf, "embeddings")
+    inflated = (
+        inflate_vectors(emb, 25)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    edges = C.lsh_candidate_pairs(
+        inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
+        nbits=16,
+    ).localCheckpoint(eager=True)
+    sample = inflated.where(F.pmod(F.hash("vec_id"), F.lit(50)) == 0)
+    exact = C.brute_force_pairs(
+        sample, sample, eps, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    )
+    lsh_pairs = edges.where(F.col("l_id") < F.col("r_id")).select(
+        "l_id", "r_id"
+    )
+    hits = exact.join(lsh_pairs, ["l_id", "r_id"], "left_semi").agg(
+        F.count("*").alias("_n_hits")
+    )
+    return (
+        inflated.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(
+            edges.agg(
+                F.count("*").alias("n_edges"),
+                F.round(F.max("dist"), 6).alias("max_edge_dist"),
+            )
+        )
+        .crossJoin(exact.agg(F.count("*").alias("n_sample_pairs")))
+        .crossJoin(hits)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_sample_pairs",
+            F.round(
+                F.when(F.col("n_sample_pairs") > 0,
+                       F.col("_n_hits") / F.col("n_sample_pairs"))
+                .otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall_vs_exact_sample"),
+            "max_edge_dist",
+        )
+        .withColumn(
+            "no_false_positives",
+            F.assert_true(
+                F.col("max_edge_dist") <= F.lit(eps + 1e-9),
+                F.concat(F.lit("LSH edge beyond eps: "),
+                         F.col("max_edge_dist").cast("string")),
+            ).isNull(),
+        )
+        .withColumn(
+            "recall_floor_ok",
+            F.assert_true(
+                F.col("recall_vs_exact_sample") >= F.lit(0.5),
+                F.concat(F.lit("LSH recall below floor 0.5: "),
+                         F.col("recall_vs_exact_sample").cast("string")),
+            ).isNull(),
+        )
+    )
+
+
 def q_clustering_quality(spark, sf):
     """External cluster-evaluation metrics over the ε-graph assignment
     vs the ground-truth label column — the eval capability the
@@ -2709,6 +2785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_assign": q_cluster_assign,
     "clustering_quality": q_clustering_quality,
     "cluster_serving": q_cluster_serving,
+    "cluster_lsh": q_cluster_lsh,
     "incremental_cluster": q_incremental_cluster,
     "pipeline_e2e": q_pipeline_e2e,
 }
@@ -2789,8 +2866,8 @@ ORACLES: dict[str, str] = {
     "cluster_serving": oracle_cluster_serving(),
     "incremental_cluster": oracle_incremental_cluster(),
     # Intentionally no oracle (approximate by construction) -> rows-only
-    # check: ann_ivf, ann_lsh. Both queries attach an overall
-    # recall-vs-brute-force column and assert its floor inside the plan
-    # (F.assert_true), so "rows present" certifies the recall floor held.
+    # check: ann_ivf, ann_lsh, cluster_lsh. Each attaches recall /
+    # false-positive columns and asserts the floors inside the plan
+    # (F.assert_true), so "rows present" certifies the contracts held.
     # Everything else above is hash-compared against DuckDB.
 }

@@ -82,3 +82,41 @@ class FakeSageMakerRuntime:
                 ).encode()
             )
         }
+
+
+def inflate_vectors(
+    emb,
+    factor: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    noise: float = 0.05,
+    seed: int = 42,
+):
+    """Deterministically replicate each embedding ``factor`` times with
+    hash-derived elementwise perturbation (uniform ±``noise``) — the
+    bench/test corpus builder for exercising the LSH similarity path
+    above LSH_THRESHOLD without synthesizing data files. Copies derive
+    from the driver-generated embeddings table; ids become
+    ``id * factor + copy``. Pure Column expressions, shuffle-free."""
+    from pyspark.sql import functions as F
+
+    return emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_copy"),
+    ).select(
+        (F.col("_id") * factor + F.col("_copy")).alias(id_col),
+        F.transform(
+            F.col("_v").cast("array<double>"),
+            lambda x, j: x
+            + (
+                F.pmod(
+                    F.hash(F.col("_id"), F.col("_copy"), j, F.lit(seed)),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / F.lit(1000.0)
+            * F.lit(noise),
+        ).alias(vec_col),
+    )

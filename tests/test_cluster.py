@@ -142,7 +142,7 @@ def test_lsh_pairs_subset_of_exact(spark):
         (r["l_id"], r["r_id"])
         for r in C.lsh_candidate_pairs(
             emb, emb, 0.8, id_col="vec_id", vec_col="embedding",
-            num_hash_tables=8,
+            probe_radius=3,
         ).collect()
     }
     assert lsh <= exact
