@@ -638,6 +638,46 @@ GROUP BY s.event_id, s.user_id
 """
 
 
+def q_interval_join(spark, sf):
+    """interval_join_streams (streaming/windows.py:83) driven in batch
+    mode: non-signup events landing within [signup.ts, signup.ts +
+    15 min] for the same user. Same code path as the watermarked
+    stream-stream join (the condition is ordinary SQL), so the batch
+    oracle pins the join semantics the streaming query uses."""
+    from ..streaming.windows import interval_join_streams
+
+    ev = load(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    right = ev.where(F.col("event_type") != "signup").select(
+        "user_id", F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    joined = interval_join_streams(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        tolerance="15 minutes",
+    )
+    return joined.select(
+        "l_event",
+        "r_event",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT l.event_id AS l_event, r.event_id AS r_event,
+       (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS delta_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'signup' AND r.event_type <> 'signup'
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 15 MINUTE
+"""
+
+
 def q_rollup_summary(spark, sf):
     """ROLLUP aggregation (free via Catalyst; no reference analogue —
     SURVEY §2.4 note)."""
@@ -2737,6 +2777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pool_metrics": q_pool_metrics,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "interval_join": q_interval_join,
     "rollup_summary": q_rollup_summary,
     "cube_summary": q_cube_summary,
     "lag_lead_delta": q_lag_lead_delta,
@@ -2817,6 +2858,7 @@ ORACLES: dict[str, str] = {
     "pool_metrics": oracle_pool_metrics(),
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "rollup_summary": ORACLE_ROLLUP,
     "cube_summary": ORACLE_CUBE,
     "lag_lead_delta": ORACLE_LAG_LEAD,
