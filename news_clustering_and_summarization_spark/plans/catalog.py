@@ -985,14 +985,14 @@ def oracle_ngram_jaccard() -> str:
     tok = H.tokens_sql("text")
     sh = H.word_shingles_sql(tok, 3)
     return f"""
-WITH s AS (
+WITH s AS MATERIALIZED (
   SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
   WHERE len({sh}) > 0
 ),
-inv AS (SELECT id, unnest(sh) AS g FROM s),
+inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM s),
 keep AS (SELECT g FROM inv GROUP BY g
          HAVING count(*) <= {NGRAM_SHINGLE_DF_CAP}),
-inv2 AS (SELECT inv.id, inv.g FROM inv JOIN keep USING (g)),
+inv2 AS MATERIALIZED (SELECT inv.id, inv.g FROM inv JOIN keep USING (g)),
 co AS (
   SELECT a.id AS l_id, b.id AS r_id
   FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.id < b.id
@@ -1022,24 +1022,24 @@ def oracle_dedup_components() -> str:
     tok = H.tokens_sql("text")
     sh = H.word_shingles_sql(tok, 3)
     return f"""
-WITH RECURSIVE s AS (
+WITH RECURSIVE s AS MATERIALIZED (
   SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
   WHERE len({sh}) > 0
 ),
-inv AS (SELECT id, unnest(sh) AS g FROM s),
-co AS (
+inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM s),
+co AS MATERIALIZED (
   SELECT a.id AS l_id, b.id AS r_id, count(*) AS inter
   FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
   GROUP BY a.id, b.id
 ),
-pair AS (
+pair AS MATERIALIZED (
   SELECT co.l_id, co.r_id
   FROM co
   JOIN (SELECT id, len(sh) AS n FROM s) la ON la.id = co.l_id
   JOIN (SELECT id, len(sh) AS n FROM s) lb ON lb.id = co.r_id
   WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT l_id AS src, r_id AS dst FROM pair
   UNION ALL SELECT r_id, l_id FROM pair
 ),
@@ -1455,7 +1455,7 @@ def q_cluster_assign(spark, sf):
 def oracle_cluster_assign(eps: float = CLUSTER_EPS) -> str:
     dist = V.cosine_distance_sql("a.embedding", "b.embedding")
     return f"""
-WITH RECURSIVE edges AS (
+WITH RECURSIVE edges AS MATERIALIZED (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM embeddings a JOIN embeddings b
     ON a.vec_id <> b.vec_id AND {dist} <= {eps}
@@ -1715,10 +1715,14 @@ def oracle_incremental_cluster(eps: float = 0.56) -> str:
     centroid is the element-wise mean of member pool-row vectors —
     which is what batch 2's distance tests run against."""
     # distances test normalized-then-dotted vectors — the same shape as
-    # the Spark kernel (brute_force_pairs normalizes rows, then matmuls)
-    # and ~3x cheaper than recomputing both norms per candidate pair
-    d_ab = f"greatest(0.0, least(1.0, 1.0 - {V.dot_sql('a.nv', 'b.nv')}))"
-    d_ap = f"greatest(0.0, least(1.0, 1.0 - {V.dot_sql('a.nv', 'p.nv')}))"
+    # the Spark kernel (brute_force_pairs normalizes rows, then
+    # matmuls). Native list_dot_product instead of the index-ordered
+    # dot_sql lambda: these distances only GATE edges (they are never
+    # emitted), the nearest pair sits ~0.04 from the 0.56 threshold,
+    # and the native kernel is ~5x faster on the two n_batch x n_pool
+    # joins that dominate this oracle.
+    d_ab = "greatest(0.0, least(1.0, 1.0 - list_dot_product(a.nv, b.nv)))"
+    d_ap = "greatest(0.0, least(1.0, 1.0 - list_dot_product(a.nv, p.nv)))"
     return f"""
 WITH RECURSIVE
 emb0 AS (
@@ -1730,14 +1734,14 @@ emb0 AS (
 emb1 AS (
   SELECT id, v, half, {V.norm_sql("v")} AS nrm FROM emb0
 ),
-emb AS (
+emb AS MATERIALIZED (
   SELECT id, v, half, list_transform(v, x -> x / nrm) AS nv FROM emb1
 ),
-b1 AS (
+b1 AS MATERIALIZED (
   SELECT id, v, nv, row_number() OVER (ORDER BY id) AS row_id
   FROM emb WHERE half = 0
 ),
-e1 AS (
+e1 AS MATERIALIZED (
   SELECT a.row_id AS src, b.row_id AS dst
   FROM b1 a JOIN b1 b ON a.row_id <> b.row_id AND {d_ab} <= {eps}
 ),
@@ -1746,14 +1750,14 @@ r1 AS (
   UNION
   SELECT e.dst AS id, r.comp FROM r1 r JOIN e1 e ON e.src = r.id
 ),
-c1 AS (SELECT id AS row_id, min(comp) AS component FROM r1 GROUP BY id),
-s1 AS (SELECT component, count(*) AS n FROM c1 GROUP BY component),
-m1 AS (
+c1 AS MATERIALIZED (SELECT id AS row_id, min(comp) AS component FROM r1 GROUP BY id),
+s1 AS MATERIALIZED (SELECT component, count(*) AS n FROM c1 GROUP BY component),
+m1 AS MATERIALIZED (
   SELECT c1.row_id, c1.component, b1.id, b1.v
   FROM c1 JOIN b1 USING (row_id) JOIN s1 USING (component)
   WHERE s1.n >= 2
 ),
-cent1 AS (
+cent1 AS MATERIALIZED (
   SELECT component, list(avg_val ORDER BY pos) AS centroid
   FROM (
     SELECT component, pos, avg(val) AS avg_val
@@ -1767,18 +1771,18 @@ cent1 AS (
   )
   GROUP BY component
 ),
-rep1 AS (
+rep1 AS MATERIALIZED (
   SELECT component, min(row_id) AS row_id,
          list(id ORDER BY row_id) AS article_ids
   FROM m1 GROUP BY component
 ),
-cent1n AS (
+cent1n AS MATERIALIZED (
   SELECT component, centroid,
          list_transform(centroid, x -> x / {V.norm_sql("centroid")})
            AS ncentroid
   FROM cent1
 ),
-pool1 AS (
+pool1 AS MATERIALIZED (
   SELECT rep1.row_id, rep1.article_ids, TRUE AS is_cluster,
          cent1n.ncentroid AS nv
   FROM rep1 JOIN cent1n USING (component)
@@ -1787,30 +1791,30 @@ pool1 AS (
   FROM c1 JOIN b1 USING (row_id) JOIN s1 USING (component)
   WHERE s1.n < 2
 ),
-b2 AS (
+b2 AS MATERIALIZED (
   SELECT id, nv,
          row_number() OVER (ORDER BY id)
            + (SELECT coalesce(max(row_id), 0) FROM pool1) AS row_id
   FROM emb WHERE half = 1
 ),
-pool2 AS (
+pool2 AS MATERIALIZED (
   SELECT row_id, article_ids, is_cluster, nv FROM pool1
   UNION ALL
   SELECT row_id, [id] AS article_ids, FALSE AS is_cluster, nv FROM b2
 ),
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT a.row_id AS src, p.row_id AS dst
   FROM b2 a JOIN pool2 p ON a.row_id <> p.row_id AND {d_ap} <= {eps}
 ),
-e2s AS (SELECT src, dst FROM e2 UNION SELECT dst AS src, src AS dst FROM e2),
+e2s AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst AS src, src AS dst FROM e2),
 r2 AS (
   SELECT row_id AS id, row_id AS comp FROM pool2
   UNION
   SELECT e.dst AS id, r.comp FROM r2 r JOIN e2s e ON e.src = r.id
 ),
-c2 AS (SELECT id AS row_id, min(comp) AS component FROM r2 GROUP BY id),
-s2 AS (SELECT component, count(*) AS n FROM c2 GROUP BY component),
-lab2 AS (
+c2 AS MATERIALIZED (SELECT id AS row_id, min(comp) AS component FROM r2 GROUP BY id),
+s2 AS MATERIALIZED (SELECT component, count(*) AS n FROM c2 GROUP BY component),
+lab2 AS MATERIALIZED (
   SELECT c2.row_id, c2.component, s2.n, p.article_ids, p.is_cluster,
          row_number() OVER (
            PARTITION BY c2.component ORDER BY c2.row_id) AS rk
@@ -2586,17 +2590,17 @@ u AS (
            list_transform(qv, x -> x*x)), (a,v) -> a+v)) AS qn
   FROM q
 ),
-unit AS (
+unit AS MATERIALIZED (
   SELECT id, list_transform(qv,
            x -> x / (CASE WHEN qn < 1e-300 THEN 1e-300 ELSE qn END)) AS uv
   FROM u
 ),
-pair AS (
+pair AS MATERIALIZED (
   SELECT a.id AS src, b.id AS dst
   FROM unit a JOIN unit b ON a.id < b.id
   WHERE greatest(0.0, least(1.0, 1.0 - {dot})) <= 0.2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM pair UNION ALL SELECT dst, src FROM pair
 ),
 reach AS (
