@@ -152,3 +152,74 @@ def test_clustering_stream_end_to_end_with_restart(spark, tmp_path):
         k: v["number_of_articles"] for k, v in clusters.items()
     }
     assert pipe2.cluster_articles().count() == 12
+
+
+def test_kafka_transport_full_dataflow(spark, tmp_path):
+    """The complete reference dataflow over the Kafka transport:
+    kafka-shaped records (base64 JSON-list payloads + one poison
+    message) -> ingest/embed stream -> ClusteringPipeline -> serving
+    tables. Output must be identical to the file-transport run over
+    the same articles."""
+    import base64
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # same articles as the file path, but packed into kafka payloads
+    arts = []
+    for s, txt in STORIES.items():
+        for i in range(6):
+            arts.append(
+                {
+                    "id": f"{s}-{i}",
+                    "title": f"{s} headline {i}",
+                    "text": f"{txt} detail {i}",
+                    "date": f"2024-03-01 10:{i % 60:02d}:00",
+                }
+            )
+    kin = tmp_path / "kafka-in"
+    kin.mkdir()
+    payload = base64.b64encode(json.dumps(arts).encode()).decode()
+    with open(kin / "records.json", "w") as f:
+        f.write(json.dumps({"value": payload, "topic": "articles",
+                            "partition": 0, "offset": 0}) + "\n")
+        f.write(json.dumps({"value": "%%%poison%%%", "topic": "articles",
+                            "partition": 0, "offset": 1}) + "\n")
+    raw_schema = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    kframe = (
+        spark.readStream.schema(raw_schema).json(str(kin))
+        .withColumn("key", F.lit(None).cast("binary"))
+        .withColumn("value", F.col("value").cast("binary"))
+        .withColumn("timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("timestampType", F.lit(0))
+    )
+    out = str(tmp_path / "embedded")
+    q = start_ingest_embed_stream(
+        spark, None, out, str(tmp_path / "ckpt1"),
+        source="kafka", raw_kafka_frame=kframe,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 12  # poison dropped
+
+    pipe = ClusteringPipeline(
+        spark, str(tmp_path / "state"), batch_size=4, eps=0.35,
+        strategy="cross",
+    )
+    sq = pipe.start(out, str(tmp_path / "ckpt2"))
+    sq.processAllAvailable()
+    sq.stop()
+    pipe.flush()
+    pool = pipe.pool().collect()
+    sizes = sorted(len(r["article_ids"]) for r in pool)
+    assert sizes == [6, 6]  # both stories fully clustered, like file path
+    clusters = pipe.clusters().collect()
+    assert all(r["number_of_articles"] == 6 for r in clusters)
+    assert all(r["generated_summary"] != "" for r in clusters)
