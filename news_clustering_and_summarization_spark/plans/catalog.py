@@ -1104,8 +1104,16 @@ def q_dedup_simhash(spark, sf):
 
 
 def oracle_simhash() -> str:
+    # the hashed-token list must be MATERIALIZED: DuckDB inlines both
+    # plain CTEs and subquery projections, re-tokenizing + re-hashing
+    # the document once per simhash bit otherwise (64x)
     tok = H.tokens_sql("text")
-    return f"SELECT doc_id, {H.simhash_sql(tok)} AS simhash FROM documents"
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT doc_id, {H.token_hashes_sql(tok)} AS hv FROM documents
+)
+SELECT doc_id, {H.simhash_from_hashes_sql('hv')} AS simhash FROM h
+"""
 
 
 def q_dedup_embedding(spark, sf):
