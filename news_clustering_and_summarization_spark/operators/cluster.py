@@ -162,6 +162,34 @@ def signlsh_bits(
     return best
 
 
+def signlsh_params(
+    eps: float,
+    n_rows: int,
+    target_recall: float = 0.7,
+    max_bits: int = 34,
+) -> tuple[int, int]:
+    """(nbits, probe_radius) sized to the corpus, not just to recall.
+
+    Recall alone picks FEW bits (12 at eps=0.1, r=2) — fine at 50k
+    rows, catastrophic at 10⁹ where 2^12 buckets mean ~244k rows per
+    bucket and the within-bucket join goes quadratic again. Bounded
+    bucket load (~16 rows expected) needs nbits >= log2(N/16), and
+    recall at a given bit count is bought with probe radius. So:
+    smallest r in {1,2,3} whose recall-max bit count covers the load
+    floor; if even r=3 can't, take r=3 at the load floor and accept
+    boundary recall below target (pairs well inside ε still collide
+    at much higher probability — documented tradeoff, never a
+    quadratic join)."""
+    import math
+
+    need = max(4, math.ceil(math.log2(max(n_rows, 2) / 16.0)))
+    for r in (1, 2, 3):
+        nb = signlsh_bits(eps, r, target_recall, max_bits)
+        if nb >= need:
+            return nb, r
+    return min(need, max_bits), 3
+
+
 def lsh_candidate_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -169,7 +197,7 @@ def lsh_candidate_pairs(
     id_col: str = "row_id",
     vec_col: str = "centroid",
     nbits: int | None = None,
-    probe_radius: int = 2,
+    probe_radius: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
@@ -181,9 +209,11 @@ def lsh_candidate_pairs(
     every bucket within hamming distance ``probe_radius`` of its own,
     equi-join on the bucket id, then re-verify candidates with the
     exact cosine distance — zero false positives, recall = the
-    binomial tail signlsh_bits targets. ``nbits`` defaults to the
-    most selective count that keeps boundary recall >= 0.7; pass it
-    explicitly to trade recall against bucket load.
+    binomial tail signlsh_bits targets. When ``nbits`` /
+    ``probe_radius`` are omitted they are sized to the corpus via
+    signlsh_params (bucket count scales with right-side rows so the
+    per-bucket join stays linear; recall bought with probe radius);
+    pass them explicitly to pin the tradeoff.
 
     This replaced an MLlib BucketedRandomProjectionLSH formulation:
     on L2-normalized vectors the scalar projections concentrate in
@@ -195,8 +225,12 @@ def lsh_candidate_pairs(
 
     from .similarity import lsh_bucket_udf
 
-    if nbits is None:
+    if nbits is None and probe_radius is None:
+        nbits, probe_radius = signlsh_params(eps, right.count())
+    elif nbits is None:
         nbits = signlsh_bits(eps, probe_radius)
+    elif probe_radius is None:
+        probe_radius = 2
     first = left.select(vec_col).first()
     if first is None:
         spark = left.sparkSession

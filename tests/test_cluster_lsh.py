@@ -112,3 +112,23 @@ def test_signlsh_at_scale_subset_and_recall(spark):
     ).count()
     assert n_exact > 50
     assert hits / n_exact >= 0.5, f"recall {hits}/{n_exact}"
+
+
+def test_signlsh_params_scale_with_corpus():
+    """Auto (nbits, probe_radius): bucket count must grow with the
+    corpus (bounded expected bucket load), never shrink, and never
+    fall below the recall-driven minimum bits for tiny corpora."""
+    from news_clustering_and_summarization_spark.operators.cluster import (
+        signlsh_params,
+    )
+
+    for eps in (0.05, 0.10, 0.2, 0.56):
+        prev_bits = 0
+        for n in (1_000, 50_000, 1_000_000, 1_000_000_000):
+            nbits, r = signlsh_params(eps, n)
+            assert 4 <= nbits <= 34 and 1 <= r <= 3
+            assert nbits >= prev_bits  # more corpus -> never fewer buckets
+            prev_bits = nbits
+        # billion-row corpora must keep expected bucket load bounded
+        nbits, _ = signlsh_params(eps, 1_000_000_000)
+        assert 2**nbits >= 1_000_000_000 / 16
