@@ -270,3 +270,63 @@ def repetition_signals(
             frac(F.col("big_top"), "big_n").alias("top_bigram_frac"),
         )
     )
+
+
+# --- cleaning transforms (training-data pipeline) --------------------
+
+# PII patterns kept deliberately simple and auditable. Order matters:
+# emails first (so address digits never half-match), then bare IPv4
+# (before phone, or a long IP like 192.168.100.100 reads as a digit
+# run), then phone-like runs of >=10 digits with separators (>=10 so
+# ISO dates' 8 digits escape). Each replacement token is distinct so
+# downstream counts can attribute what was removed. Both regex
+# dialects in play (Java on the Spark side, RE2 in DuckDB) parse
+# these identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# each repetition = optional separators then one digit, so >=10 digits
+# with any mix of space/().- between them ("+1 (555) 867-5309" works;
+# an 8-digit ISO date does not)
+PII_PHONE_RE = r"\+?(?:[\s().-]*\d){10,}"
+
+
+def scrub_pii(col) -> Column:
+    """Redact emails, IPv4 addresses, and phone-like numbers with
+    typed placeholder tokens. Pure regexp_replace chain — whole-stage
+    codegen, replayable in any SQL engine (the oracle uses the same
+    three patterns in the same order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return c
+
+
+def scrub_pii_sql(expr: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace({e}, "
+        "'{email}', '<EMAIL>', 'g'), "
+        "'{ip}', '<IP>', 'g'), "
+        "'{phone}', '<PHONE>', 'g')"
+    ).format(e=expr, email=PII_EMAIL_RE, ip=PII_IPV4_RE, phone=PII_PHONE_RE)
+
+
+def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
+    """Drop repeated paragraphs within one document, keeping first
+    occurrences in order — boilerplate/navigation blocks repeat
+    verbatim inside crawled pages. Column-only: split, keep positions
+    whose trimmed text has no earlier identical paragraph, rejoin.
+    Shuffle-free (per-row array ops)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, sep)
+    idx = F.sequence(F.lit(1), F.size(parts))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.slice(parts, F.lit(1), i - 1),
+            lambda prev: F.trim(prev) == F.trim(F.element_at(parts, i)),
+        ),
+    )
+    return F.array_join(
+        F.transform(kept, lambda i: F.element_at(parts, i)), sep
+    )

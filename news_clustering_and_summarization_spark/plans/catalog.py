@@ -1335,6 +1335,98 @@ FROM documents
 """
 
 
+def q_scrub_pii(spark, sf):
+    """PII redaction (email -> IPv4 -> phone placeholder chain) over
+    documents with deterministically injected PII — the fixture corpus
+    is clean, so both engines append the same synthetic contact block
+    before scrubbing and the oracle hash proves pattern + order parity
+    across the Java and RE2 regex dialects."""
+    docs = load(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 867-53"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    return docs.select(
+        "doc_id",
+        TA.scrub_pii(injected).alias("scrubbed"),
+    ).withColumn("n_redacted", F.size(F.split("scrubbed", "<")) - 1)
+
+
+def oracle_scrub_pii() -> str:
+    injected = (
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@example.com or +1 (555) 867-53' || "
+        "lpad((doc_id % 100)::VARCHAR, 2, '0') || "
+        "' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 end'"
+    )
+    return f"""
+SELECT doc_id,
+       {TA.scrub_pii_sql(injected)} AS scrubbed,
+       len(string_split({TA.scrub_pii_sql(injected)}, '<')) - 1 AS n_redacted
+FROM documents
+"""
+
+
+def q_dedup_paragraphs(spark, sf):
+    """Intra-document paragraph dedup (first occurrence kept, order
+    preserved) — crawled-page boilerplate removal. The fixture text is
+    single-paragraph, so both engines assemble the same 4-paragraph
+    document (text twice + a prefix + text again) and the dedup must
+    collapse it to 2 paragraphs."""
+    docs = load(spark, sf, "documents")
+    prefix = F.substring("text", 1, 40)
+    doc = F.concat_ws("\n\n", "text", "text", prefix, "text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(doc, "\n\n")).alias("n_paras_before"),
+        F.size(
+            F.split(TA.dedup_paragraphs(doc), "\n\n")
+        ).alias("n_paras_after"),
+        F.length(TA.dedup_paragraphs(doc)).alias("len_after"),
+    )
+
+
+ORACLE_DEDUP_PARAGRAPHS = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         text || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+         substr(text, 1, 40) || chr(10) || chr(10) || text AS doc
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(string_split(doc, chr(10) || chr(10))) AS para,
+         unnest(range(1, len(string_split(doc, chr(10) || chr(10))) + 1))
+           AS pos
+  FROM d
+),
+k AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (
+           PARTITION BY doc_id, trim(para) ORDER BY pos) AS rn
+  FROM p
+),
+agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE rn = 1)::BIGINT AS n_after,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos)
+           FILTER (WHERE rn = 1) AS joined
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split(d.doc, chr(10) || chr(10)))::INT AS n_paras_before,
+       agg.n_after::INT AS n_paras_after,
+       len(agg.joined)::INT AS len_after
+FROM agg JOIN d USING (doc_id)
+"""
+
+
 def q_repetition_signals(spark, sf):
     docs = load(spark, sf, "documents")
     return TA.repetition_signals(docs)
@@ -2834,6 +2926,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "repetition_signals": q_repetition_signals,
+    "scrub_pii": q_scrub_pii,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "decontaminate": q_decontaminate,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -2914,6 +3008,8 @@ ORACLES: dict[str, str] = {
     "token_counts": oracle_token_counts(),
     "fingerprint": oracle_fingerprint(),
     "repetition_signals": oracle_repetition(),
+    "scrub_pii": oracle_scrub_pii(),
+    "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
     "decontaminate": oracle_decontaminate(),
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),

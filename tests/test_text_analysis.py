@@ -136,3 +136,34 @@ def test_repetition_signals_flags_degenerate_doc(spark):
     }
     assert got[0]["dup_bigram_frac"] > 0.9 > got[1]["dup_bigram_frac"]
     assert got[0]["top_token_frac"] == 0.5
+
+
+def test_scrub_pii_planted(spark):
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        scrub_pii,
+    )
+
+    rows = [
+        (0, "mail a.user+tag@sub.example.org now"),
+        (1, "call +1 (555) 867-5309 today"),
+        (2, "server at 192.168.100.100 responded"),
+        (3, "released 2024-03-01 version 1.2.3"),  # date/version: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", scrub_pii("text").alias("s")).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> today"
+    assert got[2] == "server at <IP> responded"
+    assert got[3] == "released 2024-03-01 version 1.2.3"
+
+
+def test_dedup_paragraphs_planted(spark):
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        dedup_paragraphs,
+    )
+
+    doc = "intro text\n\nboilerplate nav\n\nbody text\n\nboilerplate nav\n\nintro text"
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    out = df.select(dedup_paragraphs("text").alias("d")).collect()[0]["d"]
+    assert out == "intro text\n\nboilerplate nav\n\nbody text"
