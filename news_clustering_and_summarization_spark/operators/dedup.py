@@ -585,6 +585,7 @@ def dedup_components(
     n: int = 3,
     threshold: float = 0.5,
     method: str = "minhash",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Corpus-level near-duplicate resolution: pair edges from the
     chosen detector, connected components over them (transitive
@@ -604,8 +605,12 @@ def dedup_components(
             df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
         )
     elif method == "ngram":
+        # at corpus scale pass max_shingle_df — the exact-path hot-key
+        # guard (minhash banding needs none; it never joins a full
+        # posting list)
         pairs = ngram_jaccard_pairs(
-            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+            df, id_col=id_col, text_col=text_col, n=n,
+            threshold=threshold, max_shingle_df=max_shingle_df,
         )
     else:
         raise ValueError(f"unknown method {method!r}")
