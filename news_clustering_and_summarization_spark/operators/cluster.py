@@ -145,17 +145,9 @@ def signlsh_bits(
     binomial tail P(Binom(nbits, 1-p) <= probe_radius). More bits =
     smaller buckets = cheaper join, so take the most bits that still
     clear the floor (pairs well inside ε collide with higher p)."""
-    import math
-
-    p = 1.0 - math.acos(max(-1.0, min(1.0, 1.0 - eps))) / math.pi
-    q = 1.0 - p
     best = 4
     for n in range(4, max_bits + 1):
-        tail = sum(
-            math.comb(n, k) * (q**k) * (p ** (n - k))
-            for k in range(probe_radius + 1)
-        )
-        if tail >= target_recall:
+        if _boundary_recall(eps, n, probe_radius) >= target_recall:
             best = n
         else:
             break
@@ -185,9 +177,23 @@ def signlsh_params(
     need = max(4, math.ceil(math.log2(max(n_rows, 2) / 16.0)))
     for r in (1, 2, 3):
         nb = signlsh_bits(eps, r, target_recall, max_bits)
-        if nb >= need:
+        # signlsh_bits returns its 4-bit floor even when 4 bits can't
+        # meet the target at this radius — verify before trusting it
+        # (eps=0.56 at r=1: boundary recall ~0.55 despite nb=4)
+        if nb >= need and _boundary_recall(eps, nb, r) >= target_recall:
             return nb, r
     return min(need, max_bits), 3
+
+
+def _boundary_recall(eps: float, nbits: int, probe_radius: int) -> float:
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, 1.0 - eps))) / math.pi
+    q = 1.0 - p
+    return sum(
+        math.comb(nbits, k) * (q**k) * (p ** (nbits - k))
+        for k in range(probe_radius + 1)
+    )
 
 
 def lsh_candidate_pairs(
@@ -199,6 +205,7 @@ def lsh_candidate_pairs(
     nbits: int | None = None,
     probe_radius: int | None = None,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
     multiprobe, verified exactly. Same output contract as
@@ -221,17 +228,19 @@ def lsh_candidate_pairs(
     size collapsed the corpus into a handful of buckets and the
     "scale path" degenerated into a quadratic within-bucket join —
     unusable at exactly the >LSH_THRESHOLD sizes it exists for."""
-    from itertools import combinations
-
-    from .similarity import lsh_bucket_udf
+    from .similarity import lsh_bucket_udf, probe_masks
 
     if nbits is None and probe_radius is None:
-        nbits, probe_radius = signlsh_params(eps, right.count())
+        # n_rows spares the extra count job when the caller (e.g.
+        # similarity_pairs' auto strategy) already sized the input
+        nbits, probe_radius = signlsh_params(
+            eps, right.count() if n_rows is None else n_rows
+        )
     elif nbits is None:
         nbits = signlsh_bits(eps, probe_radius)
     elif probe_radius is None:
         probe_radius = 2
-    first = left.select(vec_col).first()
+    first = left.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first is None:
         spark = left.sparkSession
         id_type = dict(left.dtypes)[id_col]
@@ -244,11 +253,7 @@ def lsh_candidate_pairs(
     l = left.select(
         F.col(id_col).alias("l_id"), F.col(vec_col).alias("_lv")
     ).withColumn("_b0", bucket(F.col("_lv").cast("array<double>")))
-    masks = [0] + [
-        sum(1 << j for j in bits)
-        for r in range(1, probe_radius + 1)
-        for bits in combinations(range(nbits), r)
-    ]
+    masks = probe_masks(nbits, probe_radius)
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )
@@ -274,13 +279,20 @@ def similarity_pairs(
     vec_col: str = "centroid",
     strategy: str = "auto",
 ) -> DataFrame:
+    n_right = None
     if strategy == "auto":
-        n = left.count() + right.count()
-        strategy = "cross" if n <= LSH_THRESHOLD else "lsh"
+        n_right = right.count()
+        strategy = (
+            "cross" if left.count() + n_right <= LSH_THRESHOLD else "lsh"
+        )
     if strategy == "cross":
         return brute_force_pairs(left, right, eps, id_col, vec_col)
     if strategy == "lsh":
-        return lsh_candidate_pairs(left, right, eps, id_col, vec_col)
+        # reuse the auto-sizing count so lsh param selection doesn't
+        # re-evaluate the (possibly UDF-bearing) right-side lineage
+        return lsh_candidate_pairs(
+            left, right, eps, id_col, vec_col, n_rows=n_right
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

@@ -19,7 +19,7 @@ md5-based primitives in functions.hashing:
                        sharing ≥1 shingle (inverted-index join).
   * embedding cosine — near-dup = cosine distance ≤ eps on embedding
                        vectors; reuses cluster.similarity_pairs (cross
-                       below LSH_THRESHOLD, MLlib LSH above).
+                       below LSH_THRESHOLD, sign-LSH multiprobe above).
 
 The reference's own near-dup stage is J5 (TF-IDF cosine > 0.9 inside
 each cluster, summarization notebook cell 7 `remove_dup_article`,

@@ -97,6 +97,31 @@ TRANSIENT_ERROR_CODES = frozenset(
     }
 )
 
+# botocore's connection-level failures carry NO response dict — they
+# are exception classes, matched by name so no SDK import is needed.
+# These are the most common transient failures of all (socket resets,
+# read timeouts) and must retry like a throttle would.
+TRANSIENT_ERROR_CLASSES = frozenset(
+    {
+        "ConnectionError",
+        "ConnectTimeoutError",
+        "ReadTimeoutError",
+        "EndpointConnectionError",
+        "ConnectionClosedError",
+        "TimeoutError",
+    }
+)
+
+
+# boto3's default-session client() is not thread-safe; the concurrent
+# summarize fan-out (and any multi-threaded caller) must serialize
+# first-use client creation. Module-level so backend instances stay
+# picklable into UDF closures (locks can't be pickled; the module —
+# and with it this lock — is re-imported per executor).
+import threading
+
+_CLIENT_CREATE_LOCK = threading.Lock()
+
 
 def _error_code(exc: Exception) -> str | None:
     response = getattr(exc, "response", None)
@@ -105,22 +130,32 @@ def _error_code(exc: Exception) -> str | None:
     return None
 
 
+def _is_transient(exc: Exception) -> bool:
+    if _error_code(exc) in TRANSIENT_ERROR_CODES:
+        return True
+    return any(
+        c.__name__ in TRANSIENT_ERROR_CLASSES for c in type(exc).__mro__
+    )
+
+
 def _invoke_with_retries(call, what: str, max_retries: int, sleep):
-    """Shared retry envelope: transient codes retried with exponential
-    backoff (1s, 2s, 4s...), fatal codes and exhaustion mapped to a
-    RuntimeError naming the endpoint/model so a stream failure is
-    attributable from the driver log alone."""
+    """Shared retry envelope: transient codes/connection errors retried
+    with exponential backoff (1s, 2s, 4s...), fatal codes and
+    exhaustion mapped to a RuntimeError naming the endpoint/model so a
+    stream failure is attributable from the driver log alone."""
     attempt = 0
     while True:
         try:
             return call()
         except Exception as exc:  # noqa: BLE001 - classified below
-            code = _error_code(exc)
-            if code in TRANSIENT_ERROR_CODES and attempt < max_retries:
+            if _is_transient(exc) and attempt < max_retries:
                 sleep(2**attempt)
                 attempt += 1
                 continue
-            raise RuntimeError(f"{what} failed (code={code})") from exc
+            raise RuntimeError(
+                f"{what} failed "
+                f"(code={_error_code(exc) or type(exc).__name__})"
+            ) from exc
 
 
 class BedrockTitanBackend:
@@ -159,7 +194,9 @@ class BedrockTitanBackend:
                     "Bedrock backend requires boto3 + AWS credentials; "
                     "use DeterministicHashEmbedder for local runs."
                 ) from exc
-            self._client = boto3.client("bedrock-runtime")
+            with _CLIENT_CREATE_LOCK:
+                if self._client is None:
+                    self._client = boto3.client("bedrock-runtime")
         return self._client
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
@@ -222,7 +259,9 @@ class SageMakerBackend:
                     "SageMaker backend requires boto3 + an endpoint; "
                     "use DeterministicHashEmbedder for local runs."
                 ) from exc
-            self._client = boto3.client("sagemaker-runtime")
+            with _CLIENT_CREATE_LOCK:
+                if self._client is None:
+                    self._client = boto3.client("sagemaker-runtime")
         return self._client
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:

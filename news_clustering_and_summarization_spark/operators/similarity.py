@@ -49,6 +49,20 @@ def lsh_bucket_udf(dim: int, nbits: int = 10, seed: int = 42):
     return bucket
 
 
+def probe_masks(nbits: int, probe_radius: int) -> list[int]:
+    """XOR masks covering every bucket within hamming distance
+    ``probe_radius`` of a base bucket (own bucket first). Shared by
+    lsh_topk and cluster.lsh_candidate_pairs so the two sign-LSH
+    paths cannot diverge."""
+    from itertools import combinations
+
+    return [0] + [
+        sum(1 << j for j in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(nbits), r)
+    ]
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -74,8 +88,6 @@ def lsh_topk(
     weak neighborhood structure needs a larger probed fraction.
     Output schema matches brute_force_topk.
     """
-    from itertools import combinations
-
     bucket = lsh_bucket_udf(dim, nbits, seed)
     c = corpus.select(
         F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nv")
@@ -83,11 +95,7 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).withColumn("_b0", bucket(F.col("qv").cast("array<double>")))
-    masks = [0] + [
-        sum(1 << j for j in bits)
-        for r in range(1, probe_radius + 1)
-        for bits in combinations(range(nbits), r)
-    ]
+    masks = probe_masks(nbits, probe_radius)
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )

@@ -123,7 +123,11 @@ class BedrockClaudeBackend:
                     "Bedrock backend requires boto3 + AWS credentials; "
                     "use DeterministicExtractiveSummarizer for local runs."
                 ) from exc
-            self._client = boto3.client("bedrock-runtime")
+            from .embed import _CLIENT_CREATE_LOCK
+
+            with _CLIENT_CREATE_LOCK:
+                if self._client is None:
+                    self._client = boto3.client("bedrock-runtime")
         return self._client
 
     def summarize_batch(self, prompts: list[str]) -> list[str]:

@@ -57,8 +57,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
+            # integer division, not `/`: float division of ~1.7e18-ns
+            # longs loses precision (double has 53 mantissa bits) and
+            # can truncate 1us low vs DuckDB's exact epoch_us
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         elif ts_type == "timestamp_ntz":
             # TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as NTZ;
@@ -1355,7 +1358,12 @@ def q_scrub_pii(spark, sf):
     return docs.select(
         "doc_id",
         TA.scrub_pii(injected).alias("scrubbed"),
-    ).withColumn("n_redacted", F.size(F.split("scrubbed", "<")) - 1)
+    ).withColumn(
+        # count the placeholder tokens specifically — a bare '<' in
+        # the source text (residual HTML) must not count as a redaction
+        "n_redacted",
+        F.size(F.split("scrubbed", "<EMAIL>|<IP>|<PHONE>")) - 1,
+    )
 
 
 def oracle_scrub_pii() -> str:
@@ -1368,7 +1376,8 @@ def oracle_scrub_pii() -> str:
     return f"""
 SELECT doc_id,
        {TA.scrub_pii_sql(injected)} AS scrubbed,
-       len(string_split({TA.scrub_pii_sql(injected)}, '<')) - 1 AS n_redacted
+       len(string_split_regex({TA.scrub_pii_sql(injected)},
+           '<EMAIL>|<IP>|<PHONE>')) - 1 AS n_redacted
 FROM documents
 """
 
@@ -1602,10 +1611,13 @@ def q_cluster_lsh(spark, sf):
         nbits=18,
     ).localCheckpoint(eager=True)
     sample = inflated.where(F.pmod(F.hash("vec_id"), F.lit(50)) == 0)
+    # checkpoint: exact feeds both the recall semi-join and the
+    # n_sample_pairs aggregate — without the cut the O(sample^2)
+    # verification kernel runs once per consumer
     exact = C.brute_force_pairs(
         sample, sample, eps, id_col="vec_id", vec_col="embedding",
         upper_only=True, with_dist=False,
-    )
+    ).localCheckpoint(eager=True)
     lsh_pairs = edges.where(F.col("l_id") < F.col("r_id")).select(
         "l_id", "r_id"
     )

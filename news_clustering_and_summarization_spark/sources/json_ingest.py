@@ -137,7 +137,12 @@ def articles_from_kafka(
     (data/put_records.py:40-71); ``"json"`` accepts plain JSON-list
     values. Both route through the same corrupt-record capture as the
     file and S3 paths, so a poison message lands in ``corrupt_record``
-    instead of killing the stream."""
+    instead of killing the stream. NULL-value records (compacted-topic
+    tombstones — deletions, not articles) are dropped up front: they
+    would otherwise surface as all-NULL rows with a NULL
+    corrupt_record, indistinguishable from good rows to the
+    corrupt-record filter."""
+    records = records.where(F.col("value").isNotNull())
     payload = F.col("value").cast("string")
     if payload_encoding == "base64":
         # try_to_binary, not unbase64: Spark 4's unbase64 RAISES on

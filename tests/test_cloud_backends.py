@@ -190,3 +190,37 @@ def test_concurrent_summarize_udf_end_to_end(spark):
     rows = df.select("prompt", udf(F.col("prompt")).alias("s")).collect()
     assert len(rows) == 16
     assert all(r["s"] == f"S:{r['prompt']}" for r in rows)
+
+
+def test_connection_errors_retry_like_throttles():
+    """botocore connection-level failures carry no response dict —
+    they must still classify as transient and retry."""
+    from news_clustering_and_summarization_spark.operators.embed import (
+        _invoke_with_retries,
+    )
+
+    class ReadTimeoutError(Exception):  # botocore-shaped, no .response
+        pass
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ReadTimeoutError("read timed out")
+        return "ok"
+
+    assert _invoke_with_retries(flaky, "op", 3, lambda s: None) == "ok"
+    assert len(calls) == 3
+
+    class AccessDenied(Exception):
+        response = {"Error": {"Code": "AccessDeniedException"}}
+
+    def fatal():
+        calls.append(1)
+        raise AccessDenied()
+
+    calls.clear()
+    with pytest.raises(RuntimeError, match="AccessDeniedException"):
+        _invoke_with_retries(fatal, "op", 3, lambda s: None)
+    assert len(calls) == 1

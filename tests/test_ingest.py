@@ -105,3 +105,20 @@ def test_articles_from_kafka_plain_json(spark):
     )
     out = articles_from_kafka(df, payload_encoding="json")
     assert [r["id"] for r in out.collect()] == ["c"]
+
+
+def test_kafka_tombstones_dropped(spark):
+    """Compacted-topic tombstones (value=NULL) are deletions, not
+    articles — they must not surface as all-NULL 'good' rows that
+    slip past the corrupt_record filter."""
+    from news_clustering_and_summarization_spark.sources.json_ingest import (
+        KAFKA_SOURCE_SCHEMA,
+        articles_from_kafka,
+    )
+
+    good = [{"id": "a", "title": "t", "text": "x", "date": "2024-01-01 00:00:00"}]
+    rows = _kafka_rows([good])
+    rows.append((None, None, "articles", 0, 99, None, 0))  # tombstone
+    df = spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+    out = articles_from_kafka(df).collect()
+    assert [r["id"] for r in out] == ["a"]  # tombstone gone entirely
