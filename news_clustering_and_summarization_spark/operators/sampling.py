@@ -128,3 +128,40 @@ def mix_datasets(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_fraction: float = 0.1,
+    seed: int = 42,
+    split_col: str = "split",
+    method: str = "ngram",
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/test split that keeps every near-duplicate GROUP on one
+    side. Splitting on the raw document key leaks near-copies of test
+    documents into train — the classic contamination bug a dedup stage
+    exists to prevent. Here dedup_components resolves the duplicate
+    groups (transitive closure) and each member splits by the hash
+    bucket of its CANONICAL id, so A~B~C always land together;
+    singleton docs are their own canonical and split as before.
+    Output: input columns + canonical_id + ``split_col``."""
+    from .dedup import dedup_components
+
+    comp = dedup_components(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        method=method, max_shingle_df=max_shingle_df,
+    )
+    cut = int(round(test_fraction * SAMPLE_BUCKETS))
+    b = _bucket(F.col("canonical_id"), seed)
+    return (
+        df.join(comp.select(id_col, "canonical_id"), id_col)
+        .withColumn(
+            split_col,
+            F.when(b < cut, F.lit("test")).otherwise(F.lit("train")),
+        )
+    )

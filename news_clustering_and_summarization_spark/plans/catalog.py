@@ -1058,6 +1058,34 @@ FROM comp
 """
 
 
+def q_split_leakage_safe(spark, sf):
+    """Leakage-safe train/test split: near-duplicate groups (same
+    transitive closure as dedup_components) split by the hash bucket
+    of their canonical id, so a test document's near-copies can never
+    land in train. Oracle reuses the closure and the content-addressed
+    bucket, both already hash-verified on their own."""
+    from ..operators.sampling import leakage_safe_split
+
+    docs = load(spark, sf, "documents")
+    return leakage_safe_split(
+        docs, test_fraction=0.2, seed=7, method="ngram", threshold=0.5
+    ).select("doc_id", "canonical_id", "split")
+
+
+def oracle_split_leakage_safe() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS, bucket_sql
+
+    cut = int(round(0.2 * SAMPLE_BUCKETS))
+    base = oracle_dedup_components().strip()
+    return f"""
+WITH base AS ({base})
+SELECT doc_id, canonical_id,
+       CASE WHEN {bucket_sql("canonical_id", 7)} < {cut}
+            THEN 'test' ELSE 'train' END AS split
+FROM base
+"""
+
+
 def q_dedup_minhash(spark, sf):
     """Full LSH path: banded candidates verified with exact Jaccard."""
     docs = load(spark, sf, "documents")
@@ -2928,6 +2956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_components": q_dedup_components,
+    "split_leakage_safe": q_split_leakage_safe,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
@@ -3012,6 +3041,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
     "dedup_components": oracle_dedup_components(),
+    "split_leakage_safe": oracle_split_leakage_safe(),
     "dedup_simhash": oracle_simhash(),
     "dedup_embedding": oracle_embedding_neardup(),
     "ann_topk": oracle_ann_topk(),

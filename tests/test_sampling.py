@@ -109,3 +109,29 @@ def test_mix_datasets_rejects_bad_input(spark):
         mix_datasets([(a, -0.5)], key_col="k")
     with _pytest.raises(ValueError):
         mix_datasets([], key_col="k")
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and once"),
+        (3, "completely different content about spark query engines at scale"),
+        (4, "unrelated text regarding weather patterns in northern regions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, test_fraction=0.5, seed=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 5  # exhaustive, 1:1
+    # docs 0,1,2 form one near-dup group -> identical canonical + split
+    group = {by_id[i]["split"] for i in (0, 1, 2)}
+    assert len(group) == 1
+    assert len({by_id[i]["canonical_id"] for i in (0, 1, 2)}) == 1
+    # determinism across invocations
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(df, test_fraction=0.5, seed=3).collect()}
+    assert again == {k: v["split"] for k, v in by_id.items()}
