@@ -8,6 +8,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed to completion (count) after a warm-up of the
 session; IO + compute are both measured, matching how the reference's
 wall-clock envelope is defined (BASELINE.md interpretation note).
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MEDIAN is recorded — round 3's apparent regression was pure box-load
+noise (BENCH_r03 ran minutes after an 81-query correctness sweep), so
+single-shot wall-times are not trustworthy evidence.  The 1-min load
+average before and after the run is emitted as `load_before`/
+`load_after` so a contaminated run is visible in the JSON itself.
 """
 
 from __future__ import annotations
@@ -48,9 +55,17 @@ BENCH_QUERIES = [
 ]
 
 
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
@@ -73,14 +88,23 @@ def main() -> None:
     spark.range(256).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = catalog.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    runs: dict[str, list[float]] = {}
+    # Round-robin across reps (q1 q2 ... qN, q1 q2 ...) rather than
+    # back-to-back per query, so a transient load spike degrades one
+    # rep of many queries instead of every rep of one query — the
+    # median then discards it everywhere.
+    for rep in range(reps):
+        for name in BENCH_QUERIES:
+            fn = catalog.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.setdefault(name, []).append(time.time() - t0)
+    for name, xs in runs.items():
+        timings[name] = round(_median(xs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_after = round(os.getloadavg()[0], 2)
     print(
         json.dumps(
             {
@@ -89,6 +113,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "agg": "median",
+                "load_before": load_before,
+                "load_after": load_after,
+                "all_runs": {
+                    k: [round(x, 3) for x in v] for k, v in runs.items()
+                },
             }
         )
     )

@@ -206,6 +206,7 @@ def lsh_candidate_pairs(
     probe_radius: int | None = None,
     seed: int = 42,
     n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
     multiprobe, verified exactly. Same output contract as
@@ -240,14 +241,21 @@ def lsh_candidate_pairs(
         nbits = signlsh_bits(eps, probe_radius)
     elif probe_radius is None:
         probe_radius = 2
-    first = left.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:
-        spark = left.sparkSession
-        id_type = dict(left.dtypes)[id_col]
-        return spark.createDataFrame(
-            [], f"l_id {id_type}, r_id {id_type}, dist double"
+    if dim is None:
+        # driver job over the (possibly UDF-bearing) left lineage just
+        # to learn the vector width — callers that know it (catalog
+        # q_cluster_lsh, incremental_cluster_update) pass dim= and
+        # skip this, the same way n_rows= spares the right.count()
+        first = (
+            left.select(vec_col).where(F.col(vec_col).isNotNull()).first()
         )
-    dim = len(first[0])
+        if first is None:
+            spark = left.sparkSession
+            id_type = dict(left.dtypes)[id_col]
+            return spark.createDataFrame(
+                [], f"l_id {id_type}, r_id {id_type}, dist double"
+            )
+        dim = len(first[0])
     bucket = lsh_bucket_udf(dim, nbits, seed)
 
     l = left.select(
@@ -278,6 +286,7 @@ def similarity_pairs(
     id_col: str = "row_id",
     vec_col: str = "centroid",
     strategy: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     n_right = None
     if strategy == "auto":
@@ -291,7 +300,7 @@ def similarity_pairs(
         # reuse the auto-sizing count so lsh param selection doesn't
         # re-evaluate the (possibly UDF-bearing) right-side lineage
         return lsh_candidate_pairs(
-            left, right, eps, id_col, vec_col, n_rows=n_right
+            left, right, eps, id_col, vec_col, n_rows=n_right, dim=dim
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -554,6 +563,7 @@ def incremental_cluster_update(
     strategy: str = "auto",
     batch_id_col: str = "id",
     batch_vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> dict[str, DataFrame]:
     """One reference micro-batch step (process_records.py:283-445).
 
@@ -601,7 +611,7 @@ def incremental_cluster_update(
     # Fresh edges: new × (pool ∪ new) only — settled pairs not revisited.
     edges = similarity_pairs(
         new_rows, pool, eps, id_col="row_id", vec_col="centroid",
-        strategy=strategy,
+        strategy=strategy, dim=dim,
     )
     comp = connected_components(pool.select("row_id"), edges, id_col="row_id")
 

@@ -68,13 +68,16 @@ def lsh_topk(
     corpus: DataFrame,
     dim: int,
     k: int = 10,
-    nbits: int = 10,
-    probe_radius: int = 1,
+    nbits: int | None = None,
+    probe_radius: int | None = None,
     seed: int = 42,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    n_rows: int | None = None,
+    neighbor_eps: float = 0.65,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Approximate top-k via sign-LSH buckets with multiprobe.
 
@@ -83,11 +86,30 @@ def lsh_topk(
     (multiprobe trades candidate fan-out for recall — C(nbits, ≤r)
     probes of 2^nbits buckets). Candidates rerank by exact cosine.
     The probe is a plain equi-join on the bucket id — shuffle-sized by
-    the collision rate, never O(Q·N). Tune (nbits, probe_radius) to
-    the corpus: structured embeddings tolerate many bits; data with
-    weak neighborhood structure needs a larger probed fraction.
-    Output schema matches brute_force_topk.
+    the collision rate, never O(Q·N).
+
+    When ``nbits``/``probe_radius`` are omitted they are sized to the
+    corpus via cluster.signlsh_params — the same auto-sizing the
+    ε-pair path uses — with ``neighbor_eps`` as the cosine distance
+    out to which neighbors should still collide (top-k has no ε of
+    its own, so callers state the neighborhood radius they care
+    about; the 0.65 default covers weak-structure corpora where the
+    true top-k sit far out). Bucket count then scales with corpus
+    size (nbits >= log2(N/16)) so per-bucket load stays ~constant at
+    10⁹ rows, and recall at that bit count is bought with probe
+    radius. ``n_rows`` spares the sizing count job when the caller
+    already knows the corpus size. Pass nbits/probe_radius explicitly
+    to pin the tradeoff. Output schema matches brute_force_topk.
     """
+    if nbits is None:
+        from .cluster import signlsh_params
+
+        n = corpus.count() if n_rows is None else n_rows
+        nbits, probe_radius = signlsh_params(
+            neighbor_eps, n, target_recall=target_recall
+        )
+    elif probe_radius is None:
+        probe_radius = 2
     bucket = lsh_bucket_udf(dim, nbits, seed)
     c = corpus.select(
         F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nv")

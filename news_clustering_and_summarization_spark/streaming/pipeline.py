@@ -159,6 +159,7 @@ class ClusteringPipeline:
         eps: float = C.DEFAULT_EPS,
         strategy: str = "auto",
         summarize_backend=None,
+        embed_dim: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -166,6 +167,9 @@ class ClusteringPipeline:
         self.eps = eps
         self.strategy = strategy
         self.summarize_backend = summarize_backend
+        # known embedding width lets the LSH path skip the dim-probe
+        # driver job on every micro-batch (cluster.lsh_candidate_pairs)
+        self.embed_dim = embed_dim
         os.makedirs(state_dir, exist_ok=True)
 
     # paths
@@ -263,6 +267,7 @@ class ClusteringPipeline:
             batch.select("id", "embedding"),
             eps=self.eps,
             strategy=self.strategy,
+            dim=self.embed_dim,
         )
         new_state = res["state"].localCheckpoint(eager=True)
         updates = res["updates"].localCheckpoint(eager=True)
