@@ -1726,8 +1726,61 @@ def q_clustering_quality(spark, sf):
     return clustering_quality(joined, pred_col="cluster_rep", truth_col="label")
 
 
+def q_clustering_eps_sweep(spark, sf):
+    """Quality-vs-eps sweep: the reference's offline epsilon
+    comparison (summarization notebook cell 3 compares cluster files
+    at eps=0.05/0.10/0.15) as one query — one (homogeneity,
+    completeness, v_measure) row per eps. The grid is calibrated to
+    this corpus: synthetic pairwise distances start ~0.62, so the
+    notebook's absolute values would be all-singleton degenerate rows;
+    {0.56, 0.60, 0.64} spans none→some→more merging, which is the
+    sweep's point. Each arm is an independent ε-graph clustering +
+    contingency aggregation; the union is a plan-level UNION ALL so
+    the three arms run as parallel stages, not sequentially."""
+    from functools import reduce
+
+    from ..operators.evaluation import clustering_quality
+
+    emb = load(spark, sf, "embeddings")
+    arms = []
+    for eps in EPS_SWEEP_GRID:
+        assigned = C.cluster_batch(
+            emb, id_col="vec_id", vec_col="embedding", eps=eps,
+            strategy="cross",
+        )
+        joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+        arms.append(
+            clustering_quality(
+                joined, pred_col="cluster_rep", truth_col="label"
+            ).select(
+                F.lit(eps).alias("eps"),
+                "n",
+                "homogeneity",
+                "completeness",
+                "v_measure",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+EPS_SWEEP_GRID = (0.56, 0.60, 0.64)
+
+
+def oracle_clustering_eps_sweep() -> str:
+    arms = [
+        f"SELECT CAST({eps} AS DOUBLE) AS eps, * FROM "
+        f"({_oracle_quality_block(eps)})"
+        for eps in EPS_SWEEP_GRID
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
 def oracle_clustering_quality() -> str:
-    assign = oracle_cluster_assign(eps=0.56).strip().rstrip(";")
+    return _oracle_quality_block(0.56)
+
+
+def _oracle_quality_block(eps: float) -> str:
+    assign = oracle_cluster_assign(eps=eps).strip().rstrip(";")
     return f"""
 WITH assigned AS ({assign}),
 joined AS (
@@ -2987,6 +3040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "cluster_assign": q_cluster_assign,
     "clustering_quality": q_clustering_quality,
+    "clustering_eps_sweep": q_clustering_eps_sweep,
     "cluster_serving": q_cluster_serving,
     "cluster_lsh": q_cluster_lsh,
     "incremental_cluster": q_incremental_cluster,
@@ -3070,6 +3124,7 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": oracle_embedding_outliers(),
     "cluster_assign": oracle_cluster_assign(),
     "clustering_quality": oracle_clustering_quality(),
+    "clustering_eps_sweep": oracle_clustering_eps_sweep(),
     "cluster_serving": oracle_cluster_serving(),
     "incremental_cluster": oracle_incremental_cluster(),
     # Intentionally no oracle (approximate by construction) -> rows-only
