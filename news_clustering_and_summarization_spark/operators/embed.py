@@ -112,6 +112,16 @@ TRANSIENT_ERROR_CLASSES = frozenset(
     }
 )
 
+# Name-matching is scoped to network-transport modules: unrelated
+# libraries reuse names like TimeoutError/ConnectionError for
+# non-network failures where a backoff-retry cannot help. Builtin
+# ConnectionError/TimeoutError subclasses always classify as
+# transient (socket-level by definition) via isinstance instead.
+TRANSIENT_ERROR_MODULES = frozenset(
+    {"botocore", "boto3", "aiobotocore", "urllib3", "aiohttp",
+     "socket", "ssl"}
+)
+
 
 # boto3's default-session client() is not thread-safe; the concurrent
 # summarize fan-out (and any multi-threaded caller) must serialize
@@ -133,8 +143,12 @@ def _error_code(exc: Exception) -> str | None:
 def _is_transient(exc: Exception) -> bool:
     if _error_code(exc) in TRANSIENT_ERROR_CODES:
         return True
+    if isinstance(exc, (ConnectionError, TimeoutError)):
+        return True
     return any(
-        c.__name__ in TRANSIENT_ERROR_CLASSES for c in type(exc).__mro__
+        c.__name__ in TRANSIENT_ERROR_CLASSES
+        and c.__module__.partition(".")[0] in TRANSIENT_ERROR_MODULES
+        for c in type(exc).__mro__
     )
 
 

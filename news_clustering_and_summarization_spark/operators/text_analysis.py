@@ -275,40 +275,58 @@ def repetition_signals(
 # --- cleaning transforms (training-data pipeline) --------------------
 
 # PII patterns kept deliberately simple and auditable. Order matters:
-# emails first (so address digits never half-match), then bare IPv4
-# (before phone, or a long IP like 192.168.100.100 reads as a digit
-# run), then phone-like runs of >=10 digits with separators (>=10 so
-# ISO dates' 8 digits escape). Each replacement token is distinct so
-# downstream counts can attribute what was removed. Both regex
-# dialects in play (Java on the Spark side, RE2 in DuckDB) parse
-# these identically.
+# datetime guard first (see below), then emails (so address digits
+# never half-match), then bare IPv4 (before phone, or a long IP like
+# 192.168.100.100 reads as a digit run), then phone-like runs of >=10
+# digits with separators (>=10 so ISO dates' 8 digits escape). Each
+# replacement token is distinct so downstream counts can attribute
+# what was removed. Both regex dialects in play (Java on the Spark
+# side, RE2 in DuckDB) parse these identically — which rules out
+# lookarounds (RE2 has none), hence the guard trick.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-# each repetition = optional separators then one digit, so >=10 digits
-# with any mix of space/().- between them ("+1 (555) 867-5309" works;
-# an 8-digit ISO date does not)
-PII_PHONE_RE = r"\+?(?:[\s().-]*\d){10,}"
+# leading '+' or digit, then optional separators before each further
+# digit: >=10 digits with any mix of space/().- between them
+# ("+1 (555) 867-5309" works; an 8-digit ISO date does not; the match
+# never starts on a separator, so "call 555-867-5309" keeps its space)
+PII_PHONE_RE = r"\+?\d(?:[\s().-]*\d){9,}"
+# 'YYYY-MM-DD HH:MM:SS' is 10+ digits bridged by -/space before the
+# first colon, so the phone pattern would eat the date + hour. No
+# lookahead in RE2, so instead: temporarily swap the date→time space
+# for a control char outside the phone separator class, scrub, swap
+# back. The middle date field is 1-2 digits (month/day), which keeps
+# real phones like 555-867-5309 (middle group 3 digits) unguarded.
+PII_DATETIME_GUARD_RE = r"(\d{1,4}[-.]\d{1,2}[-.]\d{1,4}) (\d{1,2}:)"
+_GUARD = "\u001f"  # ASCII unit separator: never in the phone class
 
 
 def scrub_pii(col) -> Column:
     """Redact emails, IPv4 addresses, and phone-like numbers with
     typed placeholder tokens. Pure regexp_replace chain — whole-stage
     codegen, replayable in any SQL engine (the oracle uses the same
-    three patterns in the same order)."""
+    patterns in the same order). Datetime strings ('2026-08-14
+    00:22:59') survive intact via the guard described above."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_DATETIME_GUARD_RE, "$1" + _GUARD + "$2")
     c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
     c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
-    return c
+    return F.translate(c, _GUARD, " ")
 
 
 def scrub_pii_sql(expr: str) -> str:
-    return (
+    guarded = (
+        "regexp_replace({e}, '{guard_re}', '\\1{guard}\\2', 'g')"
+    ).format(e=expr, guard_re=PII_DATETIME_GUARD_RE, guard=_GUARD)
+    scrubbed = (
         "regexp_replace(regexp_replace(regexp_replace({e}, "
         "'{email}', '<EMAIL>', 'g'), "
         "'{ip}', '<IP>', 'g'), "
         "'{phone}', '<PHONE>', 'g')"
-    ).format(e=expr, email=PII_EMAIL_RE, ip=PII_IPV4_RE, phone=PII_PHONE_RE)
+    ).format(
+        e=guarded, email=PII_EMAIL_RE, ip=PII_IPV4_RE, phone=PII_PHONE_RE
+    )
+    return "replace({e}, '{guard}', ' ')".format(e=scrubbed, guard=_GUARD)
 
 
 def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
@@ -316,9 +334,13 @@ def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
     occurrences in order — boilerplate/navigation blocks repeat
     verbatim inside crawled pages. Column-only: split, keep positions
     whose trimmed text has no earlier identical paragraph, rejoin.
-    Shuffle-free (per-row array ops)."""
+    Shuffle-free (per-row array ops). ``sep`` is treated as a literal
+    string on both the split and the rejoin (F.split takes a regex, so
+    it is escaped here — '. ' or '|' separators work as written)."""
+    import re
+
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, sep)
+    parts = F.split(c, re.escape(sep))
     idx = F.sequence(F.lit(1), F.size(parts))
     kept = F.filter(
         idx,

@@ -1392,7 +1392,11 @@ def q_scrub_pii(spark, sf):
         F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
         F.lit(" from 10.0."),
         (F.col("doc_id") % 256).cast("string"),
-        F.lit(".7 end"),
+        # datetime survives the phone scrub via the guard (varies by
+        # row so the hash proves guard parity across regex dialects)
+        F.lit(".7 seen 2026-08-14 0"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(":22:59 end"),
     )
     return docs.select(
         "doc_id",
@@ -1410,7 +1414,9 @@ def oracle_scrub_pii() -> str:
         "text || ' contact user' || doc_id::VARCHAR || "
         "'@example.com or +1 (555) 867-53' || "
         "lpad((doc_id % 100)::VARCHAR, 2, '0') || "
-        "' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 end'"
+        "' from 10.0.' || (doc_id % 256)::VARCHAR || "
+        "'.7 seen 2026-08-14 0' || (doc_id % 10)::VARCHAR || "
+        "':22:59 end'"
     )
     return f"""
 SELECT doc_id,

@@ -65,6 +65,7 @@ def start_ingest_embed_stream(
     kafka_payload_encoding: str = "base64",
     kafka_options: dict | None = None,
     raw_kafka_frame=None,
+    dlq_path: str | None = None,
 ):
     """Streaming query #1: raw articles -> embedded parquet.
 
@@ -76,6 +77,17 @@ def start_ingest_embed_stream(
     ``raw_kafka_frame`` injects a pre-built Kafka-shaped streaming
     DataFrame (KAFKA_SOURCE_SCHEMA) so tests can drive the kafka
     decode path without a broker or the connector jar.
+
+    Poison messages (undecodable payloads) never kill the stream: on
+    the kafka path they are counted in the ``kafka_decode`` observed
+    metric (query.lastProgress["observedMetrics"]) and, when
+    ``dlq_path`` is set, teed verbatim to a parquet dead-letter dir
+    via a foreachBatch sink; without ``dlq_path`` they are DROPPED
+    after the metric — operators watch n_corrupt, not row counts.
+    The DLQ variant is at-least-once on crash-replay (foreachBatch
+    re-runs an uncommitted epoch), matching the reference's
+    at-least-once delivery; the default path keeps the parquet sink's
+    exactly-once epoch log.
 
     Returns the StreamingQuery; callers drive it with
     processAllAvailable() in tests or leave it running in production.
@@ -97,9 +109,41 @@ def start_ingest_embed_stream(
                 options=kafka_options,
             )
         )
-        raw = articles_from_kafka(
+        decoded = articles_from_kafka(
             kafka_raw, ARTICLE_SCHEMA, kafka_payload_encoding
-        ).where(F.col("corrupt_record").isNull()).drop("corrupt_record")
+        ).observe(
+            "kafka_decode",
+            F.sum(
+                F.when(F.col("corrupt_record").isNotNull(), 1).otherwise(0)
+            ).alias("n_corrupt"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+        if dlq_path is not None:
+            def _split_sink(batch_df, _epoch_id):
+                # evaluate the batch once (embed UDF upstream), then
+                # route corrupt rows to the DLQ and the rest onward
+                batch_df = batch_df.localCheckpoint(eager=True)
+                bad = batch_df.where(
+                    F.col("corrupt_record").isNotNull()
+                ).select("corrupt_record")
+                if bad.limit(1).count() > 0:
+                    bad.write.mode("append").parquet(dlq_path)
+                good = batch_df.where(
+                    F.col("corrupt_record").isNull()
+                ).drop("corrupt_record")
+                embed_articles(
+                    with_embed_text(preprocess(good)), backend=backend
+                ).write.mode("append").parquet(output_path)
+
+            return (
+                decoded.writeStream.foreachBatch(_split_sink)
+                .option("checkpointLocation", checkpoint_path)
+                .outputMode("append")
+                .start()
+            )
+        raw = decoded.where(
+            F.col("corrupt_record").isNull()
+        ).drop("corrupt_record")
     else:
         raise ValueError(f"source must be 'file' or 'kafka', got {source!r}")
     embedded = embed_articles(

@@ -202,6 +202,11 @@ def test_connection_errors_retry_like_throttles():
     class ReadTimeoutError(Exception):  # botocore-shaped, no .response
         pass
 
+    # botocore-shaped includes the module: name-matching is scoped to
+    # network-transport modules so unrelated libraries' TimeoutErrors
+    # don't retry pointlessly
+    ReadTimeoutError.__module__ = "botocore.exceptions"
+
     calls = []
 
     def flaky():
@@ -223,4 +228,21 @@ def test_connection_errors_retry_like_throttles():
     calls.clear()
     with pytest.raises(RuntimeError, match="AccessDeniedException"):
         _invoke_with_retries(fatal, "op", 3, lambda s: None)
+    assert len(calls) == 1  # fatal codes never retry
+
+    # a name-collision from an unrelated library must NOT retry —
+    # backoff can't fix a non-network TimeoutError
+    class TimeoutError(Exception):  # noqa: A001 - the collision is the point
+        pass
+
+    TimeoutError.__module__ = "somelib.pool"
+
+    def unrelated():
+        calls.append(1)
+        raise TimeoutError("worker pool exhausted")
+
+    calls.clear()
+    with pytest.raises(RuntimeError, match="TimeoutError"):
+        _invoke_with_retries(unrelated, "op", 3, lambda s: None)
+    assert len(calls) == 1
     assert len(calls) == 1

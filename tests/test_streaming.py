@@ -223,3 +223,67 @@ def test_kafka_transport_full_dataflow(spark, tmp_path):
     clusters = pipe.clusters().collect()
     assert all(r["number_of_articles"] == 6 for r in clusters)
     assert all(r["generated_summary"] != "" for r in clusters)
+
+
+def test_kafka_poison_dlq_and_metric(spark, tmp_path):
+    """ST8: poison kafka messages are not silently lost — they land
+    verbatim in the dead-letter parquet dir when dlq_path is set, and
+    the kafka_decode observed metric counts them either way."""
+    import base64
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    arts = [
+        {"id": f"a{i}", "title": f"t{i}", "text": f"story text {i}",
+         "date": "2024-03-01 10:00:00"}
+        for i in range(4)
+    ]
+    kin = tmp_path / "kafka-in"
+    kin.mkdir()
+    payload = base64.b64encode(json.dumps(arts).encode()).decode()
+    with open(kin / "records.json", "w") as f:
+        f.write(json.dumps({"value": payload, "topic": "articles",
+                            "partition": 0, "offset": 0}) + "\n")
+        f.write(json.dumps({"value": "%%%poison-one%%%", "topic": "articles",
+                            "partition": 0, "offset": 1}) + "\n")
+        f.write(json.dumps({"value": "%%%poison-two%%%", "topic": "articles",
+                            "partition": 0, "offset": 2}) + "\n")
+    raw_schema = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    kframe = (
+        spark.readStream.schema(raw_schema).json(str(kin))
+        .withColumn("key", F.lit(None).cast("binary"))
+        .withColumn("value", F.col("value").cast("binary"))
+        .withColumn("timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("timestampType", F.lit(0))
+    )
+    out = str(tmp_path / "embedded")
+    dlq = str(tmp_path / "dlq")
+    q = start_ingest_embed_stream(
+        spark, None, out, str(tmp_path / "ckpt"),
+        source="kafka", raw_kafka_frame=kframe, dlq_path=dlq,
+    )
+    q.processAllAvailable()
+    progress = q.recentProgress
+    q.stop()
+    # good articles embedded, poison quarantined — nothing lost
+    assert spark.read.parquet(out).count() == 4
+    dlq_rows = spark.read.parquet(dlq).collect()
+    assert sorted(r["corrupt_record"] for r in dlq_rows) == [
+        "%%%poison-one%%%", "%%%poison-two%%%",
+    ]
+    # the observed metric exposes the drop rate to operators
+    observed = [
+        p["observedMetrics"]["kafka_decode"]
+        for p in progress
+        if "kafka_decode" in p.get("observedMetrics", {})
+    ]
+    assert sum(m["n_corrupt"] for m in observed) == 2
+    assert sum(m["n_records"] for m in observed) == 6

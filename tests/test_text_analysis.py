@@ -148,6 +148,10 @@ def test_scrub_pii_planted(spark):
         (1, "call +1 (555) 867-5309 today"),
         (2, "server at 192.168.100.100 responded"),
         (3, "released 2024-03-01 version 1.2.3"),  # date/version: untouched
+        # datetimes: date+hour is 10 digits bridged by -/space, which
+        # the phone pattern would eat without the guard step
+        (4, "logged at 2026-08-14 00:22:59 by admin"),
+        (5, "meeting 14.08.2026 9:30 then call 555-867-5309"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["s"] for r in df.select(
@@ -156,6 +160,8 @@ def test_scrub_pii_planted(spark):
     assert got[1] == "call <PHONE> today"
     assert got[2] == "server at <IP> responded"
     assert got[3] == "released 2024-03-01 version 1.2.3"
+    assert got[4] == "logged at 2026-08-14 00:22:59 by admin"
+    assert got[5] == "meeting 14.08.2026 9:30 then call <PHONE>"
 
 
 def test_dedup_paragraphs_planted(spark):
@@ -167,3 +173,28 @@ def test_dedup_paragraphs_planted(spark):
     df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
     out = df.select(dedup_paragraphs("text").alias("d")).collect()[0]["d"]
     assert out == "intro text\n\nboilerplate nav\n\nbody text"
+
+
+def test_dedup_paragraphs_regex_metachar_sep(spark):
+    # sep is literal on both split and rejoin even when it contains
+    # regex metacharacters ('. ' would otherwise split on every
+    # char-followed-by-space; '|' on every position)
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        dedup_paragraphs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta. alpha beta. gamma"), (1, "a|b|a|c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", dedup_paragraphs("text", sep=". ").alias("d")
+        ).collect()
+    }
+    assert got[0] == "alpha beta. gamma"
+    got2 = df.where("doc_id = 1").select(
+        dedup_paragraphs("text", sep="|").alias("d")
+    ).collect()[0]["d"]
+    assert got2 == "a|b|c"
