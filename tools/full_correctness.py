@@ -43,19 +43,11 @@ def _canon(v):
     return v
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(REPO, "CORRECTNESS_FULL.json")
-    )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark = get_spark(
-        "full-correctness", master=f"local[{cpus}]", shuffle_partitions=cpus
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_sweep(spark, sf: str, echo: bool = True) -> tuple[dict, int]:
+    """Run every catalog query at ``sf`` against its oracle; return
+    ({name: result_row}, n_failed). Shared by the CLI below and the
+    pytest gate (tests/test_full_catalog.py) so `pytest tests/` alone
+    certifies the whole catalog every round."""
     results: dict[str, dict] = {}
     bad = 0
     for name, fn in catalog.QUERIES.items():
@@ -107,11 +99,28 @@ def main() -> int:
         if not ok:
             bad += 1
         results[name] = row
-        print(
-            f"{name:26s} {'ok' if ok else 'FAIL':4s} "
-            f"rows={row.get('spark_rows')} {row['sec']}s",
-            flush=True,
-        )
+        if echo:
+            print(
+                f"{name:26s} {'ok' if ok else 'FAIL':4s} "
+                f"rows={row.get('spark_rows')} {row['sec']}s",
+                flush=True,
+            )
+    return results, bad
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, "CORRECTNESS_FULL.json")
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        "full-correctness", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results, bad = run_sweep(spark, sf)
     spark.stop()
     with open(out_path, "w") as f:
         json.dump({"sf_dir": sf, "results": results}, f, indent=1)
