@@ -107,6 +107,41 @@ def test_articles_from_kafka_plain_json(spark):
     assert [r["id"] for r in out.collect()] == ["c"]
 
 
+def test_articles_from_kinesis_adapter(spark):
+    """The Kinesis adapter maps connector-shaped records onto the
+    shared decode path: same wire format, same corrupt-record DLQ
+    semantics; the reader itself is an explicit stub (no connector in
+    Apache Spark)."""
+    import base64
+
+    import pytest as _pytest
+
+    from news_clustering_and_summarization_spark.sources.json_ingest import (
+        KINESIS_SOURCE_SCHEMA,
+        articles_from_kinesis,
+        read_kinesis_stream,
+    )
+
+    good = [
+        {"id": "k1", "title": "t", "text": "x", "date": "2024-01-01 00:00:00"},
+        {"id": "k2", "title": "t", "text": "y", "date": "2024-01-01 00:00:00"},
+    ]
+    payload = base64.b64encode(json.dumps(good).encode()).decode()
+    rows = [
+        (payload.encode(), "articles", "pk-0", "seq-1", None),
+        (b"%%%poison%%%", "articles", "pk-0", "seq-2", None),
+    ]
+    df = spark.createDataFrame(rows, KINESIS_SOURCE_SCHEMA)
+    out = articles_from_kinesis(df)
+    assert sorted(
+        r["id"] for r in out.where("corrupt_record IS NULL").collect()
+    ) == ["k1", "k2"]
+    assert out.where("corrupt_record IS NOT NULL").count() == 1
+
+    with _pytest.raises(NotImplementedError, match="Kinesis"):
+        read_kinesis_stream(spark, "articles", "us-east-1")
+
+
 def test_kafka_tombstones_dropped(spark):
     """Compacted-topic tombstones (value=NULL) are deletions, not
     articles — they must not surface as all-NULL 'good' rows that
