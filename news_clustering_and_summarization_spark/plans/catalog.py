@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as TX
 from ..functions import vectors as V
+from ..operators import bloom as BL
 from ..operators import chunking as CH
 from ..operators import cluster as C
 from ..operators import dedup as D
@@ -967,6 +968,44 @@ SELECT doc_id, md5(text) AS content_hash,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
        count(*) OVER (PARTITION BY md5(text)) AS group_size
 FROM documents
+"""
+
+
+def q_dedup_bloom(spark, sf):
+    """Incremental corpus dedup: "today's batch" (doc_id % 5 == 4)
+    deduped against the standing corpus (the rest) through a
+    distributed Bloom filter + exact verify (operators/bloom.py).
+
+    Semantics are EXACTLY the plain anti-join (the verify step removes
+    Bloom false positives; Bloom filters have no false negatives), so
+    the oracle is a straight NOT IN — the sketch is a pure
+    performance device. At 100 TB the filter is built once, persisted,
+    and each day's batch probes it instead of shuffling the corpus.
+    """
+    docs = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    keyed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    new_batch = keyed.where(F.col("doc_id") % 5 == 4)
+    corpus = keyed.where(F.col("doc_id") % 5 != 4)
+    # Filter sizing needs the corpus cardinality; a real pipeline
+    # carries this as running metadata. Here: parquet row count
+    # (metadata-only scan) as an upper bound — overestimating only
+    # lowers the false-positive rate.
+    n_corpus = load(spark, sf, "documents").count()
+    return BL.dedup_against_corpus(
+        new_batch, corpus, "content_hash", n_corpus_keys=n_corpus
+    )
+
+
+ORACLE_DEDUP_BLOOM = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_hash
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, content_hash
+FROM d
+WHERE doc_id % 5 = 4
+  AND content_hash NOT IN
+      (SELECT content_hash FROM d WHERE doc_id % 5 <> 4)
 """
 
 
@@ -3023,6 +3062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_shipping_priority": q_sql_shipping_priority,
     "stable_ids": q_stable_ids,
     "dedup_exact": q_dedup_exact,
+    "dedup_bloom": q_dedup_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_components": q_dedup_components,
@@ -3109,6 +3149,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "pipeline_e2e": oracle_pipeline_e2e(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_bloom": ORACLE_DEDUP_BLOOM,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
     "dedup_components": oracle_dedup_components(),

@@ -1,0 +1,85 @@
+"""Bloom filter operator (operators/bloom.py): build/probe bit
+arithmetic, no-false-negative guarantee, dense vs sparse probe parity,
+and exact anti-join semantics of dedup_against_corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from news_clustering_and_summarization_spark.operators import bloom as B
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(2000).selectExpr("concat('key-', id) AS k")
+
+
+def test_bloom_params_sizing():
+    m, k = B.bloom_params(1000, 0.01)
+    assert m % 64 == 0
+    # textbook optimum for p=0.01 is ~9.585 bits/key, k ~ 7
+    assert 9 * 1000 <= m <= 11 * 1000
+    assert 6 <= k <= 8
+    # degenerate input doesn't divide by zero
+    assert B.bloom_params(0, 0.01)[0] > 0
+
+
+def test_no_false_negatives(spark, corpus):
+    m, k = B.bloom_params(2000, 0.01)
+    words = B.bloom_build(corpus, "k", m, k)
+    probed = B.bloom_probe(corpus, "k", words, m, k)
+    assert probed.where(~F.col("bloom_maybe")).count() == 0
+
+
+def test_false_positive_rate_near_design(spark, corpus):
+    m, k = B.bloom_params(2000, 0.01)
+    words = B.bloom_build(corpus, "k", m, k)
+    absent = spark.range(2000, 12000).selectExpr("concat('key-', id) AS k")
+    fp = (
+        B.bloom_probe(absent, "k", words, m, k)
+        .where(F.col("bloom_maybe"))
+        .count()
+    )
+    # design fpp 1%; allow generous slack (10k trials)
+    assert fp / 10000 < 0.03
+
+
+def test_dense_sparse_probe_parity(spark, corpus):
+    m, k = B.bloom_params(2000, 0.01)
+    words = B.bloom_build(corpus, "k", m, k)
+    probe = spark.range(1000, 3000).selectExpr("concat('key-', id) AS k")
+    dense = B._probe_dense(probe, "k", words, m, k, "maybe")
+    sparse = B._probe_sparse(probe, "k", words, m, k, "maybe")
+    d = {r["k"]: r["maybe"] for r in dense.collect()}
+    s = {r["k"]: r["maybe"] for r in sparse.collect()}
+    assert d == s
+
+
+def test_dedup_against_corpus_is_exact_anti_join(spark, corpus):
+    new = spark.range(1500, 4000).selectExpr("concat('key-', id) AS k")
+    out = B.dedup_against_corpus(new, corpus, "k", 2000)
+    got = sorted(r["k"] for r in out.collect())
+    want = sorted(f"key-{i}" for i in range(2000, 4000))
+    assert got == want
+
+
+def test_dedup_with_prebuilt_filter(spark, corpus):
+    m, k = B.bloom_params(2000, 0.01)
+    words = B.bloom_build(corpus, "k", m, k)
+    new = spark.range(1990, 2010).selectExpr("concat('key-', id) AS k")
+    out = B.dedup_against_corpus(
+        new, corpus, "k", 2000, bloom_words=words
+    )
+    assert out.count() == 10
+
+
+def test_null_keys_ignored_in_build(spark):
+    src = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    m, k = B.bloom_params(2, 0.01)
+    words = B.bloom_build(src, "k", m, k)
+    # only non-null keys contribute bits: <= 2*k set bits total
+    n_bits = words.selectExpr("sum(bit_count(word)) AS n").collect()[0]["n"]
+    assert 0 < n_bits <= 2 * k
