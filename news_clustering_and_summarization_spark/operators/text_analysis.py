@@ -352,3 +352,234 @@ def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
     return F.array_join(
         F.transform(kept, lambda i: F.element_at(parts, i)), sep
     )
+
+
+# --- cross-document repeated passages --------------------------------
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-passage audit (the signal behind exact
+    substring dedup in Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): a word n-gram
+    occurring in >= ``min_docs`` DISTINCT documents is a repeated
+    passage — boilerplate, licence blocks, syndicated copy.
+
+    Output, one row per document:
+      (id, n_passages, n_repeated, repeated_frac)
+    where n_passages counts the document's DISTINCT n-grams and
+    n_repeated how many of those are corpus-hot. Use as a filter
+    (drop docs above a repeated_frac threshold) or to route docs into
+    the span-removal path.
+
+    Scale shape: distinct shingles per doc (array op, no shuffle),
+    then one explode keyed on the 60-bit shingle hash (longs, not
+    strings, cross the wire), a count aggregate with map-side partial
+    combine, a semi-join of the inverted index against the hot set,
+    and a count back per doc. Unlike candidate-pair generation there
+    is no quadratic term anywhere — this audit is safe on arbitrarily
+    duplicate-ridden corpora, which is exactly when it matters.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            H.word_shingles(H.tokens(text_col), n)
+        ).alias("sh"),
+    )
+    inv = base.select(
+        F.col(id_col), F.explode("sh").alias("g")
+    ).select(F.col(id_col), H.hash64(F.col("g")).alias("gh"))
+    # per-doc shingles are distinct, so count(*) = distinct-doc count
+    hot = (
+        inv.groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    per_doc_hot = (
+        inv.join(hot, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    return (
+        base.select(
+            F.col(id_col), F.size("sh").cast("long").alias("n_passages")
+        )
+        .join(per_doc_hot, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_passages",
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias(
+                "n_repeated"
+            ),
+            F.round(
+                F.coalesce("n_repeated", F.lit(0))
+                / F.greatest("n_passages", F.lit(1)).cast("double"),
+                6,
+            ).alias("repeated_frac"),
+        )
+    )
+
+
+def repeated_passages_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> str:
+    sh = H.word_shingles_sql(H.tokens_sql(text_col), n)
+    gh = H.hash64_sql("g")
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT {id_col} AS id, list_distinct({sh}) AS sh FROM {table}
+),
+inv AS MATERIALIZED (
+  SELECT id, {gh} AS gh
+  FROM (SELECT id, unnest(sh) AS g FROM s)
+),
+hot AS (SELECT gh FROM inv GROUP BY gh HAVING count(*) >= {min_docs}),
+per_doc AS (
+  SELECT id, count(*) AS n_repeated
+  FROM inv JOIN hot USING (gh) GROUP BY id
+)
+SELECT s.id AS {id_col},
+       len(s.sh)::BIGINT AS n_passages,
+       coalesce(p.n_repeated, 0)::BIGINT AS n_repeated,
+       round(coalesce(p.n_repeated, 0) /
+             greatest(len(s.sh), 1)::DOUBLE, 6) AS repeated_frac
+FROM s LEFT JOIN per_doc p ON s.id = p.id
+"""
+
+
+# --- hashed-feature linear quality classifier ------------------------
+# The fasttext-shaped scoring path every big corpus build runs (e.g.
+# CCNet / LLaMA-style "page quality" filters): tokens -> hashing-trick
+# buckets -> learned weight per bucket -> per-doc linear score. The
+# weights here are a DataFrame (bucket, weight) broadcast into the
+# join, so a real model exported from any trainer drops in unchanged;
+# the engine contract is the lookup + aggregation shape, not the
+# values. Weights are INTEGER (fixed-point) so the per-doc sum is
+# exact and order-free — both engines agree bit-for-bit; the single
+# float division happens once at the edge.
+
+CLASSIFIER_SEED = 7
+
+
+def token_buckets(text_col: Column | str, n_buckets: int) -> Column:
+    """Hashing-trick feature ids: 60-bit md5 token hash mod buckets
+    (cross-engine reproducible via functions/hashing.py)."""
+    return F.transform(
+        H.tokens(text_col),
+        lambda t: H.hash64(t, seed=CLASSIFIER_SEED) % n_buckets,
+    )
+
+
+def token_buckets_sql(expr: str, n_buckets: int) -> str:
+    h = H.hash64_sql("t", seed=CLASSIFIER_SEED)
+    return (
+        f"list_transform({H.tokens_sql(expr)}, t -> {h} % {n_buckets})"
+    )
+
+
+def demo_weights(spark, n_buckets: int) -> DataFrame:
+    """Deterministic stand-in weight table (fixed-point ints in
+    [-6, 6]); replace with a trained model's export in production."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 13) - 6).cast("long").alias("weight"),
+    )
+
+
+DEMO_WEIGHTS_SQL = """
+SELECT range AS bucket, (range % 13) - 6 AS weight
+FROM range({n})
+"""
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    scale: float = 6.0,
+) -> DataFrame:
+    """Score = sum(weight[bucket(token)]) over token INSTANCES
+    (bag-of-words with multiplicity), normalized by scale*n_tokens.
+
+    Output: (id, n_tokens, score_raw, score, keep) with
+    keep = score_raw >= 0.
+
+    Plan: explode buckets -> broadcast-join the weight table (a
+    hashing-trick model is n_buckets rows — a few MB even at fasttext
+    scale) -> one groupBy(id). The raw sum is integer, so partial
+    aggregation order cannot perturb the result.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(token_buckets(text_col, n_buckets)).alias("bucket"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("weight").alias("score_raw"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("score_raw", F.lit(0)).cast("long").alias(
+                "score_raw"
+            ),
+            F.round(
+                F.coalesce("score_raw", F.lit(0))
+                / (
+                    F.lit(scale)
+                    * F.greatest(
+                        F.coalesce("n_tokens", F.lit(0)), F.lit(1)
+                    )
+                ),
+                6,
+            ).alias("score"),
+            (F.coalesce("score_raw", F.lit(0)) >= 0).alias("keep"),
+        )
+    )
+
+
+def hashed_linear_score_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    scale: float = 6.0,
+) -> str:
+    buckets = token_buckets_sql(text_col, n_buckets)
+    weights = DEMO_WEIGHTS_SQL.format(n=n_buckets)
+    return f"""
+WITH w AS MATERIALIZED ({weights}),
+toks AS (
+  SELECT {id_col} AS id, unnest({buckets}) AS bucket FROM {table}
+),
+scored AS (
+  SELECT id, count(*) AS n_tokens, sum(w.weight) AS score_raw
+  FROM toks JOIN w USING (bucket) GROUP BY id
+)
+SELECT d.{id_col},
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.score_raw, 0)::BIGINT AS score_raw,
+       round(coalesce(s.score_raw, 0) /
+             ({scale} * greatest(coalesce(s.n_tokens, 0), 1)), 6) AS score,
+       coalesce(s.score_raw, 0) >= 0 AS keep
+FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.id
+"""

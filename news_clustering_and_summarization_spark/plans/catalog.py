@@ -1557,6 +1557,30 @@ LEFT JOIN ba ON ba.doc_id = docs.doc_id
 """
 
 
+REPEATED_PASSAGE_N = 5
+REPEATED_PASSAGE_MIN_DOCS = 2
+
+
+def q_repeated_passages(spark, sf):
+    """Cross-document repeated-passage audit (text_analysis.
+    repeated_passages): fraction of each doc's distinct 5-grams that
+    occur in >= 2 distinct documents corpus-wide."""
+    docs = load(spark, sf, "documents")
+    return TA.repeated_passages(
+        docs, n=REPEATED_PASSAGE_N, min_docs=REPEATED_PASSAGE_MIN_DOCS
+    )
+
+
+def q_quality_classifier(spark, sf):
+    """Hashing-trick linear quality scorer (text_analysis.
+    hashed_linear_score) with the deterministic demo weight table —
+    the fasttext-shaped filter pass of a corpus build. Exact
+    fixed-point arithmetic so both engines agree bit-for-bit."""
+    docs = load(spark, sf, "documents")
+    weights = TA.demo_weights(spark, 1024)
+    return TA.hashed_linear_score(docs, weights, n_buckets=1024)
+
+
 def q_mix_datasets(spark, sf):
     """Weighted corpus mixture: even-id docs oversampled at 1.5x
     (one whole copy + a content-addressed half sample), odd-id docs
@@ -3079,6 +3103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "scrub_pii": q_scrub_pii,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "repeated_passages": q_repeated_passages,
+    "quality_classifier": q_quality_classifier,
     "decontaminate": q_decontaminate,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -3164,6 +3190,10 @@ ORACLES: dict[str, str] = {
     "repetition_signals": oracle_repetition(),
     "scrub_pii": oracle_scrub_pii(),
     "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
+    "repeated_passages": TA.repeated_passages_sql(
+        n=REPEATED_PASSAGE_N, min_docs=REPEATED_PASSAGE_MIN_DOCS
+    ),
+    "quality_classifier": TA.hashed_linear_score_sql(n_buckets=1024),
     "decontaminate": oracle_decontaminate(),
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),

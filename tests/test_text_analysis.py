@@ -198,3 +198,66 @@ def test_dedup_paragraphs_regex_metachar_sep(spark):
         dedup_paragraphs("text", sep="|").alias("d")
     ).collect()[0]["d"]
     assert got2 == "a|b|c"
+
+
+def test_repeated_passages_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 2 distinct 5-grams
+    rows = [
+        (0, shared + " one unique tail here now"),
+        (1, shared + " two other ending words go"),
+        (2, "totally different text with no overlap at all present"),
+        (3, "tiny doc"),  # < 5 tokens -> zero passages
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in TA.repeated_passages(df, n=5, min_docs=2).collect()
+    }
+    # docs 0/1 share exactly the 2 5-grams inside `shared`
+    assert got[0]["n_repeated"] == 2 and got[1]["n_repeated"] == 2
+    assert got[2]["n_repeated"] == 0
+    assert got[3]["n_passages"] == 0 and got[3]["repeated_frac"] == 0.0
+    assert got[0]["n_passages"] == 7  # 11 tokens -> 7 5-grams
+    assert got[0]["repeated_frac"] == round(2 / 7, 6)
+
+
+def test_quality_classifier_exact_and_sparse_weights(spark):
+    df = spark.createDataFrame(
+        [(0, "aa bb cc aa"), (1, "")], "doc_id long, text string"
+    )
+    w = TA.demo_weights(spark, 64)
+    got = {
+        r["doc_id"]: r
+        for r in TA.hashed_linear_score(df, w, n_buckets=64).collect()
+    }
+    # token multiplicity counts: 4 token instances
+    assert got[0]["n_tokens"] == 4
+    assert got[1]["n_tokens"] == 0 and got[1]["score"] == 0.0
+    assert got[0]["keep"] == (got[0]["score_raw"] >= 0)
+    # sparse weight table: unmatched buckets drop out of the sum
+    w1 = w.where(F.col("bucket") < 1)  # nearly empty model
+    got1 = {
+        r["doc_id"]: r
+        for r in TA.hashed_linear_score(df, w1, n_buckets=64).collect()
+    }
+    assert got1[0]["n_tokens"] <= 4
+
+
+def test_repeated_passages_oracle(spark, duck):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert_matches_oracle(
+        TA.repeated_passages(docs, n=3, min_docs=2),
+        duck,
+        TA.repeated_passages_sql(n=3, min_docs=2),
+    )
+
+
+def test_quality_classifier_oracle(spark, duck):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert_matches_oracle(
+        TA.hashed_linear_score(
+            docs, TA.demo_weights(spark, 256), n_buckets=256
+        ),
+        duck,
+        TA.hashed_linear_score_sql(n_buckets=256),
+    )
