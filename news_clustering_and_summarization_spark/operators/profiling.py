@@ -44,3 +44,47 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rsd: float = 0.05,
+    tolerance_mult: float = 5.0,
+) -> DataFrame:
+    """Per-group cardinality profile that CERTIFIES its own sketch:
+    computes both ``approx_count_distinct`` (HyperLogLog++, the only
+    thing you'd run at 100 TB) and the exact distinct count, and
+    asserts inside the plan that the sketch landed within
+    ``tolerance_mult * rsd`` relative error. Output columns are the
+    exact values plus ``sketch_ok`` — so a plain SQL oracle can
+    hash-verify the row content while the assert certifies the
+    HLL path executed and met its contract.
+
+    At real scale you'd drop the exact leg and keep only the sketch;
+    this operator exists to pin the sketch's error envelope in CI
+    before you trust it alone.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(key_col).alias("n_distinct"),
+        F.approx_count_distinct(key_col, rsd).alias("_n_approx"),
+    )
+    rel_err = F.abs(F.col("_n_approx") - F.col("n_distinct")) / F.greatest(
+        F.col("n_distinct"), F.lit(1)
+    ).cast("double")
+    return agg.select(
+        group_col,
+        "n_rows",
+        "n_distinct",
+        F.assert_true(
+            rel_err <= F.lit(tolerance_mult * rsd),
+            F.concat(
+                F.lit(f"HLL sketch outside {tolerance_mult}x rsd: "),
+                F.col("_n_approx").cast("string"),
+                F.lit(" vs exact "),
+                F.col("n_distinct").cast("string"),
+            ),
+        ).isNull().alias("sketch_ok"),
+    )

@@ -154,3 +154,50 @@ def range_join(
         *[F.col(c) for c in left.columns],
         *[F.col(rename[c]) for c in right.columns],
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: one row per (key, consecutive run of identical ``attrs``),
+    with validity interval and version number.
+
+    Output = key + attrs + (valid_from, valid_to, version,
+    is_current); valid_to is NULL on the current row. The batch
+    analogue of the reference's DynamoDB upsert stream (SURVEY §2.1
+    S10) when you need the full audit trail, and the standard shape
+    for training-data snapshots ("which labels were live on date X").
+
+    Plan: both window passes share one partitioning (key) and one sort
+    (ts, tiebreak) — Catalyst plans a single Exchange + Sort; change
+    detection is a lag() compare, interval closure a lead(). No
+    joins, no second shuffle.
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = F.lit(False)
+    for a in attrs:
+        prev = F.lag(a).over(w)
+        changed = changed | prev.isNull() | (prev != F.col(a)) | (
+            prev.isNotNull() & F.col(a).isNull()
+        )
+    # first row per key: lag(ts) is NULL -> changed via prev.isNull()
+    # only if the attr is non-null; force it explicitly instead
+    first_row = F.lag(ts).over(w).isNull()
+    log = df.withColumn("_chg", first_row | changed).where("_chg")
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return log.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )

@@ -2450,6 +2450,70 @@ ORACLE_PROFILE = " UNION ALL ".join(
 )
 
 
+def q_sketch_profile(spark, sf):
+    """Per-source document cardinalities with a SELF-CERTIFYING HLL
+    sketch (profiling.sketch_profile): approx_count_distinct runs
+    next to the exact count and an in-plan assert pins its relative
+    error; the oracle hash-verifies the exact values, so a green row
+    certifies both legs."""
+    from ..operators.profiling import sketch_profile
+
+    docs = load(spark, sf, "documents")
+    return sketch_profile(docs, "source", "text", rsd=0.05)
+
+
+ORACLE_SKETCH_PROFILE = """
+SELECT source, count(*) AS n_rows,
+       count(DISTINCT text) AS n_distinct,
+       true AS sketch_ok
+FROM documents
+GROUP BY source
+"""
+
+
+def q_scd2_history(spark, sf):
+    """Type-2 SCD build over the events change log (temporal.
+    scd2_history): per-user runs of identical event_type become
+    versioned validity intervals. One Exchange + one Sort serve both
+    window passes."""
+    from ..operators.temporal import scd2_history
+
+    ev = load(spark, sf, "events")
+    hist = scd2_history(
+        ev, key="user_id", ts="ts", attrs=["event_type"],
+        tiebreak="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER w IS NULL OR lag(event_type) OVER w IS DISTINCT
+           FROM event_type AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+log AS (SELECT * FROM ordered WHERE chg)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       row_number() OVER w2 AS version,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM log
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_grouping_sets(spark, sf):
     """Explicit GROUPING SETS — ((returnflag), (linestatus)): two
     independent aggregate views in ONE scan + Expand (not two scans
@@ -3072,6 +3136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame_window": q_range_frame_window,
     "grouping_sets": q_grouping_sets,
     "profile_columns": q_profile_columns,
+    "sketch_profile": q_sketch_profile,
+    "scd2_history": q_scd2_history,
     "sample_hash": q_sample_hash,
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
@@ -3160,6 +3226,8 @@ ORACLES: dict[str, str] = {
     "range_frame_window": ORACLE_RANGE_FRAME,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "profile_columns": ORACLE_PROFILE,
+    "sketch_profile": ORACLE_SKETCH_PROFILE,
+    "scd2_history": ORACLE_SCD2,
     "sample_hash": oracle_sample_hash(),
     "sample_split": oracle_sample_split(),
     "sample_stratified": oracle_sample_stratified(),

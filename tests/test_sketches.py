@@ -75,3 +75,37 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         assert sorted(ids) == ["a", "b"], ids
     finally:
         q.stop()
+
+
+def test_sketch_profile_certifies_and_matches(spark, duck):
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        sketch_profile,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = sketch_profile(docs, "source", "text", rsd=0.05)
+    assert_matches_oracle(
+        out,
+        duck,
+        """
+        SELECT source, count(*) AS n_rows,
+               count(DISTINCT text) AS n_distinct, true AS sketch_ok
+        FROM documents GROUP BY source
+        """,
+    )
+
+
+def test_sketch_profile_assert_fires_on_impossible_tolerance(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        sketch_profile,
+    )
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bad = sketch_profile(
+        docs, "source", "text", rsd=0.05, tolerance_mult=0.0
+    )
+    with _pytest.raises(SparkRuntimeException):
+        bad.collect()

@@ -104,3 +104,56 @@ def test_range_join_bucket_boundary(spark):
         range_seconds=3600,
     ).collect()
     assert [r["rid"] for r in got] == [9]
+
+
+def test_scd2_history_planted(spark):
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        scd2_history,
+    )
+
+    rows = [
+        # user 1: A A B A  -> versions A, B, A (middle dup collapsed)
+        (1, "2026-01-01 00:00:00", 10, "A"),
+        (1, "2026-01-01 01:00:00", 11, "A"),
+        (1, "2026-01-01 02:00:00", 12, "B"),
+        (1, "2026-01-01 03:00:00", 13, "A"),
+        # user 2: single row -> one current version
+        (2, "2026-01-01 00:30:00", 20, "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(
+        df, key="user_id", ts="ts", attrs=["event_type"],
+        tiebreak="event_id",
+    )
+    got = sorted(
+        (
+            r["user_id"], r["version"], r["event_type"],
+            str(r["valid_from"]), str(r["valid_to"]), r["is_current"],
+        )
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, 1, "A", "2026-01-01 00:00:00", "2026-01-01 02:00:00", False),
+        (1, 2, "B", "2026-01-01 02:00:00", "2026-01-01 03:00:00", False),
+        (1, 3, "A", "2026-01-01 03:00:00", "None", True),
+        (2, 1, "Z", "2026-01-01 00:30:00", "None", True),
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    """Both window passes must share one shuffle."""
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        scd2_history,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1, "A")],
+        "user_id int, ts string, event_id int, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        scd2_history(df, "user_id", "ts", ["event_type"], "event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
