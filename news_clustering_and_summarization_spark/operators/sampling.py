@@ -165,3 +165,39 @@ def leakage_safe_split(
             F.when(b < cut, F.lit("test")).otherwise(F.lit("train")),
         )
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str,
+    quality_col: str,
+    id_col: str,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget:
+    order documents by (quality desc, id) and keep the longest prefix
+    whose cumulative token count stays within ``budget`` — the
+    standard "best B tokens" curriculum/selection step of a training
+    mix. With ``shard_col`` the budget applies PER SHARD (per
+    language, per source, ...), and each shard's window sorts
+    independently — parallel, no global ordering. Without it the
+    selection is a single global window: correct, but sized for
+    budget-selection over an already-aggregated candidate set, not
+    for a raw 100 TB table (give it a shard key there).
+
+    Output: the selected rows + cum_tokens (inclusive running total).
+    Deterministic: ties on quality break on id.
+    """
+    parts = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.desc(quality_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -583,3 +583,100 @@ SELECT d.{id_col},
        coalesce(s.score_raw, 0) >= 0 AS keep
 FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.id
 """
+
+
+# --- collocation mining ----------------------------------------------
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus collocations: consecutive word bigrams ranked by lift
+    (= exp(PMI)): N * c(w1 w2) / (c(w1) * c(w2)). The phrase-mining
+    scan used to seed tokenizer merges and multi-word expressions.
+
+    Determinism: counts are exact integers; the score is one fixed
+    expression tree of IEEE double ops (((c12*N)/c1)/c2 — multiplies
+    and divides are order-pinned, unlike sums), so both engines agree
+    bit-for-bit before the final round. No log: log is monotone, so
+    ranking by lift IS ranking by PMI, without trusting libm parity.
+
+    Plan: two explode+count aggregations (map-side partial combine,
+    token-keyed shuffles), two hash joins of bigrams against the
+    unigram table, a broadcast of the O(1)-row corpus total, and a
+    TakeOrdered for the top-k — no global sort.
+    """
+    tok = df.select(H.tokens(text_col).alias("t"))
+    uni = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("double").alias("n_total"))
+    big = (
+        tok.select(F.explode(H.word_shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bg",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.col("c12").cast("double")
+                * F.col("n_total")
+                / F.col("c1").cast("double")
+                / F.col("c2").cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bg")
+        .limit(top_k)
+    )
+
+
+def collocations_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> str:
+    tok = H.tokens_sql(text_col)
+    big = H.word_shingles_sql("t", 2)
+    return f"""
+WITH tok AS MATERIALIZED (SELECT {tok} AS t FROM {table}),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+),
+total AS (SELECT sum(c)::DOUBLE AS n_total FROM uni),
+big AS (
+  SELECT bg, count(*) AS c12,
+         split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM (SELECT unnest({big}) AS bg FROM tok)
+  GROUP BY bg HAVING count(*) >= {min_count}
+)
+SELECT bg, c12, u1.c AS c1, u2.c AS c2,
+       round(c12::DOUBLE * total.n_total / u1.c::DOUBLE / u2.c::DOUBLE, 6)
+         AS lift
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN total
+ORDER BY lift DESC, bg
+LIMIT {top_k}
+"""

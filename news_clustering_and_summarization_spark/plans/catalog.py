@@ -1581,6 +1581,43 @@ def q_quality_classifier(spark, sf):
     return TA.hashed_linear_score(docs, weights, n_buckets=1024)
 
 
+def q_collocations(spark, sf):
+    """Collocation mining (text_analysis.collocations): top-50 word
+    bigrams by lift (= exp PMI), exact integer counts, order-pinned
+    double expression for the score — no libm log in either engine."""
+    docs = load(spark, sf, "documents")
+    return TA.collocations(docs, min_count=5, top_k=50)
+
+
+def q_select_token_budget(spark, sf):
+    """Budgeted corpus selection (sampling.select_token_budget):
+    highest-quality-first greedy prefix per language shard under a
+    20k-char budget, n_chars standing in for both the quality key and
+    the token cost on the synthetic corpus."""
+    from ..operators.sampling import select_token_budget
+
+    docs = load(spark, sf, "documents")
+    return select_token_budget(
+        docs.select("doc_id", "lang", "n_chars"),
+        budget=20_000,
+        tokens_col="n_chars",
+        quality_col="n_chars",
+        id_col="doc_id",
+        shard_col="lang",
+    )
+
+
+ORACLE_TOKEN_BUDGET = """
+SELECT doc_id, lang, n_chars, cum_tokens FROM (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM documents)
+WHERE cum_tokens <= 20000
+"""
+
+
 def q_mix_datasets(spark, sf):
     """Weighted corpus mixture: even-id docs oversampled at 1.5x
     (one whole copy + a content-addressed half sample), odd-id docs
@@ -3171,6 +3208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "repeated_passages": q_repeated_passages,
     "quality_classifier": q_quality_classifier,
+    "collocations": q_collocations,
+    "select_token_budget": q_select_token_budget,
     "decontaminate": q_decontaminate,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -3262,6 +3301,8 @@ ORACLES: dict[str, str] = {
         n=REPEATED_PASSAGE_N, min_docs=REPEATED_PASSAGE_MIN_DOCS
     ),
     "quality_classifier": TA.hashed_linear_score_sql(n_buckets=1024),
+    "collocations": TA.collocations_sql(min_count=5, top_k=50),
+    "select_token_budget": ORACLE_TOKEN_BUDGET,
     "decontaminate": oracle_decontaminate(),
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),

@@ -135,3 +135,42 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     again = {r["doc_id"]: r["split"]
              for r in leakage_safe_split(df, test_fraction=0.5, seed=3).collect()}
     assert again == {k: v["split"] for k, v in by_id.items()}
+
+
+def test_select_token_budget_greedy_prefix(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    rows = [  # (id, shard, tokens, quality)
+        (1, "en", 500, 0.9),
+        (2, "en", 400, 0.8),
+        (3, "en", 300, 0.7),   # cum 1200 > 1000 -> excluded
+        (4, "de", 999, 0.1),
+        (5, "de", 2, 0.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, lang string, n_tok int, q double"
+    )
+    out = select_token_budget(
+        df, budget=1000, tokens_col="n_tok", quality_col="q",
+        id_col="doc_id", shard_col="lang",
+    )
+    got = sorted((r["doc_id"], r["cum_tokens"]) for r in out.collect())
+    # en: 1(500), 2(900); de: 5(2) then 4 would hit 1001 -> out
+    assert got == [(1, 500), (2, 900), (5, 2)]
+
+
+def test_select_token_budget_tie_break_on_id(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(2, 10, 1.0), (1, 10, 1.0)], "doc_id int, n_tok int, q double"
+    )
+    out = select_token_budget(
+        df, budget=10, tokens_col="n_tok", quality_col="q",
+        id_col="doc_id",
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]

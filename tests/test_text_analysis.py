@@ -261,3 +261,29 @@ def test_quality_classifier_oracle(spark, duck):
         duck,
         TA.hashed_linear_score_sql(n_buckets=256),
     )
+
+
+def test_collocations_planted(spark):
+    rows = [(i, "strong coffee " + ("word%d other%d " % (i, i)) * 3)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TA.collocations(df, min_count=5, top_k=10).collect()
+    got = {r["bg"]: r for r in out}
+    # 'strong coffee' occurs 10x, always adjacent, each word only in
+    # that pair (+start); a perfect collocation must rank and score
+    assert "strong coffee" in got
+    r = got["strong coffee"]
+    assert r["c12"] == 10 and r["c1"] == 10 and r["c2"] == 10
+    # lift = c12*N/(c1*c2) = 10*N/100 = N/10 where N = total tokens
+    n_total = sum(len(t.split()) for _, t in rows)
+    assert r["lift"] == round(10 * n_total / 100.0, 6)
+
+
+def test_collocations_oracle_smoke(spark, duck):
+    from tests.conftest import SF_SMOKE as _SF
+    docs = spark.read.parquet(f"{_SF}/documents.parquet")
+    assert_matches_oracle(
+        TA.collocations(docs, min_count=3, top_k=25),
+        duck,
+        TA.collocations_sql(min_count=3, top_k=25),
+    )
