@@ -219,3 +219,23 @@ def dedup_against_corpus(
         .join(corpus_keys.select(key).distinct(), key, "left_anti")
     )
     return definitely_new.unionByName(survivors)
+
+
+def bloom_merge(*word_tables: DataFrame) -> DataFrame:
+    """Union Bloom filters built with the SAME (m_bits, k): bitwise
+    OR of their word tables. This is the incremental-maintenance
+    step: after accepting today's novel rows, fold their keys'
+    filter into the persisted corpus filter —
+    ``bloom_merge(old_words, bloom_build(novel, key, m, k))`` —
+    and write it back; tomorrow's batch probes the merged filter.
+    No rescan of history, ever. (Bloom union is exact: the merged
+    filter equals the filter built over the union of key sets.)
+    """
+    if not word_tables:
+        raise ValueError("bloom_merge needs at least one word table")
+    out = word_tables[0]
+    for t in word_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word_idx").agg(
+        F.expr("bit_or(word)").alias("word")
+    )

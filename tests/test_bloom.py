@@ -83,3 +83,36 @@ def test_null_keys_ignored_in_build(spark):
     # only non-null keys contribute bits: <= 2*k set bits total
     n_bits = words.selectExpr("sum(bit_count(word)) AS n").collect()[0]["n"]
     assert 0 < n_bits <= 2 * k
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    a = spark.range(0, 700).selectExpr("concat('k', id) AS k")
+    b = spark.range(700, 1400).selectExpr("concat('k', id) AS k")
+    full = spark.range(0, 1400).selectExpr("concat('k', id) AS k")
+    m, k = B.bloom_params(1400, 0.01)
+    merged = B.bloom_merge(
+        B.bloom_build(a, "k", m, k), B.bloom_build(b, "k", m, k)
+    )
+    direct = B.bloom_build(full, "k", m, k)
+    mm = {r["word_idx"]: r["word"] for r in merged.collect()}
+    dd = {r["word_idx"]: r["word"] for r in direct.collect()}
+    assert mm == dd
+
+
+def test_incremental_daily_flow(spark, tmp_path):
+    """Day 1 builds + persists the filter; day 2 probes the parquet
+    round-trip without touching day-1 data."""
+    m, k = B.bloom_params(1000, 0.01)
+    day1 = spark.range(1000).selectExpr("concat('k', id) AS k")
+    path = str(tmp_path / "bloom_words")
+    B.bloom_build(day1, "k", m, k).write.parquet(path)
+    words = spark.read.parquet(path)
+    day2 = spark.range(900, 1100).selectExpr("concat('k', id) AS k")
+    novel = B.dedup_against_corpus(
+        day2, day1, "k", 1000, bloom_words=words
+    )
+    assert novel.count() == 100
+    # fold day-2 novelties in; day 3 sees them as known
+    words2 = B.bloom_merge(words, B.bloom_build(novel, "k", m, k))
+    again = B.bloom_probe(day2, "k", words2, m, k)
+    assert again.where("NOT bloom_maybe").count() == 0
