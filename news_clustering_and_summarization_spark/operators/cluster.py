@@ -44,6 +44,10 @@ from ..functions import vectors as V
 
 DEFAULT_EPS = 0.10  # reference process_records.py:304
 LSH_THRESHOLD = 20_000  # pool size above which cross-join is replaced
+# lsh_candidate_pairs re-attaches vectors to the verified candidate
+# set by broadcast when the whole vector table provably fits; 64 MiB
+# of packed doubles is well inside executor broadcast budgets.
+_VEC_BROADCAST_BYTES = 64 << 20
 # Below these sizes the ε-graph fits trivially on the driver and a
 # local union-find beats rounds of distributed joins (same planner
 # heuristic as the broadcast side of brute_force_pairs — the driver
@@ -258,20 +262,45 @@ def lsh_candidate_pairs(
         dim = len(first[0])
     bucket = lsh_bucket_udf(dim, nbits, seed)
 
-    l = left.select(
+    # The probe explode multiplies the left side by len(masks) (172
+    # rows per input at nbits=18, r=2). Carrying the vector through
+    # that explode shuffles |left| * len(masks) * dim doubles through
+    # the bucket join (~4.4 GB at 50k x 64); so the join runs on
+    # (id, bucket) pairs ONLY and vectors are re-attached to the far
+    # smaller verified-candidate set afterwards — broadcast-attached
+    # when the vector tables are provably small (n_rows & dim known,
+    # under _VEC_BROADCAST_BYTES), hash-join otherwise.
+    l_vecs = left.select(
         F.col(id_col).alias("l_id"), F.col(vec_col).alias("_lv")
-    ).withColumn("_b0", bucket(F.col("_lv").cast("array<double>")))
+    )
+    r_vecs = right.select(
+        F.col(id_col).alias("r_id"), F.col(vec_col).alias("_rv")
+    )
+    lb = l_vecs.withColumn(
+        "_b0", bucket(F.col("_lv").cast("array<double>"))
+    )
     masks = probe_masks(nbits, probe_radius)
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )
-    l = l.select("l_id", "_lv", F.explode(probes).alias("_bucket"))
-    r = right.select(
-        F.col(id_col).alias("r_id"), F.col(vec_col).alias("_rv")
-    ).withColumn("_bucket", bucket(F.col("_rv").cast("array<double>")))
-    return (
-        l.join(r, "_bucket")
+    lb = lb.select("l_id", F.explode(probes).alias("_bucket"))
+    rb = r_vecs.withColumn(
+        "_bucket", bucket(F.col("_rv").cast("array<double>"))
+    ).select("r_id", "_bucket")
+    cand = (
+        lb.join(rb, "_bucket")
         .where(F.col("l_id") != F.col("r_id"))
+        .select("l_id", "r_id")
+    )
+    small = (
+        n_rows is not None
+        and n_rows * dim * 8 <= _VEC_BROADCAST_BYTES
+    )
+    if small:
+        l_vecs, r_vecs = F.broadcast(l_vecs), F.broadcast(r_vecs)
+    return (
+        cand.join(l_vecs, "l_id")
+        .join(r_vecs, "r_id")
         .withColumn("dist", V.cosine_distance(F.col("_lv"), F.col("_rv")))
         .where(F.col("dist") <= eps)
         .select("l_id", "r_id", "dist")

@@ -1751,9 +1751,12 @@ def q_cluster_lsh(spark, sf):
     # well inside eps (family dist ~0.05 « 0.10), so extra selectivity
     # costs ~4% sampled recall (0.74 vs 0.79 measured at 50k) while
     # cutting the candidate join ~3x in wall time
+    # n_rows (metadata-only count * inflate factor) engages the
+    # broadcast vector-attach inside lsh_candidate_pairs: 50k x 64
+    # doubles = 25 MB, under the 64 MiB gate
     edges = C.lsh_candidate_pairs(
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
-        nbits=18, dim=64,
+        nbits=18, dim=64, n_rows=emb.count() * 25,
     ).localCheckpoint(eager=True)
     sample = inflated.where(F.pmod(F.hash("vec_id"), F.lit(50)) == 0)
     # checkpoint: exact feeds both the recall semi-join and the
