@@ -86,3 +86,97 @@ def cosine_distance_sql(a: str, b: str) -> str:
     return "greatest(0.0, least(1.0, 1.0 - {dot} / ({na} * {nb})))".format(
         dot=dot_sql(a, b), na=norm_sql(a), nb=norm_sql(b)
     )
+
+
+# --- embedding compression (engine extension) ------------------------
+# Johnson-Lindenstrauss random projection + int8 quantization: the two
+# standard levers for cutting 100 TB of embeddings down before ANN /
+# storage. Both are pure zero-shuffle projections; both are exactly
+# reproducible cross-engine (the sign matrix is generated driver-side
+# from md5 and embedded as LITERALS in whichever engine runs it, and
+# every float expression is an order-pinned chain).
+
+
+def rademacher_signs(dim: int, k: int, seed: int = 42) -> list[list[float]]:
+    """k rows of dim +/-1.0 signs, deterministic in (dim, k, seed):
+    sign_ij = +1 iff the first hex digit of md5(f"{seed}|{j}|{i}") is
+    even. No RNG state — any process regenerates the same matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def project_jl(vec: Column, signs: list[list[float]]) -> Column:
+    """Project to len(signs) dims: out_j = dot(vec, signs_j) / sqrt(k).
+    Rademacher JL: preserves pairwise distances within (1 +/- eps) for
+    k = O(log n / eps^2) — e.g. 64 -> 16 keeps cosine neighborhoods
+    while cutting ANN FLOPs and storage 4x."""
+    import math
+
+    inv = 1.0 / math.sqrt(len(signs))
+    return F.array(
+        *[
+            (
+                dot(vec, F.array(*[F.lit(s) for s in row])) * F.lit(inv)
+            )
+            for row in signs
+        ]
+    )
+
+
+def project_jl_sql(expr: str, signs: list[list[float]]) -> str:
+    import math
+
+    inv = 1.0 / math.sqrt(len(signs))
+    outs = []
+    for row in signs:
+        arr = "[" + ", ".join(str(s) for s in row) + "]"
+        outs.append(f"({dot_sql(expr, arr)} * {inv!r})")
+    return "[" + ", ".join(outs) + "]"
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """(scale, q): symmetric int8 quantization q_i = round_half_up(
+    v_i / scale) with scale = max|v| / 127; all-zero vectors get
+    scale 0 and q = 0. round-half-up is floor(x + 0.5) — exact IEEE,
+    no banker's-rounding divergence between engines."""
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax == 0, F.transform(vec, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / scale + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        )
+    )
+    return scale, q
+
+
+def quantize_int8_sql(expr: str) -> tuple[str, str]:
+    amax = f"list_max(list_transform({expr}, x -> abs(x)))"
+    scale = f"({amax} / 127.0)"
+    q = (
+        f"CASE WHEN {amax} = 0 THEN list_transform({expr}, x -> 0) "
+        f"ELSE list_transform({expr}, x -> "
+        f"greatest(-127, least(127, floor(x / {scale} + 0.5)::INT))) END"
+    )
+    return scale, q

@@ -1581,6 +1581,54 @@ def q_quality_classifier(spark, sf):
     return TA.hashed_linear_score(docs, weights, n_buckets=1024)
 
 
+JL_SIGNS = V.rademacher_signs(64, 16, seed=42)
+
+
+def q_embedding_project(spark, sf):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (vectors.project_jl): Rademacher sign matrix generated driver-side
+    from md5 and embedded as literals, order-pinned float chains —
+    bit-identical in any engine. Zero-shuffle projection."""
+    emb = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    proj = V.project_jl(v, JL_SIGNS)
+    return emb.select(
+        "vec_id",
+        F.transform(proj, lambda x: F.round(x, 6)).alias("proj"),
+    )
+
+
+def oracle_embedding_project() -> str:
+    proj = V.project_jl_sql("v", JL_SIGNS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, list_transform({proj}, x -> round(x, 6)) AS proj
+FROM e
+"""
+
+
+def q_embedding_quantize(spark, sf):
+    """Symmetric int8 quantization (vectors.quantize_int8):
+    scale = max|v|/127, round-half-up via exact floor(x+0.5) — no
+    banker's-rounding divergence. 4x storage cut for the embedding
+    store; zero-shuffle."""
+    emb = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale, q = V.quantize_int8(v)
+    return emb.select(
+        "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
+    )
+
+
+def oracle_embedding_quantize() -> str:
+    scale, q = V.quantize_int8_sql("v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, round({scale}, 6) AS scale, {q} AS q
+FROM e
+"""
+
+
 def q_collocations(spark, sf):
     """Collocation mining (text_analysis.collocations): top-50 word
     bigrams by lift (= exp PMI), exact integer counts, order-pinned
@@ -3213,6 +3261,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "collocations": q_collocations,
     "select_token_budget": q_select_token_budget,
+    "embedding_project": q_embedding_project,
+    "embedding_quantize": q_embedding_quantize,
     "decontaminate": q_decontaminate,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -3306,6 +3356,8 @@ ORACLES: dict[str, str] = {
     "quality_classifier": TA.hashed_linear_score_sql(n_buckets=1024),
     "collocations": TA.collocations_sql(min_count=5, top_k=50),
     "select_token_budget": ORACLE_TOKEN_BUDGET,
+    "embedding_project": oracle_embedding_project(),
+    "embedding_quantize": oracle_embedding_quantize(),
     "decontaminate": oracle_decontaminate(),
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),
