@@ -2602,6 +2602,109 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_table_diff(spark, sf):
+    """Snapshot diff — the data-ops primitive behind incremental
+    publishing and CDC backfills: full outer join of two table
+    versions on the key, row-hash compare, emit added / removed /
+    changed. Versions are derived deterministically from orders so
+    the oracle replays them: A drops keys % 7 == 0, B drops
+    % 5 == 0 and doubles o_totalprice on % 3 == 0."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", _dec("o_totalprice").alias("price")
+    )
+    a = orders.where(F.col("o_orderkey") % 7 != 0)
+    b = orders.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("price") * 2
+        ).otherwise(F.col("price")),
+    )
+    ah = a.select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", "o_custkey", "price")).alias("_ha"),
+    )
+    bh = b.select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", "o_custkey", "price")).alias("_hb"),
+    )
+    return (
+        ah.join(bh, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.when(F.col("_ha").isNull(), F.lit("added"))
+            .when(F.col("_hb").isNull(), F.lit("removed"))
+            .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .where(F.col("status") != "unchanged")
+    )
+
+
+ORACLE_TABLE_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders
+),
+a AS (
+  SELECT o_orderkey, md5(concat_ws('|', o_custkey, price)) AS ha
+  FROM base WHERE o_orderkey % 7 <> 0
+),
+b AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN price * 2
+                  ELSE price END)) AS hb
+  FROM base WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.ha IS NULL THEN 'added'
+            WHEN b.hb IS NULL THEN 'removed'
+            WHEN a.ha <> b.hb THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE (CASE WHEN a.ha IS NULL THEN 'added'
+            WHEN b.hb IS NULL THEN 'removed'
+            WHEN a.ha <> b.hb THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
+def q_value_histogram(spark, sf):
+    """Fixed-range histogram of l_extendedprice (24 buckets over
+    [0, 120000), open-ended tails clamped): literal bounds keep it a
+    single groupBy with no data-dependent pre-scan — the shape of
+    every monitoring/drift histogram at scale."""
+    li = load(spark, sf, "lineitem")
+    lo, width, nb = 0.0, 5000.0, 24
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("l_extendedprice") - lo) / width).cast("int"),
+        ),
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo", F.col("bucket") * width)
+        .withColumn("hi", (F.col("bucket") + 1) * width)
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT bucket, count(*) AS n, bucket * 5000.0 AS lo,
+       (bucket + 1) * 5000.0 AS hi
+FROM (
+  SELECT least(23, greatest(0,
+           floor((l_extendedprice - 0.0) / 5000.0)::INT)) AS bucket
+  FROM lineitem)
+GROUP BY bucket
+"""
+
+
 def q_grouping_sets(spark, sf):
     """Explicit GROUPING SETS — ((returnflag), (linestatus)): two
     independent aggregate views in ONE scan + Expand (not two scans
@@ -3223,6 +3326,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_buckets": q_ntile_buckets,
     "range_frame_window": q_range_frame_window,
     "grouping_sets": q_grouping_sets,
+    "table_diff": q_table_diff,
+    "value_histogram": q_value_histogram,
     "profile_columns": q_profile_columns,
     "sketch_profile": q_sketch_profile,
     "scd2_history": q_scd2_history,
@@ -3317,6 +3422,8 @@ ORACLES: dict[str, str] = {
     "ntile_buckets": ORACLE_NTILE,
     "range_frame_window": ORACLE_RANGE_FRAME,
     "grouping_sets": ORACLE_GROUPING_SETS,
+    "table_diff": ORACLE_TABLE_DIFF,
+    "value_histogram": ORACLE_VALUE_HISTOGRAM,
     "profile_columns": ORACLE_PROFILE,
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "scd2_history": ORACLE_SCD2,
