@@ -1666,6 +1666,77 @@ WHERE cum_tokens <= 20000
 """
 
 
+CORPUS_BUILD_BUDGET = 50_000
+
+
+def q_corpus_build(spark, sf):
+    """Flagship composition: the whole training-corpus preprocessing
+    chain as ONE Spark plan — quality scoring, language ID, exact
+    dedup (min-id canonical), quality-first token-budget selection per
+    source, and the final per-source accounting. Each stage is an
+    operator that is ALSO individually oracle-gated elsewhere in this
+    catalog; here the full chain is replayed as one DuckDB query to
+    certify the composition, not just the parts."""
+    from ..operators.sampling import select_token_budget
+
+    docs = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    scored = TA.token_counts(
+        TA.quality_score(docs).withColumn(
+            "lang_pred", TA.language_id("text")
+        )
+    )
+    filtered = scored.where(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    budgeted = select_token_budget(
+        deduped,
+        budget=CORPUS_BUILD_BUDGET,
+        tokens_col="bpe_token_estimate",
+        quality_col="quality_score",
+        id_col="doc_id",
+        shard_col="source",
+    )
+    return budgeted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_token_estimate").cast("long").alias("total_tokens"),
+    )
+
+
+def oracle_corpus_build() -> str:
+    lang = TA.language_id_sql("text")
+    quality = TA.quality_score_sql("text")
+    _, bpe = TA.token_counts_sql("text")
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, source, md5(text) AS h,
+         {quality} AS q, {lang} AS lang_pred, {bpe} AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM scored WHERE q >= 0.5 AND lang_pred = 'en')
+  WHERE rn = 1
+),
+budgeted AS (
+  SELECT * FROM (
+    SELECT *, sum(n_tok) OVER (
+      PARTITION BY source ORDER BY q DESC, doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dedup)
+  WHERE cum <= {CORPUS_BUILD_BUDGET}
+)
+SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+FROM budgeted GROUP BY source
+"""
+
+
 def q_mix_datasets(spark, sf):
     """Weighted corpus mixture: even-id docs oversampled at 1.5x
     (one whole copy + a content-addressed half sample), odd-id docs
@@ -3368,6 +3439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_token_budget": q_select_token_budget,
     "embedding_project": q_embedding_project,
     "embedding_quantize": q_embedding_quantize,
+    "corpus_build": q_corpus_build,
     "decontaminate": q_decontaminate,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -3465,6 +3537,7 @@ ORACLES: dict[str, str] = {
     "select_token_budget": ORACLE_TOKEN_BUDGET,
     "embedding_project": oracle_embedding_project(),
     "embedding_quantize": oracle_embedding_quantize(),
+    "corpus_build": oracle_corpus_build(),
     "decontaminate": oracle_decontaminate(),
     "chunk_documents": CH.chunk_documents_sql("text", 32, 8),
     "pack_sequences": CH.pack_sequences_sql("text", 256, shard_expr="lang"),
