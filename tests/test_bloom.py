@@ -116,3 +116,35 @@ def test_incremental_daily_flow(spark, tmp_path):
     words2 = B.bloom_merge(words, B.bloom_build(novel, "k", m, k))
     again = B.bloom_probe(day2, "k", words2, m, k)
     assert again.where("NOT bloom_maybe").count() == 0
+
+
+def test_bloom_equals_anti_join_on_random_sets(spark):
+    """Property check over several randomized corpus/batch overlaps:
+    dedup_against_corpus must equal the plain anti-join regardless of
+    overlap shape, fpp pressure, or duplicate keys in the batch."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n_corpus = rng.randrange(1, 400)
+        corpus_keys = rng.sample(range(1000), n_corpus)
+        batch_keys = [rng.randrange(1000) for _ in range(rng.randrange(1, 300))]
+        corpus = spark.createDataFrame(
+            [(f"k{i}",) for i in corpus_keys], "k string"
+        )
+        batch = spark.createDataFrame(
+            [(f"k{i}",) for i in batch_keys], "k string"
+        )
+        # deliberately undersized filter (high fpp) on odd trials:
+        # correctness must not depend on the sizing
+        n_hint = n_corpus if trial % 2 == 0 else max(1, n_corpus // 20)
+        got = sorted(
+            r["k"]
+            for r in B.dedup_against_corpus(
+                batch, corpus, "k", n_hint
+            ).collect()
+        )
+        want = sorted(
+            f"k{i}" for i in batch_keys if i not in set(corpus_keys)
+        )
+        assert got == want, (trial, n_corpus, len(batch_keys))

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from news_clustering_and_summarization_spark.operators.temporal import (
@@ -157,3 +158,32 @@ def test_scd2_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_current_equals_last_writer_wins(spark):
+    """Invariant: the is_current slice of the SCD2 history must agree
+    with a direct latest-row-per-key query over the same change log."""
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        scd2_history,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    hist = scd2_history(
+        ev, key="user_id", ts="ts", attrs=["event_type"],
+        tiebreak="event_id",
+    )
+    current = {
+        r["user_id"]: r["event_type"]
+        for r in hist.where("is_current").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = {
+        r["user_id"]: r["event_type"]
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+    assert current == latest
