@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "bucketed_join",       # bucketed write + shuffle-free join
     "skew_join",           # salted hot-key join
     "sample_stratified",   # exact per-stratum sampling
+    "dedup_bloom",         # Bloom-filter incremental corpus dedup (r4)
+    "corpus_build",        # full preprocessing chain in one plan (r4)
 ]
 
 

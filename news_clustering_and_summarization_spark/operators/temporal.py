@@ -177,6 +177,12 @@ def scd2_history(
     (ts, tiebreak) — Catalyst plans a single Exchange + Sort; change
     detection is a lag() compare, interval closure a lead(). No
     joins, no second shuffle.
+
+    Null handling: a NULL attribute value is treated as a change
+    whenever the previous row's value was also NULL (lag() cannot
+    distinguish "no previous row" from "previous value NULL"), so
+    tracked attributes should be non-null; pre-coalesce them to a
+    sentinel if the source can produce NULLs mid-stream.
     """
     order = [F.col(ts).asc()] + (
         [F.col(tiebreak).asc()] if tiebreak else []
