@@ -1168,6 +1168,104 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
 """
 
 
+def q_dedup_crosstab(spark, sf):
+    """WHERE duplication comes from: MinHash near-dup pairs rolled up
+    to an unordered source-pair matrix — the triage view that decides
+    which feeds to de-prioritize in a 100 TB crawl. Reuses the gated
+    minhash path; adds two dimension joins and one groupBy."""
+    docs = load(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(docs, n=3, threshold=0.5, k=16, bands=4)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("l_id"), F.col("source").alias("_sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("r_id"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "l_id")
+        .join(sb, "r_id")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def oracle_dedup_crosstab() -> str:
+    return f"""
+WITH pairs AS ({oracle_minhash()}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.l_id
+JOIN src sb ON sb.doc_id = p.r_id
+GROUP BY 1, 2
+"""
+
+
+def q_distinctive_terms(spark, sf):
+    """Per-source distinctive terms (the corpus-scale analogue of the
+    reference's most-common-entities serving view, A3): source-level
+    tf × (n_sources / source-df) — tf-idf with a rational lift in
+    place of the libm log (monotone in df for fixed tf, exact in both
+    engines). Top-5 per source, total order (score desc, token)."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "source", F.explode(H.tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(
+        F.count("*").alias("df")
+    )  # tf rows are distinct per (source, token)
+    n_src = docs.select("source").distinct().count()
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.col("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.lit(float(n_src))
+                / F.col("df").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("source", "token", "tf", "df", "score", "rank")
+    )
+
+
+def oracle_distinctive_terms() -> str:
+    tok = H.tokens_sql("text")
+    return f"""
+WITH tf AS MATERIALIZED (
+  SELECT source, token, count(*) AS tf
+  FROM (SELECT source, unnest({tok}) AS token FROM documents)
+  GROUP BY source, token
+),
+dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nsrc AS (SELECT count(DISTINCT source)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.token, tf.tf, dfx.df,
+         round(tf.tf::DOUBLE * nsrc.n / dfx.df::DOUBLE, 6) AS score
+  FROM tf JOIN dfx USING (token) CROSS JOIN nsrc
+)
+SELECT source, token, tf, df, score,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY score DESC, token) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_dedup_simhash(spark, sf):
     docs = load(spark, sf, "documents")
     return D.simhash_fingerprints(docs)
@@ -3419,6 +3517,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom": q_dedup_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_crosstab": q_dedup_crosstab,
+    "distinctive_terms": q_distinctive_terms,
     "dedup_components": q_dedup_components,
     "split_leakage_safe": q_split_leakage_safe,
     "dedup_simhash": q_dedup_simhash,
@@ -3517,6 +3617,8 @@ ORACLES: dict[str, str] = {
     "dedup_bloom": ORACLE_DEDUP_BLOOM,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
+    "dedup_crosstab": oracle_dedup_crosstab(),
+    "distinctive_terms": oracle_distinctive_terms(),
     "dedup_components": oracle_dedup_components(),
     "split_leakage_safe": oracle_split_leakage_safe(),
     "dedup_simhash": oracle_simhash(),
