@@ -1222,21 +1222,27 @@ def q_distinctive_terms(spark, sf):
     df_ = tf.groupBy("token").agg(
         F.count("*").alias("df")
     )  # tf rows are distinct per (source, token)
-    n_src = docs.select("source").distinct().count()
+    # O(1)-row broadcast instead of a driver-side count job — one
+    # plan, same pattern as collocations' corpus total
+    n_src = docs.agg(
+        F.countDistinct("source").cast("double").alias("_nsrc")
+    )
     w = Window.partitionBy("source").orderBy(
         F.desc("score"), F.col("token")
     )
     return (
         tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_src))
         .withColumn(
             "score",
             F.round(
                 F.col("tf").cast("double")
-                * F.lit(float(n_src))
+                * F.col("_nsrc")
                 / F.col("df").cast("double"),
                 6,
             ),
         )
+        .drop("_nsrc")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
         .select("source", "token", "tf", "df", "score", "rank")

@@ -54,6 +54,9 @@ CARTESIAN_OK = {
     # crossJoins the broadcast ONE-ROW corpus-total aggregate onto the
     # bigram table (text_analysis.collocations) — O(1)-row side
     "collocations",
+    # same pattern: ONE-ROW source-count aggregate broadcast onto the
+    # tf table
+    "distinctive_terms",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
