@@ -148,3 +148,17 @@ def test_bloom_equals_anti_join_on_random_sets(spark):
             f"k{i}" for i in batch_keys if i not in set(corpus_keys)
         )
         assert got == want, (trial, n_corpus, len(batch_keys))
+
+
+def test_dense_probe_plan_is_shuffle_free(spark, corpus):
+    m, k = B.bloom_params(2000, 0.01)
+    words = B.bloom_build(corpus, "k", m, k)
+    probe = spark.range(100).selectExpr("concat('key-', id) AS k")
+    plan = (
+        B._probe_dense(probe, "k", words, m, k, "maybe")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # membership test is a pure projection over a broadcast one-row
+    # array: no hash Exchange anywhere
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
