@@ -98,3 +98,56 @@ def test_fingerprint_agrees(spark, duck, corpus):
         H.fingerprint(H.tokens("s")),
         H.fingerprint_sql(H.tokens_sql("s")),
     )
+
+
+def test_token_buckets_agree(spark, duck, corpus):
+    from news_clustering_and_summarization_spark.operators import (
+        text_analysis as TA,
+    )
+
+    df, rows = corpus
+    _compare(
+        spark, duck, df, rows,
+        F.to_json(TA.token_buckets("s", 1024)),
+        f"to_json({TA.token_buckets_sql('s', 1024)})",
+    )
+
+
+def test_vector_compression_twins_agree(spark, duck):
+    """quantize_int8 / project_jl numeric twins over randomized
+    vectors (zeros, tiny, negative, mixed magnitude)."""
+    import random
+
+    from news_clustering_and_summarization_spark.functions import (
+        vectors as V,
+    )
+
+    rng = random.Random(11)
+    vecs = [[0.0] * 8, [1e-12] * 8, [-3.5] * 8]
+    while len(vecs) < 60:
+        vecs.append(
+            [rng.uniform(-10, 10) * rng.choice([1e-6, 1, 1e3])
+             for _ in range(8)]
+        )
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    signs = V.rademacher_signs(8, 4)
+    scale, q = V.quantize_int8(F.col("v"))
+    got = {
+        r["i"]: (round(r["s"], 6), r["q"], [round(x, 6) for x in r["p"]])
+        for r in df.select(
+            "i", scale.alias("s"), q.alias("q"),
+            V.project_jl(F.col("v"), signs).alias("p"),
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _vf(i BIGINT, v DOUBLE[])")
+    duck.executemany("INSERT INTO _vf VALUES (?, ?)", rows)
+    s_sql, q_sql = V.quantize_int8_sql("v")
+    p_sql = V.project_jl_sql("v", signs)
+    want = {
+        i: (round(s, 6), qq, [round(x, 6) for x in p])
+        for i, s, qq, p in duck.execute(
+            f"SELECT i, {s_sql}, {q_sql}, {p_sql} FROM _vf"
+        ).fetchall()
+    }
+    assert got == want
