@@ -158,7 +158,7 @@ def test_dense_probe_plan_is_shuffle_free(spark, corpus):
         B._probe_dense(probe, "k", words, m, k, "maybe")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # membership test is a pure projection over a broadcast one-row
-    # array: no hash Exchange anywhere
+    # membership test is an Arrow-batched projection against a
+    # broadcast variable: no hash Exchange anywhere
     assert "Exchange hashpartitioning" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" in plan
