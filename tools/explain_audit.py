@@ -60,7 +60,9 @@ CARTESIAN_OK = {
 # ann_ivf/ann_lsh: the SinglePartition exchange in their plans is the
 # O(1)-row global aggregate of the recall stats, not a window input —
 # the ranking windows themselves partition by query_id.
-GLOBAL_WIN_OK = {"pool_metrics", "ann_ivf", "ann_lsh"}
+# same for distinctive_terms: SinglePartition is its one-row
+# source-count aggregate; the top-5 window partitions by source.
+GLOBAL_WIN_OK = {"pool_metrics", "ann_ivf", "ann_lsh", "distinctive_terms"}
 
 
 def audit_one(name: str, plan: str) -> list[str]:
