@@ -278,3 +278,72 @@ def ivf_topk(
             "cosine",
         )
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet layout
+    (`path/cell=<i>/...`). This is the production shape the in-memory
+    ivf_topk only simulates: a probe then touches nprobe/nlist of the
+    DATA FILES, not just of the rows — directory-level partition
+    pruning at the scan, before any IO."""
+    assign_cells(
+        corpus.select(corpus_id, corpus_vec), centroids, corpus_vec,
+        corpus_id, n_cells=1,
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivf_topk_from_index(
+    queries: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k against a write_ivf_index layout, reading ONLY the probed
+    cells' files. The probe-cell set for the batch (bounded by nlist,
+    i.e. at most thousands of ints) collects to the driver and becomes
+    a literal IN filter — STATIC partition pruning the scan planner
+    applies before reading a byte; `PartitionFilters` in the plan is
+    asserted by tests. Output schema matches brute_force_topk."""
+    spark = queries.sparkSession
+    query_cells = assign_cells(
+        queries.select(query_id, query_vec), centroids, query_vec,
+        query_id, n_cells=nprobe,
+    )
+    probe_cells = sorted(
+        r["cell"]
+        for r in query_cells.select("cell").distinct().collect()
+    )  # bounded by nlist — driver-side by design
+    corpus_cells = spark.read.parquet(index_path).where(
+        F.col("cell").isin(probe_cells)
+    )
+    probed = query_cells.alias("q").join(
+        corpus_cells.alias("c"), "cell"
+    ).select(
+        F.col(f"q.{query_id}").alias("qid"),
+        F.col(f"c.{corpus_id}").alias("nid"),
+        V.cosine_similarity(
+            F.col(f"q.{query_vec}"), F.col(f"c.{corpus_vec}")
+        ).alias("cosine"),
+    ).where(F.col("qid") != F.col("nid")).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        probed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )

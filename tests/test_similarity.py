@@ -126,3 +126,45 @@ def test_lsh_candidates_subset_and_exact_rerank(spark, emb):
     }
     for pair, cos in got.items():
         assert abs(cos - exact_all[pair]) < 1e-9, pair
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF layout must (1) agree with the in-memory
+    ivf_topk given the same centroids, and (2) plan the probe with a
+    PartitionFilters entry so only probed cells' files are read."""
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = (
+        emb.where("vec_id % 100 = 0")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    cents = train_ivf_centroids(emb, nlist=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    out_idx = ivf_topk_from_index(
+        queries, path, cents, k=5, nprobe=2
+    )
+    out_mem = ivf_topk(
+        queries, emb, centroids=cents, k=5, nprobe=2
+    )
+    rows_idx = sorted(map(tuple, out_idx.collect()))
+    rows_mem = sorted(map(tuple, out_mem.collect()))
+    assert [r[:3] for r in rows_idx] == [r[:3] for r in rows_mem]
+
+    plan = out_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the scan must list fewer partition dirs than nlist when the
+    # query batch probes a strict subset of cells
+    import re as _re
+
+    filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # several scans appear (queries, index); the index scan must carry
+    # a non-empty partition filter on cell
+    assert any("cell" in f for f in filters), filters
