@@ -233,6 +233,43 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    preshingled: bool = False,
+) -> DataFrame:
+    """The persistable LSH index: (id, band, bucket) — one row per
+    document per band. Write it as parquet once over the corpus and
+    every future batch joins against it WITHOUT re-signing history;
+    after accepting a batch, append its band rows (pure insert — band
+    keys are content-addressed, so the table unions trivially).
+    Shared by the one-shot candidate path and the incremental path so
+    the two cannot diverge."""
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k, preshingled)
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig.sig, b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -249,24 +286,8 @@ def minhash_lsh_candidates(
     equi-join on the bucket key — the 100 TB-safe path.
     Output: (l_id, r_id) distinct, l_id < r_id.
     """
-    rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k, preshingled)
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(sig.sig, b * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+    banded = minhash_band_table(
+        df, id_col, text_col, n, k, bands, preshingled
     )
     return (
         banded.alias("a")
@@ -322,6 +343,75 @@ def minhash_near_duplicates(
             ),
             "r_id",
         )
+        .select(
+            "l_id",
+            "r_id",
+            (
+                F.size(F.array_intersect("l_sh", "r_sh"))
+                / F.size(F.array_union("l_sh", "r_sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_incremental_near_duplicates(
+    new_batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    band_table: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against the standing corpus —
+    the incremental companion of minhash_near_duplicates, and the
+    near-dup analogue of bloom.dedup_against_corpus.
+
+    Only the batch gets signed; history is consulted through its
+    persisted band table (pass ``band_table`` read back from parquet
+    to skip re-signing — built here from ``history`` otherwise). The
+    exact-Jaccard verify re-shingles ONLY the history docs that
+    appear as candidates (semi-join first), so per-batch cost is
+    O(|batch| + |candidates|), independent of corpus size.
+
+    Output: (l_id from the batch, r_id from history, jaccard >=
+    threshold). Batch-internal pairs are minhash_near_duplicates'
+    job; run it on the batch separately.
+    """
+    if band_table is None:
+        band_table = minhash_band_table(
+            history, id_col, text_col, n, k, bands
+        )
+    new_bands = minhash_band_table(new_batch, id_col, text_col, n, k, bands)
+    cands = (
+        new_bands.alias("a")
+        .join(band_table.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def shingles_of(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.array_distinct(
+                H.word_shingles(H.tokens(text_col), n)
+            ).alias(f"{alias[:1]}_sh"),
+        )
+
+    l_sh = shingles_of(new_batch, "l_id").join(
+        cands.select("l_id").distinct(), "l_id", "left_semi"
+    )
+    r_sh = shingles_of(history, "r_id").join(
+        cands.select("r_id").distinct(), "r_id", "left_semi"
+    )
+    return (
+        cands.join(l_sh, "l_id")
+        .join(r_sh, "r_id")
         .select(
             "l_id",
             "r_id",

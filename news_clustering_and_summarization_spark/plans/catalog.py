@@ -1168,6 +1168,57 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
 """
 
 
+def q_dedup_minhash_incremental(spark, sf):
+    """Near-dup dedup of "today's batch" (doc_id % 5 == 4) against the
+    standing corpus via the persisted band-table path
+    (dedup.minhash_incremental_near_duplicates): only the batch is
+    signed, history is consulted through its LSH index, and the exact
+    verify re-shingles candidates only. The near-dup analogue of
+    dedup_bloom."""
+    docs = load(spark, sf, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    history = docs.where(F.col("doc_id") % 5 != 4)
+    return D.minhash_incremental_near_duplicates(
+        batch, history, n=3, threshold=0.5, k=16, bands=4
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+def oracle_minhash_incremental() -> str:
+    tok = H.tokens_sql("text")
+    sh = H.word_shingles_sql(tok, 3)
+    sig = H.minhash_signature_sql("sh", 16)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, list_distinct({sh}) AS sh FROM documents
+),
+sigs AS (
+  SELECT id, sh, {sig} AS sig FROM s
+  WHERE len(sh) > 0
+),
+banded AS (
+  SELECT id, b AS band,
+         md5(array_to_string(list_transform(
+           list_slice(sig, b * 4 + 1, b * 4 + 4), x -> x::VARCHAR), ','))
+           AS bucket
+  FROM sigs, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.id % 5 = 4 AND b.id % 5 <> 4
+)
+SELECT c.l_id, c.r_id,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN s sa ON sa.id = c.l_id
+JOIN s sb ON sb.id = c.r_id
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+
+
 def q_dedup_crosstab(spark, sf):
     """WHERE duplication comes from: MinHash near-dup pairs rolled up
     to an unordered source-pair matrix — the triage view that decides
@@ -3523,6 +3574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom": q_dedup_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_crosstab": q_dedup_crosstab,
     "distinctive_terms": q_distinctive_terms,
     "dedup_components": q_dedup_components,
@@ -3623,6 +3675,7 @@ ORACLES: dict[str, str] = {
     "dedup_bloom": ORACLE_DEDUP_BLOOM,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
+    "dedup_minhash_incremental": oracle_minhash_incremental(),
     "dedup_crosstab": oracle_dedup_crosstab(),
     "distinctive_terms": oracle_distinctive_terms(),
     "dedup_components": oracle_dedup_components(),

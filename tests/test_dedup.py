@@ -257,3 +257,33 @@ def test_decontaminate_hand_computed(spark):
     assert got[1]["contamination_frac"] == round(2 / 7, 6)
     assert got[2]["n_hit_ngrams"] == 0
     assert got[2]["contaminated"] == 0
+
+
+def test_minhash_incremental_with_persisted_band_table(spark, tmp_path):
+    """The parquet round-tripped band table must yield the same pairs
+    as building from history in place, and candidates must only pair
+    batch ids with history ids."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_incremental_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = docs.where("doc_id % 5 = 4")
+    history = docs.where("doc_id % 5 <> 4")
+    path = str(tmp_path / "band_table")
+    minhash_band_table(history, n=3, k=16, bands=4).write.parquet(path)
+    stored = spark.read.parquet(path)
+    via_store = minhash_incremental_near_duplicates(
+        batch, history, n=3, threshold=0.5, k=16, bands=4,
+        band_table=stored,
+    )
+    direct = minhash_incremental_near_duplicates(
+        batch, history, n=3, threshold=0.5, k=16, bands=4
+    )
+    a = sorted((r["l_id"], r["r_id"], round(r["jaccard"], 6))
+               for r in via_store.collect())
+    b = sorted((r["l_id"], r["r_id"], round(r["jaccard"], 6))
+               for r in direct.collect())
+    assert a == b and len(a) > 0
+    assert all(l % 5 == 4 and r % 5 != 4 for l, r, _ in a)
