@@ -36,3 +36,18 @@ def test_query_matches_oracle(spark, duck, name):
 def test_no_oracle_queries_run(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+def test_catalog_registry_consistency():
+    """Every oracle belongs to a query; the rows-only set stays
+    exactly the documented approximate-by-design trio."""
+    from news_clustering_and_summarization_spark.plans import catalog
+
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    rows_only = set(catalog.QUERIES) - set(catalog.ORACLES)
+    assert rows_only == {"ann_ivf", "ann_lsh", "cluster_lsh"}
+    # every oracle is non-trivial SQL text
+    assert all(
+        isinstance(s, str) and "SELECT" in s.upper()
+        for s in catalog.ORACLES.values()
+    )
