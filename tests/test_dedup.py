@@ -287,3 +287,33 @@ def test_minhash_incremental_with_persisted_band_table(spark, tmp_path):
                for r in direct.collect())
     assert a == b and len(a) > 0
     assert all(l % 5 == 4 and r % 5 != 4 for l, r, _ in a)
+
+
+def test_minhash_incremental_equals_cross_set_slice_of_full_run(spark):
+    """inc(batch, history) must equal the one-shot minhash pairs
+    restricted to one-endpoint-in-each-set (direction normalized) —
+    the two paths share banding, so any divergence is a bug."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        minhash_incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = docs.where("doc_id % 5 = 4")
+    history = docs.where("doc_id % 5 <> 4")
+    inc = {
+        (r["l_id"], r["r_id"], round(r["jaccard"], 6))
+        for r in minhash_incremental_near_duplicates(
+            batch, history, n=3, threshold=0.5, k=16, bands=4
+        ).collect()
+    }
+    full = minhash_near_duplicates(
+        docs, n=3, threshold=0.5, k=16, bands=4
+    ).collect()
+    cross = set()
+    for r in full:
+        a, b, j = r["l_id"], r["r_id"], round(r["jaccard"], 6)
+        if (a % 5 == 4) != (b % 5 == 4):  # one endpoint per set
+            l, rr = (a, b) if a % 5 == 4 else (b, a)
+            cross.add((l, rr, j))
+    assert inc == cross and len(inc) > 0
