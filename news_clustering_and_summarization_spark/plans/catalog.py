@@ -1168,6 +1168,112 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
 """
 
 
+SEARCH_TERMS = ["spark", "table", "window"]  # in-vocab for the corpus
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_keyword_search(spark, sf):
+    """BM25-shaped keyword retrieval (the RAG-curation serving query):
+    per-term saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) times a
+    rational idf lift (N-df+0.5)/(df+0.5) — same monotone ranking as
+    BM25, no libm log. Determinism: each query term gets its own
+    conditional aggregate column and the final score adds them in
+    FIXED order (t1+t2+t3), so cross-engine partial-agg order can't
+    perturb the floats. Top-20, tiebreak doc_id."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(H.tokens("text")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("_avgdl"), F.count("*").alias("_n")
+    )
+    tf = (
+        tok.where(F.col("token").isin(SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            (
+                (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (
+                F.col("tf") * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
+                )
+            ),
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("token") == t, F.col("contrib"))
+            ).alias(f"_t{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(SEARCH_TERMS)):
+        score = score + F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+    return (
+        per_term.withColumn("score", F.round(score, 6))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def oracle_keyword_search() -> str:
+    tok = H.tokens_sql("text")
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    per_term_cols = ", ".join(
+        f"max(CASE WHEN token = '{t}' THEN contrib END) AS t{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    add_chain = " + ".join(
+        f"coalesce(t{i}, 0.0)" for i in range(len(SEARCH_TERMS))
+    )
+    # ((0.0 + t0) + t1) + t2 matches the Spark fold order exactly
+    return f"""
+WITH tokens AS MATERIALIZED (
+  SELECT doc_id, unnest({tok}) AS token FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tokens
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+         (tf.tf * ({BM25_K1} + 1) /
+          (tf.tf + {BM25_K1} *
+           (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS contrib
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+per_term AS (
+  SELECT doc_id, {per_term_cols} FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(0.0 + {add_chain}, 6) AS score
+FROM per_term
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_dedup_minhash_incremental(spark, sf):
     """Near-dup dedup of "today's batch" (doc_id % 5 == 4) against the
     standing corpus via the persisted band-table path
@@ -3574,6 +3680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom": q_dedup_bloom,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "keyword_search": q_keyword_search,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_crosstab": q_dedup_crosstab,
     "distinctive_terms": q_distinctive_terms,
@@ -3675,6 +3782,7 @@ ORACLES: dict[str, str] = {
     "dedup_bloom": ORACLE_DEDUP_BLOOM,
     "dedup_ngram_jaccard": oracle_ngram_jaccard(),
     "dedup_minhash": oracle_minhash(),
+    "keyword_search": oracle_keyword_search(),
     "dedup_minhash_incremental": oracle_minhash_incremental(),
     "dedup_crosstab": oracle_dedup_crosstab(),
     "distinctive_terms": oracle_distinctive_terms(),

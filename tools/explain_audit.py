@@ -54,6 +54,9 @@ CARTESIAN_OK = {
     # same pattern: ONE-ROW source-count aggregate broadcast onto the
     # tf table
     "distinctive_terms",
+    # same pattern: ONE-ROW (avgdl, N) aggregate broadcast onto the
+    # tf table (keyword_search)
+    "keyword_search",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
