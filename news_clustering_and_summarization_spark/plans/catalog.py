@@ -2656,6 +2656,81 @@ GROUP BY l_returnflag
 """
 
 
+def q_quantile_sketch(spark, sf):
+    """Self-certifying quantile sketch (the percentile companion of
+    sketch_profile): per group, ``percentile_approx`` runs next to
+    the exact percentile and an in-plan assert pins the sketch within
+    a rank-error-derived value tolerance; output is the EXACT value +
+    the certified flag, so the oracle hash-verifies content while the
+    assert certifies the sketch path — at 100 TB you keep only the
+    sketch, whose envelope CI has pinned."""
+    li = load(spark, sf, "lineitem")
+    exact = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9D)")
+    approx = F.expr(
+        "percentile_approx(CAST(l_extendedprice AS DOUBLE), 0.9D, 1000)"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(exact, 6).alias("p90_price"),
+        approx.alias("_p90_approx"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("_lo"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("_hi"),
+    )
+    # accuracy=1000 bounds RANK error at n/1000; translate to a value
+    # tolerance via the group's value range (loose but sound for the
+    # near-uniform price distribution; the assert exists to catch a
+    # broken sketch, not to certify tight bounds)
+    tol = (F.col("_hi") - F.col("_lo")) * F.lit(0.05)
+    return agg.select(
+        "l_returnflag",
+        "p90_price",
+        F.assert_true(
+            F.abs(F.col("_p90_approx") - F.col("p90_price")) <= tol,
+            F.concat(
+                F.lit("quantile sketch out of envelope: "),
+                F.col("_p90_approx").cast("string"),
+                F.lit(" vs exact "),
+                F.col("p90_price").cast("string"),
+            ),
+        ).isNull().alias("sketch_ok"),
+    )
+
+
+ORACLE_QUANTILE_SKETCH = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice::DOUBLE, 0.9), 6) AS p90_price,
+       true AS sketch_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_event_transitions(spark, sf):
+    """Per-user event-type transition counts (the Markov-bigram scan
+    behind session modeling / next-event training data): lag window
+    per user ordered by (ts, event_id), then a global count per
+    (prev, next) pair. One window shuffle + one narrow agg."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+SELECT prev_type, event_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 def q_exists_composition(spark, sf):
     """Correlated EXISTS / NOT EXISTS as semi + anti joins: customers
     with an urgent order but no low-priority one. Both probe sides
@@ -3662,6 +3737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     "profile_columns": q_profile_columns,
     "sketch_profile": q_sketch_profile,
+    "quantile_sketch": q_quantile_sketch,
+    "event_transitions": q_event_transitions,
     "scd2_history": q_scd2_history,
     "sample_hash": q_sample_hash,
     "sample_split": q_sample_split,
@@ -3763,6 +3840,8 @@ ORACLES: dict[str, str] = {
     "value_histogram": ORACLE_VALUE_HISTOGRAM,
     "profile_columns": ORACLE_PROFILE,
     "sketch_profile": ORACLE_SKETCH_PROFILE,
+    "quantile_sketch": ORACLE_QUANTILE_SKETCH,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "scd2_history": ORACLE_SCD2,
     "sample_hash": oracle_sample_hash(),
     "sample_split": oracle_sample_split(),
