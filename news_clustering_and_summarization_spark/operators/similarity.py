@@ -347,3 +347,22 @@ def ivf_topk_from_index(
             "cosine",
         )
     )
+
+
+def append_ivf_index(
+    new_batch: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign the new batch to the
+    EXISTING centroids and append its rows to the cell-partitioned
+    layout — history is never rewritten, appends touch only the cells
+    the batch lands in. Centroid drift over many appends degrades
+    cell balance, not correctness (probes still rank true cosine);
+    retrain + rewrite when imbalance shows up in cell-size stats."""
+    assign_cells(
+        new_batch.select(corpus_id, corpus_vec), centroids, corpus_vec,
+        corpus_id, n_cells=1,
+    ).write.partitionBy("cell").mode("append").parquet(path)

@@ -168,3 +168,31 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     # several scans appear (queries, index); the index scan must carry
     # a non-empty partition filter on cell
     assert any("cell" in f for f in filters), filters
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Index written in two installments must answer identically to
+    the index written in one shot."""
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_from_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, nlist=8)
+    queries = (
+        emb.where("vec_id % 100 = 7")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    one_shot = str(tmp_path / "full")
+    write_ivf_index(emb, cents, one_shot)
+    staged = str(tmp_path / "staged")
+    write_ivf_index(emb.where("vec_id % 2 = 0"), cents, staged)
+    append_ivf_index(emb.where("vec_id % 2 = 1"), cents, staged)
+    a = sorted(map(tuple, ivf_topk_from_index(
+        queries, one_shot, cents, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, ivf_topk_from_index(
+        queries, staged, cents, k=5, nprobe=3).collect()))
+    assert a == b and len(a) > 0
