@@ -246,3 +246,34 @@ def read_articles_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(path)
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV/TSV reader with the same corrupt-record discipline as the
+    JSON path: malformed lines land in ``corrupt_record`` instead of
+    being dropped (DROPMALFORMED would silently lose data) or killing
+    the job (FAILFAST). Engine extension — the reference ingests JSON
+    only, but batch corpus drops commonly arrive as TSV.
+
+    Schema is REQUIRED: inferSchema at 100 TB means scanning the data
+    twice and trusting sampled types; a declared schema plans one scan
+    with typed pushdown.
+    """
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField("corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(path)
+    )

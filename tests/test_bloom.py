@@ -162,3 +162,16 @@ def test_dense_probe_plan_is_shuffle_free(spark, corpus):
     # broadcast variable: no hash Exchange anywhere
     assert "Exchange hashpartitioning" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_empty_corpus_everything_novel(spark):
+    corpus = spark.createDataFrame([], "k string")
+    new = spark.range(5).selectExpr("concat('k', id) AS k")
+    out = B.dedup_against_corpus(new, corpus, "k", 100)
+    assert out.count() == 5
+
+
+def test_empty_batch_empty_result(spark, corpus):
+    new = spark.createDataFrame([], "k string")
+    out = B.dedup_against_corpus(new, corpus, "k", 2000)
+    assert out.count() == 0

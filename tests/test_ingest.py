@@ -157,3 +157,31 @@ def test_kafka_tombstones_dropped(spark):
     df = spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
     out = articles_from_kafka(df).collect()
     assert [r["id"] for r in out] == ["a"]  # tombstone gone entirely
+
+
+def test_read_delimited_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from news_clustering_and_summarization_spark.sources.json_ingest import (
+        read_delimited,
+    )
+
+    p = tmp_path / "data.tsv"
+    p.write_text(
+        "id\tn\ttext\n"
+        "1\t10\tfirst row\n"
+        "2\tnot_a_number\tbad type\n"
+        "3\t30\tthird row\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = read_delimited(spark, str(p), schema, sep="\t")
+    good = df.where("corrupt_record IS NULL").collect()
+    bad = df.where("corrupt_record IS NOT NULL").collect()
+    assert sorted(r["id"] for r in good) == [1, 3]
+    assert len(bad) == 1 and "not_a_number" in bad[0]["corrupt_record"]

@@ -174,3 +174,16 @@ def test_select_token_budget_tie_break_on_id(spark):
         id_col="doc_id",
     )
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_select_token_budget_empty_input(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame([], "doc_id int, n_tok int, q double")
+    out = select_token_budget(
+        df, budget=100, tokens_col="n_tok", quality_col="q",
+        id_col="doc_id",
+    )
+    assert out.count() == 0
