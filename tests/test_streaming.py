@@ -287,3 +287,65 @@ def test_kafka_poison_dlq_and_metric(spark, tmp_path):
     ]
     assert sum(m["n_corrupt"] for m in observed) == 2
     assert sum(m["n_records"] for m in observed) == 6
+
+
+def test_full_system_with_bloom_dedup_front(spark, tmp_path):
+    """Whole-system composition: content-hash Bloom dedup in front of
+    ingest -> embed -> cluster. A redelivered day-2 drop repeats half
+    of day 1's articles verbatim; only novel content reaches the
+    embedder and the cluster store counts each article once."""
+    import pyspark.sql.functions as F
+
+    from news_clustering_and_summarization_spark.sources.json_ingest import (
+        read_articles_json,
+    )
+    from news_clustering_and_summarization_spark.streaming.dedup import (
+        BloomDedupStream,
+    )
+
+    day1 = str(tmp_path / "day1")
+    day2 = str(tmp_path / "day2")
+    for s, txt in STORIES.items():
+        _write_articles(day1, 0, 4, s, txt)
+        _write_articles(day2, 2, 4, s, txt)  # ids 2..5: overlap 2,3
+
+    ded = BloomDedupStream(
+        spark, str(tmp_path / "dstate"), "content_hash", n_expected=10_000
+    )
+
+    def keyed(path):
+        return (
+            read_articles_json(spark, path)
+            .where("corrupt_record IS NULL")
+            .withColumn("content_hash", F.md5("text"))
+        )
+
+    ded.process_batch(keyed(day1), 0)
+    ded.process_batch(keyed(day2), 1)
+    accepted = ded.accepted()
+    # 8 day-1 articles + 4 genuinely new day-2 articles
+    assert accepted.count() == 12
+    ids = sorted(r["id"] for r in accepted.select("id").collect())
+    assert len(set(ids)) == 12
+
+    # novel articles flow into the standard embed -> cluster path
+    from news_clustering_and_summarization_spark.operators.cluster import (
+        cluster_batch,
+    )
+    from news_clustering_and_summarization_spark.operators.embed import (
+        embed_articles,
+        unwrap_embedding,
+    )
+    from news_clustering_and_summarization_spark.operators.preprocess import (
+        preprocess, with_embed_text,
+    )
+
+    emb = embed_articles(
+        with_embed_text(preprocess(accepted.drop("epoch")))
+    ).withColumn("embedding", unwrap_embedding("concat_embedding"))
+    cl = cluster_batch(emb, eps=0.35)
+    reps = {}
+    for r in cl.collect():
+        reps.setdefault(r["cluster_rep"], []).append(r["id"])
+    sizes = sorted(len(v) for v in reps.values())
+    assert sizes == [6, 6], reps  # each story: ids 0..5, once each
