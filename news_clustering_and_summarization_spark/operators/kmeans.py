@@ -1,0 +1,115 @@
+"""Distributed Lloyd's k-means in pure DataFrame operations.
+
+The reference's clustering is ε-graph DBSCAN (process_records.py:
+301-308); k-means is the complementary partitional algorithm every
+training-data pipeline keeps next to it (topic bucketing for mixture
+balancing, IVF coarse quantizers, embedding-space telemetry). MLlib
+has an RDD-based implementation; this one is deliberately
+DataFrame-native so Catalyst sees the whole loop body:
+
+* **Assignment is a projection, not a join.** The k current centroids
+  are injected as literal arrays into a single `select` — distance to
+  each centroid is an index-ordered `aggregate(zip_with(...))` fold
+  (JVM codegen, no UDF, no shuffle), and argmin is `array_min` over
+  `(dist, cluster)` structs (lexicographic struct order gives the
+  deterministic low-cluster tiebreak).
+* **Update is one k-row shuffle.** Per-cluster per-dimension means are
+  a single `groupBy(cluster)` with `dim` avg aggregates — partial
+  aggregation combines map-side, so the exchange carries k rows per
+  partition, never data rows.
+* **The driver holds only k×dim floats** (the same scalar-fold pattern
+  as tables.write_zordered's min/max collect) — at 1B rows the loop
+  costs n_iter scans and nothing else.
+
+Determinism contract (what makes the SQL oracle replayable):
+init = the first k vectors by id; every distance is an index-ordered
+float fold (bit-identical across engines); centroid components are
+rounded to 9 decimals at each iteration boundary, collapsing the
+engines' unordered-sum ulp drift before it can flip an argmin.
+Empty clusters drop out (both engines: the groupBy simply produces no
+row for them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["assign_to_centroids", "lloyd_kmeans"]
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Add ``(cluster, sqdist)`` for the nearest of ``centroids``
+    (list of (cluster_id, vector)). Pure projection — no shuffle."""
+    vec = F.col(vec_col)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(vec, cent).alias("dist"),
+                    F.lit(int(cid)).alias("cluster"),
+                )
+                for cid, cent in centroids
+            ]
+        )
+    )
+    return df.withColumn("cluster", best["cluster"]).withColumn(
+        "sqdist", best["dist"]
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    dim: int,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations and return the final assignment
+    ``(id_col, cluster, sqdist)`` against the last centroids.
+
+    ``df[vec_col]`` must be array<double> (cast float embeddings
+    first — float→double widening is exact)."""
+    if k < 1 or n_iter < 0:
+        raise ValueError("k >= 1 and n_iter >= 0 required")
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r[vec_col])) for i, r in enumerate(init)]
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(df, vec_col, centroids)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at(F.col(vec_col), i + 1)), 9
+                    ).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        centroids = sorted(
+            (r["cluster"], [r[f"m{i}"] for i in range(dim)]) for r in rows
+        )
+    return assign_to_centroids(df, vec_col, centroids).select(
+        id_col, "cluster", F.round("sqdist", 6).alias("sqdist")
+    )

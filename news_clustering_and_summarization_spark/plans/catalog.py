@@ -3689,6 +3689,239 @@ FROM documents
 """
 
 
+def q_constraint_check(spark, sf):
+    """Deequ-style declarative validation suite over orders
+    (operators/constraints.py): 6 row-level rules + a key-uniqueness
+    rule, ALL evaluated in one aggregation job — row rules fold into
+    conditional aggregates in a single partial-aggregated scan, the
+    uniqueness rule rides the same job's Expand. One rule
+    (`price_under_cap`) is planted to fail so both engines must agree
+    on a non-zero violation count, not just all-green."""
+    from ..operators.constraints import (
+        check_constraints,
+        row_rule,
+        unique_rule,
+    )
+
+    orders = load(spark, sf, "orders")
+    rules = [
+        row_rule("custkey_not_null", F.col("o_custkey").isNotNull()),
+        unique_rule("orderkey_unique", "o_orderkey"),
+        row_rule(
+            "status_domain", F.col("o_orderstatus").isin("O", "F", "P")
+        ),
+        row_rule(
+            "priority_shape",
+            F.col("o_orderpriority").rlike(r"^[1-5]-[A-Z ]+$"),
+        ),
+        row_rule("price_positive", F.col("o_totalprice") > 0),
+        row_rule("price_under_cap", F.col("o_totalprice") <= 150000.0),
+        row_rule(
+            "date_after_1995",
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"),
+        ),
+    ]
+    return check_constraints(orders, rules).orderBy("rule")
+
+
+# NULL semantics pinned on both sides: a rule predicate that evaluates
+# to NULL counts as a violation (CASE WHEN pred THEN 0 ELSE 1 routes
+# NULL to the ELSE arm, exactly like F.when(pred, 0).otherwise(1)).
+ORACLE_CONSTRAINT_CHECK = """
+WITH base AS (
+  SELECT count(*) AS n_rows,
+    sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_custkey,
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS v_unique,
+    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+      AS v_status,
+    sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        THEN 0 ELSE 1 END) AS v_prio,
+    sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_pos,
+    sum(CASE WHEN o_totalprice <= 150000.0 THEN 0 ELSE 1 END) AS v_cap,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+        THEN 0 ELSE 1 END) AS v_date
+  FROM orders
+)
+SELECT r.rule, base.n_rows,
+       CAST(r.v AS BIGINT) AS n_violations,
+       r.v = 0 AS passed
+FROM base
+CROSS JOIN LATERAL (VALUES
+  ('custkey_not_null', v_custkey),
+  ('orderkey_unique',  v_unique),
+  ('status_domain',    v_status),
+  ('priority_shape',   v_prio),
+  ('price_positive',   v_pos),
+  ('price_under_cap',  v_cap),
+  ('date_after_1995',  v_date)
+) AS r(rule, v)
+ORDER BY rule
+"""
+
+
+def q_agg_upsert(spark, sf):
+    """Incremental aggregate maintenance (operators/incremental.py):
+    orders are split at 1998-01-01 into 'history' and 'new batch'; the
+    history's per-priority partial-aggregate state is merged with the
+    batch's partials (full-outer on key, counts/sums add, min/max
+    least/greatest) WITHOUT re-scanning history rows. The oracle is a
+    plain GROUP BY over the whole table — a green hash certifies
+    merge(state, partial(delta)) == aggregate(full corpus) exactly
+    (decimal sums make the merge order-free)."""
+    from ..operators.incremental import (
+        finalize_aggregates,
+        merge_aggregate_state,
+        partial_aggregate,
+    )
+
+    orders = load(spark, sf, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    hist = orders.where(F.col("o_orderdate") < split)
+    delta = orders.where(F.col("o_orderdate") >= split)
+    keys = ["o_orderpriority"]
+    state = partial_aggregate(hist, keys, "o_totalprice")
+    merged = merge_aggregate_state(
+        state, partial_aggregate(delta, keys, "o_totalprice"), keys
+    )
+    return finalize_aggregates(merged, keys).orderBy("o_orderpriority")
+
+
+ORACLE_AGG_UPSERT = """
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_value,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 6) AS avg_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_apply_deletes(spark, sf):
+    """Right-to-be-forgotten (sources/tables.apply_deletes): documents
+    are copied to a scratch dataset range-partitioned on doc_id, then
+    the lowest-decile ids (a clustered delete list, the realistic
+    shape — one user's documents live near each other) are deleted.
+    File-level pruning is asserted: with the delete keys clustered in
+    one range partition, fewer files are rewritten than exist — at
+    100 TB this is the difference between rewriting ~0.1% of files and
+    rewriting the corpus. The returned survivors hash-match a plain
+    NOT-IN oracle, certifying delete completeness AND that untouched
+    files kept their rows."""
+    from ..sources import tables as T
+
+    tag = _safe_sf_tag(sf)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for p in ("file:", "file://"):
+        if wh.startswith(p):
+            wh = wh[len(p):]
+            break
+    path = f"{wh}/rtbf_docs_{tag}"
+    docs = load(spark, sf, "documents")
+    thr = docs.count() // 10
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    deletes = docs.where(F.col("doc_id") < thr).select("doc_id")
+    stats = T.apply_deletes(spark, path, deletes, "doc_id")
+    assert stats["rows_deleted"] > 0, stats
+    assert 0 < stats["files_rewritten"] < stats["files_total"], stats
+    return (
+        spark.read.parquet(path)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_APPLY_DELETES = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id >= (SELECT count(*) // 10 FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_kmeans_assign(spark, sf):
+    """Distributed Lloyd's k-means (operators/kmeans.py): k=4, two
+    iterations over the embeddings (cast float->double, exact).
+    Assignment is a shuffle-free literal-centroid projection
+    (aggregate/zip_with index-ordered folds + array_min argmin);
+    the update is one k-row groupBy exchange per iteration; the
+    driver holds k x dim floats only. The oracle replays both
+    iterations UNROLLED in SQL — init = first-k-by-id, identical
+    index-ordered distance folds, centroids rounded to 9 decimals at
+    each boundary so unordered-mean ulp drift cannot flip an argmin."""
+    from ..operators.kmeans import lloyd_kmeans
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return lloyd_kmeans(
+        emb, "vec_id", "v", k=4, n_iter=2, dim=64
+    ).orderBy("vec_id")
+
+
+def _kmeans_sqdist_sql(v: str, c: str, dim: int) -> str:
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def oracle_kmeans_assign(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    sq = _kmeans_sqdist_sql("e.v", "c.cent", dim)
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cent
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT e.vec_id, c.cluster, {sq} AS dist
+          FROM e CROSS JOIN c{it - 1} c))
+  WHERE rn = 1
+),
+c{it} AS (
+  SELECT cluster, list(m ORDER BY dim) AS cent FROM (
+    SELECT a.cluster, r.i AS dim, round(avg(e.v[r.i]), 9) AS m
+    FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY a.cluster, r.i) GROUP BY cluster
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cluster, round(dist, 6) AS sqdist FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cluster) AS rn
+  FROM (SELECT e.vec_id, c.cluster, {sq} AS dist
+        FROM e CROSS JOIN c{iters} c))
+WHERE rn = 1
+ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -3736,6 +3969,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff": q_table_diff,
     "value_histogram": q_value_histogram,
     "profile_columns": q_profile_columns,
+    "constraint_check": q_constraint_check,
+    "agg_upsert": q_agg_upsert,
+    "apply_deletes": q_apply_deletes,
+    "kmeans_assign": q_kmeans_assign,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -3839,6 +4076,10 @@ ORACLES: dict[str, str] = {
     "table_diff": ORACLE_TABLE_DIFF,
     "value_histogram": ORACLE_VALUE_HISTOGRAM,
     "profile_columns": ORACLE_PROFILE,
+    "constraint_check": ORACLE_CONSTRAINT_CHECK,
+    "agg_upsert": ORACLE_AGG_UPSERT,
+    "apply_deletes": ORACLE_APPLY_DELETES,
+    "kmeans_assign": oracle_kmeans_assign(),
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,

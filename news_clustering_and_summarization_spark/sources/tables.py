@@ -225,3 +225,86 @@ def write_zordered(
         .parquet(path)
     )
     return ranges
+
+
+# --- Targeted delete (right-to-be-forgotten) ------------------------
+
+
+def apply_deletes(
+    spark: SparkSession,
+    path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+) -> dict:
+    """Delete every row whose ``key_col`` appears in ``delete_keys``,
+    rewriting ONLY the files that contain a matching key.
+
+    The GDPR/right-to-be-forgotten primitive every corpus store needs:
+    at 100 TB a delete list of a few thousand ids must not trigger a
+    full-table rewrite. Two passes, both pruned:
+
+    1. *Locate*: scan ``(key, _metadata.file_path)`` — column-pruned to
+       the key column — and broadcast-semi-join the delete list to get
+       the distinct set of affected files (driver-sized: a file list,
+       not rows).
+    2. *Rewrite*: read only the affected files, broadcast-anti-join
+       the delete list, and write the survivors into the dataset dir
+       under a fresh ``part-del-*`` prefix; then drop the old affected
+       files. Untouched files are never read or written.
+
+    Readers see old-or-new per file (same non-transactional contract
+    as compact_parquet's swap — a table format's commit log is the
+    upgrade path, not a different rewrite strategy). Returns
+    ``{"files_total", "files_rewritten", "rows_deleted"}``.
+    """
+    keys = delete_keys.select(F.col(key_col)).distinct()
+    df = spark.read.parquet(path)
+    affected = [
+        r["__file"]
+        for r in (
+            df.select(
+                F.col(key_col), F.col("_metadata.file_path").alias("__file")
+            )
+            .join(F.broadcast(keys), key_col, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+    ]
+    files_total = len(df.inputFiles())
+    if not affected:
+        return {
+            "files_total": files_total,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    sub = spark.read.parquet(*affected)
+    kept = sub.join(F.broadcast(keys), key_col, "left_anti")
+    n_before = sub.count()
+    tmp = path.rstrip("/") + ".delete_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    moved = 0
+    for f in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
+        name = f.getPath().getName()
+        if not name.startswith("part-"):
+            continue
+        fs.rename(
+            f.getPath(),
+            jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + f"/part-del-{moved:05d}-{name[5:]}"
+            ),
+        )
+        moved += 1
+    for old in affected:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "rows_deleted": n_before - n_after,
+    }
