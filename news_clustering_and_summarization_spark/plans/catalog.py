@@ -3922,6 +3922,76 @@ ORDER BY vec_id"""
     return "".join(parts)
 
 
+def q_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters (operators/frequent.py): the
+    exact top-20 tokens (the ground truth you could not afford at
+    100 TB) are computed beside their CMS point-estimates from a
+    3×8192 sketch built in one shuffle. `cms_ok` pins the sketch
+    guarantee per token — never an underestimate, overestimate within
+    20·N/width — and the oracle REPLAYS THE SKETCH ITSELF (md5-derived
+    bucket hashes are bit-identical in SQL), so a green hash certifies
+    every counter on the estimate path, not just the exact leg."""
+    from ..operators.frequent import cms_build, cms_estimate
+
+    width = 8192
+    docs = load(spark, sf, "documents")
+    inst = docs.select(F.explode(H.tokens(F.col("text"))).alias("token"))
+    sketch = cms_build(inst, "token", width)
+    exact = inst.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = exact.orderBy(F.col("cnt").desc(), "token").limit(20)
+    est = cms_estimate(top.select("token"), "token", sketch, width)
+    total = inst.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        top.join(est, "token")
+        .crossJoin(total)
+        .select(
+            "token",
+            "cnt",
+            "cms_estimate",
+            (
+                (F.col("cms_estimate") >= F.col("cnt"))
+                & (
+                    F.col("cms_estimate")
+                    <= F.col("cnt")
+                    + F.lit(20.0) * F.col("n_total") / F.lit(width)
+                )
+            ).alias("cms_ok"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )
+
+
+def oracle_heavy_hitters(width: int = 8192) -> str:
+    tok = H.tokens_sql("text")
+    h = [H.hash64_sql("token", seed) for seed in (101, 202, 303)]
+    return f"""
+WITH tok AS (SELECT unnest({tok}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS n FROM tok),
+cells AS (
+  SELECT 0 AS r, {h[0]} % {width} AS bucket FROM tok
+  UNION ALL SELECT 1, {h[1]} % {width} FROM tok
+  UNION ALL SELECT 2, {h[2]} % {width} FROM tok
+),
+cms AS (SELECT r, bucket, count(*) AS bc FROM cells GROUP BY r, bucket),
+top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 20),
+qc AS (
+  SELECT token, 0 AS r, {h[0]} % {width} AS bucket FROM top
+  UNION ALL SELECT token, 1, {h[1]} % {width} FROM top
+  UNION ALL SELECT token, 2, {h[2]} % {width} FROM top
+),
+est AS (
+  SELECT qc.token, min(cms.bc) AS cms_estimate
+  FROM qc JOIN cms USING (r, bucket) GROUP BY qc.token
+)
+SELECT top.token, top.cnt, est.cms_estimate,
+       est.cms_estimate >= top.cnt AND
+       est.cms_estimate <= top.cnt + 20.0 * tot.n / {width} AS cms_ok
+FROM top JOIN est USING (token) CROSS JOIN tot
+ORDER BY cnt DESC, token
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -3973,6 +4043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_upsert": q_agg_upsert,
     "apply_deletes": q_apply_deletes,
     "kmeans_assign": q_kmeans_assign,
+    "heavy_hitters": q_heavy_hitters,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4080,6 +4151,7 @@ ORACLES: dict[str, str] = {
     "agg_upsert": ORACLE_AGG_UPSERT,
     "apply_deletes": ORACLE_APPLY_DELETES,
     "kmeans_assign": oracle_kmeans_assign(),
+    "heavy_hitters": oracle_heavy_hitters(),
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,

@@ -1,0 +1,81 @@
+"""Count-min sketch (operators/frequent.py): no-underestimate
+guarantee, exactness at wide widths, merge == rebuild, collision
+behavior at tiny widths, and sketch size bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.operators.frequent import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+@pytest.fixture(scope="module")
+def instances(spark):
+    # token i appears i times, i = 1..12
+    rows = [(f"tok{i:02d}",) for i in range(1, 13) for _ in range(i)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def _est(spark, instances, width):
+    sketch = cms_build(instances, "token", width)
+    q = instances.select("token").distinct()
+    return {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimate(q, "token", sketch, width).collect()
+    }
+
+
+def test_never_underestimates(spark, instances):
+    for width in (4, 64, 4096):
+        est = _est(spark, instances, width)
+        for i in range(1, 13):
+            assert est[f"tok{i:02d}"] >= i, (width, i, est)
+
+
+def test_exact_when_wide(spark, instances):
+    # 12 tokens in 4096 buckets x 3 independent rows: a 3-way
+    # simultaneous collision for any token is (12/4096)^3-improbable,
+    # and the fixture hashes are deterministic — pin exactness
+    est = _est(spark, instances, 4096)
+    assert est == {f"tok{i:02d}": i for i in range(1, 13)}
+
+
+def test_tiny_width_overestimates_but_bounded(spark, instances):
+    est = _est(spark, instances, 4)
+    n_total = sum(range(1, 13))
+    for i in range(1, 13):
+        # worst case: everything lands in one bucket
+        assert i <= est[f"tok{i:02d}"] <= n_total
+
+
+def test_merge_equals_rebuild(spark, instances):
+    a = instances.where(F.col("token") <= "tok06")
+    b = instances.where(F.col("token") > "tok06")
+    merged = cms_merge(
+        cms_build(a, "token", 64), cms_build(b, "token", 64)
+    )
+    direct = cms_build(instances, "token", 64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_sketch_size_bounded(spark, instances):
+    sketch = cms_build(instances, "token", 16)
+    assert sketch.count() <= 3 * 16
+    # cells sum to d * n_instances
+    total = sketch.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 3 * instances.count()
+
+
+def test_unseen_token_estimates_from_sketch(spark, instances):
+    sketch = cms_build(instances, "token", 4096)
+    q = spark.createDataFrame([("never-seen-token",)], "token string")
+    est = cms_estimate(q, "token", sketch, 4096).collect()[0]
+    # may collide to a positive count but must exist and be >= 0
+    assert est["cms_estimate"] >= 0
