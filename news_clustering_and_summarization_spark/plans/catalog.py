@@ -3992,6 +3992,119 @@ ORDER BY cnt DESC, token
 """
 
 
+def q_funnel_steps(spark, sf):
+    """Ordered conversion funnel over the event stream: users who
+    signed up, then clicked AFTER their first signup, then purchased
+    AFTER that first qualifying click. Each stage is a per-user min-ts
+    aggregate followed by a broadcast join to the (≤ n_users rows)
+    previous stage — the event table is scanned once per stage with
+    the event_type filter pushed to the parquet scan, and no stage
+    ever shuffles more than one row per user."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = [
+        (1, "signup", s1),
+        (2, "click_after_signup", s2),
+        (3, "purchase_after_click", s3),
+    ]
+    out = None
+    for num, name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(num).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'signup' AS stage_name, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click_after_signup', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_after_click', count(*) FROM s3
+)
+ORDER BY stage
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix: users grouped by first-seen ISO week,
+    counted distinct in each subsequent week offset. Two shuffles
+    total (first-seen agg keyed by user; the matrix agg keyed by
+    cohort×offset) — the first-seen table is one row per user and
+    broadcast back onto the events. Week arithmetic stays in integer
+    day-diffs (no timezone-dependent week-of-year functions), and the
+    cohort key leaves the engine as a formatted date string per the
+    catalog's timestamp rule."""
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", F.col("t0")), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("t0")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', first.t0), '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', CAST(first.t0 AS DATE), CAST(e.ts AS DATE)) // 7
+            AS INT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4044,6 +4157,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_deletes": q_apply_deletes,
     "kmeans_assign": q_kmeans_assign,
     "heavy_hitters": q_heavy_hitters,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4152,6 +4267,8 @@ ORACLES: dict[str, str] = {
     "apply_deletes": ORACLE_APPLY_DELETES,
     "kmeans_assign": oracle_kmeans_assign(),
     "heavy_hitters": oracle_heavy_hitters(),
+    "funnel_steps": ORACLE_FUNNEL_STEPS,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
