@@ -4105,6 +4105,106 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_rate_anomaly(spark, sf):
+    """Event-rate anomaly detection: hourly counts per event_type,
+    z-scored against that type's own hourly distribution (window agg
+    partitioned BY TYPE — no single-partition window). The shape every
+    ingest monitor needs at scale: the hourly rollup shrinks the data
+    by orders of magnitude before the window pass, so the z-score
+    stage runs over (types × hours) rows, not raw events. Flags
+    |z| > 3; z rounded to 3dp at the edge (embedding_outliers
+    precedent) so unordered-avg ulp drift can't flip the hash."""
+    ev = load(spark, sf, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+            .alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd).otherwise(F.lit(0.0))
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(z, 3).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE_RATE_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY event_type, hour
+),
+scored AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+  FROM hourly
+)
+SELECT event_type, hour, n,
+       round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 3) AS zscore,
+       abs(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END) > 3.0
+         AS is_anomaly
+FROM scored
+ORDER BY event_type, hour
+"""
+
+
+def q_sequence_samples(spark, sf):
+    """Next-event-prediction training samples: for every event with at
+    least 3 predecessors in its user's timeline, emit the 3-event
+    context window and the current event as the target. Pure lag
+    windows over (user, ts, event_id) — one Exchange + one Sort per
+    user partition, no collect_list blowup (a user with 10⁶ events
+    costs 10⁶ rows, never a 10⁶-element array on one executor). The
+    sequence-windowing primitive behind "convert logs to autoregressive
+    training rows" at corpus scale."""
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts",
+                                          "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        ev.withColumn("l1", F.lag("event_type", 1).over(w))
+        .withColumn("l2", F.lag("event_type", 2).over(w))
+        .withColumn("l3", F.lag("event_type", 3).over(w))
+        .where(F.col("l3").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.concat_ws(">", "l3", "l2", "l1").alias("context"),
+            F.col("event_type").alias("target"),
+        )
+    )
+    return out.orderBy("user_id", "event_id")
+
+
+ORACLE_SEQUENCE_SAMPLES = """
+WITH w AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type, 1) OVER win AS l1,
+         lag(event_type, 2) OVER win AS l2,
+         lag(event_type, 3) OVER win AS l3
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       l3 || '>' || l2 || '>' || l1 AS context,
+       event_type AS target
+FROM w WHERE l3 IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4159,6 +4259,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "rate_anomaly": q_rate_anomaly,
+    "sequence_samples": q_sequence_samples,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4269,6 +4371,8 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": oracle_heavy_hitters(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
+    "rate_anomaly": ORACLE_RATE_ANOMALY,
+    "sequence_samples": ORACLE_SEQUENCE_SAMPLES,
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,

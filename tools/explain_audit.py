@@ -57,6 +57,9 @@ CARTESIAN_OK = {
     # same pattern: ONE-ROW (avgdl, N) aggregate broadcast onto the
     # tf table (keyword_search)
     "keyword_search",
+    # same pattern: ONE-ROW total-token-count aggregate crossJoined
+    # onto the 20-row top-k before the error-bound check
+    "heavy_hitters",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
