@@ -4205,6 +4205,61 @@ ORDER BY user_id, event_id
 """
 
 
+def q_dedup_canonical(spark, sf):
+    """Quality-aware survivor selection on top of near-dup resolution:
+    within each transitive-closure duplicate group, KEEP the longest
+    document (tiebreak lowest id) — the policy real dedup passes use
+    instead of min-id. One window over the component assignment (the
+    expensive part, edges + CC, is the already-certified
+    dedup_components path); the window partitions by group so it
+    parallelizes across components."""
+    docs = load(spark, sf, "documents")
+    comp = D.dedup_components(docs, n=3, threshold=0.5, method="ngram")
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("canonical_id")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("canonical_id").alias("group_id"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_chars"),
+            "n_members",
+        )
+        .orderBy("group_id")
+    )
+
+
+def oracle_dedup_canonical() -> str:
+    base = oracle_dedup_components().rstrip()
+    # reuse the closure CTE chain, swap the projection for the
+    # quality-pick window
+    head = base[: base.rindex("SELECT id AS doc_id")].rstrip()
+    return (
+        head
+        + """,
+m AS (
+  SELECT comp.id, comp.canonical, d.n_chars
+  FROM comp JOIN documents d ON d.doc_id = comp.id
+),
+pick AS (
+  SELECT canonical AS group_id, id AS kept_doc_id, n_chars AS kept_chars,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY n_chars DESC, id) AS rn,
+         count(*) OVER (PARTITION BY canonical) AS n_members
+  FROM m
+)
+SELECT group_id, kept_doc_id, kept_chars, n_members
+FROM pick WHERE rn = 1
+ORDER BY group_id
+"""
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4261,6 +4316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "rate_anomaly": q_rate_anomaly,
     "sequence_samples": q_sequence_samples,
+    "dedup_canonical": q_dedup_canonical,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4373,6 +4429,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,
     "sequence_samples": ORACLE_SEQUENCE_SAMPLES,
+    "dedup_canonical": oracle_dedup_canonical(),
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
