@@ -4260,6 +4260,65 @@ ORDER BY group_id
     )
 
 
+def q_embedding_normalize(spark, sf):
+    """Per-group feature standardization: each embedding dimension is
+    z-scored against ITS GROUP's (label's) mean/std — the
+    normalization step before mixing feature distributions across
+    sources in a training corpus. One groupBy builds a per-label
+    (mu[64], sd[64]) stats table (tiny — one row per label), broadcast
+    back onto the vectors; the transform itself is two zip_with folds,
+    JVM-side, zero additional shuffle. Zero-variance dimensions pass
+    through centered (divide by 1), outputs rounded 6dp at the edge."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dim = 64
+    stats = emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("mu"),
+        F.array(
+            *[F.stddev_samp(F.element_at("v", i + 1)) for i in range(dim)]
+        ).alias("sd"),
+    )
+    centered = F.zip_with("v", "mu", lambda x, m: x - m)
+    nv = F.zip_with(
+        centered,
+        F.col("sd"),
+        lambda d, s: F.round(d / F.when(s > 0, s).otherwise(F.lit(1.0)), 6),
+    )
+    return (
+        emb.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", nv.alias("nv"))
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_NORMALIZE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+st AS (
+  SELECT label, list(mu ORDER BY dim) AS mu, list(sd ORDER BY dim) AS sd
+  FROM (
+    SELECT label, r.i AS dim, avg(v[r.i]) AS mu, stddev_samp(v[r.i]) AS sd
+    FROM e CROSS JOIN range(1, 65) r(i)
+    GROUP BY label, r.i
+  ) GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       list_transform(range(1, 65),
+         i -> round((e.v[i] - st.mu[i]) /
+                    (CASE WHEN st.sd[i] > 0 THEN st.sd[i] ELSE 1.0 END), 6))
+         AS nv
+FROM e JOIN st USING (label)
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4317,6 +4376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_anomaly": q_rate_anomaly,
     "sequence_samples": q_sequence_samples,
     "dedup_canonical": q_dedup_canonical,
+    "embedding_normalize": q_embedding_normalize,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4430,6 +4490,7 @@ ORACLES: dict[str, str] = {
     "rate_anomaly": ORACLE_RATE_ANOMALY,
     "sequence_samples": ORACLE_SEQUENCE_SAMPLES,
     "dedup_canonical": oracle_dedup_canonical(),
+    "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
