@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "sample_stratified",   # exact per-stratum sampling
     "dedup_bloom",         # Bloom-filter incremental corpus dedup (r4)
     "corpus_build",        # full preprocessing chain in one plan (r4)
+    "constraint_check",    # one-scan declarative validation suite (r4)
+    "heavy_hitters",       # count-min sketch build + certified top-k (r4)
+    "kmeans_assign",       # iterative ML: 2x Lloyd over embeddings (r4)
 ]
 
 
