@@ -60,6 +60,9 @@ CARTESIAN_OK = {
     # same pattern: ONE-ROW total-token-count aggregate crossJoined
     # onto the 20-row top-k before the error-bound check
     "heavy_hitters",
+    # per-config summary = crossJoin of two ONE-ROW count aggregates
+    # (candidates x verified), three configs unioned
+    "minhash_band_sweep",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
