@@ -86,3 +86,35 @@ def test_n_iter_zero_assigns_to_init(spark, planted):
 def test_bad_params_rejected(spark, planted):
     with pytest.raises(ValueError):
         lloyd_kmeans(planted, "id", "v", k=0, n_iter=1, dim=4)
+
+
+def test_duplicate_init_centroids_collapse(spark):
+    """If two init centroids are identical (duplicate first-k
+    vectors), the tie goes to the lower cluster id and the higher one
+    empties and drops out after one iteration — in both engines the
+    groupBy simply produces no row for it."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),   # duplicate of id 0 -> duplicate centroid
+        (2, [9.0, 9.0]),
+        (3, [9.1, 9.0]),
+        (4, [0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = lloyd_kmeans(df, "id", "v", k=3, n_iter=2, dim=2)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    # cluster 1 (the duplicate centroid) captured nothing and vanished
+    assert set(got.values()) == {0, 2}
+    assert got[0] == got[1] == got[4] == 0
+    assert got[2] == got[3] == 2
+
+
+def test_k_larger_than_n(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [5.0])], "id long, v array<double>"
+    )
+    out = lloyd_kmeans(df, "id", "v", k=5, n_iter=1, dim=1)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == {0: 0, 1: 1}
