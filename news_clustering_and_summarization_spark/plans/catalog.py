@@ -4414,6 +4414,50 @@ ver_{bands} AS MATERIALIZED (
     )
 
 
+def q_stats_skipping(spark, sf):
+    """Manifest-style file skipping (sources/tables.write_stats_index
+    + read_with_skipping): orders are laid out range-partitioned on
+    o_orderkey, a per-file min/max stats table is built with one
+    column-pruned scan, and a 25%-50% key-range query consults the
+    stats to open ONLY intersecting files (asserted: fewer files than
+    the dataset has) with the exact predicate re-applied as the
+    residual. The oracle is the plain WHERE — a green hash certifies
+    that skipping lost no rows and the residual dropped none extra."""
+    from ..sources import tables as T
+
+    tag = _safe_sf_tag(sf)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for p in ("file:", "file://"):
+        if wh.startswith(p):
+            wh = wh[len(p):]
+            break
+    path = f"{wh}/skip_orders_{tag}"
+    orders = load(spark, sf, "orders")
+    hi_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = hi_key // 4, hi_key // 2
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    T.write_stats_index(spark, path, ["o_orderkey"])
+    out = T.read_with_skipping(spark, path, {"o_orderkey": (lo, hi)})
+    n_files = len(spark.read.parquet(path).inputFiles())
+    assert len(out.inputFiles()) < n_files, (len(out.inputFiles()), n_files)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+ORACLE_STATS_SKIPPING = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey >= (SELECT max(o_orderkey) // 4 FROM orders)
+  AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4473,6 +4517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": q_dedup_canonical,
     "embedding_normalize": q_embedding_normalize,
     "minhash_band_sweep": q_minhash_band_sweep,
+    "stats_skipping": q_stats_skipping,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4588,6 +4633,7 @@ ORACLES: dict[str, str] = {
     "dedup_canonical": oracle_dedup_canonical(),
     "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     "minhash_band_sweep": oracle_minhash_band_sweep(),
+    "stats_skipping": ORACLE_STATS_SKIPPING,
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,

@@ -308,3 +308,73 @@ def apply_deletes(
         "files_rewritten": len(affected),
         "rows_deleted": n_before - n_after,
     }
+
+
+# --- File-stats skipping index (manifest-style pruning) -------------
+
+
+def write_stats_index(spark: SparkSession, path: str, cols: list[str]) -> str:
+    """Build a per-file min/max/count stats table for ``cols`` — the
+    manifest a table format (Iceberg/Delta) would maintain, computed
+    here with one column-pruned scan keyed on ``_metadata.file_path``.
+    Written next to the dataset (``<path>_stats``) so the dataset dir
+    stays a plain parquet table. Pairs with write_zordered: clustering
+    makes per-file ranges tight, the index makes them consultable
+    WITHOUT opening any data file footer.
+
+    At 100 TB the stats table is one row per file (~10⁵ rows for 128MB
+    files) — a driver/broadcast-scale object that turns a selective
+    range query into an O(matching-files) read instead of an
+    O(all-footers) metadata storm.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    stats_path = path.rstrip("/") + "_stats"
+    (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            *[F.col(c) for c in cols],
+        )
+        .groupBy("file")
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stats_path)
+    )
+    return stats_path
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Read only the files whose stats interval intersects every
+    ``col: (lo, hi)`` bound (None = unbounded), then re-apply the
+    exact predicate as a residual filter — skipping is a superset
+    optimization, the filter is the contract. Returns an empty,
+    correctly-typed DataFrame when every file prunes away.
+    """
+    stats = spark.read.parquet(path.rstrip("/") + "_stats")
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            cond = cond & (F.col(f"max_{c}") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
+    files = [r["file"] for r in stats.where(cond).select("file").collect()]
+    base = spark.read.parquet(*files) if files else (
+        spark.read.parquet(path).limit(0)
+    )
+    out = base
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            out = out.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(c) <= F.lit(hi))
+    return out
