@@ -378,3 +378,99 @@ def read_with_skipping(
         if hi is not None:
             out = out.where(F.col(c) <= F.lit(hi))
     return out
+
+
+# --- Versioned snapshot publishing ----------------------------------
+
+
+def publish_snapshot(df: DataFrame, base: str) -> int:
+    """Publish ``df`` as the next immutable snapshot version of a
+    serving dataset: write to a temp dir, rename into ``<base>/v=N``,
+    then atomically flip the ``_LATEST`` pointer (write-temp + rename
+    — the only atomic primitive object stores and HDFS share).
+
+    Readers (read_latest_snapshot) always see a COMPLETE version:
+    either the old pointer or the new one, never a half-written
+    directory — the multi-file analogue of compact_parquet's swap, and
+    the serving-layer pattern for the reference's "UI re-reads the
+    whole table every 5s" loop (BASELINE.md: ClusterList template) at
+    sizes where a half-visible write would corrupt a refresh. Old
+    versions stay until pruned, so long-running readers finish their
+    scan on the version they started with. Returns the new version."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    bpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = bpath.getFileSystem(conf)
+    fs.mkdirs(bpath)
+    version = _latest_version(spark, base) + 1
+    tmp = f"{base.rstrip('/')}/.v_tmp_{version}"
+    df.write.mode("overwrite").parquet(tmp)
+    final = jvm.org.apache.hadoop.fs.Path(f"{base.rstrip('/')}/v={version}")
+    fs.delete(final, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), final)
+    # pointer flip: temp file + rename (rename is atomic per-FS)
+    ptr_tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{base.rstrip('/')}/._LATEST_tmp"
+    )
+    out = fs.create(ptr_tmp, True)
+    out.write(str(version).encode("ascii"))
+    out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base.rstrip('/')}/_LATEST")
+    fs.delete(ptr, False)
+    fs.rename(ptr_tmp, ptr)
+    return version
+
+
+def _latest_version(spark: SparkSession, base: str) -> int:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{base.rstrip('/')}/_LATEST")
+    fs = ptr.getFileSystem(conf)
+    if not fs.exists(ptr):
+        return 0
+    stream = fs.open(ptr)
+    try:
+        data = bytes(
+            stream.readAllBytes()
+        ) if hasattr(stream, "readAllBytes") else None
+        if data is None:  # pragma: no cover - Hadoop version fallback
+            buf = bytearray()
+            b = stream.read()
+            while b != -1:
+                buf.append(b)
+                b = stream.read()
+            data = bytes(buf)
+    finally:
+        stream.close()
+    return int(data.decode("ascii").strip() or 0)
+
+
+def read_latest_snapshot(spark: SparkSession, base: str) -> DataFrame:
+    """Read the version the ``_LATEST`` pointer names."""
+    v = _latest_version(spark, base)
+    if v == 0:
+        raise FileNotFoundError(f"no published snapshot under {base}")
+    return spark.read.parquet(f"{base.rstrip('/')}/v={v}")
+
+
+def prune_snapshots(spark: SparkSession, base: str, keep: int = 2) -> int:
+    """Delete all but the newest ``keep`` versions (the maintenance
+    job; never deletes the pointed-to version). Returns deleted count.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    bpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = bpath.getFileSystem(conf)
+    latest = _latest_version(spark, base)
+    versions = sorted(
+        int(f.getPath().getName().split("=", 1)[1])
+        for f in fs.listStatus(bpath)
+        if f.getPath().getName().startswith("v=")
+    )
+    doomed = [v for v in versions[:-keep] if v != latest] if keep else []
+    for v in doomed:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{base.rstrip('/')}/v={v}"), True
+        )
+    return len(doomed)
