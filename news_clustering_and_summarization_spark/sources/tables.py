@@ -313,6 +313,16 @@ def apply_deletes(
 # --- File-stats skipping index (manifest-style pruning) -------------
 
 
+def _canon_uri(f: str) -> str:
+    """Spark spells the same file 'file:///x' in inputFiles() and
+    'file:/x' in _metadata.file_path — collapse scheme slashes so the
+    drift comparison sees one spelling."""
+    if ":" not in f:
+        return f
+    scheme, rest = f.split(":", 1)
+    return scheme + ":/" + rest.lstrip("/")
+
+
 def write_stats_index(spark: SparkSession, path: str, cols: list[str]) -> str:
     """Build a per-file min/max/count stats table for ``cols`` — the
     manifest a table format (Iceberg/Delta) would maintain, computed
@@ -359,8 +369,29 @@ def read_with_skipping(
     exact predicate as a residual filter — skipping is a superset
     optimization, the filter is the contract. Returns an empty,
     correctly-typed DataFrame when every file prunes away.
+
+    Staleness guard: if the dataset's file list has drifted from the
+    manifest (a rewrite — apply_deletes, compaction — without an index
+    rebuild), pruning against the stale manifest could DROP rows from
+    files the manifest never saw. On any drift the read falls back to
+    the plain filtered scan (correct, just unpruned) — the same
+    one-sided degradation contract as every sketch in this repo.
     """
     stats = spark.read.parquet(path.rstrip("/") + "_stats")
+    indexed = {
+        _canon_uri(r["file"]) for r in stats.select("file").collect()
+    }
+    current = {
+        _canon_uri(f) for f in spark.read.parquet(path).inputFiles()
+    }
+    if indexed != current:
+        out = spark.read.parquet(path)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                out = out.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.where(F.col(c) <= F.lit(hi))
+        return out
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:

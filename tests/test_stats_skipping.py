@@ -83,3 +83,32 @@ def test_unclustered_column_skips_nothing_but_stays_correct(spark, tmp_path):
     assert len(got.inputFiles()) == len(
         spark.read.parquet(path).inputFiles()
     )
+
+
+def test_stale_index_falls_back_to_full_scan(spark, tmp_path):
+    """A rewrite without an index rebuild must not lose rows: drift
+    between the manifest and the live file list disables pruning."""
+    path = os.path.join(str(tmp_path), "ds")
+    _dataset(spark, path)
+    T.write_stats_index(spark, path, ["k"])
+    # rewrite: delete the rows 0..29 via the targeted-delete path,
+    # which rewrites one file under a new name
+    deletes = spark.range(30).select(F.col("id").alias("k"))
+    T.apply_deletes(spark, path, deletes, "k")
+    got = T.read_with_skipping(spark, path, {"k": (0, 199)})
+    want = spark.read.parquet(path).where(
+        (F.col("k") >= 0) & (F.col("k") <= 199)
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    # drift detected -> no pruning
+    assert len(got.inputFiles()) == len(
+        spark.read.parquet(path).inputFiles()
+    )
+    # rebuilding the index restores pruning
+    T.write_stats_index(spark, path, ["k"])
+    again = T.read_with_skipping(spark, path, {"k": (150, 199)})
+    assert len(again.inputFiles()) < len(
+        spark.read.parquet(path).inputFiles()
+    )
