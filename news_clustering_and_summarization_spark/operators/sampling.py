@@ -201,3 +201,25 @@ def select_token_budget(
         )
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    seed: int = 99,
+) -> DataFrame:
+    """Keep each row with probability ``weight_col`` (a [0,1] column —
+    e.g. a quality score), DETERMINISTICALLY: the row's content-
+    addressed hash bucket is compared against weight*SAMPLE_BUCKETS,
+    so the same row always makes the same keep/drop decision
+    regardless of partitioning, growth, or re-runs — the property
+    every incremental corpus build needs from its downsampler (a
+    re-run must not resample survivors). Integer-bucket-vs-double
+    comparison, no RNG, no float accumulation.
+
+    The quality-weighted downsampling step of a training-data
+    pipeline: low-quality documents survive at reduced rates instead
+    of a hard threshold cliff."""
+    b = _bucket(F.col(key_col), seed)
+    return df.where(b < F.col(weight_col) * SAMPLE_BUCKETS)

@@ -4458,6 +4458,38 @@ ORDER BY o_orderkey
 """
 
 
+def q_sample_weighted(spark, sf):
+    """Quality-weighted deterministic downsampling
+    (operators/sampling.weighted_sample): each document survives with
+    probability = its quality score — content-addressed hash bucket vs
+    weight×10⁶, so re-runs and corpus growth never resample survivors.
+    Composes two certified surfaces (quality_score twins + the
+    sampling bucket twins); zero shuffles, filter evaluated in the
+    scan stage."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf, "documents")
+    scored = TA.quality_score(docs, "text")
+    return (
+        weighted_sample(scored, "doc_id", "quality_score", seed=99)
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_sample_weighted() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS, bucket_sql
+
+    q = TA.quality_score_sql("text")
+    b = bucket_sql("doc_id", 99)
+    return f"""
+SELECT doc_id, {q} AS quality_score
+FROM documents
+WHERE {b} < {q} * {SAMPLE_BUCKETS}
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4518,6 +4550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_normalize": q_embedding_normalize,
     "minhash_band_sweep": q_minhash_band_sweep,
     "stats_skipping": q_stats_skipping,
+    "sample_weighted": q_sample_weighted,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4634,6 +4667,7 @@ ORACLES: dict[str, str] = {
     "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     "minhash_band_sweep": oracle_minhash_band_sweep(),
     "stats_skipping": ORACLE_STATS_SKIPPING,
+    "sample_weighted": oracle_sample_weighted(),
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,

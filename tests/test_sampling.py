@@ -187,3 +187,33 @@ def test_select_token_budget_empty_input(spark):
         id_col="doc_id",
     )
     assert out.count() == 0
+
+
+def test_weighted_sample_extremes_and_stability(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 == 0).cast("double").alias("w"),  # 0.0 or 1.0
+    )
+    kept = weighted_sample(df, "k", "w")
+    ids = sorted(r["k"] for r in kept.collect())
+    # weight 1 rows always survive, weight 0 rows never do
+    assert ids == list(range(0, 500, 2))
+    # partition-layout invariance: same survivors at any parallelism
+    again = weighted_sample(df.repartition(13), "k", "w")
+    assert sorted(r["k"] for r in again.collect()) == ids
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), F.lit(0.3).alias("w")
+    )
+    n = weighted_sample(df, "k", "w").count()
+    assert 0.25 <= n / 4000 <= 0.35
