@@ -4490,6 +4490,131 @@ ORDER BY doc_id
 """
 
 
+def _pq_setup(spark, sf):
+    from ..operators.pq import pq_codebooks, pq_encode
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cbs = pq_codebooks(emb, "vec_id", "v", m=8, k=16, dim=64)
+    return emb, cbs, pq_encode(emb, "v", cbs)
+
+
+def q_embedding_pq(spark, sf):
+    """Product quantization encode (operators/pq.py): 64-d embeddings
+    -> 8 sub-space codes from 16-entry sampled codebooks (8 bytes per
+    vector at scale — the faiss-style storage layout for billion-
+    vector corpora). Encode is a shuffle-free projection (literal-
+    centroid folds + array_min argmin per subspace); recon_err is the
+    exact squared reconstruction error summed in subspace order. The
+    oracle replays codebook sampling, all 128 subspace distances, the
+    argmins, and the ordered error fold."""
+    _, _, coded = _pq_setup(spark, sf)
+    return coded.select(
+        "vec_id", "codes", F.round("recon_err", 6).alias("recon_err")
+    ).orderBy("vec_id")
+
+
+def q_ann_pq(spark, sf):
+    """ADC search over PQ codes (operators/pq.py): the highest-id
+    vector queries the coded corpus; per subspace the query-to-
+    centroid lookup table is folded into literals and each row is
+    scored from its CODES ONLY — the original vectors are never read
+    at search time. Exact deterministic ranking (adc_dist, vec_id), so
+    unlike the recall-floor ANN queries this one has a full value
+    oracle."""
+    from ..operators.pq import pq_adc_scores
+
+    emb, cbs, coded = _pq_setup(spark, sf)
+    qrow = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
+    scored = pq_adc_scores(coded.select("vec_id", "codes"), list(qrow["v"]), cbs)
+    return (
+        scored.select(
+            "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_sub_sql(a_vec: str, b_vec: str, mi_expr: str, sub: int) -> str:
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {sub + 1}), "
+        f"i -> ({a_vec}[{mi_expr} * {sub} + i] - {b_vec}[{mi_expr} * {sub} + i])"
+        f" * ({a_vec}[{mi_expr} * {sub} + i] - {b_vec}[{mi_expr} * {sub} + i]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+_PQ_ENC_CTE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+sd AS (
+  SELECT e.vec_id, m.m, cb.k, {SUBDIST} AS d
+  FROM e CROSS JOIN range(0, 8) m(m) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, m, k AS code, d FROM (
+    SELECT vec_id, m, k, d,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM sd) WHERE rn = 1
+),
+enc AS (
+  SELECT vec_id,
+         list(CAST(code AS INT) ORDER BY m) AS codes,
+         list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY m)),
+                     (acc, x) -> acc + x) AS recon_err
+  FROM best GROUP BY vec_id
+)"""
+
+
+def oracle_embedding_pq() -> str:
+    cte = _PQ_ENC_CTE.replace(
+        "{SUBDIST}", _pq_sub_sql("e.v", "cb.v", "m.m", 8)
+    )
+    return (
+        cte
+        + """
+SELECT vec_id, codes, round(recon_err, 6) AS recon_err
+FROM enc ORDER BY vec_id
+"""
+    )
+
+
+def oracle_ann_pq() -> str:
+    cte = _PQ_ENC_CTE.replace(
+        "{SUBDIST}", _pq_sub_sql("e.v", "cb.v", "m.m", 8)
+    )
+    qdist = _pq_sub_sql("q.v", "cb.v", "u.m", 8)
+    return (
+        cte
+        + f""",
+q AS (SELECT v FROM e ORDER BY vec_id DESC LIMIT 1),
+adc AS (
+  SELECT b.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(t.d ORDER BY t.m)),
+                     (acc, x) -> acc + x) AS adc_dist
+  FROM best b
+  JOIN (
+    SELECT u.m, cb.k, {qdist} AS d
+    FROM q CROSS JOIN range(0, 8) u(m) CROSS JOIN cb
+  ) t ON t.m = b.m AND t.k = b.code
+  GROUP BY b.vec_id
+)
+SELECT vec_id, round(adc_dist, 6) AS adc_dist
+FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -4551,6 +4676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band_sweep": q_minhash_band_sweep,
     "stats_skipping": q_stats_skipping,
     "sample_weighted": q_sample_weighted,
+    "embedding_pq": q_embedding_pq,
+    "ann_pq": q_ann_pq,
     "sketch_profile": q_sketch_profile,
     "quantile_sketch": q_quantile_sketch,
     "event_transitions": q_event_transitions,
@@ -4668,6 +4795,8 @@ ORACLES: dict[str, str] = {
     "minhash_band_sweep": oracle_minhash_band_sweep(),
     "stats_skipping": ORACLE_STATS_SKIPPING,
     "sample_weighted": oracle_sample_weighted(),
+    "embedding_pq": oracle_embedding_pq(),
+    "ann_pq": oracle_ann_pq(),
     "sketch_profile": ORACLE_SKETCH_PROFILE,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
