@@ -78,3 +78,59 @@ def test_bad_params_rejected(spark, vectors):
         pq_codebooks(vectors, "vec_id", "v", m=3, k=8, dim=8)
     with pytest.raises(ValueError):
         pq_codebooks(vectors, "vec_id", "v", m=4, k=100, dim=8)
+
+
+def test_ivf_pq_composition(spark):
+    """The full faiss-style index composition: IVF coarse cells
+    (similarity.assign_cells) partition the corpus, PQ codes compress
+    it, and a query probes its nearest cell(s) then ranks by ADC —
+    touching only the probed cells' code columns. On well-separated
+    blobs the composed search returns the true nearest neighbor."""
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        assign_cells,
+        train_ivf_centroids,
+    )
+
+    blobs = [  # direction-separated (cells are cosine-based)
+        [10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+        [1.0, 10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+        [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 10.0, 10.0],
+    ]
+    rows = []
+    for i in range(24):
+        b = blobs[i % 3]
+        rows.append((i, [x + ((i * 5) % 7) * 0.05 for x in b]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_ivf_centroids(corpus, nlist=3, corpus_vec="embedding")
+    celled = assign_cells(corpus, cents, "embedding", "vec_id", n_cells=1)
+
+    cbs = pq_codebooks(corpus, "vec_id", "embedding", m=4, k=16, dim=8)
+    coded = pq_encode(celled, "embedding", cbs).select(
+        "vec_id", "cell", "codes"
+    )
+
+    # query: a point near vec_id 3 (blob 0)
+    q = [x + 0.01 for x in rows[3][1]]
+    qcell = (
+        assign_cells(
+            spark.createDataFrame([(0, q)], "qid long, embedding array<double>"),
+            cents, "embedding", "qid", n_cells=1,
+        ).collect()[0]["cell"]
+    )
+    probed = coded.where(F.col("cell") == qcell)
+    # probed partition excludes the other blobs entirely
+    probed_ids = {r["vec_id"] for r in probed.select("vec_id").collect()}
+    assert probed_ids == {i for i in range(24) if i % 3 == 0}
+
+    top = (
+        pq_adc_scores(probed, q, cbs)
+        .orderBy("adc_dist", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    true_best = min(
+        probed_ids,
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(q, rows[i][1])),
+    )
+    assert top["vec_id"] == true_best == 3
