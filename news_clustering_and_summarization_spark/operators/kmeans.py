@@ -92,6 +92,13 @@ def lloyd_kmeans(
         .limit(k)
         .collect()
     )
+    if not init:
+        # empty corpus: empty result with the contract schema (an
+        # F.array() of zero centroid structs would not even plan)
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cluster int, sqdist double"
+        )
     centroids = [(i, list(r[vec_col])) for i, r in enumerate(init)]
     for _ in range(n_iter):
         assigned = assign_to_centroids(df, vec_col, centroids)

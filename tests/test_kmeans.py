@@ -118,3 +118,12 @@ def test_k_larger_than_n(spark):
     out = lloyd_kmeans(df, "id", "v", k=5, n_iter=1, dim=1)
     got = {r["id"]: r["cluster"] for r in out.collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_empty_input_returns_typed_empty(spark):
+    df = spark.createDataFrame([], "id long, v array<double>")
+    out = lloyd_kmeans(df, "id", "v", k=3, n_iter=2, dim=4)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {
+        "id": "bigint", "cluster": "int", "sqdist": "double"
+    }
