@@ -53,9 +53,13 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     for i, r in enumerate(rules):
         if r["kind"] == "row":
             aggs.append(
-                F.sum(
-                    # NULL predicate -> violation (strict reading)
-                    F.when(r["predicate"], 0).otherwise(1)
+                F.coalesce(
+                    F.sum(
+                        # NULL predicate -> violation (strict reading)
+                        F.when(r["predicate"], 0).otherwise(1)
+                    ),
+                    # empty relation: zero rows violate (sum is NULL)
+                    F.lit(0),
                 ).alias(f"__v{i}")
             )
         elif r["kind"] == "unique":

@@ -97,3 +97,20 @@ def test_one_scan_plan(spark, frame):
 def test_empty_rules_rejected(spark, frame):
     with pytest.raises(ValueError):
         check_constraints(frame, [])
+
+
+def test_empty_relation_passes_all_rules(spark):
+    df = spark.createDataFrame([], "id long, name string, price double")
+    out = _by_rule(
+        check_constraints(
+            df,
+            [
+                row_rule("price_positive", F.col("price") > 0),
+                unique_rule("id_unique", "id"),
+            ],
+        )
+    )
+    for r in out.values():
+        assert r["n_rows"] == 0
+        assert r["n_violations"] == 0
+        assert r["passed"]
