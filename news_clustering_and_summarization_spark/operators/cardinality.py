@@ -1,0 +1,175 @@
+"""HyperLogLog cardinality sketch — approximate distinct counting
+whose registers are replayable cross-engine.
+
+At 100 TB, ``COUNT(DISTINCT token)`` is a full shuffle of every
+distinct value; a HyperLogLog sketch answers the same question with
+m = 2^p integer registers (kilobytes), mergeable across partitions,
+days, and datasets by register-wise max — the canonical cardinality
+telemetry for corpus building (vocabulary growth, per-language
+distinct-token tracking, join-key cardinality estimation before
+choosing a join strategy). The reference has no cardinality surface;
+this is an engine extension in the same family as the count-min
+sketch (operators/frequent.py).
+
+Design (Flajolet et al. 2007, the standard HLL formulation):
+
+* **Build is ONE shuffle with map-side combine.** Every value row
+  computes ``(bucket, rho)`` in-row from two independent md5-derived
+  hashes (functions/hashing.hash64 — bit-identical in SQL):
+  ``bucket = h1 % m`` and ``rho = trailing_zeros(h2) + 1`` (the
+  geometric observable; extracted with the exact ``h2 & -h2`` lowbit
+  trick so no float log enters the hot path unrounded). A single
+  ``groupBy(group, bucket).max(rho)`` yields the registers — at most
+  m rows per group regardless of input size, and partial aggregation
+  means the exchange carries registers, never values.
+* **Estimate is a per-group fold over ≤ m rows.** The harmonic mean
+  ``alpha_m * m^2 / sum(2^-r_j)`` is computed with the 2^-r terms
+  scaled to exact integers (``1L << (61 - r)`` summed as
+  decimal(38,0)) so the engines' unordered float summation can never
+  disagree; the one double division and the small-range correction
+  ``m * ln(m/V)`` (applied when raw <= 2.5m and V empty registers
+  remain) happen once per group on exact inputs.
+* **Merge is register-wise max** — ``merge(build(X), build(Y)) ==
+  build(X ∪ Y)`` exactly (max is idempotent/commutative), the same
+  decomposable-state contract as operators/incremental.py, proven in
+  tests/test_cardinality.py.
+
+Standard error is ~1.04/sqrt(m) (≈3.3% at the default m=1024); the
+catalog query (plans/catalog.py q_hll_distinct) pins a 15% relative
+band per group in-plan and the oracle replays the registers
+bit-for-bit in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+__all__ = [
+    "HLL_BUCKET_SEED",
+    "HLL_RHO_SEED",
+    "hll_alpha",
+    "hll_build",
+    "hll_estimate",
+    "hll_merge",
+]
+
+# independent md5 streams: h1 picks the register, h2 feeds rho
+HLL_BUCKET_SEED = 11
+HLL_RHO_SEED = 12
+
+# hash64 yields 60 uniform bits; rho for the (16^-15-probability)
+# all-zero hash caps at the full width + 1
+_MAX_RHO = 61
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    m: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build per-group HLL registers from value rows (duplicates are
+    harmless — max absorbs them). Returns (group..., bucket, r) with
+    at most m rows per group."""
+    groups = list(group_cols or [])
+    v = F.col(value_col)
+    bucket = (H.hash64(v, seed=HLL_BUCKET_SEED) % F.lit(m)).alias("bucket")
+    # rho = trailing_zeros(h2) + 1: the lowbit (h2 & -h2) is an exact
+    # power of two, so round(log2(.)) carries no float risk; rho is
+    # geometric(1/2) on uniform hash bits
+    rho = (
+        F.when(H.hash64(v, seed=HLL_RHO_SEED) == 0, F.lit(_MAX_RHO))
+        .otherwise(
+            F.round(
+                F.log2(
+                    F.expr(
+                        "__hll_h2 & -__hll_h2"
+                    )
+                )
+            ).cast("int")
+            + F.lit(1)
+        )
+        .alias("rho")
+    )
+    cells = df.withColumn(
+        "__hll_h2", H.hash64(v, seed=HLL_RHO_SEED)
+    ).select(*groups, bucket, rho)
+    return cells.groupBy(*groups, "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    m: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse registers to one ``hll_estimate`` double per group.
+
+    The harmonic sum uses exact integer terms (1L << (61-r), summed as
+    decimal(38,0) — up to m * 2^61 ≈ 2^71 never overflows 38 digits)
+    plus V * 2^61 for the V untouched registers, so both engines see
+    the identical double at the final division."""
+    groups = list(group_cols or [])
+    alpha = hll_alpha(m)
+    agg = registers.groupBy(*groups).agg(
+        F.sum(
+            F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)")
+        ).alias("ssum"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    v_empty = F.lit(m) - F.col("present")
+    total = (
+        F.col("ssum")
+        + v_empty.cast("decimal(38,0)") * F.lit(2**61).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(alpha * m * m * float(2**61)) / total
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*groups, est.alias("hll_estimate"))
+
+
+def hll_estimate_sql(
+    m: int, registers_cte: str, group_expr: str | None = None
+) -> str:
+    """DuckDB replay of hll_estimate over a CTE named ``registers_cte``
+    with columns (group?, bucket, r). Returns a SELECT yielding
+    (group?, hll_estimate)."""
+    alpha = hll_alpha(m)
+    g = group_expr
+    sel_g = f"{g}, " if g else ""
+    by_g = f"GROUP BY {g}" if g else ""
+    return f"""
+SELECT {sel_g}
+  CASE WHEN raw <= {2.5 * m} AND v_empty > 0
+       THEN {float(m)} * ln({float(m)} / v_empty)
+       ELSE raw END AS hll_estimate
+FROM (
+  SELECT {sel_g}
+    {alpha * m * m * float(2 ** 61)!r} /
+      cast(sum(cast((1::BIGINT << (61 - r)) AS DECIMAL(38,0)))
+           + cast(({m} - count(*)) AS DECIMAL(38,0)) * cast({2 ** 61} AS DECIMAL(38,0))
+           AS DOUBLE) AS raw,
+    {m} - count(*) AS v_empty
+  FROM {registers_cte} {by_g}
+)
+"""
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register sets built with the same (m, seeds):
+    register-wise max. Exactly equals building over the union."""
+    groups = [c for c in a.columns if c not in ("bucket", "r")]
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("r").alias("r"))
+    )

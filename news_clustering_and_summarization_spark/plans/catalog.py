@@ -3992,6 +3992,80 @@ ORDER BY cnt DESC, token
 """
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog per-language distinct-shingle cardinality
+    (operators/cardinality.py): the exact COUNT(DISTINCT) — the full
+    value shuffle you cannot afford at 100 TB — is computed beside the
+    HLL estimate from m=1024 registers built in ONE shuffle whose
+    exchange carries registers, never shingles. `hll_ok` pins the
+    sketch to a 15% relative band per group (standard error is
+    ~1.04/sqrt(m) ≈ 3.3%; deterministic here because the md5 hashes
+    are fixed), and the oracle REPLAYS THE REGISTERS THEMSELVES —
+    bucket, rho, register max, and the integer-exact harmonic sum are
+    bit-identical in SQL — so a green hash certifies every step of the
+    estimate path, not just the exact leg."""
+    from ..operators.cardinality import hll_build, hll_estimate
+
+    m = 1024
+    docs = load(spark, sf, "documents")
+    sh = docs.select(
+        "lang",
+        F.explode(H.word_shingles(H.tokens(F.col("text")), 3)).alias("sh"),
+    )
+    regs = hll_build(sh, "sh", m, ["lang"])
+    est = hll_estimate(regs, m, ["lang"])
+    exact = sh.groupBy("lang").agg(
+        F.countDistinct("sh").alias("exact_distinct")
+    )
+    return (
+        exact.join(F.broadcast(est), "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            F.round("hll_estimate", 2).alias("hll_estimate"),
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                <= F.lit(0.15) * F.col("exact_distinct")
+            ).alias("hll_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+def oracle_hll_distinct(m: int = 1024) -> str:
+    from ..operators.cardinality import (
+        HLL_BUCKET_SEED,
+        HLL_RHO_SEED,
+        hll_estimate_sql,
+    )
+
+    tok = H.tokens_sql("text")
+    shingles = H.word_shingles_sql("toks", 3)
+    h1 = H.hash64_sql("sh", HLL_BUCKET_SEED)
+    h2 = H.hash64_sql("sh", HLL_RHO_SEED)
+    est = hll_estimate_sql(m, "regs", "lang")
+    return f"""
+WITH t AS (SELECT lang, {tok} AS toks FROM documents),
+sh AS (SELECT lang, unnest({shingles}) AS sh FROM t),
+cells AS (
+  SELECT lang, {h1} % {m} AS bucket,
+         CASE WHEN {h2} = 0 THEN 61
+              ELSE cast(round(log2(({h2}) & -({h2}))) AS INT) + 1
+         END AS rho
+  FROM sh
+),
+regs AS (SELECT lang, bucket, max(rho) AS r FROM cells GROUP BY lang, bucket),
+est AS ({est}),
+exact AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM sh GROUP BY lang)
+SELECT exact.lang, exact.exact_distinct,
+       round(est.hll_estimate, 2) AS hll_estimate,
+       abs(est.hll_estimate - exact.exact_distinct)
+         <= 0.15 * exact.exact_distinct AS hll_ok
+FROM exact JOIN est USING (lang)
+ORDER BY lang
+"""
+
+
 def q_funnel_steps(spark, sf):
     """Ordered conversion funnel over the event stream: users who
     signed up, then clicked AFTER their first signup, then purchased
@@ -4736,6 +4810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_lsh": q_cluster_lsh,
     "incremental_cluster": q_incremental_cluster,
     "pipeline_e2e": q_pipeline_e2e,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -4786,6 +4861,7 @@ ORACLES: dict[str, str] = {
     "apply_deletes": ORACLE_APPLY_DELETES,
     "kmeans_assign": oracle_kmeans_assign(),
     "heavy_hitters": oracle_heavy_hitters(),
+    "hll_distinct": oracle_hll_distinct(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -1,0 +1,79 @@
+"""HyperLogLog register sketch (operators/cardinality.py): merge must
+equal a one-shot build (decomposable-state contract), estimates must
+land inside the documented error envelope on both the linear-counting
+and harmonic branches, and the build plan must shuffle registers, not
+values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.functions import hashing as H
+from news_clustering_and_summarization_spark.operators.cardinality import (
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+from news_clustering_and_summarization_spark.plans.catalog import load
+from tests.conftest import SF_SMOKE
+
+M = 1024
+
+
+def _values(spark, n, prefix="v"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("val")
+    )
+
+
+def test_linear_counting_branch_small_cardinality(spark):
+    # 200 distinct << 2.5*m with empty registers -> m*ln(m/V) branch
+    est = hll_estimate(hll_build(_values(spark, 200), "val", M), M).first()
+    assert abs(est["hll_estimate"] - 200) <= 0.10 * 200
+
+
+def test_harmonic_branch_large_cardinality(spark):
+    # 20k distinct >> 2.5*m -> raw harmonic-mean branch; sigma ~ 3.3%
+    est = hll_estimate(
+        hll_build(_values(spark, 20_000), "val", M), M
+    ).first()
+    assert abs(est["hll_estimate"] - 20_000) <= 0.15 * 20_000
+
+
+def test_duplicates_do_not_inflate(spark):
+    vals = _values(spark, 500)
+    dup = vals.unionAll(vals).unionAll(vals)
+    a = hll_estimate(hll_build(vals, "val", M), M).first()["hll_estimate"]
+    b = hll_estimate(hll_build(dup, "val", M), M).first()["hll_estimate"]
+    assert a == b
+
+
+def test_merge_equals_one_shot_build(spark):
+    x = _values(spark, 700, "x")
+    y = _values(spark, 900, "y")
+    merged = hll_merge(hll_build(x, "val", M), hll_build(y, "val", M))
+    one_shot = hll_build(x.unionAll(y), "val", M)
+    assert (
+        sorted(merged.collect()) == sorted(one_shot.collect())
+    ), "register-wise max must equal building over the union"
+
+
+def test_grouped_registers_bounded_by_m(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    sh = docs.select(
+        "lang",
+        F.explode(H.word_shingles(H.tokens(F.col("text")), 3)).alias("sh"),
+    )
+    regs = hll_build(sh, "sh", M, ["lang"])
+    per_group = regs.groupBy("lang").count().collect()
+    assert per_group and all(r["count"] <= M for r in per_group)
+
+
+def test_build_plan_shuffles_registers_not_values(spark):
+    # exactly one exchange (the register groupBy); partial aggregation
+    # means the map side combines before it
+    plan = hll_build(
+        _values(spark, 1000), "val", M
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan.lower() or "HashAggregate" in plan, plan
