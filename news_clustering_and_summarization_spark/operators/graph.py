@@ -1,0 +1,156 @@
+"""PageRank-style link centrality in pure DataFrame operations.
+
+Web-crawl corpus building ranks pages by link centrality before
+filtering (quality weighting, crawl prioritization, seed selection —
+the Common-Crawl-style pipelines the training-data extension surface
+targets); the reference has no graph operator, so this is an engine
+extension in the same family as connected components
+(operators/cluster.py). The algorithm is the standard damped
+power iteration; the engineering choices are about scale and
+cross-engine determinism:
+
+* **Exact fixed-point arithmetic.** Ranks are integers scaled by
+  10^12; every step is integer division and integer sums, which are
+  associative — unordered partial aggregation in Spark and DuckDB
+  produce the SAME bits, so the SQL oracle replays the iteration
+  exactly (no float-summation ulp drift, the problem the k-means
+  oracle solves by per-iteration rounding — here nothing needs
+  rounding at all). rank/10^12 recovers the conventional value;
+  truncation loses < outdeg · 10^-12 rank mass per node per step.
+* **One shuffle per iteration.** Each step is
+  ``ranks ⋈ edges on src`` then ``groupBy(dst).sum``; ranks carry one
+  row per node (≪ edges), so AQE broadcasts the rank side and only
+  the edge->dst aggregation exchanges data. The edge table is scanned
+  once per iteration from its (src)-partitioned cache.
+* **Bounded driver state: none.** The node count enters the plan as a
+  broadcast one-row aggregate (crossJoin of a count), not a collected
+  scalar, so the whole loop is lazy until the caller acts.
+* **Dangling mass.** Nodes without out-edges keep only teleport rank
+  (their mass is dropped, the simplified variant most engines ship);
+  symmetric edge lists (like co-occurrence graphs) have no dangling
+  nodes, making conservation exact up to truncation — asserted in
+  tests/test_graph.py.
+
+At 100 TB-scale graphs the iteration count is the only knob: each
+iteration costs one edge-table scan plus one shuffle of one row per
+(dst, iteration) — the canonical Pregel-lite shape. localCheckpoint
+every few iterations truncates the growing lineage (the loop does it
+at ``checkpoint_every``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["SCALE", "pagerank_fixed_point"]
+
+SCALE = 10**12  # fixed-point denominator: rank value = rank / SCALE
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Damped power iteration over ``edges(src, dst)`` (pre-dedup'd by
+    the caller if multiplicity should not weight the walk).
+
+    Returns (node, rank) with rank an exact scaled integer:
+    rank_0 = SCALE div N, and
+    rank_{i+1}(v) = (SCALE*(den-num)) div (den*N)
+                  + (num * sum_{u->v} rank_i(u) div outdeg(u)) div den.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node",
+        F.expr(f"{SCALE} div n_nodes").alias("rank"),
+        "n_nodes",
+    )
+    teleport = F.expr(
+        f"({SCALE} * {damping_den - damping_num})"
+        f" div ({damping_den} * n_nodes)"
+    )
+    for i in range(iterations):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select(
+                "src",
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_num} *"
+                        " coalesce(inflow, 0))"
+                        f" div {damping_den}"
+                    )
+                ).alias("rank"),
+                "n_nodes",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> tuple[str, str]:
+    """DuckDB replay: unrolled CTE chain over ``edges_cte(src, dst)``
+    — bit-identical to pagerank_fixed_point because every step is
+    integer arithmetic. Returns (cte_fragment, final_relation_name);
+    the caller splices the fragment into its WITH list and selects
+    (node, rank) from the final relation."""
+    tele = (
+        f"({SCALE} * {damping_den - damping_num})"
+        f" // ({damping_den} * (SELECT n FROM n_nodes))"
+    )
+    parts = [
+        f"nodes AS (SELECT DISTINCT src AS node FROM {edges_cte}"
+        f" UNION SELECT DISTINCT dst FROM {edges_cte})",
+        "n_nodes AS (SELECT count(*) AS n FROM nodes)",
+        f"deg AS (SELECT src, count(*) AS outdeg FROM {edges_cte}"
+        " GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE} // (SELECT n FROM n_nodes)"
+        " AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         {tele} + ({damping_num} * coalesce(inf.inflow, 0))
+             // {damping_den} AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst, sum(c.contrib) AS inflow
+    FROM (SELECT {prev}.node AS src, {prev}.rank // deg.outdeg AS contrib
+          FROM {prev} JOIN deg ON {prev}.node = deg.src) c
+    JOIN {edges_cte} e ON e.src = c.src
+    GROUP BY e.dst
+  ) inf ON nodes.node = inf.dst
+)"""
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts), prev

@@ -4066,6 +4066,64 @@ ORDER BY lang
 """
 
 
+def q_pagerank(spark, sf):
+    """Link centrality (operators/graph.py) over the part co-purchase
+    graph: parts appearing in the same order get symmetric edges
+    (TPC-H orders hold <= 7 lineitems, so the self-join fan-out is
+    bounded per key), then 3 damped power iterations rank the hubs.
+    Every step is EXACT fixed-point integer arithmetic — unordered
+    integer sums are associative, so Spark's partial aggregation and
+    DuckDB's produce identical bits and the oracle replays the full
+    iteration with unrolled CTEs, no rounding discipline needed. One
+    shuffle per iteration (ranks are one row per node and broadcast by
+    AQE; only the dst aggregation exchanges)."""
+    from ..operators.graph import SCALE, pagerank_fixed_point
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            "rank",
+            F.round(F.col("rank") / F.lit(float(SCALE)), 6).alias(
+                "rank_norm"
+            ),
+        )
+        .orderBy(F.col("rank").desc(), "part_key")
+        .limit(20)
+    )
+
+
+def oracle_pagerank() -> str:
+    from ..operators.graph import SCALE, pagerank_sql
+
+    frag, final = pagerank_sql("edges", iterations=3)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+{frag}
+SELECT node AS part_key, rank,
+       round(rank / {float(SCALE)}, 6) AS rank_norm
+FROM {final}
+ORDER BY rank DESC, part_key
+LIMIT 20
+"""
+
+
 def q_funnel_steps(spark, sf):
     """Ordered conversion funnel over the event stream: users who
     signed up, then clicked AFTER their first signup, then purchased
@@ -4811,6 +4869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_cluster": q_incremental_cluster,
     "pipeline_e2e": q_pipeline_e2e,
     "hll_distinct": q_hll_distinct,
+    "pagerank": q_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4862,6 +4921,7 @@ ORACLES: dict[str, str] = {
     "kmeans_assign": oracle_kmeans_assign(),
     "heavy_hitters": oracle_heavy_hitters(),
     "hll_distinct": oracle_hll_distinct(),
+    "pagerank": oracle_pagerank(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

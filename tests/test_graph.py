@@ -1,0 +1,72 @@
+"""Fixed-point PageRank (operators/graph.py): hand-checkable
+structure (cycles uniform, stars concentrate rank in the hub),
+rank-mass conservation on symmetric graphs up to integer truncation,
+and the documented dangling-node behavior."""
+
+from __future__ import annotations
+
+from news_clustering_and_summarization_spark.operators.graph import (
+    SCALE,
+    pagerank_fixed_point,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _ranks(edges, **kw):
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, **kw).collect()
+    }
+
+
+def test_cycle_stays_uniform(spark):
+    # symmetric ring: by symmetry every node keeps rank SCALE/N
+    ring = [(i, (i + 1) % 4) for i in range(4)]
+    ring += [(d, s) for s, d in ring]
+    r = _ranks(_edges(spark, ring), iterations=3)
+    assert len(set(r.values())) == 1
+    assert abs(r[0] - SCALE // 4) <= 4
+
+
+def test_star_concentrates_rank_in_hub(spark):
+    # undirected star: hub 0 <-> leaves 1..5
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    r = _ranks(_edges(spark, star), iterations=3)
+    leaves = [r[i] for i in range(1, 6)]
+    assert r[0] > max(leaves)
+    assert len(set(leaves)) == 1, "leaves are symmetric"
+
+
+def test_mass_conserved_on_symmetric_graph(spark):
+    # no dangling nodes -> total rank stays SCALE up to the per-node
+    # truncation loss (< 1 unit per division, a handful of divisions
+    # per node per iteration)
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]
+    sym = pairs + [(d, s) for s, d in pairs]
+    r = _ranks(_edges(spark, sym), iterations=4)
+    total = sum(r.values())
+    assert abs(total - SCALE) < 100 * len(r)
+
+
+def test_dangling_node_keeps_teleport_only(spark):
+    # 0 -> 1, 1 has no out-edges: after one iteration node 1's inflow
+    # comes only from 0; node 0 gets teleport only
+    r = _ranks(_edges(spark, [(0, 1)]), iterations=1)
+    tele = (SCALE * 15) // (100 * 2)
+    assert r[0] == tele
+    assert r[1] == tele + (85 * (SCALE // 2)) // 100
+
+
+def test_more_iterations_converge(spark):
+    # chain with a popular sink pattern: ranks move monotonically
+    # toward the fixed point; iteration 6 vs 7 differ less than 1 vs 2
+    pairs = [(i, i + 1) for i in range(6)] + [(i + 1, i) for i in range(6)]
+    e = _edges(spark, pairs)
+    r1, r2 = _ranks(e, iterations=1), _ranks(e, iterations=2)
+    r6, r7 = _ranks(e, iterations=6), _ranks(e, iterations=7)
+    early = sum(abs(r1[k] - r2[k]) for k in r1)
+    late = sum(abs(r6[k] - r7[k]) for k in r6)
+    assert late < early
