@@ -713,3 +713,80 @@ def dedup_components(
         F.col("component").alias("canonical_id"),
         (F.col("_v") != F.col("component")).alias("is_duplicate"),
     )
+
+
+# --- semantic (SemDeDup-style) ---------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    tau: float,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means partitions the embedding space so the quadratic cosine
+    compare runs per cluster, never corpus-wide — choose k ~ N/1000
+    and each cluster's self-join touches ~10^6 pairs regardless of
+    corpus size, the paper's exact scale argument. A row is dropped
+    when a SMALLER-id row in its cluster has cosine similarity >= tau
+    (greedy min-id survivor — deterministic, and an anti-join rather
+    than a transitive closure, matching the paper's one-pass pruning).
+
+    Determinism contract for the SQL oracle: assignments come from
+    lloyd_kmeans (index-ordered folds, per-iteration 9-decimal
+    centroid rounding, operators/kmeans.py), and the cosine uses the
+    same left-fold dot products in both engines with the pair fixed in
+    (smaller id, larger id) orientation, so threshold compares see
+    identical doubles.
+
+    Returns (id_col, cluster, keep) over every input row.
+    """
+    from .kmeans import lloyd_kmeans
+
+    vecs = df.select(id_col, vec_col)
+    assign = lloyd_kmeans(
+        vecs, id_col, vec_col, k=k, n_iter=n_iter, dim=dim
+    ).select(id_col, "cluster")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sided = (
+        vecs.join(assign, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm.alias("_n"),
+            "cluster",
+        )
+    )
+    a, b = sided.alias("a"), sided.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("a._n") * F.col("b._n"))
+    # per-cluster self-join: both sides shuffle on the cluster key and
+    # the compare stays inside each (bounded) cluster
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("a._id") < F.col("b._id"))
+        .where(cos >= F.lit(tau))
+        .select(F.col("b._id").alias("_drop"))
+        .distinct()
+    )
+    return (
+        sided.join(dropped, sided["_id"] == dropped["_drop"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

@@ -3922,6 +3922,108 @@ ORDER BY vec_id"""
     return "".join(parts)
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup-style semantic dedup (operators/dedup.py
+    semantic_dedup, Abbas et al. 2023): k-means partitions the
+    embedding space (k=8 here; ~N/1000 at scale) so the quadratic
+    cosine compare runs inside each bounded cluster, never
+    corpus-wide; a row is dropped when a smaller-id cluster-mate has
+    cosine >= 0.95. The synthetic embeddings have no natural pair
+    above cos 0.51, so every 10th vector is planted again under
+    vec_id+100000 (cos exactly 1.0 with its original) — the drops the
+    query must find. The oracle replays the ENTIRE path — the planted
+    union, both Lloyd iterations unrolled (index-ordered folds,
+    9-decimal centroid rounding), and the per-cluster cosine prune
+    with the same left-fold dot products — so a green hash certifies
+    assignments and drops."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "v"
+    )
+    return semantic_dedup(
+        emb.unionByName(planted), "vec_id", "v", k=8, tau=0.95,
+        n_iter=2, dim=64,
+    ).orderBy("vec_id")
+
+
+def oracle_semdedup(
+    k: int = 8, tau: float = 0.95, iters: int = 2, dim: int = 64
+) -> str:
+    sq = _kmeans_sqdist_sql("e.v", "c.cent", dim)
+
+    def dot(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cent
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT e.vec_id, c.cluster, {sq} AS dist
+          FROM e CROSS JOIN c{it - 1} c))
+  WHERE rn = 1
+),
+c{it} AS (
+  SELECT cluster, list(m ORDER BY dim) AS cent FROM (
+    SELECT a.cluster, r.i AS dim, round(avg(e.v[r.i]), 9) AS m
+    FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY a.cluster, r.i) GROUP BY cluster
+)"""
+        )
+    parts.append(
+        f""",
+asn AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT e.vec_id, c.cluster, {sq} AS dist
+          FROM e CROSS JOIN c{iters} c))
+  WHERE rn = 1
+),
+s AS (
+  SELECT e.vec_id, e.v, sqrt({dot("e.v", "e.v")}) AS n, asn.cluster
+  FROM e JOIN asn USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS d
+  FROM s a JOIN s b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {dot("a.v", "b.v")} / (a.n * b.n) >= {tau}
+)
+SELECT s.vec_id, s.cluster, dropped.d IS NULL AS keep
+FROM s LEFT JOIN dropped ON s.vec_id = dropped.d
+ORDER BY s.vec_id"""
+    )
+    return "".join(parts)
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -4870,6 +4972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_e2e": q_pipeline_e2e,
     "hll_distinct": q_hll_distinct,
     "pagerank": q_pagerank,
+    "semdedup": q_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4922,6 +5025,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": oracle_heavy_hitters(),
     "hll_distinct": oracle_hll_distinct(),
     "pagerank": oracle_pagerank(),
+    "semdedup": oracle_semdedup(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -317,3 +317,33 @@ def test_minhash_incremental_equals_cross_set_slice_of_full_run(spark):
             l, rr = (a, b) if a % 5 == 4 else (b, a)
             cross.add((l, rr, j))
     assert inc == cross and len(inc) > 0
+
+
+def test_semantic_dedup_drops_planted_cluster_mates(spark):
+    # two tight groups + one singleton; within each group the
+    # smaller-id row survives and near-copies drop at tau=0.95
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    def vec(base, jitter):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 1) % 8] = jitter
+        return v
+
+    rows = [
+        (1, vec(0, 0.0)),
+        (2, vec(0, 0.01)),   # cos ~0.99995 with id 1 -> drop
+        (3, vec(4, 0.0)),
+        (4, vec(4, 0.02)),   # near id 3 -> drop
+        (5, vec(2, 0.0)),    # alone -> keep
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "id", "v", k=3, tau=0.95, n_iter=2, dim=8
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: False, 5: True}
