@@ -223,3 +223,87 @@ def weighted_sample(
     of a hard threshold cliff."""
     b = _bucket(F.col(key_col), seed)
     return df.where(b < F.col(weight_col) * SAMPLE_BUCKETS)
+
+
+# --- DSIR-style importance resampling --------------------------------
+
+DSIR_BUCKET_SEED = 77
+DSIR_LOG_QUANT = 1_000_000  # log-ratio quantization: 1e-6 resolution
+
+
+def dsir_importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every source document by how target-like its hashed-bigram
+    distribution is — weight(doc) = Σ_bigrams log(p_target(bucket) /
+    p_source(bucket)) with add-one smoothing over ``n_buckets`` hashed
+    buckets. High-weight docs look like the target domain; resampling
+    by weight shifts a raw crawl toward it.
+
+    Scale/determinism design:
+    * Bucket statistics are ONE shuffle each over integer counts; the
+      resulting ``n_buckets``-row ratio table broadcasts to the
+      source-side bigram instances (never the reverse).
+    * The per-bucket log-ratio is quantized to a 1e-6-resolution
+      integer ONCE (a single log call on a double built from exact
+      integer counts — identical in both engines), so the per-document
+      aggregation is an EXACT integer sum: unordered partial sums
+      cannot drift, and the DuckDB oracle replays weights bit-for-bit.
+
+    Returns (id_col, dsir_weight) with dsir_weight = quantized
+    integer; divide by DSIR_LOG_QUANT for the conventional log score.
+    """
+
+    def bigram_instances(df: DataFrame, *cols: str) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(
+                H.word_shingles(H.tokens(F.col(text_col)), 2)
+            ).alias("bg"),
+        ).withColumn(
+            "bucket", H.hash64(F.col("bg"), DSIR_BUCKET_SEED) % n_buckets
+        )
+
+    src = bigram_instances(source, id_col)
+    tgt = bigram_instances(target)
+    src_cnt = src.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
+    tgt_cnt = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    src_tot = src_cnt.agg(F.sum("sc").alias("st"))
+    tgt_tot = tgt_cnt.agg(F.sum("tc").alias("tt"))
+    ratios = (
+        src_cnt.join(tgt_cnt, "bucket", "full")
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("tt") + n_buckets).cast("double")
+                    )
+                    / (
+                        (F.coalesce(F.col("sc"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("st") + n_buckets).cast("double")
+                    )
+                )
+                * F.lit(DSIR_LOG_QUANT)
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        src.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("dsir_weight"))
+    )

@@ -4024,6 +4024,81 @@ ORDER BY s.vec_id"""
     return "".join(parts)
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/sampling.py
+    dsir_importance_weights, Xie et al. 2023): score every document by
+    Σ log(p_target/p_source) over 1024 hashed-bigram buckets with
+    add-one smoothing — target = the English documents, source = the
+    whole corpus — and keep the 50 most target-like. The per-bucket
+    log-ratio is quantized to a 1e-6 integer once, so document weights
+    are exact integer sums (no float-summation drift) and the oracle
+    replays bucket counts, ratios, and weights bit-for-bit. Both
+    bucket tables are one integer-count shuffle; the 1024-row ratio
+    table broadcasts to the bigram instances."""
+    from ..operators.sampling import (
+        DSIR_LOG_QUANT,
+        dsir_importance_weights,
+    )
+
+    docs = load(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_importance_weights(docs, target, "doc_id", "text", 1024)
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "dsir_weight",
+            F.round(
+                F.col("dsir_weight") / F.lit(float(DSIR_LOG_QUANT)), 6
+            ).alias("log_ratio"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+def oracle_dsir_select(n_buckets: int = 1024) -> str:
+    from ..operators.sampling import DSIR_BUCKET_SEED, DSIR_LOG_QUANT
+
+    tok = H.tokens_sql("text")
+    bg = H.word_shingles_sql("toks", 2)
+    h = H.hash64_sql("bg", DSIR_BUCKET_SEED)
+    return f"""
+WITH src AS (
+  SELECT doc_id, {h} % {n_buckets} AS bucket FROM (
+    SELECT doc_id, unnest({bg}) AS bg FROM (
+      SELECT doc_id, {tok} AS toks FROM documents))
+),
+tgt AS (
+  SELECT {h} % {n_buckets} AS bucket FROM (
+    SELECT unnest({bg}) AS bg FROM (
+      SELECT {tok} AS toks FROM documents WHERE lang = 'en'))
+),
+sc AS (SELECT bucket, count(*) AS sc FROM src GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS tc FROM tgt GROUP BY bucket),
+tot AS (SELECT (SELECT sum(sc) FROM sc) AS st,
+               (SELECT sum(tc) FROM tc) AS tt),
+ratios AS (
+  SELECT coalesce(sc.bucket, tc.bucket) AS bucket,
+         cast(round(ln(
+           ((coalesce(tc, 0) + 1)::DOUBLE / (tt + {n_buckets})::DOUBLE)
+           / ((coalesce(sc, 0) + 1)::DOUBLE / (st + {n_buckets})::DOUBLE)
+         ) * {DSIR_LOG_QUANT}) AS BIGINT) AS lr
+  FROM sc FULL JOIN tc USING (bucket) CROSS JOIN tot
+),
+w AS (
+  SELECT src.doc_id, sum(lr) AS dsir_weight
+  FROM src JOIN ratios USING (bucket) GROUP BY src.doc_id
+)
+SELECT w.doc_id, d.lang, w.dsir_weight,
+       round(w.dsir_weight / {float(DSIR_LOG_QUANT)}, 6) AS log_ratio
+FROM w JOIN documents d ON w.doc_id = d.doc_id
+ORDER BY w.dsir_weight DESC, w.doc_id
+LIMIT 50
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -4973,6 +5048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "pagerank": q_pagerank,
     "semdedup": q_semdedup,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -5026,6 +5102,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": oracle_hll_distinct(),
     "pagerank": oracle_pagerank(),
     "semdedup": oracle_semdedup(),
+    "dsir_select": oracle_dsir_select(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

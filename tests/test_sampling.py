@@ -217,3 +217,32 @@ def test_weighted_sample_rate_tracks_weight(spark):
     )
     n = weighted_sample(df, "k", "w").count()
     assert 0.25 <= n / 4000 <= 0.35
+
+
+def test_dsir_weights_rank_target_like_docs_first(spark):
+    # target speaks "alpha beta"; source docs that share that bigram
+    # vocabulary must outweigh the off-domain ones
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    source = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta"),
+            (2, "alpha beta gamma delta"),
+            (3, "gamma delta epsilon zeta gamma delta"),
+        ],
+        ["id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha beta"), (11, "beta alpha beta alpha")],
+        ["id", "text"],
+    )
+    w = {
+        r["id"]: r["dsir_weight"]
+        for r in dsir_importance_weights(
+            source, target, "id", "text", 256
+        ).collect()
+    }
+    assert w[1] > w[2] > w[3], w
+    assert w[3] < 0, "off-domain doc scores below the uniform prior"
