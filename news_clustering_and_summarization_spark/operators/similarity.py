@@ -366,3 +366,87 @@ def append_ivf_index(
         new_batch.select(corpus_id, corpus_vec), centroids, corpus_vec,
         corpus_id, n_cells=1,
     ).write.partitionBy("cell").mode("append").parquet(path)
+
+
+def mine_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-example mining for contrastive/triplet training: for each
+    anchor, the HARDEST NEGATIVE (most-similar different-label row)
+    and the HARDEST POSITIVE (least-similar same-label row), with the
+    margin ``neg_cosine - pos_cosine`` (positive margin = the triplet
+    currently violates separation — exactly the examples a metric-
+    learning batch wants).
+
+    One scored pass feeds both sides: anchors × corpus cosine, then
+    two windows rank the different-label rows descending and the
+    same-label rows ascending. Anchors are expected to be a bounded
+    sample (mini-batch mining); at corpus scale generate candidates
+    with ivf_topk/lsh_topk per label partition instead of the cross
+    join — the ranking logic is unchanged.
+
+    Output: (id_col, hard_negative_id, neg_cosine, hard_positive_id,
+    pos_cosine, margin).
+    """
+    a = anchors.select(
+        F.col(id_col).alias("aid"),
+        F.col(vec_col).alias("av"),
+        F.col(label_col).alias("alabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        a.crossJoin(c)
+        .where(F.col("aid") != F.col("cid"))
+        .select(
+            "aid",
+            "alabel",
+            "cid",
+            "clabel",
+            V.cosine_similarity(F.col("av"), F.col("cv")).alias("cos"),
+        )
+    )
+    wneg = Window.partitionBy("aid").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    neg = (
+        scored.where(F.col("clabel") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .where(F.col("rn") == 1)
+        .select(
+            "aid",
+            F.col("cid").alias("hard_negative_id"),
+            F.col("cos").alias("neg_cosine"),
+        )
+    )
+    wpos = Window.partitionBy("aid").orderBy(
+        F.asc("cos"), F.asc("cid")
+    )
+    pos = (
+        scored.where(F.col("clabel") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .where(F.col("rn") == 1)
+        .select(
+            "aid",
+            F.col("cid").alias("hard_positive_id"),
+            F.col("cos").alias("pos_cosine"),
+        )
+    )
+    return (
+        neg.join(pos, "aid")
+        .select(
+            F.col("aid").alias(id_col),
+            "hard_negative_id",
+            "neg_cosine",
+            "hard_positive_id",
+            "pos_cosine",
+            (F.col("neg_cosine") - F.col("pos_cosine")).alias("margin"),
+        )
+    )

@@ -4099,6 +4099,65 @@ LIMIT 50
 """
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-example mining for contrastive training
+    (operators/similarity.mine_triplets): for 25 anchor embeddings,
+    the most-similar DIFFERENT-label row (hard negative) and the
+    least-similar SAME-label row (hard positive), with margin =
+    neg_cosine - pos_cosine (positive margin = the triplet violates
+    separation and belongs in the next training batch). One scored
+    pass feeds both window ranks; anchors are a bounded mini-batch
+    sample — at corpus scale candidates come from ivf_topk/lsh_topk
+    per label partition with identical ranking semantics."""
+    from ..operators.similarity import mine_triplets
+
+    emb = load(spark, sf, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 25)
+    out = mine_triplets(anchors, emb)
+    return out.select(
+        "vec_id",
+        "hard_negative_id",
+        F.round("neg_cosine", 6).alias("neg_cosine"),
+        "hard_positive_id",
+        F.round("pos_cosine", 6).alias("pos_cosine"),
+        F.round("margin", 6).alias("margin"),
+    ).orderBy("vec_id")
+
+
+def oracle_hard_negatives() -> str:
+    cos = (
+        f"{V.dot_sql('a.embedding', 'c.embedding')} / "
+        f"({V.norm_sql('a.embedding')} * {V.norm_sql('c.embedding')})"
+    )
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS aid, a.label AS alabel,
+         c.vec_id AS cid, c.label AS clabel, {cos} AS cos
+  FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
+  WHERE a.vec_id < 25
+),
+neg AS (
+  SELECT aid, cid AS hard_negative_id, cos AS neg_cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY aid
+                                 ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored WHERE clabel <> alabel) WHERE rn = 1
+),
+pos AS (
+  SELECT aid, cid AS hard_positive_id, cos AS pos_cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY aid
+                                 ORDER BY cos ASC, cid ASC) AS rn
+    FROM scored WHERE clabel = alabel) WHERE rn = 1
+)
+SELECT neg.aid AS vec_id, neg.hard_negative_id,
+       round(neg.neg_cosine, 6) AS neg_cosine,
+       pos.hard_positive_id,
+       round(pos.pos_cosine, 6) AS pos_cosine,
+       round(neg.neg_cosine - pos.pos_cosine, 6) AS margin
+FROM neg JOIN pos USING (aid)
+ORDER BY vec_id
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5049,6 +5108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "semdedup": q_semdedup,
     "dsir_select": q_dsir_select,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -5103,6 +5163,7 @@ ORACLES: dict[str, str] = {
     "pagerank": oracle_pagerank(),
     "semdedup": oracle_semdedup(),
     "dsir_select": oracle_dsir_select(),
+    "hard_negatives": oracle_hard_negatives(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -196,3 +196,27 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     b = sorted(map(tuple, ivf_topk_from_index(
         queries, staged, cents, k=5, nprobe=3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_mine_triplets_picks_hardest_pairs(spark):
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        mine_triplets,
+    )
+
+    # anchor 1 (label A): same-label 2 is close, 3 is far -> hard
+    # positive is 3; different-label 4 is closer than 5 -> hard
+    # negative is 4; margin = cos(1,4) - cos(1,3)
+    rows = [
+        (1, [1.0, 0.0, 0.0], "A"),
+        (2, [0.9, 0.1, 0.0], "A"),
+        (3, [0.0, 1.0, 0.0], "A"),
+        (4, [0.8, 0.0, 0.6], "B"),
+        (5, [0.0, 0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = mine_triplets(df.where("vec_id = 1"), df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["hard_positive_id"] == 3
+    assert r["hard_negative_id"] == 4
+    assert r["margin"] == r["neg_cosine"] - r["pos_cosine"] > 0
