@@ -88,3 +88,26 @@ def sketch_profile(
             ),
         ).isNull().alias("sketch_ok"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Privacy governance check for training-data release: group rows
+    by their quasi-identifier combination and flag equivalence classes
+    smaller than ``k`` — the rows whose attribute combination could
+    re-identify an individual (Sweeney 2002 k-anonymity). Training
+    corpora assembled from user data run this before export; groups
+    failing the floor get suppressed or generalized upstream.
+
+    One groupBy shuffle on the quasi-identifier tuple (map-side
+    combined counts); output is one row per equivalence class:
+    (quasi_cols..., class_size, at_risk). NULL attribute values form
+    their own class (SQL GROUP BY semantics, identical in the
+    oracle).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < F.lit(k))
+    )

@@ -4158,6 +4158,39 @@ ORDER BY vec_id
 """
 
 
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit (operators/profiling.k_anonymity_audit):
+    equivalence classes over the quasi-identifier tuple (nation,
+    market segment, account-balance band) with classes smaller than
+    k=5 flagged at_risk — the pre-release privacy gate for corpora
+    assembled from user data. One map-side-combined groupBy shuffle;
+    at 100 TB the class table is bounded by the quasi-identifier
+    domain, not the row count."""
+    from ..operators.profiling import k_anonymity_audit
+
+    cust = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "balance_band"
+        ),
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment", "balance_band")
+
+
+ORACLE_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       cast(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+       count(*) AS class_size,
+       count(*) < 5 AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY c_nationkey, c_mktsegment, balance_band
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5109,6 +5142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "dsir_select": q_dsir_select,
     "hard_negatives": q_hard_negatives,
+    "k_anonymity": q_k_anonymity,
 }
 
 ORACLES: dict[str, str] = {
@@ -5164,6 +5198,7 @@ ORACLES: dict[str, str] = {
     "semdedup": oracle_semdedup(),
     "dsir_select": oracle_dsir_select(),
     "hard_negatives": oracle_hard_negatives(),
+    "k_anonymity": ORACLE_K_ANONYMITY,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -287,3 +287,23 @@ def test_collocations_oracle_smoke(spark, duck):
         duck,
         TA.collocations_sql(min_count=3, top_k=25),
     )
+
+
+def test_k_anonymity_audit_flags_small_classes(spark):
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    rows = (
+        [("US", "a")] * 5        # class of 5 -> safe at k=5
+        + [("US", "b")] * 2      # class of 2 -> at risk
+        + [(None, "a")] * 1      # NULL forms its own (risky) class
+    )
+    df = spark.createDataFrame(rows, ["country", "segment"])
+    out = {
+        (r["country"], r["segment"]): (r["class_size"], r["at_risk"])
+        for r in k_anonymity_audit(df, ["country", "segment"], 5).collect()
+    }
+    assert out[("US", "a")] == (5, False)
+    assert out[("US", "b")] == (2, True)
+    assert out[(None, "a")] == (1, True)
