@@ -21,7 +21,7 @@ of 1.0; h + c == 0 yields v = 0.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,4 +133,58 @@ def embedding_outlier_scores(
             ).otherwise(F.lit(0.0)),
             3,
         ).alias("zscore"),
+    )
+
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U) without a global row sort:
+
+        AUC = [ Σ_s  p_s · (2·N_<s + n_s) ] / (2·P·N)
+
+    where the sum runs over DISTINCT score values (p_s/n_s = pos/neg
+    counts at score s, N_<s = negatives strictly below). Per-score
+    counts are one map-side-combined shuffle over the rows; the
+    cumulative window then runs over the distinct-score table, whose
+    size is bounded by the score DOMAIN (quantized model outputs),
+    not the corpus — the difference between "sort 100 TB of rows" and
+    "scan a few thousand score levels". The numerator stays an exact
+    integer (ties contribute n_s, i.e. the ½ tie credit pre-scaled by
+    2), so both engines agree bit-for-bit up to the single final
+    division.
+
+    ``label_col`` must be 0/1-castable. Returns one row:
+    (auc, n_pos, n_neg).
+    """
+    lab = F.col(label_col).cast("long")
+    per_score = (
+        df.select(F.col(score_col).alias("score"), lab.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.sum("y").alias("p_s"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_s"),
+        )
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = per_score.withColumn(
+        "cum_neg", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    return contrib.agg(
+        (
+            F.sum(
+                F.col("p_s")
+                * (F.lit(2) * F.col("cum_neg") + F.col("n_s"))
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("p_s").cast("double")
+                * F.sum("n_s").cast("double")
+            )
+        ).alias("auc"),
+        F.sum("p_s").alias("n_pos"),
+        F.sum("n_s").alias("n_neg"),
     )

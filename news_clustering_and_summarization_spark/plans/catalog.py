@@ -4191,6 +4191,56 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_classifier_auc(spark, sf):
+    """Exact ROC-AUC (operators/evaluation.binary_auc) of the hashed
+    linear quality scorer against the lang=='en' label: the
+    Mann-Whitney statistic computed WITHOUT a global row sort — one
+    per-score-count shuffle, then a cumulative window over the
+    distinct-score table (bounded by the score domain, not the
+    corpus; score_raw is an exact integer here so the numerator never
+    drifts). The oracle computes the SAME statistic with the O(P·N)
+    pairwise definition — two independent algorithms, one exact
+    answer."""
+    from ..operators.evaluation import binary_auc
+
+    docs = load(spark, sf, "documents")
+    weights = TA.demo_weights(spark, 1024)
+    scored = TA.hashed_linear_score(docs, weights, n_buckets=1024)
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")),
+        "doc_id",
+    )
+    return binary_auc(labeled, "score_raw", "y").select(
+        F.round("auc", 9).alias("auc"), "n_pos", "n_neg"
+    )
+
+
+def oracle_classifier_auc() -> str:
+    scored = TA.hashed_linear_score_sql("documents")
+    return f"""
+WITH s AS ({scored}),
+lab AS (
+  SELECT s.score_raw AS score, (d.lang = 'en') AS y
+  FROM s JOIN documents d USING (doc_id)
+),
+pairs AS (
+  SELECT sum(CASE WHEN p.score > n.score THEN 2
+                  WHEN p.score = n.score THEN 1
+                  ELSE 0 END) AS num2
+  FROM (SELECT score FROM lab WHERE y) p
+  CROSS JOIN (SELECT score FROM lab WHERE NOT y) n
+),
+tot AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+  FROM lab
+)
+SELECT round(num2::DOUBLE / (2.0 * n_pos * n_neg), 9) AS auc,
+       n_pos, n_neg
+FROM pairs CROSS JOIN tot
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5143,6 +5193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "hard_negatives": q_hard_negatives,
     "k_anonymity": q_k_anonymity,
+    "classifier_auc": q_classifier_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -5199,6 +5250,7 @@ ORACLES: dict[str, str] = {
     "dsir_select": oracle_dsir_select(),
     "hard_negatives": oracle_hard_negatives(),
     "k_anonymity": ORACLE_K_ANONYMITY,
+    "classifier_auc": oracle_classifier_auc(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

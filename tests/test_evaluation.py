@@ -53,3 +53,30 @@ def test_hand_computed_split(spark):
     assert r.homogeneity == pytest.approx(h, abs=1e-6)
     assert r.completeness == pytest.approx(c, abs=1e-6)
     assert r.v_measure == pytest.approx(v, abs=1e-6)
+
+
+def test_binary_auc_known_values(spark):
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        binary_auc,
+    )
+
+    # perfect separation -> 1.0
+    rows = [(10, 1), (9, 1), (2, 0), (1, 0)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    r = binary_auc(df, "score", "y").first()
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+    # inverted -> 0.0
+    inv = spark.createDataFrame([(1, 1), (2, 1), (9, 0)], ["score", "y"])
+    assert binary_auc(inv, "score", "y").first()["auc"] == 0.0
+
+    # all ties -> 0.5 exactly (tie credit)
+    tie = spark.createDataFrame([(5, 1), (5, 1), (5, 0)], ["score", "y"])
+    assert binary_auc(tie, "score", "y").first()["auc"] == 0.5
+
+    # hand case: pos {3,1}, neg {2,2}: pairs (3>2)x2=2 wins, (1<2)x2
+    # losses -> AUC = 2/4 = 0.5? no: wins 2, ties 0, total 4 -> 0.5
+    mix = spark.createDataFrame(
+        [(3, 1), (1, 1), (2, 0), (2, 0)], ["score", "y"]
+    )
+    assert binary_auc(mix, "score", "y").first()["auc"] == 0.5
