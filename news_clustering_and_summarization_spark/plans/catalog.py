@@ -4241,6 +4241,72 @@ FROM pairs CROSS JOIN tot
 """
 
 
+def q_bpe_merges(spark, sf):
+    """BPE tokenizer training (operators/bpe.py): the first 3 merge
+    rules learned from the corpus word-frequency table. The corpus is
+    touched ONCE (word counts); every iteration after that is
+    vocab-bounded — pair counting is a map-side-combined groupBy over
+    vocab rows, the argmax is a 1-row collect (k-means-style bounded
+    driver state), and the merge applies as a shuffle-free fold
+    projection. The oracle replays all three iterations UNROLLED —
+    pair counts, deterministic argmax (cnt desc, symbols asc), and
+    the same left-to-right fold — so a green hash certifies the whole
+    training loop."""
+    from ..operators.bpe import learn_bpe_merges, word_frequencies
+
+    docs = load(spark, sf, "documents")
+    merges, _ = learn_bpe_merges(word_frequencies(docs, "text"), 3)
+    return merges.orderBy("step")
+
+
+def oracle_bpe_merges(n_merges: int = 3) -> str:
+    tok = H.tokens_sql("text")
+    sep = "chr(31)"
+    parts = [
+        f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest({tok}) AS word FROM documents) GROUP BY word
+),
+w0 AS (
+  SELECT word, freq,
+         list_transform(range(1, len(word) + 1),
+                        i -> word[i]::VARCHAR) AS syms
+  FROM wf
+)"""
+    ]
+    for it in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{it} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+        FROM w{it - 1})
+  GROUP BY 1, 2
+),
+m{it} AS (SELECT l, r, cnt FROM p{it} ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if it < n_merges:
+            parts.append(
+                f""",
+w{it} AS (
+  SELECT word, freq,
+    string_split(list_reduce(syms, (acc, x) -> CASE
+      WHEN (acc = m.l OR ends_with(acc, {sep} || m.l)) AND x = m.r
+      THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+      ELSE acc || {sep} || x END), {sep}) AS syms
+  FROM w{it - 1} CROSS JOIN m{it} m
+)"""
+            )
+    selects = [
+        f"""SELECT {it} AS step, l AS "left", r AS "right",
+       l || r AS merged, cnt AS pair_count FROM m{it}"""
+        for it in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step")
+    return "".join(parts)
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5194,6 +5260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "k_anonymity": q_k_anonymity,
     "classifier_auc": q_classifier_auc,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -5251,6 +5318,7 @@ ORACLES: dict[str, str] = {
     "hard_negatives": oracle_hard_negatives(),
     "k_anonymity": ORACLE_K_ANONYMITY,
     "classifier_auc": oracle_classifier_auc(),
+    "bpe_merges": oracle_bpe_merges(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,
