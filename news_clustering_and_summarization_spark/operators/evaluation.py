@@ -137,7 +137,10 @@ def embedding_outlier_scores(
 
 
 def binary_auc(
-    df: DataFrame, score_col: str, label_col: str
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    shard_width: int = 1024,
 ) -> DataFrame:
     """Exact ROC-AUC (Mann-Whitney U) without a global row sort:
 
@@ -154,6 +157,14 @@ def binary_auc(
     2), so both engines agree bit-for-bit up to the single final
     division.
 
+    The cumulative negative count is a TWO-PHASE prefix sum: scores
+    shard by ``floor(score / shard_width)`` (monotone, so shard order
+    == score order), the in-shard cumsum windows per shard in
+    parallel, and only the shard-TOTAL table — #shards rows, three
+    orders of magnitude smaller than the score table — passes through
+    a single-partition prefix window. No window in the plan ever sees
+    the full distinct-score relation in one partition.
+
     ``label_col`` must be 0/1-castable. Returns one row:
     (auc, n_pos, n_neg).
     """
@@ -165,13 +176,36 @@ def binary_auc(
             F.sum("y").alias("p_s"),
             F.sum(F.lit(1) - F.col("y")).alias("n_s"),
         )
+        .withColumn(
+            "shard",
+            F.floor(F.col("score") / F.lit(shard_width)).cast("long"),
+        )
     )
-    w = (
-        Window.orderBy("score")
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("score")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    contrib = per_score.withColumn(
-        "cum_neg", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    w_shard = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_offsets = (
+        per_score.groupBy("shard")
+        .agg(F.sum("n_s").alias("shard_n"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("shard_n").over(w_shard), F.lit(0)),
+        )
+        .select("shard", "offset")
+    )
+    contrib = (
+        per_score.join(F.broadcast(shard_offsets), "shard")
+        .withColumn(
+            "cum_neg",
+            F.coalesce(F.sum("n_s").over(w_in), F.lit(0))
+            + F.col("offset"),
+        )
     )
     return contrib.agg(
         (

@@ -4307,6 +4307,78 @@ w{it} AS (
     return "".join(parts)
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality filter (operators/lm.py): an add-one
+    bigram model trained on the English documents scores every
+    document's average log-probability — the fluency signal CCNet
+    gets from KenLM, kept fully inside the engine. Training is two
+    integer-count shuffles with min_count pruning; scoring joins
+    document bigrams to the broadcast model; per-bigram logs are
+    1e-6-quantized integers so document totals are exact sums. The
+    oracle replays counts, smoothing, quantized logs, and totals."""
+    from ..operators.lm import score_perplexity, train_bigram_lm
+
+    docs = load(spark, sf, "documents")
+    bigrams, uni, vocab = train_bigram_lm(
+        docs.where(F.col("lang") == "en"), "text", min_count=2
+    )
+    return score_perplexity(docs, bigrams, uni, vocab).orderBy(
+        "doc_id"
+    )
+
+
+def oracle_lm_perplexity(min_count: int = 2) -> str:
+    from ..operators.lm import LM_LOG_QUANT
+
+    tok = H.tokens_sql("text")
+    return f"""
+WITH rtoks AS (
+  SELECT {tok} AS toks FROM documents WHERE lang = 'en'
+),
+rbg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM rtoks)
+),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM rbg
+  GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+uni AS (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest(toks) AS w FROM rtoks) GROUP BY w
+),
+voc AS (SELECT count(*) AS v FROM uni),
+dtoks AS (SELECT doc_id, {tok} AS toks FROM documents),
+dbg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM dtoks)
+),
+scored AS (
+  SELECT dbg.doc_id,
+         cast(round(ln(
+           (coalesce(big.c2, 0) + 1)::DOUBLE
+           / (coalesce(uni.c1, 0) + voc.v)::DOUBLE
+         ) * {LM_LOG_QUANT}) AS BIGINT) AS lq
+  FROM dbg
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN uni ON dbg.w1 = uni.w
+  CROSS JOIN voc
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(lq) AS logprob_q
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       pd.logprob_q,
+       round(pd.logprob_q / ({float(LM_LOG_QUANT)} * pd.n_bigrams), 6)
+         AS avg_logp
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5261,6 +5333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 ORACLES: dict[str, str] = {
@@ -5319,6 +5392,7 @@ ORACLES: dict[str, str] = {
     "k_anonymity": ORACLE_K_ANONYMITY,
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
+    "lm_perplexity": oracle_lm_perplexity(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -307,3 +307,36 @@ def test_k_anonymity_audit_flags_small_classes(spark):
     assert out[("US", "a")] == (5, False)
     assert out[("US", "b")] == (2, True)
     assert out[(None, "a")] == (1, True)
+
+
+def test_lm_perplexity_prefers_fluent_text(spark):
+    from news_clustering_and_summarization_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),   # in-domain
+            (2, "mat the on sat cat the"),   # shuffled
+            (3, "zq xv qq zz"),              # out-of-vocab
+            (4, "a"),                        # < 2 tokens -> NULL score
+        ],
+        ["doc_id", "text"],
+    )
+    big, uni, voc = train_bigram_lm(ref, "text", min_count=2)
+    out = {
+        r["doc_id"]: r for r in score_perplexity(docs, big, uni, voc).collect()
+    }
+    # in-domain beats everything; note the add-one floor: fully-OOV
+    # bigrams cost ln(1/V) while unseen bigrams after a COMMON word
+    # cost ln(1/(c1+V)) < ln(1/V), so shuffled in-vocab text can
+    # score BELOW gibberish — thresholding composes with lang_id /
+    # quality_score, not instead of them
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_logp"] is None

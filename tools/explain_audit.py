@@ -63,6 +63,16 @@ CARTESIAN_OK = {
     # per-config summary = crossJoin of two ONE-ROW count aggregates
     # (candidates x verified), three configs unioned
     "minhash_band_sweep",
+    # crossJoins the two ONE-ROW corpus-total aggregates (source and
+    # target token counts) onto the 1024-row bucket ratio table
+    "dsir_select",
+    # crossJoins the ONE-ROW node-count aggregate onto the node table
+    # (rank init + teleport term) — O(1)-row side by construction
+    "pagerank",
+    # bounded anchor mini-batch (25 rows) x corpus scored pass — the
+    # same gated brute-force kernel as ann_topk; at corpus scale the
+    # candidates come from ivf_topk/lsh_topk instead (documented)
+    "hard_negatives",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
