@@ -6,7 +6,7 @@ exact DuckDB oracle equivalents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -680,3 +680,56 @@ CROSS JOIN total
 ORDER BY lift DESC, bg
 LIMIT {top_k}
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every word k-gram, slide a window of ``w``
+    consecutive hashes, keep the minimum of each FULL window. The
+    guarantee that makes winnowing the standard over random sampling:
+    any shared substring of >= w+k-1 words between two documents
+    shares at least one selected fingerprint, at an expected density
+    of only 2/(w+1). (Tie-break: leftmost minimum via min over
+    (hash, position) structs — deterministic in any engine; the
+    original picks rightmost, which changes selection, not the
+    guarantee.)
+
+    Plan: shingle hashes are a projection; the window min PARTITIONS
+    BY DOCUMENT (parallel across docs, never global); the distinct
+    collapses the ~2/(w+1)-density selection. Output: one row per
+    selected fingerprint (id_col, fp_hash, fp_pos).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                H.word_shingles(H.tokens(F.col(text_col)), k),
+                lambda s: H.hash64(s),
+            )
+        ).alias("pos", "h"),
+    )
+    wfull = Window.partitionBy(id_col)
+    wmin = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        shingled.withColumn("n", F.count(F.lit(1)).over(wfull))
+        .withColumn(
+            "sel", F.min(F.struct("h", "pos")).over(wmin)
+        )
+        .where(F.col("pos") <= F.col("n") - w)
+        .select(
+            id_col,
+            F.col("sel.h").alias("fp_hash"),
+            F.col("sel.pos").alias("fp_pos"),
+        )
+        .distinct()
+    )

@@ -4379,6 +4379,75 @@ ORDER BY d.doc_id
 """
 
 
+def q_winnow_candidates(spark, sf):
+    """Winnowing fingerprint matching (text_analysis.
+    winnow_fingerprints, Schleimer et al. 2003/MOSS): documents
+    fingerprinted at ~2/(w+1) density with the guarantee that any
+    shared passage of >= w+k-1 words shares a fingerprint, then
+    candidate pairs ranked by shared-fingerprint count — the
+    plagiarism/boilerplate detector that samples instead of indexing
+    every shingle (compare repeated_passages) yet cannot miss long
+    matches. The per-doc window min partitions by document; the pair
+    join is an equi-join on the selected hashes only. Oracle replays
+    selection via a fixed-width string key whose lexicographic order
+    equals the (hash, pos) struct order Spark minimizes."""
+    from ..operators.text_analysis import winnow_fingerprints
+
+    docs = load(spark, sf, "documents")
+    fps = winnow_fingerprints(docs, k=4, w=5).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def oracle_winnow_candidates(k: int = 4, w: int = 5) -> str:
+    tok = H.tokens_sql("text")
+    shingles = H.word_shingles_sql("toks", k)
+    h = H.hash64_sql("sh[i]")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         lpad(({h})::VARCHAR, 19, '0')
+           || lpad((i - 1)::VARCHAR, 7, '0') AS key
+  FROM (SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i
+        FROM (SELECT doc_id, {shingles} AS sh FROM t))
+),
+win AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS sel
+  FROM sh
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         cast(substr(sel, 1, 19) AS BIGINT) AS fp_hash
+  FROM win WHERE pos <= n - {w}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_fps
+FROM fps a JOIN fps b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY shared_fps DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5334,6 +5403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
+    "winnow_candidates": q_winnow_candidates,
 }
 
 ORACLES: dict[str, str] = {
@@ -5393,6 +5463,7 @@ ORACLES: dict[str, str] = {
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),
+    "winnow_candidates": oracle_winnow_candidates(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

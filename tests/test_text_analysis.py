@@ -340,3 +340,29 @@ def test_lm_perplexity_prefers_fluent_text(spark):
     assert out[1]["avg_logp"] > out[2]["avg_logp"]
     assert out[1]["avg_logp"] > out[3]["avg_logp"]
     assert out[4]["n_bigrams"] == 0 and out[4]["avg_logp"] is None
+
+
+def test_winnow_guarantee_and_density(spark):
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    # docs share a 9-word passage; with k=4, w=3 any shared passage
+    # of >= w+k-1=6 words must share a fingerprint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n"),
+            (2, "x y z q a b c d e f g h w v u t"),
+            (3, "p q r s t u v w p q r s"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, k=4, w=3).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]), "no shared passage, no match"
+    # density: selected fingerprints ~2/(w+1) of windows, far below
+    # the full shingle count (11 shingles in doc 1)
+    assert len(by_doc[1]) < 11

@@ -73,6 +73,9 @@ CARTESIAN_OK = {
     # same gated brute-force kernel as ann_topk; at corpus scale the
     # candidates come from ivf_topk/lsh_topk instead (documented)
     "hard_negatives",
+    # crossJoins the ONE-ROW vocab-size aggregate onto the scored
+    # bigram instances — O(1)-row side by construction
+    "lm_perplexity",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
@@ -81,7 +84,17 @@ CARTESIAN_OK = {
 # the ranking windows themselves partition by query_id.
 # same for distinctive_terms: SinglePartition is its one-row
 # source-count aggregate; the top-5 window partitions by source.
-GLOBAL_WIN_OK = {"pool_metrics", "ann_ivf", "ann_lsh", "distinctive_terms"}
+# classifier_auc: the only single-partition window runs over the
+# shard-TOTAL table of the two-phase prefix sum — #shards rows
+# (score domain / shard_width), provably tiny; the per-score cumsum
+# partitions by shard.
+GLOBAL_WIN_OK = {
+    "pool_metrics",
+    "ann_ivf",
+    "ann_lsh",
+    "distinctive_terms",
+    "classifier_auc",
+}
 
 
 def audit_one(name: str, plan: str) -> list[str]:
