@@ -222,3 +222,63 @@ def binary_auc(
         F.sum("p_s").alias("n_pos"),
         F.sum("n_s").alias("n_neg"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability diagram for a [lo, hi]-ranged classifier score:
+    fixed-width bins, each reporting size, mean predicted score, and
+    empirical positive rate — the calibration companion to
+    binary_auc (AUC measures ranking; this measures whether 0.8
+    means 80%). One map-side-combined groupBy on the bin id.
+
+    Determinism: the bin id is a floor of an affine transform (exact
+    for the usual quantized scores); the mean score is an integer
+    mean — scores quantize to 1e-6 BEFORE summation — so both the
+    numerator and the positive count are exact integer sums. Output:
+    (bin, bin_lo, n, mean_score, pos_rate) ordered by bin.
+    """
+    width = (hi - lo) / n_bins
+    s = F.col(score_col).cast("double")
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    score_q = F.round(s * F.lit(1_000_000)).cast("long")
+    lab = F.col(label_col).cast("long")
+    return (
+        df.select(
+            bin_id.alias("bin"), score_q.alias("sq"), lab.alias("y")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("sqs"),
+            F.sum("y").alias("pos"),
+        )
+        .select(
+            "bin",
+            F.round(
+                F.lit(lo) + F.col("bin") * F.lit(width), 6
+            ).alias("bin_lo"),
+            "n",
+            F.round(
+                F.col("sqs")
+                / (F.lit(1_000_000.0) * F.col("n")),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.col("pos").cast("double") / F.col("n"), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -307,3 +307,80 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(F.sum("lr").alias("dsir_weight"))
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    target_total: int,
+    temperature: float = 2.0,
+    seed: int = 5,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    sampling rule, e.g. mBERT/XLM-R): sample domain d at probability
+    p_d ∝ (n_d/N)^(1/T), flattening the head and boosting the tail as
+    T grows (T=1 = natural distribution, T→∞ = uniform). Per-domain
+    sampling rate r_d = min(1, target_total·p_d / n_d), then
+    membership is the usual content-addressed hash bucket — no RNG,
+    reproducible under any partitioning, pushes down as a filter.
+
+    The rate is quantized to 1e-6 (the bucket resolution) BEFORE the
+    threshold compare, so the single pow() per domain — the only
+    libm call — cannot flip membership across engines. Domain counts
+    are one map-side-combined shuffle; the rate table (one row per
+    domain) broadcasts.
+
+    Returns the sampled rows plus (domain_rate) for inspection.
+    """
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("_n_d")
+    )
+    total = counts.agg(F.sum("_n_d").alias("_n"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_p_raw",
+            F.pow(
+                F.col("_n_d").cast("double") / F.col("_n"),
+                1.0 / temperature,
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                counts.crossJoin(F.broadcast(total))
+                .agg(
+                    F.sum(
+                        F.pow(
+                            F.col("_n_d").cast("double") / F.col("_n"),
+                            1.0 / temperature,
+                        )
+                    ).alias("_z")
+                )
+            )
+        )
+        .select(
+            domain_col,
+            "_n_d",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total))
+                    * (F.col("_p_raw") / F.col("_z"))
+                    / F.col("_n_d"),
+                ),
+                6,
+            ).alias("domain_rate"),
+        )
+    )
+    bucket = _bucket(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(
+            bucket
+            < F.round(F.col("domain_rate") * SAMPLE_BUCKETS).cast(
+                "long"
+            )
+        )
+        .drop("_n_d")
+    )

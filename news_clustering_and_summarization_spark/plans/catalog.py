@@ -4448,6 +4448,96 @@ LIMIT 20
 """
 
 
+def q_mix_temperature(spark, sf):
+    """Temperature-based domain rebalancing (operators/sampling.
+    temperature_mix, the mBERT/XLM-R sampling rule at T=2): sampling
+    probability ∝ sqrt(domain share), so head languages are damped
+    and tail languages boosted toward a ~300-doc target. Domain
+    counts are one shuffle; the per-domain rate table broadcasts; the
+    membership test is the content-addressed hash bucket (a pushed
+    filter, no RNG). Rates quantize to the 1e-6 bucket resolution
+    before the compare so the single sqrt per domain cannot flip
+    membership cross-engine — the oracle replays counts, rates, and
+    the bucket threshold."""
+    from ..operators.sampling import temperature_mix
+
+    docs = load(spark, sf, "documents")
+    return (
+        temperature_mix(
+            docs, "lang", "doc_id", target_total=300, temperature=2.0
+        )
+        .select("doc_id", "lang", "domain_rate")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_mix_temperature(target: int = 300) -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS, bucket_sql
+
+    b = bucket_sql("doc_id", 5)
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+t AS (SELECT sum(n_d) AS n FROM c),
+z AS (SELECT sum(pow(n_d::DOUBLE / n, 0.5)) AS z
+      FROM c CROSS JOIN t),
+r AS (
+  SELECT lang,
+         round(least(1.0,
+           {target} * (pow(n_d::DOUBLE / n, 0.5) / z) / n_d), 6)
+           AS domain_rate
+  FROM c CROSS JOIN t CROSS JOIN z
+)
+SELECT d.doc_id, d.lang, r.domain_rate
+FROM documents d JOIN r USING (lang)
+WHERE {b} < cast(round(r.domain_rate * {SAMPLE_BUCKETS}) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
+def q_calibration(spark, sf):
+    """Classifier reliability diagram (operators/evaluation.
+    calibration_bins): the hashed quality scorer's normalized score
+    binned into 10 fixed-width cells over [-0.5, 0.5], each reporting
+    size, mean predicted score, and empirical lang=='en' rate — the
+    calibration companion to classifier_auc (ranking vs probability
+    meaning). One groupBy on the bin id; mean scores are integer
+    means (1e-6-quantized before summation), so everything up to the
+    two final divisions is exact."""
+    from ..operators.evaluation import calibration_bins
+
+    docs = load(spark, sf, "documents")
+    weights = TA.demo_weights(spark, 1024)
+    scored = TA.hashed_linear_score(docs, weights, n_buckets=1024)
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")),
+        "doc_id",
+    )
+    return calibration_bins(
+        labeled, "score", "y", n_bins=10, lo=-0.5, hi=0.5
+    )
+
+
+def oracle_calibration(n_bins: int = 10, lo: float = -0.5, hi: float = 0.5) -> str:
+    scored = TA.hashed_linear_score_sql("documents")
+    width = (hi - lo) / n_bins
+    return f"""
+WITH s AS ({scored}),
+lab AS (
+  SELECT least({n_bins - 1}, greatest(0,
+           cast(floor((s.score - {lo}) / {width}) AS INT))) AS bin,
+         cast(round(s.score * 1000000) AS BIGINT) AS sq,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT bin,
+       round(({lo} + bin * {width})::DOUBLE, 6) AS bin_lo,
+       count(*) AS n,
+       round(sum(sq) / (1000000.0 * count(*)), 6) AS mean_score,
+       round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
+FROM lab GROUP BY bin ORDER BY bin
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5404,6 +5494,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
     "winnow_candidates": q_winnow_candidates,
+    "mix_temperature": q_mix_temperature,
+    "calibration": q_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -5464,6 +5556,8 @@ ORACLES: dict[str, str] = {
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),
     "winnow_candidates": oracle_winnow_candidates(),
+    "mix_temperature": oracle_mix_temperature(),
+    "calibration": oracle_calibration(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

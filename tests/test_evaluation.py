@@ -80,3 +80,25 @@ def test_binary_auc_known_values(spark):
         [(3, 1), (1, 1), (2, 0), (2, 0)], ["score", "y"]
     )
     assert binary_auc(mix, "score", "y").first()["auc"] == 0.5
+
+
+def test_calibration_bins_hand_case(spark):
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    rows = [
+        (0.05, 0), (0.05, 0), (0.05, 1),   # bin 0: pos_rate 1/3
+        (0.95, 1), (0.95, 1),              # bin 9: pos_rate 1
+        (1.0, 1),                          # hi edge clamps into bin 9
+        (-0.2, 0),                         # below lo clamps into bin 0
+    ]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(df, "score", "y", 10, 0.0, 1.0).collect()
+    }
+    assert out[0]["n"] == 4 and out[0]["pos_rate"] == 0.25
+    assert out[9]["n"] == 3 and out[9]["pos_rate"] == 1.0
+    assert out[0]["bin_lo"] == 0.0 and out[9]["bin_lo"] == 0.9
+    assert abs(out[9]["mean_score"] - (0.95 + 0.95 + 1.0) / 3) < 1e-6

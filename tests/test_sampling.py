@@ -246,3 +246,30 @@ def test_dsir_weights_rank_target_like_docs_first(spark):
     }
     assert w[1] > w[2] > w[3], w
     assert w[3] < 0, "off-domain doc scores below the uniform prior"
+
+
+def test_temperature_mix_flattens_domains(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    # 900 'big' rows vs 100 'small': at T=2 the small domain's rate
+    # must exceed its natural share; at T~inf rates converge
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    out = temperature_mix(df, "dom", "id", target_total=200, temperature=2.0)
+    rates = {
+        r["dom"]: r["domain_rate"]
+        for r in out.select("dom", "domain_rate").distinct().collect()
+    }
+    assert rates["small"] > rates["big"], rates
+    # sampled size lands near the target (hash-bucket variance)
+    n = out.count()
+    assert 140 <= n <= 260, n
+    # determinism: same inputs -> identical selection
+    again = temperature_mix(df, "dom", "id", 200, 2.0)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
