@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "constraint_check",    # one-scan declarative validation suite (r4)
     "heavy_hitters",       # count-min sketch build + certified top-k (r4)
     "kmeans_assign",       # iterative ML: 2x Lloyd over embeddings (r4)
+    "hll_distinct",        # HLL register build + certified estimate (r4)
+    "pagerank",            # 3 fixed-point power iterations (r4)
+    "bpe_merges",          # 3 vocab-bounded merge iterations (r4)
+    "lm_perplexity",       # bigram LM train + broadcast-join scoring (r4)
 ]
 
 
