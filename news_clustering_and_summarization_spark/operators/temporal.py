@@ -207,3 +207,69 @@ def scd2_history(
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts).over(w2).isNull().alias("is_current"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key: each observation's value holds
+    until the next observation, so
+    TWA = Σ v_i·(t_{i+1} - t_i) / (t_last - t_first) — the correct
+    mean for irregularly-sampled series (sensor gauges, account
+    balances, event `value` streams), where the row-mean over-weights
+    bursts. The final observation carries no duration (standard
+    right-open convention).
+
+    Plan: ONE shuffle on the key; the lead() window partitions by key
+    (parallel across keys, no global sort). Determinism: durations
+    are integer epoch seconds and each v·Δt product is quantized to a
+    1e-6 integer before the sum, so per-key totals are exact integer
+    sums (the DSIR/LM contract) — the oracle replays them
+    bit-for-bit. Keys with < 2 observations yield NULL (no time
+    span).
+
+    Output: (key_col, n_obs, span_seconds, twa).
+    """
+    ts = F.unix_timestamp(F.col(ts_col))
+    stepped = df.select(
+        key_col,
+        ts.alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumn("_t_next", F.lead("_t").over(
+        # (_t, _v) ordering: ties on the timestamp are broken by the
+        # value, and full (t, v) duplicates are interchangeable — the
+        # contribution multiset (and the oracle) cannot diverge
+        Window.partitionBy(key_col).orderBy("_t", "_v")
+    ))
+    contrib = stepped.withColumn(
+        "_wq",
+        F.round(
+            F.col("_v")
+            * (F.col("_t_next") - F.col("_t")).cast("double")
+            * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    return (
+        contrib.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (F.max("_t") - F.min("_t")).alias("span_seconds"),
+            F.sum("_wq").alias("_wq_total"),
+        )
+        .select(
+            key_col,
+            "n_obs",
+            "span_seconds",
+            F.round(
+                F.when(
+                    F.col("span_seconds") > 0,
+                    F.col("_wq_total")
+                    / (F.lit(1_000_000.0) * F.col("span_seconds")),
+                ),
+                6,
+            ).alias("twa"),
+        )
+    )

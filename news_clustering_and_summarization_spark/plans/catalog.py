@@ -4538,6 +4538,49 @@ FROM lab GROUP BY bin ORDER BY bin
 """
 
 
+def q_time_weighted_avg(spark, sf):
+    """Time-weighted average event value per user (operators/
+    temporal.time_weighted_avg): each value holds until the user's
+    next event, so bursts stop over-weighting the mean — the correct
+    aggregate for irregular series. One shuffle on the user key; the
+    lead() window partitions per user; v·Δt products quantize to
+    1e-6 integers before summation so per-user totals are exact. The
+    oracle replays durations, quantized products, and totals."""
+    from ..operators.temporal import time_weighted_avg
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "value")
+    return time_weighted_avg(ev, "user_id", "ts", "value").orderBy(
+        "user_id"
+    )
+
+
+ORACLE_TWA = """
+WITH stepped AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS t, value::DOUBLE AS v,
+         lead(floor(epoch(ts))::BIGINT) OVER (
+           PARTITION BY user_id
+           ORDER BY floor(epoch(ts))::BIGINT, value::DOUBLE
+         ) AS t_next
+  FROM events
+),
+contrib AS (
+  SELECT user_id, t, v,
+         cast(round(v * (t_next - t)::DOUBLE * 1000000) AS BIGINT)
+           AS wq
+  FROM stepped
+)
+SELECT user_id,
+       count(*) AS n_obs,
+       (max(t) - min(t)) AS span_seconds,
+       round(CASE WHEN max(t) - min(t) > 0
+                  THEN sum(wq) / (1000000.0 * (max(t) - min(t)))
+             END, 6) AS twa
+FROM contrib
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5496,6 +5539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_candidates": q_winnow_candidates,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLES: dict[str, str] = {
@@ -5558,6 +5602,7 @@ ORACLES: dict[str, str] = {
     "winnow_candidates": oracle_winnow_candidates(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
+    "time_weighted_avg": ORACLE_TWA,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

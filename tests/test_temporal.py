@@ -187,3 +187,33 @@ def test_scd2_current_equals_last_writer_wins(spark):
         .collect()
     }
     assert current == latest
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from datetime import datetime
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: value 10 for 30s, then 20 for 10s -> (300+200)/40
+        ("u1", t0, 10.0),
+        ("u1", at(30), 20.0),
+        ("u1", at(40), 99.0),   # last obs carries no duration
+        # user 2: single observation -> NULL twa
+        ("u2", t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        r["user_id"]: r
+        for r in time_weighted_avg(df, "user_id", "ts", "value").collect()
+    }
+    assert out["u1"]["span_seconds"] == 40
+    assert out["u1"]["twa"] == 12.5
+    assert out["u2"]["twa"] is None and out["u2"]["n_obs"] == 1
