@@ -137,3 +137,120 @@ SELECT {shard_sel}{id_expr} AS doc_id, len({tok}) AS n_tokens,
          - len({tok})) // {budget})::BIGINT AS seq_id
 FROM {table}
 """
+
+
+SPAN_SEED = 21
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_ppt: int = 50,
+    span_len: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020): mask
+    contiguous token spans, emit (input_text with one sentinel per
+    span, target_text = sentinels + the masked content) — the
+    denoising objective's data prep, generated DETERMINISTICALLY so
+    the same corpus always yields the same training pairs (resumable
+    corpus builds; no RNG).
+
+    Span starts are content-addressed — hash(doc, pos) under
+    ``start_ppt``/1000 — and each start masks ``span_len`` tokens;
+    overlapping spans coalesce (the windowed any-start-within-reach
+    test). Expected mask rate ≈ start_ppt/1000 · span_len.
+
+    Plan: every window partitions BY DOCUMENT (parallel, never
+    global); the final assembly is one groupBy with an array_sort of
+    (pos, piece) structs — order is explicit in the data, not the
+    partitioning. Output: (id_col, n_tokens, n_masked, input_text,
+    target_text).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(H.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    is_start = (
+        H.hash64(
+            F.concat_ws("|", F.col(id_col).cast("string"), F.col("pos")),
+            seed=SPAN_SEED,
+        )
+        % 1000
+        < F.lit(start_ppt)
+    ).cast("int")
+    w_reach = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(span_len - 1), 0)
+    )
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        toks.withColumn("st", is_start)
+        .withColumn("masked", (F.max("st").over(w_reach) == 1).cast("int"))
+        .withColumn(
+            "span_start",
+            (
+                (F.col("masked") == 1)
+                & (F.coalesce(F.lag("masked").over(w_lag), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sentinel", F.sum("span_start").over(w_cum) - F.lit(1)
+        )
+    )
+    sent = F.concat(
+        F.lit("<extra_id_"), F.col("sentinel").cast("string"), F.lit(">")
+    )
+    pieces = marked.select(
+        id_col,
+        "pos",
+        "masked",
+        F.when(F.col("masked") == 0, F.col("tok"))
+        .when(F.col("span_start") == 1, sent)
+        .alias("in_piece"),
+        F.when(
+            F.col("span_start") == 1, F.concat(sent, F.lit(" "), F.col("tok"))
+        )
+        .when(F.col("masked") == 1, F.col("tok"))
+        .alias("tgt_piece"),
+    )
+    return (
+        pieces.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("masked").alias("n_masked"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "in_piece"))
+            ).alias("_in"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tgt_piece"))
+            ).alias("_tgt"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_masked",
+            # explicit null filter: engines differ on whether join
+            # skips nulls, so never rely on it
+            F.array_join(
+                F.filter(
+                    F.transform(F.col("_in"), lambda s: s["in_piece"]),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            ).alias("input_text"),
+            F.array_join(
+                F.filter(
+                    F.transform(F.col("_tgt"), lambda s: s["tgt_piece"]),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            ).alias("target_text"),
+        )
+    )

@@ -4581,6 +4581,83 @@ ORDER BY user_id
 """
 
 
+def q_span_corruption(spark, sf):
+    """T5 span-corruption pairs (operators/chunking.span_corruption):
+    deterministic denoising-objective data prep — content-addressed
+    span starts (no RNG, so the corpus always yields the same
+    training pairs), overlapping spans coalesced, one sentinel per
+    span in the input and sentinel+content in the target. All windows
+    partition per document; assembly is an explicit array_sort, so
+    order lives in the data, not the partitioning. The oracle replays
+    start selection, coalescing, sentinel numbering, and both
+    rendered strings."""
+    from ..operators.chunking import span_corruption
+
+    docs = load(spark, sf, "documents")
+    return span_corruption(
+        docs, start_ppt=50, span_len=3
+    ).orderBy("doc_id")
+
+
+def oracle_span_corruption(start_ppt: int = 50, span_len: int = 3) -> str:
+    from ..operators.chunking import SPAN_SEED
+
+    tok = H.tokens_sql("text")
+    h = H.hash64_sql("(doc_id::VARCHAR || '|' || pos::VARCHAR)", SPAN_SEED)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        FROM (SELECT doc_id, {tok} AS t FROM documents))
+),
+st AS (
+  SELECT *, CASE WHEN {h} % 1000 < {start_ppt} THEN 1 ELSE 0 END AS st
+  FROM toks
+),
+m AS (
+  SELECT *, CASE WHEN max(st) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN {span_len - 1} PRECEDING AND CURRENT ROW) = 1
+    THEN 1 ELSE 0 END AS masked
+  FROM st
+),
+s AS (
+  SELECT *, CASE WHEN masked = 1 AND coalesce(lag(masked) OVER (
+      PARTITION BY doc_id ORDER BY pos), 0) = 0
+    THEN 1 ELSE 0 END AS span_start
+  FROM m
+),
+sen AS (
+  SELECT *, sum(span_start) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) - 1 AS sentinel
+  FROM s
+),
+pieces AS (
+  SELECT doc_id, pos, masked,
+    CASE WHEN masked = 0 THEN tok
+         WHEN span_start = 1 THEN '<extra_id_' || sentinel || '>'
+    END AS in_piece,
+    CASE WHEN span_start = 1
+           THEN '<extra_id_' || sentinel || '> ' || tok
+         WHEN masked = 1 THEN tok
+    END AS tgt_piece
+  FROM sen
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(masked)::BIGINT AS n_masked,
+       coalesce(array_to_string(list_filter(
+         list(in_piece ORDER BY pos), x -> x IS NOT NULL), ' '), '')
+         AS input_text,
+       coalesce(array_to_string(list_filter(
+         list(tgt_piece ORDER BY pos), x -> x IS NOT NULL), ' '), '')
+         AS target_text
+FROM pieces GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Count-min-sketch heavy hitters (operators/frequent.py): the
     exact top-20 tokens (the ground truth you could not afford at
@@ -5540,6 +5617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
+    "span_corruption": q_span_corruption,
 }
 
 ORACLES: dict[str, str] = {
@@ -5603,6 +5681,7 @@ ORACLES: dict[str, str] = {
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,
+    "span_corruption": oracle_span_corruption(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -94,3 +94,50 @@ def test_chunk_reconstruction_property(spark):
                 parts = c.split()
                 rebuilt.extend(parts if j == 0 else parts[overlap:])
             assert rebuilt == toks, (doc_id, chunk_tokens, overlap)
+
+
+def test_span_corruption_structure(spark):
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        span_corruption,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = span_corruption(docs, start_ppt=150, span_len=2).collect()
+    saw_mask = False
+    for r in out:
+        assert r["n_tokens"] == 10
+        n_sent_in = r["input_text"].count("<extra_id_")
+        n_sent_tgt = r["target_text"].count("<extra_id_")
+        assert n_sent_in == n_sent_tgt, "one sentinel per span, both sides"
+        # reconstruction: unmasked input tokens + masked target tokens
+        # = original token count
+        in_toks = [
+            t for t in r["input_text"].split() if not t.startswith("<")
+        ]
+        tgt_toks = [
+            t for t in r["target_text"].split() if not t.startswith("<")
+        ]
+        assert len(in_toks) + len(tgt_toks) == 10
+        assert len(tgt_toks) == r["n_masked"]
+        saw_mask = saw_mask or r["n_masked"] > 0
+    assert saw_mask, "at 15% start rate some doc must mask something"
+
+
+def test_span_corruption_is_deterministic(spark):
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        span_corruption,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    a = span_corruption(docs, start_ppt=200, span_len=2).collect()
+    b = span_corruption(
+        docs.repartition(7), start_ppt=200, span_len=2
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
