@@ -1818,6 +1818,82 @@ LEFT JOIN ba ON ba.doc_id = docs.doc_id
 """
 
 
+def q_gopher_filter(spark, sf):
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1
+    adapted to the engine's columnar signals): token count, bigram
+    repetition, single-token dominance, and the heuristic quality
+    score vote per document; failures are NAMED (a comma-joined
+    reason list in fixed rule order) so curation is debuggable, not
+    just a boolean. Pure composition of existing zero-/one-shuffle
+    signal operators joined on doc_id — the preset a corpus build
+    actually runs, kept as one declarative plan."""
+    docs = load(spark, sf, "documents")
+    rep = TA.repetition_signals(docs).select(
+        "doc_id", "dup_bigram_frac", "top_token_frac"
+    )
+    qs = TA.quality_score(docs, "text").select(
+        "doc_id", "quality_score"
+    )
+    tc = TA.token_counts(docs, "text").select(
+        "doc_id", "ws_token_count"
+    )
+    j = tc.join(rep, "doc_id").join(qs, "doc_id")
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("ws_token_count") < 10, F.lit("too_short")),
+            F.when(
+                F.col("dup_bigram_frac") > 0.3, F.lit("repetitive")
+            ),
+            F.when(
+                F.col("top_token_frac") > 0.3, F.lit("dominated")
+            ),
+            F.when(
+                F.col("quality_score") < 0.5, F.lit("low_quality")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        "doc_id",
+        "ws_token_count",
+        "dup_bigram_frac",
+        "top_token_frac",
+        "quality_score",
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("fail_reasons"),
+    ).orderBy("doc_id")
+
+
+def oracle_gopher_filter() -> str:
+    rep = oracle_repetition()
+    ws, _ = TA.token_counts_sql("text")
+    q = TA.quality_score_sql("text")
+    return f"""
+WITH rep AS ({rep}),
+base AS (
+  SELECT d.doc_id, {ws} AS ws_token_count, {q} AS quality_score
+  FROM documents d
+),
+j AS (
+  SELECT base.doc_id, base.ws_token_count, rep.dup_bigram_frac,
+         rep.top_token_frac, base.quality_score,
+         list_filter([
+           CASE WHEN base.ws_token_count < 10 THEN 'too_short' END,
+           CASE WHEN rep.dup_bigram_frac > 0.3 THEN 'repetitive' END,
+           CASE WHEN rep.top_token_frac > 0.3 THEN 'dominated' END,
+           CASE WHEN base.quality_score < 0.5 THEN 'low_quality' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM base JOIN rep ON base.doc_id = rep.doc_id
+)
+SELECT doc_id, ws_token_count, dup_bigram_frac, top_token_frac,
+       quality_score,
+       len(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+FROM j
+ORDER BY doc_id
+"""
+
+
 REPEATED_PASSAGE_N = 5
 REPEATED_PASSAGE_MIN_DOCS = 2
 
@@ -5618,6 +5694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
     "span_corruption": q_span_corruption,
+    "gopher_filter": q_gopher_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -5682,6 +5759,7 @@ ORACLES: dict[str, str] = {
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,
     "span_corruption": oracle_span_corruption(),
+    "gopher_filter": oracle_gopher_filter(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -366,3 +366,27 @@ def test_winnow_guarantee_and_density(spark):
     # density: selected fingerprints ~2/(w+1) of windows, far below
     # the full shingle count (11 shingles in doc 1)
     assert len(by_doc[1]) < 11
+
+
+def test_gopher_filter_names_failures(spark):
+    from news_clustering_and_summarization_spark.plans.catalog import (
+        QUERIES,
+    )
+    import tempfile
+    import os
+
+    # build a tiny documents table with one doc per failure mode
+    rows = [
+        (1, "a solid healthy document with plenty of varied and useful words here today", "en", "s", 75),
+        (2, "tiny", "en", "s", 4),                                  # too_short
+        (3, "spam ham " + "spam ham " * 30, "en", "s", 200),        # repetitive+dominated
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["gopher_filter"](spark, d).collect()}
+    assert out[1]["keep"] and out[1]["fail_reasons"] == ""
+    assert "too_short" in out[2]["fail_reasons"] and not out[2]["keep"]
+    assert "repetitive" in out[3]["fail_reasons"]
+    assert "dominated" in out[3]["fail_reasons"]

@@ -76,6 +76,9 @@ CARTESIAN_OK = {
     # crossJoins the ONE-ROW vocab-size aggregate onto the scored
     # bigram instances — O(1)-row side by construction
     "lm_perplexity",
+    # crossJoins the ONE-ROW corpus total and ONE-ROW normalizer onto
+    # the per-domain count table — O(1)-row sides by construction
+    "mix_temperature",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
