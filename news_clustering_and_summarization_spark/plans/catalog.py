@@ -1894,6 +1894,132 @@ ORDER BY doc_id
 """
 
 
+def q_record_linkage(spark, sf):
+    """Fellegi–Sunter record linkage (operators/linkage.py) on a
+    planted dirty copy of the customer table: copy B perturbs every
+    3rd name (char dropped) and every 2nd balance band (drifted by one),
+    then blocking on the nation key feeds candidate pairs to integer
+    agreement scoring — the equi-join-not-all-pairs shape that makes
+    entity resolution survive at scale. Output = pairs clearing the
+    match threshold with their agreement vector, exact integer score,
+    and the ground-truth same_entity flag (true pairs whose name AND
+    phone were both perturbed fall below threshold — the recall cost
+    of these weights, visible in the result). Oracle replays
+    perturbations, blocking, agreements, and scores."""
+    from ..operators.linkage import FieldRule, link_records
+
+    cust = load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("band"),
+    )
+    a = cust.select(
+        F.concat(F.lit("a"), F.col("c_custkey")).alias("rec_id"),
+        F.col("c_custkey").alias("entity"),
+        "c_nationkey",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        "band",
+    )
+    b = cust.select(
+        F.concat(F.lit("b"), F.col("c_custkey")).alias("rec_id"),
+        F.col("c_custkey").alias("entity"),
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring(F.col("c_name"), 1, 2),
+                F.substring(F.col("c_name"), 4, 1000),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("band") + 1
+        )
+        .otherwise(F.col("band"))
+        .alias("band"),
+    )
+    # weights reflect u-probabilities: names are near-unique (strong
+    # evidence), the 5-value segment is weak, the ~110-value band is
+    # moderate
+    rules = [
+        FieldRule("name", 40, -15),
+        FieldRule("segment", 10, -10),
+        FieldRule("band", 15, -10),
+    ]
+    linked = link_records(
+        a, b, ["c_nationkey"], rules, threshold=30
+    )
+    truth = (
+        a.select(F.col("rec_id").alias("left_id"), F.col("entity").alias("_le"))
+    )
+    truth_r = (
+        b.select(F.col("rec_id").alias("right_id"), F.col("entity").alias("_re"))
+    )
+    return (
+        linked.where("is_match")
+        .join(truth, "left_id")
+        .join(truth_r, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "name_agree",
+            "segment_agree",
+            "band_agree",
+            "score",
+            (F.col("_le") == F.col("_re")).alias("same_entity"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+ORACLE_RECORD_LINKAGE = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+         cast(floor(c_acctbal / 100) AS BIGINT) AS band
+  FROM customer
+),
+a AS (
+  SELECT 'a' || c_custkey AS rec_id, c_custkey AS entity,
+         c_nationkey, c_name AS name, c_mktsegment AS segment, band
+  FROM cust
+),
+b AS (
+  SELECT 'b' || c_custkey AS rec_id, c_custkey AS entity,
+         c_nationkey,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, 2) || substr(c_name, 4)
+              ELSE c_name END AS name,
+         c_mktsegment AS segment,
+         CASE WHEN c_custkey % 2 = 0 THEN band + 1 ELSE band
+         END AS band
+  FROM cust
+),
+scored AS (
+  SELECT a.rec_id AS left_id, b.rec_id AS right_id,
+         a.name IS NOT DISTINCT FROM b.name AS name_agree,
+         a.segment IS NOT DISTINCT FROM b.segment AS segment_agree,
+         a.band IS NOT DISTINCT FROM b.band AS band_agree,
+         a.entity = b.entity AS same_entity
+  FROM a JOIN b ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+)
+SELECT left_id, right_id, name_agree, segment_agree, band_agree,
+       (CASE WHEN name_agree THEN 40 ELSE -15 END
+        + CASE WHEN segment_agree THEN 10 ELSE -10 END
+        + CASE WHEN band_agree THEN 15 ELSE -10 END) AS score,
+       same_entity
+FROM scored
+WHERE (CASE WHEN name_agree THEN 40 ELSE -15 END
+       + CASE WHEN segment_agree THEN 10 ELSE -10 END
+       + CASE WHEN band_agree THEN 15 ELSE -10 END) >= 30
+ORDER BY left_id, right_id
+"""
+
+
 REPEATED_PASSAGE_N = 5
 REPEATED_PASSAGE_MIN_DOCS = 2
 
@@ -5695,6 +5821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_weighted_avg": q_time_weighted_avg,
     "span_corruption": q_span_corruption,
     "gopher_filter": q_gopher_filter,
+    "record_linkage": q_record_linkage,
 }
 
 ORACLES: dict[str, str] = {
@@ -5760,6 +5887,7 @@ ORACLES: dict[str, str] = {
     "time_weighted_avg": ORACLE_TWA,
     "span_corruption": oracle_span_corruption(),
     "gopher_filter": oracle_gopher_filter(),
+    "record_linkage": ORACLE_RECORD_LINKAGE,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -1,0 +1,59 @@
+"""Fellegi–Sunter record linkage (operators/linkage.py): blocking
+restricts candidates, agreement weights sum exactly, NULL fields
+compare null-safe, and the threshold decides."""
+
+from __future__ import annotations
+
+from news_clustering_and_summarization_spark.operators.linkage import (
+    FieldRule,
+    link_records,
+)
+
+RULES = [
+    FieldRule("name", 40, -15),
+    FieldRule("city", 10, -10),
+]
+
+
+SCHEMA = "rec_id string, block int, name string, city string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_blocking_limits_candidates_and_scores_exactly(spark):
+    left = _df(spark, [("l1", 1, "ada", "paris"), ("l2", 2, "bob", "rome")])
+    right = _df(
+        spark,
+        [
+            ("r1", 1, "ada", "paris"),   # same block, full agree: 50
+            ("r2", 1, "eve", "paris"),   # same block, city only: -5
+            ("r3", 2, "bob", "oslo"),    # block 2: name only: 30
+            ("r4", 3, "ada", "paris"),   # different block: never scored
+        ],
+    )
+    out = {
+        (r["left_id"], r["right_id"]): (r["score"], r["is_match"])
+        for r in link_records(
+            left, right, ["block"], RULES, threshold=30
+        ).collect()
+    }
+    assert out[("l1", "r1")] == (50, True)
+    assert out[("l1", "r2")] == (-5, False)
+    assert out[("l2", "r3")] == (30, True)
+    assert ("l1", "r4") not in out and ("l2", "r4") not in out
+
+
+def test_null_fields_compare_null_safe(spark):
+    left = _df(spark, [("l1", 1, None, "paris")])
+    right = _df(spark, [("r1", 1, None, "paris"), ("r2", 1, "x", None)])
+    out = {
+        r["right_id"]: (r["name_agree"], r["city_agree"], r["score"])
+        for r in link_records(
+            left, right, ["block"], RULES, threshold=30
+        ).collect()
+    }
+    # NULL == NULL agrees under eqNullSafe; NULL vs value disagrees
+    assert out["r1"] == (True, True, 50)
+    assert out["r2"] == (False, False, -25)
