@@ -77,3 +77,27 @@ def test_build_plan_shuffles_registers_not_values(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_max" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_merge_associativity_random_splits(spark):
+    # property: ANY 3-way split merged in any order equals one shot
+    from news_clustering_and_summarization_spark.operators.cardinality import (
+        hll_build,
+        hll_merge,
+    )
+    from pyspark.sql import functions as F
+
+    full = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("val")
+    )
+    parts = [
+        full.where(F.col("val").substr(2, 10).cast("long") % 3 == i)
+        for i in range(3)
+    ]
+    built = [hll_build(p, "val", 256) for p in parts]
+    merged_lr = hll_merge(hll_merge(built[0], built[1]), built[2])
+    merged_rl = hll_merge(built[0], hll_merge(built[1], built[2]))
+    one_shot = hll_build(full, "val", 256)
+    a = sorted(map(tuple, merged_lr.collect()))
+    assert a == sorted(map(tuple, merged_rl.collect()))
+    assert a == sorted(map(tuple, one_shot.collect()))

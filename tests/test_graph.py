@@ -70,3 +70,12 @@ def test_more_iterations_converge(spark):
     early = sum(abs(r1[k] - r2[k]) for k in r1)
     late = sum(abs(r6[k] - r7[k]) for k in r6)
     assert late < early
+
+
+def test_partitioning_invariance(spark):
+    # property: ranks are identical under any input partitioning
+    # (exact integer arithmetic has no float-summation order term)
+    pairs = [(i % 17, (i * 5 + 3) % 17) for i in range(60)]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(13)
+    assert _ranks(e1, iterations=3) == _ranks(e2, iterations=3)
