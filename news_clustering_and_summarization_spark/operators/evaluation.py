@@ -271,10 +271,18 @@ def calibration_bins(
                 F.lit(lo) + F.col("bin") * F.lit(width), 6
             ).alias("bin_lo"),
             "n",
-            F.round(
-                F.col("sqs")
-                / (F.lit(1_000_000.0) * F.col("n")),
-                6,
+            # round-half-away in EXACT integer space: sqs/n can land
+            # exactly on a half-of-1e-6 boundary (e.g. two odd
+            # quantized scores averaged), where Spark's BigDecimal
+            # HALF_UP and DuckDB's double rounding disagree — integer
+            # div cannot
+            (
+                F.expr(
+                    "CASE WHEN sqs >= 0"
+                    " THEN (2 * sqs + n) div (2 * n)"
+                    " ELSE -((2 * -sqs + n) div (2 * n)) END"
+                )
+                / F.lit(1_000_000.0)
             ).alias("mean_score"),
             F.round(
                 F.col("pos").cast("double") / F.col("n"), 6

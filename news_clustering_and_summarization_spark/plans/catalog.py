@@ -4734,7 +4734,10 @@ lab AS (
 SELECT bin,
        round(({lo} + bin * {width})::DOUBLE, 6) AS bin_lo,
        count(*) AS n,
-       round(sum(sq) / (1000000.0 * count(*)), 6) AS mean_score,
+       (CASE WHEN sum(sq) >= 0
+             THEN (2 * sum(sq) + count(*)) // (2 * count(*))
+             ELSE -((2 * -sum(sq) + count(*)) // (2 * count(*)))
+        END) / 1000000.0 AS mean_score,
        round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
 FROM lab GROUP BY bin ORDER BY bin
 """
@@ -5608,6 +5611,61 @@ def q_ann_pq(spark, sf):
     )
 
 
+def q_ann_ivf_pq(spark, sf):
+    """The full faiss-style composed index (IVF cells + PQ codes +
+    exact re-rank): the query probes its 10 nearest of 16 Voronoi
+    cells, ADC over CODES ONLY ranks the probed rows into a 100-row
+    shortlist (the raw vectors never leave parquet for this stage —
+    column pruning is the point), and exact cosine re-ranks the
+    shortlist into the top-10. Approximate by construction (cells +
+    ADC distortion), so no SQL oracle; recall@10 vs global brute
+    force is floor-asserted at 0.6 in-plan (measured 0.8 at sf0.01;
+    ADC alone scores 0.2-0.3 on these weak-structure vectors — the
+    re-rank stage is what the composition exists for)."""
+    from ..operators.pq import pq_adc_scores
+    from ..operators.similarity import assign_cells, train_ivf_centroids
+
+    emb, cbs, coded = _pq_setup(spark, sf)
+    cents = train_ivf_centroids(emb, nlist=16, corpus_vec="v")
+    celled = assign_cells(emb, cents, "v", "vec_id", n_cells=1).select(
+        "vec_id", "cell"
+    )
+    codedc = coded.select("vec_id", "codes").join(celled, "vec_id")
+    qrow = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
+    qv = list(qrow["v"])
+    qdf = spark.createDataFrame(
+        [(qrow["vec_id"], qv)], "vec_id long, v array<double>"
+    )
+    probe_cells = [
+        r["cell"]
+        for r in assign_cells(
+            qdf, cents, "v", "vec_id", n_cells=10
+        ).collect()
+    ]
+    probed = codedc.where(F.col("cell").isin(probe_cells)).where(
+        F.col("vec_id") != qrow["vec_id"]
+    )
+    shortlist = (
+        pq_adc_scores(probed.select("vec_id", "codes"), qv, cbs)
+        .orderBy("adc_dist", "vec_id")
+        .limit(100)
+    )
+    q = qdf.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("query_vec")
+    )
+    reranked = S.brute_force_topk(
+        q,
+        shortlist.join(emb, "vec_id").select(
+            "vec_id", F.col("v").alias("embedding")
+        ),
+        k=10,
+    ).withColumn("cosine", F.round("cosine", 6))
+    exact = S.brute_force_topk(
+        q, emb.select("vec_id", F.col("v").alias("embedding")), k=10
+    )
+    return _with_recall_assert(reranked, exact, floor=0.6)
+
+
 def _pq_sub_sql(a_vec: str, b_vec: str, mi_expr: str, sub: int) -> str:
     return (
         "list_reduce(list_prepend(0.0::DOUBLE, "
@@ -5822,6 +5880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corruption": q_span_corruption,
     "gopher_filter": q_gopher_filter,
     "record_linkage": q_record_linkage,
+    "ann_ivf_pq": q_ann_ivf_pq,
 }
 
 ORACLES: dict[str, str] = {
