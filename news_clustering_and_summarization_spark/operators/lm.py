@@ -89,8 +89,9 @@ def score_perplexity(
 ) -> DataFrame:
     """Score documents against a trained bigram model. Output:
     (id_col, n_bigrams, logprob_q, avg_logp) — logprob_q is the exact
-    quantized integer total; avg_logp = logprob_q / (1e6 * n),
-    rounded to 6 decimals. Documents with < 2 tokens score NULL."""
+    quantized integer total; avg_logp = logprob_q / n rounded
+    half-away in integer space then scaled to log units. Documents
+    with < 2 tokens score NULL."""
     inst = _bigram_instances(docs, text_col, id_col)
     scored = (
         inst.join(F.broadcast(bigrams), ["w1", "w2"], "left")
@@ -121,13 +122,22 @@ def score_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lq").alias("logprob_q"),
     )
+    # avg = logprob_q / n rounded half-away IN INTEGER SPACE: the
+    # quotient can land exactly on a half-of-1e-6 boundary (odd total,
+    # n=2), where Spark and DuckDB double rounding disagree — integer
+    # division cannot (same fix as evaluation.calibration_bins)
     return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         "logprob_q",
-        F.round(
-            F.col("logprob_q")
-            / (F.lit(float(LM_LOG_QUANT)) * F.col("n_bigrams")),
-            6,
+        (
+            F.expr(
+                "CASE WHEN logprob_q >= 0"
+                " THEN (2 * logprob_q + n_bigrams)"
+                " div (2 * n_bigrams)"
+                " ELSE -((2 * -logprob_q + n_bigrams)"
+                " div (2 * n_bigrams)) END"
+            )
+            / F.lit(float(LM_LOG_QUANT))
         ).alias("avg_logp"),
     )

@@ -263,13 +263,19 @@ def time_weighted_avg(
             key_col,
             "n_obs",
             "span_seconds",
-            F.round(
-                F.when(
-                    F.col("span_seconds") > 0,
-                    F.col("_wq_total")
-                    / (F.lit(1_000_000.0) * F.col("span_seconds")),
-                ),
-                6,
+            # integer half-away rounding: _wq_total/span can land on
+            # an exact half-of-1e-6 boundary where engine double
+            # rounding diverges (see evaluation.calibration_bins)
+            F.when(
+                F.col("span_seconds") > 0,
+                F.expr(
+                    "CASE WHEN _wq_total >= 0"
+                    " THEN (2 * _wq_total + span_seconds)"
+                    " div (2 * span_seconds)"
+                    " ELSE -((2 * -_wq_total + span_seconds)"
+                    " div (2 * span_seconds)) END"
+                )
+                / F.lit(1_000_000.0),
             ).alias("twa"),
         )
     )

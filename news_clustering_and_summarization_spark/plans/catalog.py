@@ -4574,8 +4574,12 @@ pd AS (
 SELECT d.doc_id,
        coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
        pd.logprob_q,
-       round(pd.logprob_q / ({float(LM_LOG_QUANT)} * pd.n_bigrams), 6)
-         AS avg_logp
+       (CASE WHEN pd.logprob_q >= 0
+             THEN (2 * pd.logprob_q + pd.n_bigrams)
+                  // (2 * pd.n_bigrams)
+             ELSE -((2 * -pd.logprob_q + pd.n_bigrams)
+                  // (2 * pd.n_bigrams))
+        END) / {float(LM_LOG_QUANT)} AS avg_logp
 FROM documents d LEFT JOIN pd USING (doc_id)
 ORDER BY d.doc_id
 """
@@ -4777,9 +4781,14 @@ contrib AS (
 SELECT user_id,
        count(*) AS n_obs,
        (max(t) - min(t)) AS span_seconds,
-       round(CASE WHEN max(t) - min(t) > 0
-                  THEN sum(wq) / (1000000.0 * (max(t) - min(t)))
-             END, 6) AS twa
+       CASE WHEN max(t) - min(t) > 0 THEN
+         (CASE WHEN sum(wq) >= 0
+               THEN (2 * sum(wq) + (max(t) - min(t)))
+                    // (2 * (max(t) - min(t)))
+               ELSE -((2 * -sum(wq) + (max(t) - min(t)))
+                    // (2 * (max(t) - min(t))))
+          END) / 1000000.0
+       END AS twa
 FROM contrib
 GROUP BY user_id
 ORDER BY user_id
