@@ -40,12 +40,18 @@ def test_no_oracle_queries_run(spark, name):
 
 def test_catalog_registry_consistency():
     """Every oracle belongs to a query; the rows-only set stays
-    exactly the documented approximate-by-design trio."""
+    exactly the documented approximate-by-design queries (all carry
+    in-plan recall asserts)."""
     from news_clustering_and_summarization_spark.plans import catalog
 
     assert set(catalog.ORACLES) <= set(catalog.QUERIES)
     rows_only = set(catalog.QUERIES) - set(catalog.ORACLES)
-    assert rows_only == {"ann_ivf", "ann_lsh", "cluster_lsh"}
+    assert rows_only == {
+        "ann_ivf",
+        "ann_lsh",
+        "cluster_lsh",
+        "ann_ivf_pq",
+    }
     # every oracle is non-trivial SQL text
     assert all(
         isinstance(s, str) and "SELECT" in s.upper()
