@@ -108,3 +108,75 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def basket_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent-pair mining over (basket, item) rows: support,
+    confidence(a->b), and lift for every co-occurring ordered pair
+    with pair support >= ``min_support`` — the association-rule
+    core (Agrawal & Srikant 1994) without the combinatorial tail
+    (pairs only; real baskets are small, so the per-basket self-join
+    fan-out is bounded by basket size squared, the same bounded-key
+    argument as the co-purchase graph in plans/catalog.q_pagerank).
+
+    confidence and lift are rounded HALF-AWAY IN INTEGER SPACE at
+    1e-6 (c_pair/c_a and c_pair·N/(c_a·c_b) are small-denominator
+    rationals that can land exactly between grid points — the same
+    divergence class fixed in evaluation.calibration_bins).
+
+    Output: (ant, cons, pair_support, ant_support, cons_support,
+    confidence, lift).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    item_supp = b.groupBy("_i").agg(F.count(F.lit(1)).alias("supp"))
+    n_baskets = b.select("_b").distinct().count()
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, "_b")
+        .where(F.col("l._i") != F.col("r._i"))
+        .groupBy(
+            F.col("l._i").alias("ant"), F.col("r._i").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .where(F.col("pair_support") >= min_support)
+    )
+    ia = item_supp.select(
+        F.col("_i").alias("ant"), F.col("supp").alias("ant_support")
+    )
+    ic = item_supp.select(
+        F.col("_i").alias("cons"), F.col("supp").alias("cons_support")
+    )
+    q = 1_000_000
+    return (
+        pairs.join(F.broadcast(ia), "ant")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ant",
+            "cons",
+            "pair_support",
+            "ant_support",
+            "cons_support",
+            (
+                F.expr(
+                    f"(2 * {q} * pair_support + ant_support)"
+                    " div (2 * ant_support)"
+                )
+                / F.lit(float(q))
+            ).alias("confidence"),
+            (
+                F.expr(
+                    f"(2 * {q} * pair_support * {n_baskets}"
+                    " + ant_support * cons_support)"
+                    " div (2 * ant_support * cons_support)"
+                )
+                / F.lit(float(q))
+            ).alias("lift"),
+        )
+    )

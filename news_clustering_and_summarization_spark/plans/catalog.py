@@ -5016,6 +5016,49 @@ ORDER BY lang
 """
 
 
+def q_basket_rules(spark, sf):
+    """Association-rule mining (operators/frequent.basket_pairs) over
+    order baskets: support, confidence, and lift for part pairs
+    co-purchased in >= 3 orders. The per-basket self-join fan-out is
+    bounded by basket size (<= 7 lineitems per TPC-H order), item
+    supports broadcast, and both ratios round half-away in exact
+    integer space so the small-denominator rationals cannot straddle
+    engine rounding. Oracle replays supports, pairs, and both
+    ratios."""
+    from ..operators.frequent import basket_pairs
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        basket_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+        .orderBy(F.desc("pair_support"), "ant", "cons")
+    )
+
+
+ORACLE_BASKET_RULES = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+supp AS (SELECT it, count(*) AS s FROM b GROUP BY it),
+n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+pairs AS (
+  SELECT l.it AS ant, r.it AS cons, count(*) AS pair_support
+  FROM b l JOIN b r ON l.bk = r.bk AND l.it <> r.it
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.ant, p.cons, p.pair_support,
+       sa.s AS ant_support, sc.s AS cons_support,
+       ((2 * 1000000 * p.pair_support + sa.s) // (2 * sa.s))
+         / 1000000.0 AS confidence,
+       ((2 * 1000000 * p.pair_support * n.nb + sa.s * sc.s)
+         // (2 * sa.s * sc.s)) / 1000000.0 AS lift
+FROM pairs p
+JOIN supp sa ON p.ant = sa.it
+JOIN supp sc ON p.cons = sc.it
+CROSS JOIN n
+ORDER BY p.pair_support DESC, p.ant, p.cons
+"""
+
+
 def q_pagerank(spark, sf):
     """Link centrality (operators/graph.py) over the part co-purchase
     graph: parts appearing in the same order get symmetric edges
@@ -5890,6 +5933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_filter": q_gopher_filter,
     "record_linkage": q_record_linkage,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "basket_rules": q_basket_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -5956,6 +6000,7 @@ ORACLES: dict[str, str] = {
     "span_corruption": oracle_span_corruption(),
     "gopher_filter": oracle_gopher_filter(),
     "record_linkage": ORACLE_RECORD_LINKAGE,
+    "basket_rules": ORACLE_BASKET_RULES,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

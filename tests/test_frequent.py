@@ -79,3 +79,30 @@ def test_unseen_token_estimates_from_sketch(spark, instances):
     est = cms_estimate(q, "token", sketch, 4096).collect()[0]
     # may collide to a positive count but must exist and be >= 0
     assert est["cms_estimate"] >= 0
+
+
+def test_basket_pairs_hand_case(spark):
+    from news_clustering_and_summarization_spark.operators.frequent import (
+        basket_pairs,
+    )
+
+    rows = [
+        (1, "bread"), (1, "butter"),
+        (2, "bread"), (2, "butter"),
+        (3, "bread"), (3, "milk"),
+        (4, "milk"),
+        (4, "milk"),  # duplicate item in a basket counts once
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["ant"], r["cons"]): r
+        for r in basket_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    r = out[("bread", "butter")]
+    # supp(bread)=3, supp(butter)=2, pair=2, N=4
+    assert r["pair_support"] == 2
+    assert r["confidence"] == 0.666667
+    assert r["lift"] == 1.333333
+    # symmetric direction has different confidence
+    assert out[("butter", "bread")]["confidence"] == 1.0
+    assert ("bread", "milk") not in out  # support 1 pruned
