@@ -79,6 +79,10 @@ CARTESIAN_OK = {
     # crossJoins the ONE-ROW corpus total and ONE-ROW normalizer onto
     # the per-domain count table — O(1)-row sides by construction
     "mix_temperature",
+    # composed IVF-PQ: the ADC shortlist re-rank and the exact-recall
+    # leg both use the gated brute-force kernel (bounded query side),
+    # plus the 1-row recall-stats crossJoin of _with_recall_assert
+    "ann_ivf_pq",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
@@ -91,12 +95,16 @@ CARTESIAN_OK = {
 # shard-TOTAL table of the two-phase prefix sum — #shards rows
 # (score domain / shard_width), provably tiny; the per-score cumsum
 # partitions by shard.
+# ann_ivf_pq: same as ann_ivf/ann_lsh — the SinglePartition exchange
+# is the O(1)-row recall-stats aggregate; the ranking windows
+# partition by query_id.
 GLOBAL_WIN_OK = {
     "pool_metrics",
     "ann_ivf",
     "ann_lsh",
     "distinctive_terms",
     "classifier_auc",
+    "ann_ivf_pq",
 }
 
 
