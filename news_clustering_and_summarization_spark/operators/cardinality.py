@@ -99,9 +99,14 @@ def hll_build(
         )
         .alias("rho")
     )
-    cells = df.withColumn(
-        "__hll_h2", H.hash64(v, seed=HLL_RHO_SEED)
-    ).select(*groups, bucket, rho)
+    # NULL values hash to NULL (md5(NULL) is NULL) and would emit a
+    # phantom NULL-bucket register that skews v_empty — drop them;
+    # HLL counts distinct non-null values, matching COUNT(DISTINCT)
+    cells = (
+        df.where(v.isNotNull())
+        .withColumn("__hll_h2", H.hash64(v, seed=HLL_RHO_SEED))
+        .select(*groups, bucket, rho)
+    )
     return cells.groupBy(*groups, "bucket").agg(F.max("rho").alias("r"))
 
 
@@ -119,8 +124,14 @@ def hll_estimate(
     groups = list(group_cols or [])
     alpha = hll_alpha(m)
     agg = registers.groupBy(*groups).agg(
-        F.sum(
-            F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)")
+        # coalesce: a global aggregate over EMPTY registers yields one
+        # row with a NULL sum — treat as zero so the estimate degrades
+        # to the linear-counting value 0.0 instead of NULL
+        F.coalesce(
+            F.sum(
+                F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("ssum"),
         F.count(F.lit(1)).alias("present"),
     )

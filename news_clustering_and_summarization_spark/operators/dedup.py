@@ -768,11 +768,19 @@ def semantic_dedup(
         )
     )
     a, b = sided.alias("a"), sided.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.col("a._n") * F.col("b._n"))
+    # zero-norm vectors (empty docs embedded to zeros) have no cosine:
+    # guard the division so they never match anything (NULL predicate
+    # filters the pair) instead of erroring under ANSI or — worse —
+    # NaN-matching everything with ANSI off
+    cos = F.when(
+        (F.col("a._n") > 0) & (F.col("b._n") > 0),
+        F.aggregate(
+            F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (F.col("a._n") * F.col("b._n")),
+    )
     # per-cluster self-join: both sides shuffle on the cluster key and
     # the compare stays inside each (bounded) cluster
     dropped = (

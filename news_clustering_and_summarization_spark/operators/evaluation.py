@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import half_away_div
+
 
 def clustering_quality(
     df: DataFrame, pred_col: str, truth_col: str
@@ -207,8 +209,11 @@ def binary_auc(
             + F.col("offset"),
         )
     )
+    # one-class inputs (P or N zero) have no defined AUC: emit NULL
+    # instead of a divide-by-zero error under Spark 4 ANSI defaults
     return contrib.agg(
-        (
+        F.when(
+            (F.sum("p_s") > 0) & (F.sum("n_s") > 0),
             F.sum(
                 F.col("p_s")
                 * (F.lit(2) * F.col("cum_neg") + F.col("n_s"))
@@ -217,7 +222,7 @@ def binary_auc(
                 F.lit(2.0)
                 * F.sum("p_s").cast("double")
                 * F.sum("n_s").cast("double")
-            )
+            ),
         ).alias("auc"),
         F.sum("p_s").alias("n_pos"),
         F.sum("n_s").alias("n_neg"),
@@ -271,18 +276,10 @@ def calibration_bins(
                 F.lit(lo) + F.col("bin") * F.lit(width), 6
             ).alias("bin_lo"),
             "n",
-            # round-half-away in EXACT integer space: sqs/n can land
-            # exactly on a half-of-1e-6 boundary (e.g. two odd
-            # quantized scores averaged), where Spark's BigDecimal
-            # HALF_UP and DuckDB's double rounding disagree — integer
-            # div cannot
+            # round-half-away in exact integer space (see
+            # functions/exact.py for why plain round() diverges)
             (
-                F.expr(
-                    "CASE WHEN sqs >= 0"
-                    " THEN (2 * sqs + n) div (2 * n)"
-                    " ELSE -((2 * -sqs + n) div (2 * n)) END"
-                )
-                / F.lit(1_000_000.0)
+                half_away_div("sqs", "n") / F.lit(1_000_000.0)
             ).alias("mean_score"),
             F.round(
                 F.col("pos").cast("double") / F.col("n"), 6

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.exact import half_away_div
 
 __all__ = ["CMS_SEEDS", "cms_build", "cms_estimate", "cms_merge"]
 
@@ -136,7 +137,10 @@ def basket_pairs(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     item_supp = b.groupBy("_i").agg(F.count(F.lit(1)).alias("supp"))
-    n_baskets = b.select("_b").distinct().count()
+    # basket count enters the plan as a broadcast one-row aggregate,
+    # not a collected scalar — constructing this DataFrame stays lazy
+    # (the house pattern from graph.pagerank_fixed_point)
+    n_row = b.agg(F.count_distinct("_b").alias("nb"))
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(r, "_b")
@@ -157,6 +161,7 @@ def basket_pairs(
     return (
         pairs.join(F.broadcast(ia), "ant")
         .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "ant",
             "cons",
@@ -164,17 +169,15 @@ def basket_pairs(
             "ant_support",
             "cons_support",
             (
-                F.expr(
-                    f"(2 * {q} * pair_support + ant_support)"
-                    " div (2 * ant_support)"
+                half_away_div(
+                    f"{q} * pair_support", "ant_support"
                 )
                 / F.lit(float(q))
             ).alias("confidence"),
             (
-                F.expr(
-                    f"(2 * {q} * pair_support * {n_baskets}"
-                    " + ant_support * cons_support)"
-                    " div (2 * ant_support * cons_support)"
+                half_away_div(
+                    f"{q} * pair_support * nb",
+                    "ant_support * cons_support",
                 )
                 / F.lit(float(q))
             ).alias("lift"),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.exact import half_away_div
 
 __all__ = ["LM_LOG_QUANT", "train_bigram_lm", "score_perplexity"]
 
@@ -122,22 +123,14 @@ def score_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lq").alias("logprob_q"),
     )
-    # avg = logprob_q / n rounded half-away IN INTEGER SPACE: the
-    # quotient can land exactly on a half-of-1e-6 boundary (odd total,
-    # n=2), where Spark and DuckDB double rounding disagree — integer
-    # division cannot (same fix as evaluation.calibration_bins)
+    # avg = logprob_q / n rounded half-away in exact integer space
+    # (functions/exact.py — plain round() diverges on half boundaries)
     return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         "logprob_q",
         (
-            F.expr(
-                "CASE WHEN logprob_q >= 0"
-                " THEN (2 * logprob_q + n_bigrams)"
-                " div (2 * n_bigrams)"
-                " ELSE -((2 * -logprob_q + n_bigrams)"
-                " div (2 * n_bigrams)) END"
-            )
+            half_away_div("logprob_q", "n_bigrams")
             / F.lit(float(LM_LOG_QUANT))
         ).alias("avg_logp"),
     )

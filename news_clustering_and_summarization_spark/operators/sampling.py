@@ -302,11 +302,15 @@ def dsir_importance_weights(
             .alias("lr"),
         )
     )
-    return (
+    weights = (
         src.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(F.sum("lr").alias("dsir_weight"))
     )
+    # every source doc gets a row: docs with < 2 tokens have no
+    # bigrams and score NULL (the score_perplexity convention) rather
+    # than silently vanishing from the output
+    return source.select(id_col).join(weights, id_col, "left")
 
 
 def temperature_mix(
@@ -337,28 +341,27 @@ def temperature_mix(
         F.count(F.lit(1)).alias("_n_d")
     )
     total = counts.agg(F.sum("_n_d").alias("_n"))
-    rates = (
+    # one pow() per domain, quantized to a 1e-9 integer immediately:
+    # the normalizer is then an EXACT integer sum (an unordered double
+    # sum here could drift an ulp between engines and flip a
+    # 6-decimal rate on a boundary), and p_q/z_q ratios are built
+    # from identical integers everywhere
+    p_q = (
         counts.crossJoin(F.broadcast(total))
         .withColumn(
-            "_p_raw",
-            F.pow(
-                F.col("_n_d").cast("double") / F.col("_n"),
-                1.0 / temperature,
-            ),
-        )
-        .crossJoin(
-            F.broadcast(
-                counts.crossJoin(F.broadcast(total))
-                .agg(
-                    F.sum(
-                        F.pow(
-                            F.col("_n_d").cast("double") / F.col("_n"),
-                            1.0 / temperature,
-                        )
-                    ).alias("_z")
+            "_p_q",
+            F.round(
+                F.pow(
+                    F.col("_n_d").cast("double") / F.col("_n"),
+                    1.0 / temperature,
                 )
-            )
+                * F.lit(1_000_000_000)
+            ).cast("long"),
         )
+    )
+    z = p_q.agg(F.sum("_p_q").alias("_z_q"))
+    rates = (
+        p_q.crossJoin(F.broadcast(z))
         .select(
             domain_col,
             "_n_d",
@@ -366,7 +369,10 @@ def temperature_mix(
                 F.least(
                     F.lit(1.0),
                     F.lit(float(target_total))
-                    * (F.col("_p_raw") / F.col("_z"))
+                    * (
+                        F.col("_p_q").cast("double")
+                        / F.col("_z_q").cast("double")
+                    )
                     / F.col("_n_d"),
                 ),
                 6,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import half_away_div
+
 
 def asof_join(
     left: DataFrame,
@@ -263,18 +265,10 @@ def time_weighted_avg(
             key_col,
             "n_obs",
             "span_seconds",
-            # integer half-away rounding: _wq_total/span can land on
-            # an exact half-of-1e-6 boundary where engine double
-            # rounding diverges (see evaluation.calibration_bins)
+            # integer half-away rounding (functions/exact.py)
             F.when(
                 F.col("span_seconds") > 0,
-                F.expr(
-                    "CASE WHEN _wq_total >= 0"
-                    " THEN (2 * _wq_total + span_seconds)"
-                    " div (2 * span_seconds)"
-                    " ELSE -((2 * -_wq_total + span_seconds)"
-                    " div (2 * span_seconds)) END"
-                )
+                half_away_div("_wq_total", "span_seconds")
                 / F.lit(1_000_000.0),
             ).alias("twa"),
         )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.exact import half_away_div_sql
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..operators import bloom as BL
@@ -4574,12 +4575,8 @@ pd AS (
 SELECT d.doc_id,
        coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
        pd.logprob_q,
-       (CASE WHEN pd.logprob_q >= 0
-             THEN (2 * pd.logprob_q + pd.n_bigrams)
-                  // (2 * pd.n_bigrams)
-             ELSE -((2 * -pd.logprob_q + pd.n_bigrams)
-                  // (2 * pd.n_bigrams))
-        END) / {float(LM_LOG_QUANT)} AS avg_logp
+       {half_away_div_sql("pd.logprob_q", "pd.n_bigrams")}
+         / {float(LM_LOG_QUANT)} AS avg_logp
 FROM documents d LEFT JOIN pd USING (doc_id)
 ORDER BY d.doc_id
 """
@@ -4684,14 +4681,19 @@ def oracle_mix_temperature(target: int = 300) -> str:
     return f"""
 WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
 t AS (SELECT sum(n_d) AS n FROM c),
-z AS (SELECT sum(pow(n_d::DOUBLE / n, 0.5)) AS z
-      FROM c CROSS JOIN t),
+pq AS (
+  SELECT lang, n_d,
+         cast(round(pow(n_d::DOUBLE / n, 0.5) * 1000000000)
+              AS BIGINT) AS p_q
+  FROM c CROSS JOIN t
+),
+z AS (SELECT sum(p_q) AS z_q FROM pq),
 r AS (
   SELECT lang,
          round(least(1.0,
-           {target} * (pow(n_d::DOUBLE / n, 0.5) / z) / n_d), 6)
+           {target} * (p_q::DOUBLE / z_q::DOUBLE) / n_d), 6)
            AS domain_rate
-  FROM c CROSS JOIN t CROSS JOIN z
+  FROM pq CROSS JOIN z
 )
 SELECT d.doc_id, d.lang, r.domain_rate
 FROM documents d JOIN r USING (lang)
@@ -4738,10 +4740,8 @@ lab AS (
 SELECT bin,
        round(({lo} + bin * {width})::DOUBLE, 6) AS bin_lo,
        count(*) AS n,
-       (CASE WHEN sum(sq) >= 0
-             THEN (2 * sum(sq) + count(*)) // (2 * count(*))
-             ELSE -((2 * -sum(sq) + count(*)) // (2 * count(*)))
-        END) / 1000000.0 AS mean_score,
+       {half_away_div_sql("sum(sq)", "count(*)")}
+         / 1000000.0 AS mean_score,
        round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
 FROM lab GROUP BY bin ORDER BY bin
 """
@@ -4763,7 +4763,7 @@ def q_time_weighted_avg(spark, sf):
     )
 
 
-ORACLE_TWA = """
+ORACLE_TWA = f"""
 WITH stepped AS (
   SELECT user_id, floor(epoch(ts))::BIGINT AS t, value::DOUBLE AS v,
          lead(floor(epoch(ts))::BIGINT) OVER (
@@ -4782,12 +4782,7 @@ SELECT user_id,
        count(*) AS n_obs,
        (max(t) - min(t)) AS span_seconds,
        CASE WHEN max(t) - min(t) > 0 THEN
-         (CASE WHEN sum(wq) >= 0
-               THEN (2 * sum(wq) + (max(t) - min(t)))
-                    // (2 * (max(t) - min(t)))
-               ELSE -((2 * -sum(wq) + (max(t) - min(t)))
-                    // (2 * (max(t) - min(t))))
-          END) / 1000000.0
+         {half_away_div_sql("sum(wq)", "max(t) - min(t)")} / 1000000.0
        END AS twa
 FROM contrib
 GROUP BY user_id
@@ -5034,7 +5029,7 @@ def q_basket_rules(spark, sf):
     )
 
 
-ORACLE_BASKET_RULES = """
+ORACLE_BASKET_RULES = f"""
 WITH b AS (
   SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
 ),
@@ -5047,10 +5042,10 @@ pairs AS (
 )
 SELECT p.ant, p.cons, p.pair_support,
        sa.s AS ant_support, sc.s AS cons_support,
-       ((2 * 1000000 * p.pair_support + sa.s) // (2 * sa.s))
+       {half_away_div_sql("1000000 * p.pair_support", "sa.s")}
          / 1000000.0 AS confidence,
-       ((2 * 1000000 * p.pair_support * n.nb + sa.s * sc.s)
-         // (2 * sa.s * sc.s)) / 1000000.0 AS lift
+       {half_away_div_sql("1000000 * p.pair_support * n.nb",
+                          "sa.s * sc.s")} / 1000000.0 AS lift
 FROM pairs p
 JOIN supp sa ON p.ant = sa.it
 JOIN supp sc ON p.cons = sc.it

@@ -347,3 +347,25 @@ def test_semantic_dedup_drops_planted_cluster_mates(spark):
         ).collect()
     }
     assert out == {1: True, 2: False, 3: True, 4: False, 5: True}
+
+
+def test_semantic_dedup_zero_vector_matches_nothing(spark):
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero norm: no cosine defined
+        (3, [0.0, 0.0, 0.0, 0.0]),   # second zero vector
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "id", "v", k=1, tau=0.5, n_iter=1, dim=4
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: True}, (
+        "zero vectors must not match anything (not even each other)"
+    )

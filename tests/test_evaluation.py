@@ -102,3 +102,13 @@ def test_calibration_bins_hand_case(spark):
     assert out[9]["n"] == 3 and out[9]["pos_rate"] == 1.0
     assert out[0]["bin_lo"] == 0.0 and out[9]["bin_lo"] == 0.9
     assert abs(out[9]["mean_score"] - (0.95 + 0.95 + 1.0) / 3) < 1e-6
+
+
+def test_binary_auc_single_class_yields_null(spark):
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        binary_auc,
+    )
+
+    pos_only = spark.createDataFrame([(1, 1), (2, 1)], ["score", "y"])
+    r = binary_auc(pos_only, "score", "y").first()
+    assert r["auc"] is None and r["n_pos"] == 2 and r["n_neg"] == 0

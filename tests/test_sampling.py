@@ -273,3 +273,24 @@ def test_temperature_mix_flattens_domains(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in again.collect()
     )
+
+
+def test_dsir_returns_row_for_bigramless_docs(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    source = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "solo"), (3, "")],
+        ["id", "text"],
+    )
+    target = spark.createDataFrame([(9, "alpha beta")], ["id", "text"])
+    out = {
+        r["id"]: r["dsir_weight"]
+        for r in dsir_importance_weights(
+            source, target, "id", "text", 64
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None

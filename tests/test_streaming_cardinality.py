@@ -89,3 +89,8 @@ def test_compaction_preserves_registers_and_estimate(spark, tmp_path):
     assert dirs == ["epoch=-1"], dirs
     assert sorted(map(tuple, hll.registers().collect())) == before
     assert hll.estimate() == est_before
+
+
+def test_estimate_on_fresh_state_is_zero(spark, tmp_path):
+    hll = HLLStream(spark, str(tmp_path / "state"), "val", m=M)
+    assert hll.estimate() == 0.0
