@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "pagerank",            # 3 fixed-point power iterations (r4)
     "bpe_merges",          # 3 vocab-bounded merge iterations (r4)
     "lm_perplexity",       # bigram LM train + broadcast-join scoring (r4)
+    "semdedup",            # k-means-partitioned semantic dedup (r4)
+    "winnow_candidates",   # MOSS winnowing fingerprint matching (r4)
+    "dsir_select",         # hashed-bigram importance resampling (r4)
+    "span_corruption",     # T5 denoising pair generation (r4)
+    "record_linkage",      # blocked Fellegi-Sunter entity resolution (r4)
 ]
 
 
