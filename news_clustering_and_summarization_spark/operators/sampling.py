@@ -269,7 +269,11 @@ def dsir_importance_weights(
             "bucket", H.hash64(F.col("bg"), DSIR_BUCKET_SEED) % n_buckets
         )
 
-    src = bigram_instances(source, id_col)
+    # materialized once: the source bigram stream feeds BOTH the
+    # bucket-count aggregate and the scoring join — tokenize+shingle
+    # is the expensive expression tree (same pattern as
+    # dedup.ngram_jaccard_pairs)
+    src = bigram_instances(source, id_col).localCheckpoint(eager=True)
     tgt = bigram_instances(target)
     src_cnt = src.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
     tgt_cnt = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
