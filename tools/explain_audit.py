@@ -83,6 +83,9 @@ CARTESIAN_OK = {
     # leg both use the gated brute-force kernel (bounded query side),
     # plus the 1-row recall-stats crossJoin of _with_recall_assert
     "ann_ivf_pq",
+    # crossJoins the ONE-ROW basket-count aggregate onto the pruned
+    # pair table (lift denominator) — O(1)-row side by construction
+    "basket_rules",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
