@@ -11,8 +11,10 @@ Flags checked per query:
   PY_UDF     — row-at-a-time BatchEvalPython (slow path; Arrow/pandas
                variants show as ArrowEvalPython / MapInPandas and are
                fine)
-  NO_PUSH    — a parquet scan with zero PushedFilters under a Filter
-               node that references only scan columns (heuristic)
+
+Filter pushdown is reported informationally per query (the
+"pushdown" extra) rather than flagged — many catalog queries scan
+full tables by design.
 
 Usage: python tools/explain_audit.py [sf_dir]   (default sf0.001)
 Exit code 1 if an unexpected flag fires.
