@@ -254,3 +254,85 @@ def span_corruption(
             ).alias("target_text"),
         )
     )
+
+
+SKIPGRAM_SEED = 23
+SKIPGRAM_QUANT = 1_000_000
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    subsample_t: float = 1e-3,
+) -> DataFrame:
+    """Skip-gram (center, context) training pairs with the word2vec
+    frequency subsampling rule (Mikolov et al. 2013): a center
+    occurrence survives with probability min(1, sqrt(t / f_w)) where
+    f_w is the word's corpus frequency ratio — frequent words are
+    aggressively thinned, rare words always kept. Selection is
+    CONTENT-ADDRESSED (hash of doc and position under the quantized
+    keep-rate, no RNG), so the same corpus always emits the same
+    pairs under any partitioning — the resumable-build contract every
+    sample generator in this module follows.
+
+    Determinism: keep rates are quantized to 1e-6 ONCE per word (one
+    sqrt on exact-integer-derived doubles, the temperature_mix
+    pattern), and pair counting is a plain integer groupBy. Plan: one
+    corpus-frequency shuffle, a broadcast rate join, an in-row
+    window expansion (offsets ±1..±window — no self-join), and the
+    final count shuffle.
+
+    Output: (center, context, pair_count) aggregated over the corpus.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(H.tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    tot = wc.agg(F.sum("wn").alias("n"))
+    rates = wc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt(
+                    F.lit(subsample_t)
+                    / (F.col("wn").cast("double") / F.col("n"))
+                ),
+            )
+            * F.lit(SKIPGRAM_QUANT)
+        )
+        .cast("long")
+        .alias("keep_q"),
+    )
+    kept = (
+        toks.join(F.broadcast(rates), "w")
+        .where(
+            H.hash64(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.col("pos")
+                ),
+                seed=SKIPGRAM_SEED,
+            )
+            % SKIPGRAM_QUANT
+            < F.col("keep_q")
+        )
+        .select(id_col, "pos", F.col("w").alias("center"))
+    )
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    ctx_pos = F.explode(
+        F.array(*[F.col("pos") + F.lit(o) for o in offsets])
+    ).alias("cpos")
+    expanded = kept.select(id_col, "pos", "center", ctx_pos)
+    ctx = toks.select(
+        F.col(id_col),
+        F.col("pos").alias("cpos"),
+        F.col("w").alias("context"),
+    )
+    return (
+        expanded.join(ctx, [id_col, "cpos"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )

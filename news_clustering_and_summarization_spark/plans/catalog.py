@@ -1819,6 +1819,70 @@ LEFT JOIN ba ON ba.doc_id = docs.doc_id
 """
 
 
+def q_skipgram_pairs(spark, sf):
+    """word2vec training pairs (operators/chunking.skipgram_pairs):
+    (center, context) co-occurrences within a ±2 window, with
+    Mikolov frequency subsampling decided content-addressed (keep
+    rates quantized to 1e-6 per word, membership by position hash —
+    no RNG, identical pairs under any partitioning). The context
+    expansion is in-row (offset array explode + equi-join on
+    position), never a self-join over the token stream. Oracle
+    replays counts, rates, the hash gate, and the window expansion.
+    Top 100 pairs by count."""
+    from ..operators.chunking import skipgram_pairs
+
+    docs = load(spark, sf, "documents")
+    return (
+        skipgram_pairs(docs, window=2, subsample_t=1e-3)
+        .orderBy(F.desc("pair_count"), "center", "context")
+        .limit(100)
+    )
+
+
+def oracle_skipgram_pairs(
+    window: int = 2, subsample_t: float = 1e-3
+) -> str:
+    from ..operators.chunking import SKIPGRAM_QUANT, SKIPGRAM_SEED
+
+    tok = H.tokens_sql("text")
+    h = H.hash64_sql(
+        "(doc_id::VARCHAR || '|' || pos::VARCHAR)", SKIPGRAM_SEED
+    )
+    offs = ", ".join(
+        str(o) for o in range(-window, window + 1) if o != 0
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        FROM (SELECT doc_id, {tok} AS t FROM documents))
+),
+wc AS (SELECT w, count(*) AS wn FROM toks GROUP BY w),
+tot AS (SELECT sum(wn) AS n FROM wc),
+rates AS (
+  SELECT w, cast(round(least(1.0,
+    sqrt({subsample_t} / (wn::DOUBLE / n))) * {SKIPGRAM_QUANT})
+    AS BIGINT) AS keep_q
+  FROM wc CROSS JOIN tot
+),
+kept AS (
+  SELECT toks.doc_id, toks.pos, toks.w AS center
+  FROM toks JOIN rates ON toks.w = rates.w
+  WHERE {h} % {SKIPGRAM_QUANT} < rates.keep_q
+),
+expanded AS (
+  SELECT doc_id, center, pos + o AS cpos
+  FROM kept, unnest([{offs}]) AS t(o)
+)
+SELECT e.center, c.w AS context, count(*) AS pair_count
+FROM expanded e JOIN toks c
+  ON e.doc_id = c.doc_id AND e.cpos = c.pos
+GROUP BY 1, 2
+ORDER BY pair_count DESC, center, context
+LIMIT 100
+"""
+
+
 def q_gopher_filter(spark, sf):
     """Gopher-style composite quality gate (Rae et al. 2021 §A1.1
     adapted to the engine's columnar signals): token count, bigram
@@ -5929,6 +5993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage": q_record_linkage,
     "ann_ivf_pq": q_ann_ivf_pq,
     "basket_rules": q_basket_rules,
+    "skipgram_pairs": q_skipgram_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5996,6 +6061,7 @@ ORACLES: dict[str, str] = {
     "gopher_filter": oracle_gopher_filter(),
     "record_linkage": ORACLE_RECORD_LINKAGE,
     "basket_rules": ORACLE_BASKET_RULES,
+    "skipgram_pairs": oracle_skipgram_pairs(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

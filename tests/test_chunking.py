@@ -141,3 +141,52 @@ def test_span_corruption_is_deterministic(spark):
         docs.repartition(7), start_ppt=200, span_len=2
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_skipgram_pairs_window_and_subsampling(spark):
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        skipgram_pairs,
+    )
+
+    # with subsample_t=1.0 every word survives (keep rate 1):
+    # "a b c" with window 1 -> pairs (a,b),(b,a),(b,c),(c,b)
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    out = {
+        (r["center"], r["context"]): r["pair_count"]
+        for r in skipgram_pairs(
+            docs, window=1, subsample_t=1.0
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): 1,
+        ("b", "a"): 1,
+        ("b", "c"): 1,
+        ("c", "b"): 1,
+    }
+
+
+def test_skipgram_subsampling_thins_frequent_words(spark):
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        skipgram_pairs,
+    )
+
+    # 'the' dominates the corpus; at t=1e-3 its keep rate is far
+    # below 1 while rare words always survive as centers
+    text = " ".join(["the"] * 500 + ["rare"])
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)], ["doc_id", "text"]
+    )
+    pairs = skipgram_pairs(docs, window=2, subsample_t=1e-3)
+    from pyspark.sql import functions as F
+
+    centers = {
+        r["center"]: r["n"]
+        for r in pairs.groupBy("center")
+        .agg(F.sum("pair_count").alias("n"))
+        .collect()
+    }
+    total_the_centers = centers.get("the", 0)
+    # unsubsampled 'the' would emit ~2000 centers x ~4 contexts; the
+    # sqrt(t/f) rule keeps ~4.5% of them
+    assert total_the_centers < 2000, centers
+    assert "rare" in centers
