@@ -88,6 +88,9 @@ CARTESIAN_OK = {
     # crossJoins the ONE-ROW basket-count aggregate onto the pruned
     # pair table (lift denominator) — O(1)-row side by construction
     "basket_rules",
+    # crossJoins the ONE-ROW corpus-token-total aggregate onto the
+    # word-count table (keep-rate denominator) — O(1)-row side
+    "skipgram_pairs",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
