@@ -50,7 +50,14 @@ def _stamp_priority() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("rows_match"):
+            # Only a fully-green stamp counts: a hash mismatch or a
+            # harness error must lead the next window so the fix can
+            # re-certify immediately (round-4 verdict item 2).
+            if (
+                isinstance(row, dict)
+                and row.get("hash_match") is True
+                and not row.get("err")
+            ):
                 last_stamped[name] = max(last_stamped.get(name, 0), rnd)
     return last_stamped
 

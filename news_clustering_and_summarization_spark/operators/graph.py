@@ -141,8 +141,8 @@ def pagerank_sql(
         parts.append(
             f"""r{i} AS (
   SELECT nodes.node,
-         {tele} + ({damping_num} * coalesce(inf.inflow, 0))
-             // {damping_den} AS rank
+         CAST({tele} + ({damping_num} * coalesce(inf.inflow, 0))
+             // {damping_den} AS BIGINT) AS rank
   FROM nodes LEFT JOIN (
     SELECT e.dst, sum(c.contrib) AS inflow
     FROM (SELECT {prev}.node AS src, {prev}.rank // deg.outdeg AS contrib

@@ -2119,19 +2119,26 @@ def q_embedding_project(spark, sf):
     bit-identical in any engine. Zero-shuffle projection."""
     emb = load(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    proj = V.project_jl(v, JL_SIGNS)
+    # exploded to (vec_id, dim, proj) scalars for the driver's pandas
+    # canonicalizer (arrays are unhashable there); +0.0 kills -0.0.
+    proj = F.transform(
+        V.project_jl(v, JL_SIGNS), lambda x: F.round(x, 6) + F.lit(0.0)
+    )
     return emb.select(
-        "vec_id",
-        F.transform(proj, lambda x: F.round(x, 6)).alias("proj"),
+        "vec_id", F.posexplode(proj).alias("dim", "proj")
+    ).select(
+        "vec_id", (F.col("dim") + 1).cast("long").alias("dim"), "proj"
     )
 
 
 def oracle_embedding_project() -> str:
     proj = V.project_jl_sql("v", JL_SIGNS)
+    n_out = len(JL_SIGNS)
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT vec_id, list_transform({proj}, x -> round(x, 6)) AS proj
-FROM e
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, {proj} AS pr FROM e)
+SELECT vec_id, r.i AS dim, round(pr[r.i], 6) + 0.0 AS proj
+FROM p CROSS JOIN range(1, {n_out + 1}) r(i)
 """
 
 
@@ -2143,17 +2150,27 @@ def q_embedding_quantize(spark, sf):
     emb = load(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
     scale, q = V.quantize_int8(v)
+    # exploded to (vec_id, scale, dim, q) scalars for the driver's
+    # pandas canonicalizer; q cast long to match DuckDB BIGINT dtype.
     return emb.select(
-        "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
+        "vec_id",
+        (F.round(scale, 6) + F.lit(0.0)).alias("scale"),
+        F.posexplode(q).alias("dim", "q"),
+    ).select(
+        "vec_id",
+        "scale",
+        (F.col("dim") + 1).cast("long").alias("dim"),
+        F.col("q").cast("long").alias("q"),
     )
 
 
 def oracle_embedding_quantize() -> str:
     scale, q = V.quantize_int8_sql("v")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT vec_id, round({scale}, 6) AS scale, {q} AS q
-FROM e
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qq AS (SELECT vec_id, round({scale}, 6) + 0.0 AS scale, {q} AS ql FROM e)
+SELECT vec_id, scale, r.i AS dim, ql[r.i]::BIGINT AS q
+FROM qq CROSS JOIN range(1, 65) r(i)
 """
 
 
@@ -2186,9 +2203,9 @@ def q_select_token_budget(spark, sf):
 ORACLE_TOKEN_BUDGET = """
 SELECT doc_id, lang, n_chars, cum_tokens FROM (
   SELECT doc_id, lang, n_chars,
-         sum(n_chars) OVER (
+         CAST(sum(n_chars) OVER (
            PARTITION BY lang ORDER BY n_chars DESC, doc_id
-           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM documents)
 WHERE cum_tokens <= 20000
 """
@@ -4355,7 +4372,7 @@ ratios AS (
   FROM sc FULL JOIN tc USING (bucket) CROSS JOIN tot
 ),
 w AS (
-  SELECT src.doc_id, sum(lr) AS dsir_weight
+  SELECT src.doc_id, CAST(sum(lr) AS BIGINT) AS dsir_weight
   FROM src JOIN ratios USING (bucket) GROUP BY src.doc_id
 )
 SELECT w.doc_id, d.lang, w.dsir_weight,
@@ -4498,8 +4515,8 @@ pairs AS (
   CROSS JOIN (SELECT score FROM lab WHERE NOT y) n
 ),
 tot AS (
-  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
-         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
   FROM lab
 )
 SELECT round(num2::DOUBLE / (2.0 * n_pos * n_neg), 9) AS auc,
@@ -4546,7 +4563,7 @@ w0 AS (
         parts.append(
             f""",
 p{it} AS (
-  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
         FROM w{it - 1})
   GROUP BY 1, 2
@@ -4633,7 +4650,7 @@ scored AS (
   CROSS JOIN voc
 ),
 pd AS (
-  SELECT doc_id, count(*) AS n_bigrams, sum(lq) AS logprob_q
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lq) AS BIGINT) AS logprob_q
   FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -5468,15 +5485,26 @@ def q_embedding_normalize(spark, sf):
         ).alias("sd"),
     )
     centered = F.zip_with("v", "mu", lambda x, m: x - m)
+    # `+ 0.0` collapses IEEE -0.0 to +0.0 (round of a tiny negative can
+    # yield -0.0, which bit-hashes differently); exploded to scalar
+    # (vec_id, label, dim, nv) rows because the driver's pandas
+    # canonicalizer cannot sort/hash array<...> cells (r04 errors).
     nv = F.zip_with(
         centered,
         F.col("sd"),
-        lambda d, s: F.round(d / F.when(s > 0, s).otherwise(F.lit(1.0)), 6),
+        lambda d, s: F.round(d / F.when(s > 0, s).otherwise(F.lit(1.0)), 6)
+        + F.lit(0.0),
     )
     return (
         emb.join(F.broadcast(stats), "label")
-        .select("vec_id", "label", nv.alias("nv"))
-        .orderBy("vec_id")
+        .select("vec_id", "label", F.posexplode(nv).alias("dim", "nv"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dim") + 1).cast("long").alias("dim"),
+            "nv",
+        )
+        .orderBy("vec_id", "dim")
     )
 
 
@@ -5493,13 +5521,12 @@ st AS (
     GROUP BY label, r.i
   ) GROUP BY label
 )
-SELECT e.vec_id, e.label,
-       list_transform(range(1, 65),
-         i -> round((e.v[i] - st.mu[i]) /
-                    (CASE WHEN st.sd[i] > 0 THEN st.sd[i] ELSE 1.0 END), 6))
-         AS nv
-FROM e JOIN st USING (label)
-ORDER BY vec_id
+SELECT e.vec_id, e.label, r.i AS dim,
+       round((e.v[r.i] - st.mu[r.i]) /
+             (CASE WHEN st.sd[r.i] > 0 THEN st.sd[r.i] ELSE 1.0 END), 6)
+         + 0.0 AS nv
+FROM e JOIN st USING (label) CROSS JOIN range(1, 65) r(i)
+ORDER BY vec_id, dim
 """
 
 
@@ -5695,9 +5722,22 @@ def q_embedding_pq(spark, sf):
     oracle replays codebook sampling, all 128 subspace distances, the
     argmins, and the ordered error fold."""
     _, _, coded = _pq_setup(spark, sf)
-    return coded.select(
-        "vec_id", "codes", F.round("recon_err", 6).alias("recon_err")
-    ).orderBy("vec_id")
+    # exploded to (vec_id, m, code, recon_err) scalars for the
+    # driver's pandas canonicalizer (array cells are unhashable).
+    return (
+        coded.select(
+            "vec_id",
+            F.round("recon_err", 6).alias("recon_err"),
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .select(
+            "vec_id",
+            F.col("m").cast("long").alias("m"),
+            F.col("code").cast("long").alias("code"),
+            "recon_err",
+        )
+        .orderBy("vec_id", "m")
+    )
 
 
 def q_ann_pq(spark, sf):
@@ -5822,8 +5862,10 @@ def oracle_embedding_pq() -> str:
     return (
         cte
         + """
-SELECT vec_id, codes, round(recon_err, 6) AS recon_err
-FROM enc ORDER BY vec_id
+SELECT b.vec_id, b.m::BIGINT AS m, b.code::BIGINT AS code,
+       round(enc.recon_err, 6) AS recon_err
+FROM best b JOIN enc ON b.vec_id = enc.vec_id
+ORDER BY b.vec_id, b.m
 """
     )
 

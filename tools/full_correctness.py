@@ -31,16 +31,42 @@ from news_clustering_and_summarization_spark.plans import catalog  # noqa: E402
 from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
 
 
-def _canon(v):
-    import datetime
+def _canon_pdf(pdf):
+    """Driver-style canonicalization (round-4 verdict item 4): the
+    driver compares via pandas, NOT fetchall() — so dtype differences
+    (DuckDB HUGEINT -> float64 vs Spark int64) and unhashable
+    array<...> columns must FAIL here exactly as they fail there.
+    Columns sorted by name, rows sorted over all columns (pandas
+    multi-column sort_values uses a hash-table factorize and raises
+    TypeError on list cells — intentionally not caught per-column),
+    datetimes normalized to tz-naive datetime64[ns]."""
+    import pandas as pd
 
-    if isinstance(v, float):
-        return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    return v
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            col = pdf[c]
+            if getattr(col.dt, "tz", None) is not None:
+                col = col.dt.tz_localize(None)
+            pdf[c] = col.astype("datetime64[ns]")
+    pdf = pdf.sort_values(
+        by=list(pdf.columns), kind="mergesort", ignore_index=True
+    )
+    return pdf
+
+
+def _hash_pdf(pdf) -> str:
+    """Dtype-sensitive order-insensitive value hash: int64 vs float64
+    of equal values hash DIFFERENTLY, like the driver's check."""
+    import hashlib
+
+    from pandas.util import hash_pandas_object
+
+    h = hash_pandas_object(pdf, index=False)
+    digest = hashlib.md5()
+    digest.update(",".join(f"{c}:{pdf[c].dtype}" for c in pdf.columns).encode())
+    digest.update(h.values.tobytes())
+    return digest.hexdigest()
 
 
 def run_sweep(spark, sf: str, echo: bool = True) -> tuple[dict, int]:
@@ -55,13 +81,12 @@ def run_sweep(spark, sf: str, echo: bool = True) -> tuple[dict, int]:
         row: dict = {}
         try:
             sdf = fn(spark, sf)
-            scols = sorted(sdf.columns)
-            srows = [
-                tuple(_canon(r[c]) for c in scols) for r in sdf.collect()
-            ]
-            row["spark_rows"] = len(srows)
+            spdf = sdf.toPandas()
+            row["spark_rows"] = len(spdf)
             oracle = catalog.ORACLES.get(name)
             if oracle is None:
+                # Run the query (in-plan asserts fire on collect) but
+                # record the weaker rows-only stamp, like the driver.
                 row.update(
                     rows_match=True, schema_match=None, hash_match=None,
                     oracle_rows=None,
@@ -74,17 +99,16 @@ def run_sweep(spark, sf: str, echo: bool = True) -> tuple[dict, int]:
                         f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{sf}/{t}.parquet')"
                     )
-                rel = con.sql(oracle)
-                dcols_all = [d[0] for d in rel.description]
-                idx = [dcols_all.index(c) for c in scols]
-                drows = [
-                    tuple(_canon(r[i]) for i in idx) for r in rel.fetchall()
-                ]
-                row["oracle_rows"] = len(drows)
-                row["rows_match"] = len(srows) == len(drows)
-                row["schema_match"] = sorted(dcols_all) == scols
-                row["hash_match"] = sorted(srows, key=repr) == sorted(
-                    drows, key=repr
+                opdf = con.sql(oracle).df()
+                row["oracle_rows"] = len(opdf)
+                row["rows_match"] = len(spdf) == len(opdf)
+                row["schema_match"] = sorted(opdf.columns) == sorted(
+                    spdf.columns
+                )
+                # Canonicalize AFTER the cheap checks: this is the
+                # driver's pandas path and raises on unhashable cells.
+                row["hash_match"] = _hash_pdf(_canon_pdf(spdf)) == _hash_pdf(
+                    _canon_pdf(opdf)
                 )
             row["err"] = None
         except Exception as exc:  # noqa: BLE001 - sweep must finish
