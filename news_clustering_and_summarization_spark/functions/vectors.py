@@ -136,6 +136,85 @@ def project_jl(vec: Column, signs: list[list[float]]) -> Column:
     )
 
 
+SIGN_QUANT = 1_000_000_000  # 1e-9 vector quantization for LSH dots
+
+
+def sign_bucket(vec: Column, signs: list[list[float]]) -> Column:
+    """Sign-LSH bucket id from Rademacher hyperplanes: bit j is set
+    iff sum_i(signs_ij * round(v_i * 1e9)) > 0. Quantizing each
+    coordinate to an integer once makes every dot an INTEGER sum —
+    order-free and exact — so the DuckDB oracle can compute the same
+    buckets with a vectorized join+SUM instead of per-row float folds
+    (and a numpy matmul path would agree too, were one used). The
+    1e-9 quantization is far below any embedding's noise floor; the
+    LSH guarantee is untouched. JVM Column expression, O(nbits*dim)
+    per row, embarrassingly parallel at any corpus size."""
+    w = F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") * F.lit(float(SIGN_QUANT)))
+        .cast("long"),
+    )
+    out = F.lit(0).cast("long")
+    for j, row in enumerate(signs):
+        s = F.array(*[F.lit(int(x)).cast("long") for x in row])
+        d = F.aggregate(
+            F.zip_with(w, s, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return out
+
+
+def sign_bucket_cte_sql(
+    src: str,
+    signs: list[list[float]],
+    out_cte: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of sign_bucket as a vectorized CTE chain ending
+    in ``{out_cte}(id_col, b)``: unnest coordinates once, join the
+    sign matrix as a VALUES table, integer SUM per (row, plane) —
+    millions of rows/second instead of the pathological per-row
+    lambda-fold projection. Exact because the quantized dot is an
+    integer sum (order-free in both engines)."""
+    dim = len(signs[0])
+    rows = ", ".join(
+        f"({j}, {i + 1}, {int(s)})"
+        for j, row in enumerate(signs)
+        for i, s in enumerate(row)
+    )
+    return f"""{out_cte}_wv AS (
+  SELECT s.{id_col}, r.i,
+         CAST(round(s.{vec_col}[r.i]::DOUBLE * {SIGN_QUANT}.0) AS BIGINT)
+           AS w
+  FROM {src} s CROSS JOIN range(1, {dim + 1}) r(i)
+),
+{out_cte}_sgn (j, i, sg) AS (VALUES {rows}),
+{out_cte}_dots AS (
+  SELECT wv.{id_col}, sgn.j, sum(sgn.sg * wv.w) AS d
+  FROM {out_cte}_wv wv JOIN {out_cte}_sgn sgn USING (i)
+  GROUP BY wv.{id_col}, sgn.j
+),
+{out_cte} AS (
+  SELECT {id_col},
+         CAST(sum(CASE WHEN d > 0 THEN 1::BIGINT << j ELSE 0 END)
+              AS BIGINT) AS b
+  FROM {out_cte}_dots GROUP BY {id_col}
+)"""
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """Raw cosine similarity (unclipped) matching cosine_similarity's
+    fold order exactly."""
+    return "({dot} / ({na} * {nb}))".format(
+        dot=dot_sql(a, b), na=norm_sql(a), nb=norm_sql(b)
+    )
+
+
 def project_jl_sql(expr: str, signs: list[list[float]]) -> str:
     import math
 

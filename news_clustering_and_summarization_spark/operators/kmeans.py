@@ -35,7 +35,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["assign_to_centroids", "lloyd_kmeans"]
+__all__ = [
+    "assign_to_centroids",
+    "lloyd_centroids",
+    "lloyd_kmeans",
+    "probe_cells",
+]
+
+
+def probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> DataFrame:
+    """IVF query-side probe: explode each row into its ``nprobe``
+    nearest centroids, ordered by (sqdist, cluster) — the struct sort
+    gives exactly the tie-break the oracle's row_number replays. Pure
+    projection + explode, no shuffle; centroid literals ride in the
+    plan like assign_to_centroids."""
+    vec = F.col(vec_col)
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(vec, cent).alias("dist"),
+                    F.lit(int(cid)).alias("cluster"),
+                )
+                for cid, cent in centroids
+            ]
+        )
+    )
+    return (
+        df.withColumn("_pc", F.explode(F.slice(arr, 1, nprobe)))
+        .withColumn("cluster", F.col("_pc.cluster"))
+        .drop("_pc")
+    )
 
 
 def _sqdist(vec: Column, centroid: list[float]) -> Column:
@@ -84,6 +119,33 @@ def lloyd_kmeans(
 
     ``df[vec_col]`` must be array<double> (cast float embeddings
     first — float→double widening is exact)."""
+    centroids = lloyd_centroids(df, id_col, vec_col, k, n_iter, dim)
+    if not centroids:
+        # empty corpus: empty result with the contract schema (an
+        # F.array() of zero centroid structs would not even plan)
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cluster int, sqdist double"
+        )
+    return assign_to_centroids(df, vec_col, centroids).select(
+        id_col, "cluster", F.round("sqdist", 6).alias("sqdist")
+    )
+
+
+def lloyd_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    dim: int,
+) -> list[tuple[int, list[float]]]:
+    """The centroid half of lloyd_kmeans: ``n_iter`` Lloyd iterations
+    from the first-k-by-id init, centroid means rounded to 9dp at each
+    iteration boundary (the cross-engine determinism pin the DuckDB
+    oracle replays). Returns [(cluster_id, centroid)] — k rows,
+    driver-side by design (centroids are the broadcast side of every
+    downstream assign). Empty corpus -> []."""
     if k < 1 or n_iter < 0:
         raise ValueError("k >= 1 and n_iter >= 0 required")
     init = (
@@ -93,12 +155,7 @@ def lloyd_kmeans(
         .collect()
     )
     if not init:
-        # empty corpus: empty result with the contract schema (an
-        # F.array() of zero centroid structs would not even plan)
-        id_type = dict(df.dtypes)[id_col]
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} {id_type}, cluster int, sqdist double"
-        )
+        return []
     centroids = [(i, list(r[vec_col])) for i, r in enumerate(init)]
     for _ in range(n_iter):
         assigned = assign_to_centroids(df, vec_col, centroids)
@@ -117,6 +174,4 @@ def lloyd_kmeans(
         centroids = sorted(
             (r["cluster"], [r[f"m{i}"] for i in range(dim)]) for r in rows
         )
-    return assign_to_centroids(df, vec_col, centroids).select(
-        id_col, "cluster", F.round("sqdist", 6).alias("sqdist")
-    )
+    return centroids

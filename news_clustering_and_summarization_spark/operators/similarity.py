@@ -26,24 +26,42 @@ from ..functions import vectors as V
 
 
 def _sign_hyperplanes(dim: int, nbits: int, seed: int = 42):
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((nbits, dim))
+    """Rademacher (±1) hyperplanes derived from md5 — SimHash-style
+    sign LSH. ±1 entries (instead of the earlier np.random gaussians)
+    keep the collision guarantee (symmetric around every direction)
+    while making bucket assignment replayable in the DuckDB oracle:
+    the matrix regenerates identically from (dim, nbits, seed) in any
+    process, no RNG state."""
+    return V.rademacher_signs(dim, nbits, seed)
+
+
+def lsh_bucket_col(vec, dim: int, nbits: int = 10, seed: int = 42):
+    """Deterministic JVM-side sign-LSH bucket column: index-ordered
+    fold dots against the md5-Rademacher planes — bit-identical to
+    V.sign_bucket_sql in DuckDB. This is the path every catalog query
+    uses so the LSH oracles can replay bucket assignment exactly."""
+    return V.sign_bucket(vec, _sign_hyperplanes(dim, nbits, seed))
 
 
 def lsh_bucket_udf(dim: int, nbits: int = 10, seed: int = 42):
-    """Pandas UDF: random-hyperplane (sign) LSH bucket of a vector —
-    bit j = sign(v·h_j). Cosine-similar vectors collide with
-    probability 1 - θ/π per bit. One Arrow-batched matmul per
-    partition; the hyperplane matrix rides in the closure (tiny)."""
+    """Pandas UDF alternative to lsh_bucket_col: one Arrow-batched
+    int64 matmul per partition against the same md5-Rademacher planes
+    and the same 1e-9 coordinate quantization. Because the quantized
+    dot is an INTEGER sum, numpy's summation order is irrelevant —
+    this path is bit-identical to lsh_bucket_col / the SQL replay."""
     from pyspark.sql.functions import pandas_udf
 
-    planes = _sign_hyperplanes(dim, nbits, seed)
+    planes = np.array(_sign_hyperplanes(dim, nbits, seed)).astype(np.int64)
     weights = (1 << np.arange(nbits)).astype(np.int64)
 
     @pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())
-        bits = (m @ planes.T) > 0
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        x = m * float(V.SIGN_QUANT)
+        # half-away-from-zero, matching Spark/DuckDB round() (np.round
+        # is banker's and would diverge on exact .5 boundaries)
+        w = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        bits = (w @ planes.T) > 0
         return pd.Series(bits @ weights)
 
     return bucket
@@ -110,13 +128,18 @@ def lsh_topk(
         )
     elif probe_radius is None:
         probe_radius = 2
-    bucket = lsh_bucket_udf(dim, nbits, seed)
     c = corpus.select(
         F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nv")
-    ).withColumn("bucket", bucket(F.col("nv").cast("array<double>")))
+    ).withColumn(
+        "bucket",
+        lsh_bucket_col(F.col("nv").cast("array<double>"), dim, nbits, seed),
+    )
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
-    ).withColumn("_b0", bucket(F.col("qv").cast("array<double>")))
+    ).withColumn(
+        "_b0",
+        lsh_bucket_col(F.col("qv").cast("array<double>"), dim, nbits, seed),
+    )
     masks = probe_masks(nbits, probe_radius)
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]

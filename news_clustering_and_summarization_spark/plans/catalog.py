@@ -1570,49 +1570,205 @@ def _with_recall_assert(approx, exact, floor: float):
     )
 
 
+# IVF / LSH ANN constants pinned (not auto-sized from the corpus) so
+# the DuckDB oracles can replay the exact same index layout. At a real
+# 100 TB deployment these grow with the corpus (signlsh_params /
+# nlist ~ sqrt(N)); the scale-sizing logic stays in
+# similarity.signlsh_params and is exercised by tests.
+ANN_IVF_NLIST, ANN_IVF_NPROBE, ANN_IVF_ITERS = 16, 10, 2
+ANN_LSH_NBITS, ANN_LSH_RADIUS = 7, 3  # signlsh_params(0.65, 2000, 0.8)
+
+
+def _ann_rerank(approx_cand, emb_v, k):
+    """Shared exact-cosine rerank of an ANN candidate set
+    (qid, nid): fold-dot cosine (bit-identical to the oracle's
+    list_reduce), rank by (cosine DESC, nid) — raw cosine ranks,
+    rounded at the edge. Vectors are re-attached by id so the
+    candidate join never carried them."""
+    qv = emb_v.select(F.col("vec_id").alias("qid"), F.col("v").alias("_qv"))
+    nv = emb_v.select(F.col("vec_id").alias("nid"), F.col("v").alias("_nv"))
+    scored = (
+        approx_cand.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .select(
+            "qid",
+            "nid",
+            V.cosine_similarity(F.col("_qv"), F.col("_nv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            (F.round("_cos", 6) + F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+def _ann_tail_sql(
+    k: int, cand_cte: str = "cand", query_pred: str = "vec_id < 10"
+) -> str:
+    """Shared oracle tail: exact-cosine rerank of the candidate CTE,
+    brute-force exact top-k, recall — mirrors _ann_rerank +
+    _with_recall_assert column-for-column."""
+    cos = V.cosine_similarity_sql("qv.v", "nv.v")
+    cos_qc = V.cosine_similarity_sql("q.v", "c.v")
+    return f"""scored AS (
+  SELECT {cand_cte}.qid, {cand_cte}.nid, {cos} AS cos_raw
+  FROM {cand_cte}
+  JOIN e qv ON qv.vec_id = {cand_cte}.qid
+  JOIN e nv ON nv.vec_id = {cand_cte}.nid
+),
+approx AS (
+  SELECT qid, nid, rank, round(cos_raw, 6) + 0.0 AS cosine FROM (
+    SELECT qid, nid, cos_raw,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_raw DESC, nid) AS rank
+    FROM scored) WHERE rank <= {k}
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.vec_id) AS rn
+    FROM (SELECT vec_id, v FROM e WHERE {query_pred}) q
+    CROSS JOIN e c
+    WHERE c.vec_id <> q.vec_id) WHERE rn <= {k}
+),
+rec AS (
+  SELECT round((SELECT count(*) FROM exact x
+                WHERE EXISTS (SELECT 1 FROM approx a
+                              WHERE a.qid = x.qid AND a.nid = x.nid)
+               )::DOUBLE / (SELECT count(*) FROM exact),
+               6) AS recall_vs_exact
+)
+SELECT a.qid AS query_id, a.nid AS neighbor_id, a.rank, a.cosine,
+       rec.recall_vs_exact, true AS recall_floor_ok
+FROM approx a CROSS JOIN rec"""
+
+
 def q_ann_ivf(spark, sf):
-    """IVF probe path — approximate by construction, so no SQL oracle;
-    instead the query itself computes recall vs the exact brute-force
-    top-k and asserts the floor in-plan (query errors if violated), so
-    the driver's rows-only row certifies recall, not just execution."""
+    """IVF probe path, now with a full value oracle: cells come from
+    the deterministic lloyd_kmeans centroids (9dp-rounded iteration
+    boundaries, the same replay as kmeans_assign/semdedup) instead of
+    MLlib KMeans, the query probes its ANN_IVF_NPROBE nearest cells
+    (argsort by the same fold sqdist), and the exact-cosine rerank is
+    the shared _ann_rerank. nprobe/nlist = 62.5% probed — this
+    synthetic corpus has weak neighborhood structure, so high recall
+    genuinely costs probed fraction; recall vs brute force is still
+    floor-asserted in-plan (0.7) as defense in depth."""
+    from ..operators.kmeans import (
+        assign_to_centroids,
+        lloyd_centroids,
+        probe_cells,
+    )
+
     emb = load(spark, sf, "embeddings")
-    q = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
+    emb_v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # nprobe/nlist = 62.5% of cells probed — this synthetic corpus has
-    # weak neighborhood structure (near-random vectors), so high recall
-    # genuinely costs probed fraction; measured recall 0.88-0.96 across
-    # sf, floor-asserted at 0.7 (was 0.5 — tightened so the assert
-    # actually constrains regressions, round-3 verdict item 2)
-    approx = S.ivf_topk(q, emb, k=5, nlist=16, nprobe=10).withColumn(
-        "cosine", F.round("cosine", 6)
+    cents = lloyd_centroids(
+        emb_v, "vec_id", "v", k=ANN_IVF_NLIST, n_iter=ANN_IVF_ITERS, dim=64
     )
-    exact = S.brute_force_topk(q, emb, k=5)
+    cells = assign_to_centroids(emb_v, "v", cents).select(
+        F.col("vec_id").alias("nid"), "cluster"
+    )
+    qp = probe_cells(
+        emb_v.where("vec_id < 10"), "v", cents, ANN_IVF_NPROBE
+    ).select(F.col("vec_id").alias("qid"), "cluster")
+    cand = (
+        qp.join(cells, "cluster")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    approx = _ann_rerank(cand, emb_v, k=5)
+    exact = S.brute_force_topk(
+        emb_v.where("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("query_vec"),
+        ),
+        emb_v.select("vec_id", F.col("v").alias("embedding")),
+        k=5,
+    )
     return _with_recall_assert(approx, exact, floor=0.7)
+
+
+def oracle_ann_ivf(k: int = 5) -> str:
+    sq = _kmeans_sqdist_sql("e.v", "c.cent", 64)
+    return f"""
+WITH {_kmeans_cte_sql(ANN_IVF_NLIST, ANN_IVF_ITERS, 64)},
+cells AS (
+  SELECT vec_id AS nid, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sq}, c.cluster) AS rn
+    FROM e CROSS JOIN c{ANN_IVF_ITERS} c) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sq}, c.cluster) AS rn
+    FROM e CROSS JOIN c{ANN_IVF_ITERS} c
+    WHERE e.vec_id < 10) WHERE rn <= {ANN_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT q.qid, c.nid
+  FROM qprobe q JOIN cells c USING (cluster)
+  WHERE c.nid <> q.qid
+),
+{_ann_tail_sql(k)}
+"""
 
 
 def q_ann_lsh(spark, sf):
-    """Sign-LSH bucketed probe with 1-bit multiprobe — the second
-    scale path for ANN (bucket equi-join, never O(Q·N)). Approximate
-    -> no SQL oracle; recall vs brute force is computed and floor-
-    asserted inside the plan (see _with_recall_assert)."""
+    """Sign-LSH bucketed probe with multiprobe — the second scale path
+    for ANN (bucket equi-join, never O(Q·N)) — now with a full value
+    oracle: md5-Rademacher hyperplanes + index-ordered fold dots make
+    bucket assignment replay bit-for-bit in DuckDB. (nbits, radius)
+    pinned to signlsh_params(0.65, 2000, 0.8) so the oracle layout is
+    static; recall vs brute force stays floor-asserted in-plan."""
     emb = load(spark, sf, "embeddings")
     q = emb.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    # nbits/probe_radius auto-sized from the corpus row count via
-    # signlsh_params (bucket load ~16 rows regardless of N, recall
-    # bought with probe radius) — same sizing as the ε-pair path.
-    # This corpus has weak neighborhood structure (true top-5 sit at
-    # cosine distance ~0.63-0.74), so neighbor_eps=0.65 is the radius
-    # that must still collide; measured recall 0.80-0.88 across sf.
     approx = S.lsh_topk(
-        q, emb, dim=64, k=5, n_rows=emb.count()
-    ).withColumn("cosine", F.round("cosine", 6))
+        q, emb, dim=64, k=5, nbits=ANN_LSH_NBITS,
+        probe_radius=ANN_LSH_RADIUS,
+    ).withColumn("cosine", F.round("cosine", 6) + F.lit(0.0))
     exact = S.brute_force_topk(q, emb, k=5)
     return _with_recall_assert(approx, exact, floor=0.7)
+
+
+def oracle_ann_lsh(k: int = 5) -> str:
+    from ..operators.similarity import probe_masks
+
+    signs = V.rademacher_signs(64, ANN_LSH_NBITS, seed=42)
+    masks = ", ".join(
+        str(m) for m in probe_masks(ANN_LSH_NBITS, ANN_LSH_RADIUS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+{V.sign_bucket_cte_sql("e", signs, "cb", vec_col="v")},
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM (SELECT vec_id, b FROM cb WHERE vec_id < 10) q
+  CROSS JOIN (SELECT unnest([{masks}]) AS m) mm
+  JOIN cb c ON c.b = xor(q.b, mm.m)
+  WHERE c.vec_id <> q.vec_id
+),
+{_ann_tail_sql(k)}
+"""
 
 
 # ---------------------------------------------------------------------
@@ -2396,11 +2552,13 @@ def q_cluster_lsh(spark, sf):
     (cluster.py:LSH_THRESHOLD): the embeddings table is
     deterministically inflated 25x (50k vectors at sf0.1) and ε-edges
     come from lsh_candidate_pairs — bucket equi-join on hyperplane
-    signs with multiprobe, never O(n²). Approximate by construction ->
-    no SQL oracle, but two contracts are asserted in-plan so the
-    rows-only check certifies them: (1) zero false positives — the
-    max edge distance must be <= eps (structural: candidates are
-    exact-verified); (2) recall >= 0.5 against a brute-forced ~2%
+    signs with multiprobe, never O(n²). Now fully oracled
+    (oracle_cluster_lsh): md5-derived inflation noise, md5-Rademacher
+    hyperplanes and fold-dot buckets replay the whole path — inflate,
+    bucket, probe, exact-verify, sample-recall — in DuckDB. Two
+    contracts additionally asserted in-plan: (1) zero false positives
+    — the max edge distance must be <= eps (structural: candidates
+    are exact-verified); (2) recall >= 0.5 against a brute-forced ~2%
     sample of the corpus."""
     from ..testing import inflate_vectors
 
@@ -2422,7 +2580,9 @@ def q_cluster_lsh(spark, sf):
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
         nbits=18, dim=64, n_rows=emb.count() * 25,
     ).localCheckpoint(eager=True)
-    sample = inflated.where(F.pmod(F.hash("vec_id"), F.lit(50)) == 0)
+    sample = inflated.where(
+        H.hash64(F.col("vec_id").cast("string")) % 50 == 0
+    )
     # checkpoint: exact feeds both the recall semi-join and the
     # n_sample_pairs aggregate — without the cut the O(sample^2)
     # verification kernel runs once per consumer
@@ -2475,6 +2635,65 @@ def q_cluster_lsh(spark, sf):
             ).isNull(),
         )
     )
+
+
+def oracle_cluster_lsh(
+    eps: float = 0.10, nbits: int = 18, factor: int = 25
+) -> str:
+    """DuckDB replay of the entire cluster_lsh path: md5 inflation,
+    sign-LSH buckets over md5-Rademacher planes, multiprobe candidate
+    join, exact-cosine edge verification, and the sampled-recall
+    aggregate. MATERIALIZED CTEs pin each stage to one evaluation."""
+    from ..operators.similarity import probe_masks
+    from ..testing import inflate_vectors_sql
+
+    signs = V.rademacher_signs(64, nbits, seed=42)
+    masks = ", ".join(str(m) for m in probe_masks(nbits, 2))
+    cosd = V.cosine_distance_sql("li.embedding", "ri.embedding")
+    cosd_s = V.cosine_distance_sql("s1.embedding", "s2.embedding")
+    inf = inflate_vectors_sql("embeddings", factor, dim=64)
+    samp_pred = H.hash64_sql("vec_id::VARCHAR") + " % 50 = 0"
+    return f"""
+WITH inf AS MATERIALIZED ({inf}),
+{V.sign_bucket_cte_sql("inf", signs, "b")},
+cand AS (
+  SELECT DISTINCT l.vec_id AS l_id, r.vec_id AS r_id
+  FROM b l CROSS JOIN (SELECT unnest([{masks}]) AS m) mm
+  JOIN b r ON r.b = xor(l.b, mm.m)
+  WHERE l.vec_id <> r.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT l_id, r_id, dist FROM (
+    SELECT c.l_id, c.r_id, {cosd} AS dist
+    FROM cand c JOIN inf li ON li.vec_id = c.l_id
+                JOIN inf ri ON ri.vec_id = c.r_id)
+  WHERE dist <= {eps}
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM inf WHERE {samp_pred}
+),
+exact AS MATERIALIZED (
+  SELECT s1.vec_id AS l_id, s2.vec_id AS r_id
+  FROM samp s1 JOIN samp s2 ON s1.vec_id < s2.vec_id
+  WHERE {cosd_s} <= {eps}
+),
+agg AS (
+  SELECT (SELECT count(*) FROM inf) AS n_nodes,
+         (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT count(*) FROM exact) AS n_sample_pairs,
+         (SELECT count(*) FROM exact x WHERE EXISTS (
+            SELECT 1 FROM edges e2
+            WHERE e2.l_id = x.l_id AND e2.r_id = x.r_id)) AS n_hits,
+         (SELECT round(max(dist), 6) FROM edges) AS max_edge_dist
+)
+SELECT n_nodes, n_edges, n_sample_pairs,
+       round(CASE WHEN n_sample_pairs > 0
+                  THEN n_hits::DOUBLE / n_sample_pairs
+                  ELSE 1.0 END, 6) AS recall_vs_exact_sample,
+       max_edge_dist,
+       true AS no_false_positives, true AS recall_floor_ok
+FROM agg
+"""
 
 
 def q_clustering_quality(spark, sf):
@@ -4160,11 +4379,14 @@ def _kmeans_sqdist_sql(v: str, c: str, dim: int) -> str:
     )
 
 
-def oracle_kmeans_assign(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_cte_sql(k: int, iters: int, dim: int) -> str:
+    """CTE chain ``e, c0, a1, c1, ..., c{iters}`` (no WITH keyword):
+    the deterministic Lloyd replay shared by oracle_kmeans_assign,
+    oracle_ann_ivf and oracle_ann_ivf_pq — first-k-by-id init,
+    9dp-rounded centroid means per iteration."""
     sq = _kmeans_sqdist_sql("e.v", "c.cent", dim)
     parts = [
-        f"""
-WITH e AS (
+        f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
 ),
@@ -4192,8 +4414,13 @@ c{it} AS (
     GROUP BY a.cluster, r.i) GROUP BY cluster
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def oracle_kmeans_assign(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    sq = _kmeans_sqdist_sql("e.v", "c.cent", dim)
+    return f"""
+WITH {_kmeans_cte_sql(k, iters, dim)}
 SELECT vec_id, cluster, round(dist, 6) AS sqdist FROM (
   SELECT vec_id, cluster, dist,
          row_number() OVER (PARTITION BY vec_id
@@ -4202,8 +4429,6 @@ SELECT vec_id, cluster, round(dist, 6) AS sqdist FROM (
         FROM e CROSS JOIN c{iters} c))
 WHERE rn = 1
 ORDER BY vec_id"""
-    )
-    return "".join(parts)
 
 
 def q_semdedup(spark, sf):
@@ -5768,18 +5993,27 @@ def q_ann_ivf_pq(spark, sf):
     cells, ADC over CODES ONLY ranks the probed rows into a 100-row
     shortlist (the raw vectors never leave parquet for this stage —
     column pruning is the point), and exact cosine re-ranks the
-    shortlist into the top-10. Approximate by construction (cells +
-    ADC distortion), so no SQL oracle; recall@10 vs global brute
-    force is floor-asserted at 0.6 in-plan (measured 0.8 at sf0.01;
-    ADC alone scores 0.2-0.3 on these weak-structure vectors — the
-    re-rank stage is what the composition exists for)."""
+    shortlist into the top-10. Every stage is now deterministic —
+    Voronoi cells from lloyd_centroids (9dp replay), probe order by
+    (sqdist, cell), shortlist by (adc_dist, vec_id) — so the whole
+    composition has a full SQL value oracle (oracle_ann_ivf_pq);
+    recall@10 vs global brute force stays floor-asserted at 0.6
+    in-plan (measured 0.8 at sf0.01; ADC alone scores 0.2-0.3 on
+    these weak-structure vectors — the re-rank stage is what the
+    composition exists for)."""
+    from ..operators.kmeans import (
+        assign_to_centroids,
+        lloyd_centroids,
+        probe_cells,
+    )
     from ..operators.pq import pq_adc_scores
-    from ..operators.similarity import assign_cells, train_ivf_centroids
 
     emb, cbs, coded = _pq_setup(spark, sf)
-    cents = train_ivf_centroids(emb, nlist=16, corpus_vec="v")
-    celled = assign_cells(emb, cents, "v", "vec_id", n_cells=1).select(
-        "vec_id", "cell"
+    cents = lloyd_centroids(
+        emb, "vec_id", "v", k=ANN_IVF_NLIST, n_iter=ANN_IVF_ITERS, dim=64
+    )
+    celled = assign_to_centroids(emb, "v", cents).select(
+        "vec_id", F.col("cluster").alias("cell")
     )
     codedc = coded.select("vec_id", "codes").join(celled, "vec_id")
     qrow = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
@@ -5787,13 +6021,11 @@ def q_ann_ivf_pq(spark, sf):
     qdf = spark.createDataFrame(
         [(qrow["vec_id"], qv)], "vec_id long, v array<double>"
     )
-    probe_cells = [
-        r["cell"]
-        for r in assign_cells(
-            qdf, cents, "v", "vec_id", n_cells=10
-        ).collect()
+    probed_cells = [
+        r["cluster"]
+        for r in probe_cells(qdf, "v", cents, ANN_IVF_NPROBE).collect()
     ]
-    probed = codedc.where(F.col("cell").isin(probe_cells)).where(
+    probed = codedc.where(F.col("cell").isin(probed_cells)).where(
         F.col("vec_id") != qrow["vec_id"]
     )
     shortlist = (
@@ -5810,11 +6042,66 @@ def q_ann_ivf_pq(spark, sf):
             "vec_id", F.col("v").alias("embedding")
         ),
         k=10,
-    ).withColumn("cosine", F.round("cosine", 6))
+    ).withColumn("cosine", F.round("cosine", 6) + F.lit(0.0))
     exact = S.brute_force_topk(
         q, emb.select("vec_id", F.col("v").alias("embedding")), k=10
     )
     return _with_recall_assert(reranked, exact, floor=0.6)
+
+
+def oracle_ann_ivf_pq(k: int = 10) -> str:
+    """Full SQL replay of the composed index: kmeans CTE chain (cells)
+    + PQ encode CTEs (codes) + query-side ADC lookup-table scoring +
+    (adc_dist, vec_id) 100-row shortlist + exact-cosine rerank."""
+    sq = _kmeans_sqdist_sql("e.v", "c.cent", 64)
+    body = _PQ_BODY_CTE.replace(
+        "{SUBDIST}", _pq_sub_sql("e.v", "cb.v", "m.m", 8)
+    )
+    qdist = _pq_sub_sql("q.v", "cb.v", "u.m", 8)
+    query_pred = "vec_id = (SELECT max(vec_id) FROM e)"
+    return f"""
+WITH {_kmeans_cte_sql(ANN_IVF_NLIST, ANN_IVF_ITERS, 64)},
+{body},
+cells AS (
+  SELECT vec_id AS nid, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sq}, c.cluster) AS rn
+    FROM e CROSS JOIN c{ANN_IVF_ITERS} c) WHERE rn = 1
+),
+q AS (SELECT vec_id, v FROM e WHERE {query_pred}),
+qprobe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (
+             ORDER BY {_kmeans_sqdist_sql("q.v", "c.cent", 64)},
+                      c.cluster) AS rn
+    FROM q CROSS JOIN c{ANN_IVF_ITERS} c) WHERE rn <= {ANN_IVF_NPROBE}
+),
+probed AS (
+  SELECT c.nid FROM cells c JOIN qprobe USING (cluster)
+  WHERE c.nid <> (SELECT vec_id FROM q)
+),
+adc AS (
+  SELECT b.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(t.d ORDER BY t.m)),
+                     (acc, x) -> acc + x) AS adc_dist
+  FROM best b
+  JOIN probed p ON p.nid = b.vec_id
+  JOIN (
+    SELECT u.m, cb.k, {qdist} AS d
+    FROM q CROSS JOIN range(0, 8) u(m) CROSS JOIN cb
+  ) t ON t.m = b.m AND t.k = b.code
+  GROUP BY b.vec_id
+),
+cand AS (
+  SELECT (SELECT vec_id FROM q) AS qid, vec_id AS nid FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+    FROM adc) WHERE rn <= 100
+),
+{_ann_tail_sql(k, query_pred=query_pred)}
+"""
 
 
 def _pq_sub_sql(a_vec: str, b_vec: str, mi_expr: str, sub: int) -> str:
@@ -5827,12 +6114,14 @@ def _pq_sub_sql(a_vec: str, b_vec: str, mi_expr: str, sub: int) -> str:
     )
 
 
-_PQ_ENC_CTE = """
-WITH e AS (
+# Split so oracle_ann_ivf_pq can graft the PQ body onto the kmeans
+# CTE chain (which already defines the identical `e`).
+_PQ_E_CTE = """e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
-),
-cb AS (
+)"""
+
+_PQ_BODY_CTE = """cb AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
 ),
@@ -5853,6 +6142,8 @@ enc AS (
                      (acc, x) -> acc + x) AS recon_err
   FROM best GROUP BY vec_id
 )"""
+
+_PQ_ENC_CTE = "\nWITH " + _PQ_E_CTE + ",\n" + _PQ_BODY_CTE
 
 
 def oracle_embedding_pq() -> str:
@@ -6146,6 +6437,10 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": oracle_simhash(),
     "dedup_embedding": oracle_embedding_neardup(),
     "ann_topk": oracle_ann_topk(),
+    "ann_ivf": oracle_ann_ivf(),
+    "ann_lsh": oracle_ann_lsh(),
+    "ann_ivf_pq": oracle_ann_ivf_pq(),
+    "cluster_lsh": oracle_cluster_lsh(),
     "lang_id": oracle_lang_id(),
     "quality_score": oracle_quality(),
     "token_counts": oracle_token_counts(),

@@ -97,8 +97,13 @@ def inflate_vectors(
     bench/test corpus builder for exercising the LSH similarity path
     above LSH_THRESHOLD without synthesizing data files. Copies derive
     from the driver-generated embeddings table; ids become
-    ``id * factor + copy``. Pure Column expressions, shuffle-free."""
+    ``id * factor + copy``. Pure Column expressions, shuffle-free.
+    The perturbation hash is md5-derived (functions/hashing.hash64)
+    so inflate_vectors_sql replays it bit-for-bit in DuckDB — the
+    cluster_lsh oracle depends on that."""
     from pyspark.sql import functions as F
+
+    from .functions import hashing as H
 
     return emb.select(
         F.col(id_col).alias("_id"),
@@ -110,13 +115,41 @@ def inflate_vectors(
             F.col("_v").cast("array<double>"),
             lambda x, j: x
             + (
-                F.pmod(
-                    F.hash(F.col("_id"), F.col("_copy"), j, F.lit(seed)),
-                    F.lit(2001),
+                H.hash64(
+                    F.concat_ws("|", F.col("_id"), F.col("_copy"), j),
+                    seed,
                 )
+                % 2001
                 - 1000
             )
             / F.lit(1000.0)
             * F.lit(noise),
         ).alias(vec_col),
     )
+
+
+def inflate_vectors_sql(
+    src: str,
+    factor: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    noise: float = 0.05,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of inflate_vectors over relation ``src`` — same
+    md5 perturbation, same id arithmetic. Emits a SELECT (caller wraps
+    in a CTE)."""
+    from .functions.hashing import hash64_sql
+
+    h = hash64_sql(
+        f"(s.{id_col}::VARCHAR || '|' || c.copy::VARCHAR"
+        " || '|' || (i - 1)::VARCHAR)",
+        seed,
+    )
+    return f"""
+SELECT s.{id_col} * {factor} + c.copy AS {id_col},
+       list_transform(range(1, {dim + 1}),
+         i -> s.{vec_col}[i]::DOUBLE
+              + ({h} % 2001 - 1000) / 1000.0 * {noise}) AS {vec_col}
+FROM {src} s CROSS JOIN range(0, {factor}) c(copy)"""
