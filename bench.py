@@ -84,7 +84,12 @@ def main() -> None:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # the driver parses the FINAL stdout line as JSON; the console
+        # progress bar's carriage-return redraws were corrupting it
+        # (BENCH_r04 "parsed": null — round-4 verdict item 7)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers with a trivial action
     catalog.load(spark, sf_dir, "region").count()
 
@@ -119,25 +124,31 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_after = round(os.getloadavg()[0], 2)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "agg": "median",
-                "load_before": load_before,
-                "load_after": load_after,
-                "all_runs": {
-                    k: [round(x, 3) for x in v] for k, v in runs.items()
-                },
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "reps": reps,
+            "agg": "median",
+            "load_before": load_before,
+            "load_after": load_after,
+            "all_runs": {
+                k: [round(x, 3) for x in v] for k, v in runs.items()
+            },
+        }
     )
+    # Stop Spark BEFORE emitting the result so JVM shutdown chatter
+    # cannot land after the JSON; quiesce stderr, then print the JSON
+    # alone on a fresh line (the driver parses the final stdout line).
     spark.stop()
+    sys.stderr.flush()
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        f.write(payload + "\n")
+    sys.stdout.write("\n" + payload + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -36,10 +36,13 @@ def _sign_hyperplanes(dim: int, nbits: int, seed: int = 42):
 
 
 def lsh_bucket_col(vec, dim: int, nbits: int = 10, seed: int = 42):
-    """Deterministic JVM-side sign-LSH bucket column: index-ordered
-    fold dots against the md5-Rademacher planes — bit-identical to
-    V.sign_bucket_sql in DuckDB. This is the path every catalog query
-    uses so the LSH oracles can replay bucket assignment exactly."""
+    """Pure-Column sign-LSH bucket (no Python workers): quantized
+    integer dots against the md5-Rademacher planes — bit-identical to
+    lsh_bucket_udf and to V.sign_bucket_cte_sql in DuckDB. The
+    production paths use lsh_bucket_udf (Arrow matmul, ~10x faster at
+    wide nbits since higher-order functions are interpreted); this
+    variant exists for UDF-free plans and as the executable spec the
+    equivalence test pins both against."""
     return V.sign_bucket(vec, _sign_hyperplanes(dim, nbits, seed))
 
 
@@ -128,18 +131,13 @@ def lsh_topk(
         )
     elif probe_radius is None:
         probe_radius = 2
+    bucket = lsh_bucket_udf(dim, nbits, seed)
     c = corpus.select(
         F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nv")
-    ).withColumn(
-        "bucket",
-        lsh_bucket_col(F.col("nv").cast("array<double>"), dim, nbits, seed),
-    )
+    ).withColumn("bucket", bucket(F.col("nv").cast("array<double>")))
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
-    ).withColumn(
-        "_b0",
-        lsh_bucket_col(F.col("qv").cast("array<double>"), dim, nbits, seed),
-    )
+    ).withColumn("_b0", bucket(F.col("qv").cast("array<double>")))
     masks = probe_masks(nbits, probe_radius)
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]

@@ -74,7 +74,10 @@ def streaming_first_seen(
         if ttl_minutes:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
         if already:
-            for _ in pdfs:  # drain — required by the contract
+            # Not error suppression: applyInPandasWithState requires
+            # the input-batch iterator to be fully consumed before the
+            # function returns, even when the batches are ignored.
+            for _ in pdfs:
                 pass
             return
         first = None

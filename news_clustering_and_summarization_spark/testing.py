@@ -98,12 +98,12 @@ def inflate_vectors(
     above LSH_THRESHOLD without synthesizing data files. Copies derive
     from the driver-generated embeddings table; ids become
     ``id * factor + copy``. Pure Column expressions, shuffle-free.
-    The perturbation hash is md5-derived (functions/hashing.hash64)
-    so inflate_vectors_sql replays it bit-for-bit in DuckDB — the
-    cluster_lsh oracle depends on that."""
+    The perturbation is an integer LCG mix of (inflated id, dim index,
+    seed) — pure codegen'd int64 arithmetic that replays bit-for-bit
+    in DuckDB (inflate_vectors_sql; the cluster_lsh oracle depends on
+    that). Every intermediate stays < 2^62, so no engine-divergent
+    overflow behavior (Spark wraps, DuckDB errors)."""
     from pyspark.sql import functions as F
-
-    from .functions import hashing as H
 
     return emb.select(
         F.col(id_col).alias("_id"),
@@ -115,10 +115,21 @@ def inflate_vectors(
             F.col("_v").cast("array<double>"),
             lambda x, j: x
             + (
-                H.hash64(
-                    F.concat_ws("|", F.col("_id"), F.col("_copy"), j),
-                    seed,
+                (
+                    (
+                        (
+                            F.col("_id") * factor
+                            + F.col("_copy")
+                            + F.lit(seed)
+                        )
+                        * F.lit(_LCG_A)
+                        + F.lit(_LCG_C)
+                    )
+                    % F.lit(_LCG_M)
+                    * F.lit(_LCG_A)
+                    + (j.cast("long") + 1) * F.lit(_MIX_B)
                 )
+                % F.lit(_LCG_M)
                 % 2001
                 - 1000
             )
@@ -126,6 +137,15 @@ def inflate_vectors(
             * F.lit(noise),
         ).alias(vec_col),
     )
+
+
+# LCG/mix constants shared by both engines (glibc LCG multiplier and
+# Knuth's 2^32 golden-ratio constant); _LCG_M = 2^31 - 1 keeps every
+# product under 2^62.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483647
+_MIX_B = 2654435761
 
 
 def inflate_vectors_sql(
@@ -138,14 +158,12 @@ def inflate_vectors_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB replay of inflate_vectors over relation ``src`` — same
-    md5 perturbation, same id arithmetic. Emits a SELECT (caller wraps
-    in a CTE)."""
-    from .functions.hashing import hash64_sql
-
-    h = hash64_sql(
-        f"(s.{id_col}::VARCHAR || '|' || c.copy::VARCHAR"
-        " || '|' || (i - 1)::VARCHAR)",
-        seed,
+    integer LCG perturbation, same id arithmetic. Emits a SELECT
+    (caller wraps in a CTE)."""
+    id2 = f"(s.{id_col} * {factor} + c.copy + {seed})"
+    h = (
+        f"(({id2} * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
+        f" * {_LCG_A} + i * {_MIX_B}) % {_LCG_M}"
     )
     return f"""
 SELECT s.{id_col} * {factor} + c.copy AS {id_col},

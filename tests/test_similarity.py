@@ -220,3 +220,23 @@ def test_mine_triplets_picks_hardest_pairs(spark):
     assert r["hard_positive_id"] == 3
     assert r["hard_negative_id"] == 4
     assert r["margin"] == r["neg_cosine"] - r["pos_cosine"] > 0
+
+
+def test_lsh_bucket_udf_matches_fold_and_planes(spark):
+    """The Arrow-matmul bucket and the pure-Column quantized fold must
+    agree bit-for-bit (both feed oracles that replay buckets in SQL)."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        lsh_bucket_col,
+        lsh_bucket_udf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    df = emb.select(
+        "vec_id",
+        lsh_bucket_udf(64, 18, 42)(v).alias("b_udf"),
+        lsh_bucket_col(v, 64, 18, 42).alias("b_col"),
+    )
+    assert df.where(F.col("b_udf") != F.col("b_col")).count() == 0
