@@ -4888,6 +4888,221 @@ ORDER BY d.doc_id
 """
 
 
+# --- round-5 curation extension --------------------------------------
+
+PII_PLANT = (
+    " Contact: user{id}@example.com or 10.0.0.{oct} or +1 555-000-{num}."
+)
+
+
+def _pii_planted(spark, sf):
+    """Documents with deterministic PII planted on every 7th doc (the
+    synthetic corpus has none) — both engines replay the plant."""
+    docs = load(spark, sf, "documents")
+    plant = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(255)),
+        F.lit(" or +1 555-000-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, plant)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+PII_PLANT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' Contact: user' || doc_id::VARCHAR
+                 || '@example.com or 10.0.0.' || (doc_id % 255)::VARCHAR
+                 || ' or +1 555-000-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def q_pii_redact(spark, sf):
+    """PII detection + redaction (operators/curation.py pii_redact):
+    RE2-safe email/IP/phone patterns applied in a fixed order, counts
+    taken on what each pattern actually sees. Zero-shuffle projection;
+    output keeps md5(redacted) instead of the full text so the result
+    is compact and hash-comparable."""
+    from ..operators.curation import pii_redact
+
+    out = pii_redact(_pii_planted(spark, sf), "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+def oracle_pii_redact() -> str:
+    from ..operators.curation import pii_redact_sql
+
+    counts, redacted = pii_redact_sql("text")
+    return f"""
+WITH planted AS ({PII_PLANT_SQL}),
+r AS (
+  SELECT doc_id, {", ".join(counts)}, {redacted} AS redacted
+  FROM planted
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       md5(redacted) AS redacted_md5,
+       length(redacted)::BIGINT AS redacted_len
+FROM r ORDER BY doc_id
+"""
+
+
+def q_domain_cap(spark, sf):
+    """C4-style per-domain cap (operators/curation.py domain_cap):
+    keep the best 50 docs per source by (n_chars DESC, doc_id) — the
+    anti-domination guard before corpus mixing. One shuffle on
+    source; survivors stream out per partition."""
+    from ..operators.curation import domain_cap
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return domain_cap(
+        docs, "source", "doc_id", "n_chars", cap=50
+    ).orderBy("source", "domain_rank")
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars, domain_rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS domain_rank
+  FROM documents)
+WHERE domain_rank <= 50
+ORDER BY source, domain_rank
+"""
+
+
+BM25_QUERY_TERMS = ["data", "time", "world", "people"]
+
+
+def q_bm25_search(spark, sf):
+    """Okapi BM25 retrieval (operators/curation.py bm25_search):
+    corpus-statistics (df, avgdl) broadcast into a zero-shuffle
+    scoring projection; per-term scores quantized to int64 so the
+    doc score is an order-free integer sum (exact cross-engine)."""
+    from ..operators.curation import bm25_search
+
+    docs = load(spark, sf, "documents")
+    return bm25_search(
+        docs, "doc_id", "text", BM25_QUERY_TERMS, top_k=20
+    )
+
+
+def oracle_bm25() -> str:
+    from ..operators.curation import bm25_search_sql
+
+    return bm25_search_sql(
+        "text", "doc_id", "documents", BM25_QUERY_TERMS, top_k=20
+    )
+
+
+def q_vocab_coverage(spark, sf):
+    """Zipf-head vocabulary coverage (operators/curation.py
+    vocab_coverage): top-100 terms with exact integer cumulative
+    coverage — the curve vocab-size decisions read. The global window
+    runs over 100 rows post-limit (audit-whitelisted)."""
+    from ..operators.curation import vocab_coverage
+
+    docs = load(spark, sf, "documents")
+    return vocab_coverage(docs, "text", top_k=100)
+
+
+def oracle_vocab_coverage() -> str:
+    from ..operators.curation import vocab_coverage_sql
+
+    return vocab_coverage_sql("text", "documents", top_k=100)
+
+
+def q_ngram_novelty(spark, sf):
+    """Per-doc n-gram novelty (operators/curation.py ngram_novelty):
+    the memorization-exposure score — fraction of a doc's distinct
+    8-gram hashes appearing in no other document. Candidate-pair-free:
+    one explode + one groupBy, never quadratic."""
+    from ..operators.curation import ngram_novelty
+
+    docs = load(spark, sf, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+def oracle_ngram_novelty() -> str:
+    from ..operators.curation import ngram_novelty_sql
+
+    return (
+        ngram_novelty_sql("text", "doc_id", "documents", n=8)
+        + " ORDER BY doc_id"
+    )
+
+
+def q_hopping_counts(spark, sf):
+    """Hopping (sliding) event-time windows — 10-minute windows every
+    5 minutes, so each event lands in exactly two windows (the overlap
+    shape tumbling windows can't express). Same streaming-ready
+    operator as window_counts (streaming/windows.py windowed_counts
+    with slide); value sums quantized to int64 for exact cross-engine
+    aggregation."""
+    from ..streaming.windows import windowed_counts
+
+    ev = load(spark, sf, "events").select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("vq"),
+    )
+    out = windowed_counts(
+        ev,
+        "ts",
+        window_size="10 minutes",
+        slide="5 minutes",
+        keys=["event_type"],
+        aggs=[F.sum("vq").alias("value_q")],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "wstart"
+        ),
+        "event_type",
+        "n",
+        "value_q",
+    ).orderBy("wstart", "event_type")
+
+
+ORACLE_HOPPING_COUNTS = """
+SELECT strftime(to_timestamp(wstart_epoch), '%Y-%m-%d %H:%M:%S') AS wstart,
+       event_type,
+       count(*) AS n,
+       CAST(sum(vq) AS BIGINT) AS value_q
+FROM (
+  SELECT u.wstart_epoch, event_type,
+         CAST(round(value * 1000000.0) AS BIGINT) AS vq
+  FROM events
+  CROSS JOIN unnest([
+      (epoch(time_bucket(INTERVAL 5 MINUTES, ts)))::BIGINT,
+      (epoch(time_bucket(INTERVAL 5 MINUTES, ts)))::BIGINT - 300
+    ]) u(wstart_epoch)
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_winnow_candidates(spark, sf):
     """Winnowing fingerprint matching (text_analysis.
     winnow_fingerprints, Schleimer et al. 2003/MOSS): documents
@@ -6318,6 +6533,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
     "winnow_candidates": q_winnow_candidates,
+    "pii_redact": q_pii_redact,
+    "domain_cap": q_domain_cap,
+    "bm25_search": q_bm25_search,
+    "vocab_coverage": q_vocab_coverage,
+    "ngram_novelty": q_ngram_novelty,
+    "hopping_counts": q_hopping_counts,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -6387,6 +6608,12 @@ ORACLES: dict[str, str] = {
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),
     "winnow_candidates": oracle_winnow_candidates(),
+    "pii_redact": oracle_pii_redact(),
+    "domain_cap": ORACLE_DOMAIN_CAP,
+    "bm25_search": oracle_bm25(),
+    "vocab_coverage": oracle_vocab_coverage(),
+    "ngram_novelty": oracle_ngram_novelty(),
+    "hopping_counts": ORACLE_HOPPING_COUNTS,
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,

@@ -56,17 +56,19 @@ def _canon_pdf(pdf):
 
 
 def _hash_pdf(pdf) -> str:
-    """Dtype-sensitive order-insensitive value hash: int64 vs float64
-    of equal values hash DIFFERENTLY, like the driver's check."""
+    """Order-insensitive value hash with the driver's exact dtype
+    sensitivity: hash_pandas_object widens every integer dtype to
+    uint64 (int32 == int64 for equal values) but hashes float64 by
+    bit pattern (float64 1.0 != int64 1) — which is precisely why
+    DuckDB HUGEINT->float64 sums fail against Spark int64 while
+    INT-vs-BIGINT column pairs pass. Do NOT mix dtype names into the
+    digest; that would be stricter than the driver."""
     import hashlib
 
     from pandas.util import hash_pandas_object
 
     h = hash_pandas_object(pdf, index=False)
-    digest = hashlib.md5()
-    digest.update(",".join(f"{c}:{pdf[c].dtype}" for c in pdf.columns).encode())
-    digest.update(h.values.tobytes())
-    return digest.hexdigest()
+    return hashlib.md5(h.values.tobytes()).hexdigest()
 
 
 def run_sweep(spark, sf: str, echo: bool = True) -> tuple[dict, int]:
