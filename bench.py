@@ -124,7 +124,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_after = round(os.getloadavg()[0], 2)
-    payload = json.dumps(
+    full_payload = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": total,
@@ -140,14 +140,28 @@ def main() -> None:
             },
         }
     )
+    # The driver keeps only the LAST 2000 chars of stdout (BENCH_r04/
+    # r05 both truncated mid-JSON) — print a compact line (2dp query
+    # medians, no all_runs/load markers) and keep the full payload in
+    # BENCH_LOCAL.json.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
     # Stop Spark BEFORE emitting the result so JVM shutdown chatter
     # cannot land after the JSON; quiesce stderr, then print the JSON
     # alone on a fresh line (the driver parses the final stdout line).
     spark.stop()
     sys.stderr.flush()
     with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
-        f.write(payload + "\n")
-    sys.stdout.write("\n" + payload + "\n")
+        f.write(full_payload + "\n")
+    sys.stdout.write("\n" + compact + "\n")
     sys.stdout.flush()
 
 

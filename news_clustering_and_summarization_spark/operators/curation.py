@@ -56,7 +56,10 @@ def pii_redact_sql(text_expr: str) -> tuple[list[str], str]:
     cur = text_expr
     counts = []
     for kind, pat, token in PII_PATTERNS:
-        esc = pat.replace("'", "''").replace("\\", "\\\\")
+        # DuckDB standard '...' literals pass backslashes through
+        # verbatim — escape ONLY quotes, or RE2 sees doubled
+        # backslashes and rejects classes like [\d\- ].
+        esc = pat.replace("'", "''")
         counts.append(
             f"len(regexp_extract_all({cur}, '{esc}'))::BIGINT AS n_{kind}"
         )
@@ -73,15 +76,33 @@ def domain_cap(
     id_col: str,
     quality_col: str,
     cap: int,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per source, best-first by
     (quality DESC, id) — the anti-domination guard every web-crawl
-    corpus applies before mixing. One shuffle on source; at 100 TB the
-    rank runs per source partition and the output is the survivors,
-    so nothing ever concentrates on the driver."""
-    w = Window.partitionBy(source_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col)
-    )
+    corpus applies before mixing. One shuffle on source; the output is
+    the survivors, so nothing ever concentrates on the driver.
+
+    Hot-domain skew (100 TB): a single mega-domain serializes one
+    window partition under the plain plan. ``salt_buckets > 1``
+    switches to the EXACT two-phase top-k: rank within (source,
+    hash-salt) buckets first and keep each bucket's top ``cap`` (every
+    globally-top-cap row survives its bucket, as do all its
+    predecessors), then re-rank the <= salt_buckets*cap survivors per
+    source — the second window's input is bounded regardless of domain
+    size. Identical output to the single-phase plan (see
+    tests/test_curation.py::test_domain_cap_salted_equals_plain)."""
+    order = (F.col(quality_col).desc(), F.col(id_col))
+    if salt_buckets > 1:
+        wb = Window.partitionBy(
+            source_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        ).orderBy(*order)
+        df = (
+            df.withColumn("_brank", F.row_number().over(wb))
+            .where(F.col("_brank") <= cap)
+            .drop("_brank")
+        )
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
         df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .where(F.col("domain_rank") <= cap)
@@ -106,9 +127,9 @@ def bm25_search(
     are quantized to int64 and SUMMED AS INTEGERS, so the corpus-wide
     aggregation is order-free and replays exactly in SQL (the lm.py
     convention). df/N/avgdl are corpus aggregates broadcast into the
-    scoring projection — the corpus is scanned twice, shuffled never
-    (the per-doc term counts are a zero-shuffle projection against
-    literal query terms).
+    scoring projection — the tokenized per-doc term counts are
+    localCheckpoint'd so the corpus is tokenized ONCE (stats pass
+    reuses the materialized batch), shuffled never.
 
     Output: (id_col, score_q, score) top_k by (score_q DESC, id)."""
     tok = H.tokens(F.col(text_col))
@@ -123,7 +144,7 @@ def bm25_search(
         F.col(id_col),
         F.size(tok).alias("dl"),
         *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_dl"),

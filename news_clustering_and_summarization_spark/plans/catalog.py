@@ -4890,11 +4890,6 @@ ORDER BY d.doc_id
 
 # --- round-5 curation extension --------------------------------------
 
-PII_PLANT = (
-    " Contact: user{id}@example.com or 10.0.0.{oct} or +1 555-000-{num}."
-)
-
-
 def _pii_planted(spark, sf):
     """Documents with deterministic PII planted on every 7th doc (the
     synthetic corpus has none) — both engines replay the plant."""

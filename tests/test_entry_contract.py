@@ -39,19 +39,15 @@ def test_no_oracle_queries_run(spark, name):
 
 
 def test_catalog_registry_consistency():
-    """Every oracle belongs to a query; the rows-only set stays
-    exactly the documented approximate-by-design queries (all carry
-    in-plan recall asserts)."""
+    """Every oracle belongs to a query, and every query has a full
+    value oracle — since r05 the ANN/LSH family replays exactly in
+    DuckDB (md5-derived Rademacher hyperplanes), so the rows-only
+    set is empty."""
     from news_clustering_and_summarization_spark.plans import catalog
 
     assert set(catalog.ORACLES) <= set(catalog.QUERIES)
     rows_only = set(catalog.QUERIES) - set(catalog.ORACLES)
-    assert rows_only == {
-        "ann_ivf",
-        "ann_lsh",
-        "cluster_lsh",
-        "ann_ivf_pq",
-    }
+    assert rows_only == set()
     # every oracle is non-trivial SQL text
     assert all(
         isinstance(s, str) and "SELECT" in s.upper()

@@ -91,6 +91,13 @@ CARTESIAN_OK = {
     # crossJoins the ONE-ROW corpus-token-total aggregate onto the
     # word-count table (keep-rate denominator) — O(1)-row side
     "skipgram_pairs",
+    # crossJoins the ONE-ROW (n_docs, total_dl, df_i...) stats
+    # aggregate onto the per-doc tf table — O(1)-row side by
+    # construction (same pattern as keyword_search)
+    "bm25_search",
+    # crossJoins the ONE-ROW vocab-total aggregate onto the top-k
+    # head (≤100 rows) — O(1)-row side by construction
+    "vocab_coverage",
 }
 # Global (unpartitioned) windows tolerated only where the input is a
 # provably tiny aggregate (pool_metrics reduces to O(1) rows first).
@@ -113,6 +120,9 @@ GLOBAL_WIN_OK = {
     "distinctive_terms",
     "classifier_auc",
     "ann_ivf_pq",
+    # rank + running-sum windows run over ONLY the top_k (≤100) head
+    # rows after the limit — bounded single-partition input
+    "vocab_coverage",
 }
 
 
