@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 
-__all__ = ["word_frequencies", "learn_bpe_merges"]
+__all__ = ["word_frequencies", "learn_bpe_merges", "bpe_encode"]
 
 
 def word_frequencies(
@@ -128,3 +128,68 @@ def learn_bpe_merges(
         "pair_count bigint"
     )
     return merges, state
+
+
+def _encode_word_expr(word_expr: str, merges: list[tuple[str, str]]) -> str:
+    """SQL expression: word string -> symbol array after applying the
+    learned ``merges`` in priority order (the tokenizer APPLY side).
+    Pure nested expressions — the merge list is tiny (tokenizer vocab
+    is learned offline), so each merge becomes one fold literal."""
+    syms = (
+        f"transform(sequence(1, length({word_expr})), "
+        f"i -> substr({word_expr}, i, 1))"
+    )
+    for left, right in merges:
+        merged = left + right
+        syms = (
+            f"aggregate(slice({syms}, 2, greatest(size({syms}) - 1, 0)), "
+            f"array(element_at({syms}, 1)), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) = {_lit(left)} "
+            f"AND x = {_lit(right)} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array({_lit(merged)})) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document
+    with an already-learned merge list (the output of
+    ``learn_bpe_merges``, collected once — it is tokenizer state, not
+    data, exactly like broadcast k-means centroids).
+
+    Zero shuffle: per document, words -> char symbols -> the same
+    left-to-right fold per merge that training used, flattened back
+    to one symbol stream. Output per doc: ``n_words``, ``n_syms``
+    (post-merge token count — the number a token-budget pipeline
+    bills), and ``syms_h`` (md5 of the chr(31)-joined stream, so the
+    oracle certifies the exact token SEQUENCE, not just counts).
+
+    The nested-fold expression grows linearly with the merge count;
+    for production-sized merge tables (10k+) the same fold runs as a
+    mapInPandas trie pass instead — the plan shape (projection, no
+    shuffle) is identical.
+    """
+    deduped: list[tuple[str, str]] = []
+    for left, right in merges:
+        if (left, right) not in deduped:
+            deduped.append((left, right))
+    enc = _encode_word_expr("w", deduped)
+    words = (
+        "filter(split(lower({t}), '[^a-z0-9]+'), t -> t != '')".format(
+            t=text_col
+        )
+    )
+    stream = f"flatten(transform({words}, w -> {enc}))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(f"size({stream})").cast("long").alias("n_syms"),
+        F.md5(F.expr(f"array_join({stream}, chr(31))")).alias("syms_h"),
+    )

@@ -602,6 +602,157 @@ def tfidf_near_duplicates(
     return pairs
 
 
+TFIDF_W_QUANT = 1000  # weight quantization: w = round(tf*idf*1000)
+
+
+def tfidf_exact_pairs(
+    df: DataFrame,
+    group_col: str = "cluster",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """J5's TF-IDF cosine near-dup with EXACT cross-engine arithmetic
+    and the scalable sparse formulation (the MLlib variant above keeps
+    reference-API parity; this one is the 100 TB / oracle-replayable
+    path).
+
+    Shape: explode tokens once -> per-(doc, term) tf -> corpus df ->
+    smooth idf ln((N+1)/(df+1))+1, weight quantized to int64
+    (round(tf*idf*1000)) so per-doc norms and pair dots are INTEGER
+    sums (order-free, exact in both engines). Candidate pairs come
+    from the inverted-index equi-join on (group, term) — never an n²
+    dense crossJoin; terms with df > max_df_frac*N are pruned first
+    (stopword-style), which is what bounds the hot-term fan-out.
+    cosine = dot / (sqrt(norm_a)*sqrt(norm_b)) — one IEEE double op
+    per pair, deterministic.
+
+    Output: (group_col, l_id, r_id, dot_q, cosine) with l_id < r_id,
+    cosine >= threshold.
+    """
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            F.explode(H.tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("grp", "id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = base.groupBy("term").agg(
+        F.countDistinct("id").alias("df")
+    )
+    weighted = (
+        base.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
+        .select(
+            "grp",
+            "id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(float(TFIDF_W_QUANT))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp"),
+            F.col("a.id").alias("l_id"),
+            F.col("b.id").alias("r_id"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot_q"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(na, dots.l_id == F.col("na.id"))
+        .join(nb, dots.r_id == F.col("nb.id"))
+        .select(
+            F.col("grp").alias(group_col),
+            "l_id",
+            "r_id",
+            "dot_q",
+            F.round(
+                F.col("dot_q")
+                / (
+                    F.sqrt(F.col("na.norm2").cast("double"))
+                    * F.sqrt(F.col("nb.norm2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def tfidf_exact_pairs_sql(
+    table: str,
+    group_expr: str,
+    id_col: str,
+    text_expr: str,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+) -> str:
+    tok = H.tokens_sql(text_expr)
+    return f"""
+WITH base AS (
+  SELECT grp, id, term, count(*)::BIGINT AS tf
+  FROM (SELECT {group_expr} AS grp, {id_col} AS id,
+               unnest({tok}) AS term FROM {table})
+  GROUP BY grp, id, term
+),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM {table}),
+dfreq AS (SELECT term, count(DISTINCT id)::BIGINT AS df
+          FROM base GROUP BY term),
+weighted AS (
+  SELECT grp, id, term,
+         CAST(round(tf * (ln((nd.n_docs + 1.0) / (dfreq.df + 1.0))
+              + 1.0) * {TFIDF_W_QUANT}.0) AS BIGINT) AS w
+  FROM base JOIN dfreq USING (term) CROSS JOIN nd
+  WHERE dfreq.df <= nd.n_docs * {max_df_frac!r}
+),
+norms AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS norm2
+          FROM weighted GROUP BY id),
+dots AS (
+  SELECT a.grp, a.id AS l_id, b.id AS r_id,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot_q
+  FROM weighted a JOIN weighted b
+    ON a.grp = b.grp AND a.term = b.term AND a.id < b.id
+  GROUP BY a.grp, a.id, b.id
+)
+SELECT dots.grp, l_id, r_id, dot_q,
+       round(dot_q / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)),
+             6) AS cosine
+FROM dots JOIN norms na ON dots.l_id = na.id
+          JOIN norms nb ON dots.r_id = nb.id
+WHERE round(dot_q / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)),
+            6) >= {threshold!r}
+"""
+
+
 # --- benchmark decontamination --------------------------------------
 
 

@@ -154,3 +154,62 @@ def pagerank_sql(
         )
         prev = f"r{i}"
     return ",\n".join(parts), prev
+
+
+# --- TextRank keyword extraction -------------------------------------
+
+
+def textrank_edges(
+    df: "DataFrame",
+    text_col: str = "text",
+    min_len: int = 4,
+) -> "DataFrame":
+    """Co-occurrence graph for TextRank keyword extraction (Mihalcea &
+    Tarau 2004): candidate words (length >= ``min_len`` after the
+    shared tokenizer) that are ADJACENT in the filtered stream get a
+    symmetric, deduplicated edge — the original unweighted keyword
+    formulation. One explode + one distinct; the graph is
+    vocab-bounded (nodes = candidate vocabulary), so the PageRank
+    iterations that follow never touch the corpus again."""
+    tokf = (
+        f"filter(filter(split(lower({text_col}), '[^a-z0-9]+'), "
+        f"t -> t != ''), t -> length(t) >= {min_len})"
+    )
+    adj = (
+        f"CASE WHEN size({tokf}) < 2 THEN "
+        f"cast(array() AS array<struct<a string, b string>>) "
+        f"ELSE transform(sequence(1, size({tokf}) - 1), "
+        f"i -> struct({tokf}[i-1] AS a, {tokf}[i] AS b)) END"
+    )
+    pairs = df.select(F.explode(F.expr(adj)).alias("p")).select(
+        "p.a", "p.b"
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return (
+        sym.where(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+    )
+
+
+def textrank_edges_sql(table: str, text_expr: str, min_len: int = 4) -> str:
+    """DuckDB CTE body matching textrank_edges (relation: src, dst)."""
+    tokf = (
+        f"list_filter(list_filter(regexp_split_to_array(lower({text_expr}),"
+        f" '[^a-z0-9]+'), t -> t <> ''), t -> len(t) >= {min_len})"
+    )
+    return f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT a AS src, b AS dst FROM (
+    SELECT tk[i] AS a, tk[i + 1] AS b
+    FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+          FROM (SELECT {tokf} AS tk FROM {table})))
+  UNION ALL
+  SELECT b, a FROM (
+    SELECT tk[i] AS a, tk[i + 1] AS b
+    FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+          FROM (SELECT {tokf} AS tk FROM {table})))
+) WHERE src <> dst
+"""

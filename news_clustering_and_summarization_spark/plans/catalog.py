@@ -4768,12 +4768,15 @@ def q_bpe_merges(spark, sf):
     return merges.orderBy("step")
 
 
-def oracle_bpe_merges(n_merges: int = 3) -> str:
+def _bpe_train_ctes(n_merges: int = 3) -> str:
+    """CTE chain (without the WITH keyword) learning ``n_merges`` BPE
+    rules from the documents word-frequency table: wf, w0, then
+    p{it}/m{it} per iteration (and w{it} states between them). Shared
+    by the training oracle and the encode oracle."""
     tok = H.tokens_sql("text")
     sep = "chr(31)"
     parts = [
-        f"""
-WITH wf AS (
+        f"""wf AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest({tok}) AS word FROM documents) GROUP BY word
 ),
@@ -4807,6 +4810,11 @@ w{it} AS (
   FROM w{it - 1} CROSS JOIN m{it} m
 )"""
             )
+    return "".join(parts)
+
+
+def oracle_bpe_merges(n_merges: int = 3) -> str:
+    parts = ["\nWITH ", _bpe_train_ctes(n_merges)]
     selects = [
         f"""SELECT {it} AS step, l AS "left", r AS "right",
        l || r AS merged, cnt AS pair_count FROM m{it}"""
@@ -6397,6 +6405,178 @@ FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     )
 
 
+# --- round-6 extension: TF-IDF exact pairs, BPE encode, TextRank -----
+
+
+def q_tfidf_neardup(spark, sf):
+    """J5's TF-IDF cosine near-dup (operators/dedup.py
+    tfidf_exact_pairs) in the exact-replay sparse formulation: tokens
+    exploded once, smooth-idf weights quantized to int64 so norms and
+    pair dots are order-free integer sums, candidates from the
+    inverted-index equi-join on (source, term) with df-pruned hot
+    terms — never a dense n² crossJoin (the MLlib variant keeps
+    reference-API parity; this is the 100 TB path).
+    Cites reference summarization notebook cell 7 remove_dup_article."""
+    from ..operators.dedup import tfidf_exact_pairs
+
+    docs = load(spark, sf, "documents")
+    return tfidf_exact_pairs(
+        docs,
+        group_col="source",
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.25,
+        max_df_frac=0.9,
+    ).select("source", "l_id", "r_id", "dot_q", "cosine")
+
+
+def oracle_tfidf_neardup() -> str:
+    from ..operators.dedup import tfidf_exact_pairs_sql
+
+    inner = tfidf_exact_pairs_sql(
+        "documents",
+        "source",
+        "doc_id",
+        "text",
+        threshold=0.25,
+        max_df_frac=0.9,
+    )
+    return f"SELECT grp AS source, l_id, r_id, dot_q, cosine FROM ({inner})"
+
+
+BPE_ENC_SEP = "chr(31)"
+
+
+def q_bpe_encode(spark, sf):
+    """Tokenizer APPLY at corpus scale (operators/bpe.py bpe_encode):
+    learn 3 merges from the corpus word-frequency table (the
+    bpe_merges loop — one corpus aggregation, vocab-bounded
+    iterations), collect the 3-row merge table as tokenizer state,
+    then encode every document in a single zero-shuffle projection
+    (words -> chars -> the same left-to-right fold per merge). The
+    md5 of the full symbol stream certifies the exact token SEQUENCE
+    per document, and the oracle replays training AND encoding."""
+    from ..operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = load(spark, sf, "documents")
+    merges_df, _ = learn_bpe_merges(word_frequencies(docs, "text"), 3)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    return bpe_encode(docs, merges, "doc_id", "text").orderBy("doc_id")
+
+
+def oracle_bpe_encode(n_merges: int = 3) -> str:
+    tok = H.tokens_sql("text")
+    sep = BPE_ENC_SEP
+    fold = (
+        "list_reduce(syms, (acc, x) -> CASE "
+        "WHEN (acc = m.l OR ends_with(acc, {sep} || m.l)) AND x = m.r "
+        "THEN left(acc, len(acc) - len(m.l)) || m.l || m.r "
+        "ELSE acc || {sep} || x END)"
+    ).format(sep=sep)
+    enc_parts = [
+        f""",
+dw AS (
+  SELECT doc_id, i AS pos, tk[i] AS word
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM (SELECT doc_id, {tok} AS tk FROM documents))
+),
+e0 AS (
+  SELECT doc_id, pos,
+         list_transform(range(1, len(word) + 1),
+                        i -> word[i]::VARCHAR) AS syms
+  FROM dw
+)"""
+    ]
+    for it in range(1, n_merges + 1):
+        inner = fold
+        if it == n_merges:
+            enc_parts.append(
+                f""",
+e{it} AS (SELECT doc_id, pos, {inner} AS s
+  FROM e{it - 1} CROSS JOIN m{it} m)"""
+            )
+        else:
+            enc_parts.append(
+                f""",
+e{it} AS (SELECT doc_id, pos, string_split({inner}, {sep}) AS syms
+  FROM e{it - 1} CROSS JOIN m{it} m)"""
+            )
+    return (
+        "WITH "
+        + _bpe_train_ctes(n_merges)
+        + "".join(enc_parts)
+        + f""",
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         CAST(sum(len(string_split(s, {sep}))) AS BIGINT) AS n_syms,
+         md5(string_agg(s, {sep} ORDER BY pos)) AS syms_h
+  FROM e{n_merges} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0)::BIGINT AS n_words,
+       coalesce(p.n_syms, 0)::BIGINT AS n_syms,
+       coalesce(p.syms_h, md5('')) AS syms_h
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+    )
+
+
+def q_keyword_textrank(spark, sf):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004;
+    operators/graph.py textrank_edges + pagerank_fixed_point): the
+    unweighted co-occurrence graph over candidate words (adjacent,
+    length >= 4) ranked by 3 damped power iterations in exact
+    fixed-point integer arithmetic, top 20 keywords. The graph is
+    vocab-bounded — one corpus explode + distinct builds it, and
+    every iteration after that is one shuffle over (node, rank)
+    rows. The oracle replays the full iteration unrolled (same
+    pagerank_sql fragment the pagerank query certifies)."""
+    from ..operators.graph import (
+        SCALE,
+        pagerank_fixed_point,
+        textrank_edges,
+    )
+
+    docs = load(spark, sf, "documents")
+    edges = textrank_edges(docs, "text", min_len=4)
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    return (
+        ranks.select(
+            F.col("node").alias("keyword"),
+            "rank",
+            F.round(F.col("rank") / F.lit(float(SCALE)), 9).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("rank"), "keyword")
+        .limit(20)
+    )
+
+
+def oracle_keyword_textrank() -> str:
+    from ..operators.graph import SCALE, pagerank_sql, textrank_edges_sql
+
+    edges = textrank_edges_sql("documents", "text", min_len=4)
+    frag, final = pagerank_sql("edges", iterations=3)
+    return f"""
+WITH edges AS ({edges}),
+{frag}
+SELECT node AS keyword, rank,
+       round(rank / {float(SCALE)!r}, 9) AS score
+FROM {final}
+ORDER BY rank DESC, keyword
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -6534,6 +6714,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "ngram_novelty": q_ngram_novelty,
     "hopping_counts": q_hopping_counts,
+    "tfidf_neardup": q_tfidf_neardup,
+    "bpe_encode": q_bpe_encode,
+    "keyword_textrank": q_keyword_textrank,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -6609,6 +6792,9 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": oracle_vocab_coverage(),
     "ngram_novelty": oracle_ngram_novelty(),
     "hopping_counts": ORACLE_HOPPING_COUNTS,
+    "tfidf_neardup": oracle_tfidf_neardup(),
+    "bpe_encode": oracle_bpe_encode(),
+    "keyword_textrank": oracle_keyword_textrank(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,

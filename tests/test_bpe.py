@@ -65,3 +65,47 @@ def test_word_frequencies_counts_instances(spark):
         for r in word_frequencies(docs, "text").collect()
     }
     assert wf["the"] == 3 and wf["cat"] == 1
+
+
+# --- bpe_encode (round 6: tokenizer APPLY side) ----------------------
+
+
+def test_bpe_encode_hand_case(spark):
+    from news_clustering_and_summarization_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aab"), (2, "b"), (3, ""), (4, "AAAB?!")],
+        ["doc_id", "text"],
+    )
+    # merges applied in order: (a,a)->aa, then (aa,b)->aab
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_syms"], r["syms_h"])
+        for r in bpe_encode(
+            docs, [("a", "a"), ("aa", "b")], "doc_id", "text"
+        ).collect()
+    }
+    # 'aaab' -> [aa, a, b]; 'aab' -> [aab]  => stream aa|a|b|aab
+    assert out[1][:2] == (2, 4)
+    # 'b' -> [b]
+    assert out[2][:2] == (1, 1)
+    # empty doc -> empty stream, md5('')
+    import hashlib
+
+    assert out[3] == (0, 0, hashlib.md5(b"").hexdigest())
+    # lowercase + punctuation split: 'AAAB?!' tokenizes to 'aaab'
+    assert out[4][:2] == (1, 3)
+    sep = "\x1f"
+    want1 = hashlib.md5(sep.join(["aa", "a", "b", "aab"]).encode()).hexdigest()
+    assert out[1][2] == want1
+
+
+def test_bpe_encode_merge_order_matters(spark):
+    from news_clustering_and_summarization_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    # (b,c) first blocks (a,b): a|bc
+    r1 = bpe_encode(docs, [("b", "c"), ("a", "b")]).first()
+    # (a,b) first: ab|c
+    r2 = bpe_encode(docs, [("a", "b"), ("b", "c")]).first()
+    assert r1["n_syms"] == 2 and r2["n_syms"] == 2
+    assert r1["syms_h"] != r2["syms_h"]

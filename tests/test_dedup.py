@@ -369,3 +369,49 @@ def test_semantic_dedup_zero_vector_matches_nothing(spark):
     assert out == {1: True, 2: True, 3: True}, (
         "zero vectors must not match anything (not even each other)"
     )
+
+
+# --- tfidf_exact_pairs (round 6: J5 exact-replay variant) ------------
+
+
+def test_tfidf_exact_pairs_hand_case(spark):
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        tfidf_exact_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("g1", 1, "cat dog fish"),
+            ("g1", 2, "cat dog fish"),   # identical -> cosine 1.0
+            ("g1", 3, "zebra yak emu"),  # disjoint -> no pair
+            ("g2", 4, "cat dog fish"),   # other group -> no cross pair
+        ],
+        ["grp", "id", "text"],
+    )
+    out = tfidf_exact_pairs(
+        docs, "grp", "id", "text", threshold=0.5, max_df_frac=1.0
+    ).collect()
+    assert [(r["grp"], r["l_id"], r["r_id"], r["cosine"]) for r in out] == [
+        ("g1", 1, 2, 1.0)
+    ]
+
+
+def test_tfidf_exact_pairs_df_pruning(spark):
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        tfidf_exact_pairs,
+    )
+
+    # 'the' appears in every doc; with max_df_frac=0.5 it is pruned,
+    # so docs sharing ONLY 'the' produce no candidate pair
+    docs = spark.createDataFrame(
+        [
+            ("g", 1, "the cat"),
+            ("g", 2, "the dog"),
+            ("g", 3, "the bird"),
+        ],
+        ["grp", "id", "text"],
+    )
+    out = tfidf_exact_pairs(
+        docs, "grp", "id", "text", threshold=0.0, max_df_frac=0.5
+    ).collect()
+    assert out == []

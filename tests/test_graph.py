@@ -79,3 +79,45 @@ def test_partitioning_invariance(spark):
     e1 = _edges(spark, pairs)
     e2 = _edges(spark, pairs).repartition(13)
     assert _ranks(e1, iterations=3) == _ranks(e2, iterations=3)
+
+
+# --- TextRank (round 6) ----------------------------------------------
+
+
+def test_textrank_edges_symmetric_distinct(spark):
+    from news_clustering_and_summarization_spark.operators.graph import (
+        textrank_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha; the of it"),  # short words filtered out
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["src"], r["dst"]) for r in textrank_edges(docs, "text").collect()
+    }
+    # filtered stream doc1: alpha beta gamma alpha beta
+    # adjacents: (alpha,beta) (beta,gamma) (gamma,alpha) (alpha,beta)
+    # doc2: beta alpha
+    want_pairs = {("alpha", "beta"), ("beta", "gamma"), ("gamma", "alpha")}
+    want = want_pairs | {(b, a) for a, b in want_pairs}
+    assert got == want
+
+
+def test_textrank_edges_filter_gap_adjacency(spark):
+    from news_clustering_and_summarization_spark.operators.graph import (
+        textrank_edges,
+    )
+
+    # 'a of b' -> filtered stream ['wordone', 'wordtwo']: the stopword
+    # gap makes them adjacent (post-filter adjacency, per TextRank)
+    docs = spark.createDataFrame(
+        [(1, "wordone of wordtwo")], ["doc_id", "text"]
+    )
+    got = {
+        (r["src"], r["dst"]) for r in textrank_edges(docs, "text").collect()
+    }
+    assert got == {("wordone", "wordtwo"), ("wordtwo", "wordone")}

@@ -71,6 +71,9 @@ CARTESIAN_OK = {
     # crossJoins the ONE-ROW node-count aggregate onto the node table
     # (rank init + teleport term) — O(1)-row side by construction
     "pagerank",
+    # same pagerank kernel over the TextRank co-occurrence graph —
+    # the only crossJoin is the ONE-ROW node-count aggregate
+    "keyword_textrank",
     # bounded anchor mini-batch (25 rows) x corpus scored pass — the
     # same gated brute-force kernel as ann_topk; at corpus scale the
     # candidates come from ivf_topk/lsh_topk instead (documented)
