@@ -139,6 +139,85 @@ FROM {table}
 """
 
 
+def pack_sequences_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    shard_width: int = 1024,
+) -> DataFrame:
+    """GLOBAL offset packing without a single-partition window — the
+    corpus-wide variant ``pack_sequences`` deliberately refuses (its
+    global mode collapses to one partition). Same two-phase prefix
+    sum as evaluation.binary_auc: rows shard by ``id_col div
+    shard_width`` (monotone in the packing order, so shard order ==
+    row order), the in-shard cumsum windows per shard in parallel,
+    and only the shard-TOTAL table — N/shard_width rows — passes
+    through a single-partition prefix window. Output is row-identical
+    to the naive global window (tests assert it).
+
+    Output: (id_col, n_tokens, cum_before, seq_id); integer DIV
+    throughout (corpus token totals exceed 2^53 where double division
+    goes inexact)."""
+    tok_n = F.size(H.tokens(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        tok_n.alias("n_tokens"),
+        F.expr(f"{id_col} DIV {shard_width}").alias("_shard"),
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_shard = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("_shard")
+        .agg(F.sum("n_tokens").alias("_shard_tok"))
+        .withColumn(
+            "_offset",
+            F.coalesce(F.sum("_shard_tok").over(w_shard), F.lit(0)),
+        )
+        .select("_shard", "_offset")
+    )
+    return (
+        base.withColumn(
+            "_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        )
+        .join(offsets, "_shard")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_offset") + F.col("_in")).alias("cum_before"),
+            F.expr(f"(_offset + _in) DIV {budget}").alias("seq_id"),
+        )
+    )
+
+
+def pack_sequences_global_sql(
+    text_expr: str,
+    budget: int = 256,
+    id_expr: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """Oracle: the naive single global window — an INDEPENDENT
+    formulation of the same packing (the two-phase plan must agree
+    row-for-row)."""
+    tok = H.tokens_sql(text_expr)
+    return f"""
+SELECT {id_expr} AS doc_id, len({tok})::BIGINT AS n_tokens,
+       CAST(coalesce(sum(len({tok})) OVER (ORDER BY {id_expr}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before,
+       (CAST(coalesce(sum(len({tok})) OVER (ORDER BY {id_expr}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) // {budget})::BIGINT AS seq_id
+FROM {table}
+"""
+
+
 SPAN_SEED = 21
 
 

@@ -602,6 +602,128 @@ def tfidf_near_duplicates(
     return pairs
 
 
+CONTAIN_QUANT = 1_000_000  # containment quantization denominator
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A in B) = |S(A) ∩ S(B)| /
+    |S(A)| — the sub-document duplication signal Jaccard misses when
+    sizes differ (a paragraph quoted inside a long article has high
+    containment but low Jaccard; Broder 1997 distinguishes exactly
+    these two resemblance measures). Candidates come from the same
+    inverted-index equi-join as the Jaccard path (never a cross
+    join); when ``max_shingle_df`` caps hot shingles, the surviving
+    pairs are re-verified exactly against full shingle sets.
+
+    Containment is an INTEGER quotient (inter * 1e6 div size) so both
+    engines agree bit-for-bit with no rounding discipline. Output:
+    (l_id, r_id, inter, l_n, r_n, cont_l_q, cont_r_q) with l_id <
+    r_id, where cont_l_q = containment of the LEFT doc's shingles in
+    the right (scaled 1e6); keeps pairs with either direction >=
+    threshold."""
+    shingled = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                H.word_shingles(H.tokens(text_col), n)
+            ).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    co = ngram_candidate_pairs(shingled, max_shingle_df)
+    if max_shingle_df is None:
+        sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+        base = (
+            co.join(sizes.withColumnRenamed("id", "l_id"), "l_id")
+            .withColumnRenamed("n_sh", "l_n")
+            .join(sizes.withColumnRenamed("id", "r_id"), "r_id")
+            .withColumnRenamed("n_sh", "r_n")
+        )
+    else:
+        base = (
+            co.select("l_id", "r_id")
+            .join(
+                shingled.select(
+                    F.col("id").alias("l_id"), F.col("sh").alias("l_sh")
+                ),
+                "l_id",
+            )
+            .join(
+                shingled.select(
+                    F.col("id").alias("r_id"), F.col("sh").alias("r_sh")
+                ),
+                "r_id",
+            )
+            .select(
+                "l_id",
+                "r_id",
+                F.size(F.array_intersect("l_sh", "r_sh"))
+                .cast("long")
+                .alias("inter"),
+                F.size("l_sh").cast("long").alias("l_n"),
+                F.size("r_sh").cast("long").alias("r_n"),
+            )
+        )
+    thr_q = int(round(threshold * CONTAIN_QUANT))
+    return (
+        base.select(
+            "l_id",
+            "r_id",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("l_n").cast("long").alias("l_n"),
+            F.col("r_n").cast("long").alias("r_n"),
+            F.expr(f"(inter * {CONTAIN_QUANT}) DIV l_n").alias("cont_l_q"),
+            F.expr(f"(inter * {CONTAIN_QUANT}) DIV r_n").alias("cont_r_q"),
+        )
+        .where(
+            F.greatest("cont_l_q", "cont_r_q") >= F.lit(thr_q)
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str,
+    id_col: str,
+    text_expr: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    """Uncapped oracle twin (the catalog query runs uncapped; the
+    capped path re-verifies to the same values by construction)."""
+    tok = H.tokens_sql(text_expr)
+    sh = H.word_shingles_sql(tok, n)
+    thr_q = int(round(threshold * CONTAIN_QUANT))
+    return f"""
+WITH shingled AS (
+  SELECT {id_col} AS id, list_distinct({sh}) AS sh FROM {table}
+  WHERE len(list_distinct({sh})) > 0
+),
+inv AS (SELECT id, unnest(sh) AS s FROM shingled),
+co AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*)::BIGINT AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+sizes AS (SELECT id, len(sh)::BIGINT AS n_sh FROM shingled)
+SELECT l_id, r_id, inter, ls.n_sh AS l_n, rs.n_sh AS r_n,
+       (inter * {CONTAIN_QUANT}) // ls.n_sh AS cont_l_q,
+       (inter * {CONTAIN_QUANT}) // rs.n_sh AS cont_r_q
+FROM co JOIN sizes ls ON co.l_id = ls.id
+        JOIN sizes rs ON co.r_id = rs.id
+WHERE greatest((inter * {CONTAIN_QUANT}) // ls.n_sh,
+               (inter * {CONTAIN_QUANT}) // rs.n_sh) >= {thr_q}
+"""
+
+
 TFIDF_W_QUANT = 1000  # weight quantization: w = round(tf*idf*1000)
 
 

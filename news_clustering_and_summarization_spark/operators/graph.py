@@ -213,3 +213,108 @@ SELECT DISTINCT src, dst FROM (
           FROM (SELECT {tokf} AS tk FROM {table})))
 ) WHERE src <> dst
 """
+
+
+# --- semi-supervised label propagation -------------------------------
+
+
+def label_propagation(
+    edges: "DataFrame",
+    seeds: "DataFrame",
+    iterations: int = 3,
+) -> "DataFrame":
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    majority-vote variant) over a symmetric ``edges(src, dst)`` graph
+    with clamped ``seeds(node, label)`` — the weak-supervision
+    annotator of corpus pipelines (propagate a trusted subset's
+    language/domain/topic tags to the rest of a near-dup or
+    similarity graph).
+
+    Synchronous iterations, fully deterministic: each unlabeled node
+    adopts the MAJORITY label of its labeled neighbors (tie -> the
+    lexicographically smallest label), keeps its previous label when
+    no neighbor is labeled; seeds never change. Each iteration is one
+    edge-join + one groupBy + one per-node window (partitioned by
+    node, never global) — the Pregel-lite shape pagerank uses, with
+    the same unrolled-CTE SQL replay.
+
+    Returns (node, label, is_seed); label NULL where no labeled
+    neighborhood reached the node within ``iterations`` hops.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.join(seeds, "node", "left").select(
+        "node",
+        F.col("label"),
+        F.col("label").isNotNull().alias("is_seed"),
+    )
+    for i in range(iterations):
+        votes = (
+            edges.join(
+                state.withColumnRenamed("node", "src"), "src"
+            )
+            .where(F.col("label").isNotNull())
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("dst", F.col("label").alias("new_label"))
+        )
+        state = (
+            state.join(best, state.node == best.dst, "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce("new_label", "label"))
+                .alias("label"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state
+
+
+def label_propagation_sql(
+    edges_cte: str, seeds_cte: str, iterations: int = 3
+) -> tuple[str, str]:
+    """DuckDB replay: unrolled CTE chain over ``edges_cte(src, dst)``
+    and ``seeds_cte(node, label)``. Returns (cte_fragment,
+    final_relation) selecting (node, label, is_seed)."""
+    parts = [
+        f"""lp_nodes AS (SELECT DISTINCT src AS node FROM {edges_cte}
+  UNION SELECT DISTINCT dst FROM {edges_cte})""",
+        f"""s0 AS (
+  SELECT n.node, sd.label, sd.label IS NOT NULL AS is_seed
+  FROM lp_nodes n LEFT JOIN {seeds_cte} sd ON n.node = sd.node)""",
+    ]
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""b{i} AS (
+  SELECT dst, label AS new_label FROM (
+    SELECT e.dst, s.label, count(*) AS c,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, s.label) AS rn
+    FROM {edges_cte} e JOIN {prev} s ON e.src = s.node
+    WHERE s.label IS NOT NULL
+    GROUP BY e.dst, s.label)
+  WHERE rn = 1)""",
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT s.node,
+         CASE WHEN s.is_seed THEN s.label
+              ELSE coalesce(b.new_label, s.label) END AS label,
+         s.is_seed
+  FROM {prev} s LEFT JOIN b{i} b ON s.node = b.dst)"""
+        )
+        prev = f"s{i}"
+    return ",\n".join(parts), prev

@@ -6577,6 +6577,124 @@ LIMIT 20
 """
 
 
+def q_pack_global(spark, sf):
+    """GLOBAL token-offset packing without a single-partition window
+    (operators/chunking.py pack_sequences_global): the two-phase
+    prefix sum — in-shard cumsum windows run per shard in parallel;
+    only the shard-TOTAL table (N/1024 rows) crosses a
+    single-partition window. The oracle is the NAIVE global window —
+    an independent formulation the two-phase plan must match
+    row-for-row."""
+    from ..operators.chunking import pack_sequences_global
+
+    docs = load(spark, sf, "documents")
+    return pack_sequences_global(
+        docs, "doc_id", "text", budget=256, shard_width=64
+    ).orderBy("doc_id")
+
+
+def oracle_pack_global() -> str:
+    from ..operators.chunking import pack_sequences_global_sql
+
+    return pack_sequences_global_sql("text", budget=256)
+
+
+def q_containment(spark, sf):
+    """Asymmetric shingle containment (operators/dedup.py
+    containment_pairs): |S(A)∩S(B)|/|S(A)| over distinct word
+    trigrams — the sub-document duplication signal Jaccard misses
+    when document sizes differ (Broder 1997's two resemblance
+    measures). Inverted-index candidates, integer-quotient
+    containment (no float rounding discipline at all)."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load(spark, sf, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    )
+
+
+def oracle_containment() -> str:
+    from ..operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(
+        "documents", "doc_id", "text", n=3, threshold=0.1
+    )
+
+
+LP_SEED_MOD = 3
+
+
+def q_label_prop(spark, sf):
+    """Semi-supervised label propagation (operators/graph.py
+    label_propagation): the trusted third of the corpus (doc_id % 3
+    == 0) seeds its ``lang`` tag, which propagates 3 synchronous
+    majority-vote hops over the trigram-containment similarity graph
+    — the weak-supervision annotator pattern (tag the near-dup
+    neighborhood of a vetted subset). Deterministic throughout:
+    majority with lexicographic tie-break, seeds clamped, per-node
+    windows only. Output covers EVERY document; label is NULL where
+    no labeled neighborhood reached the node."""
+    from ..operators.dedup import containment_pairs
+    from ..operators.graph import label_propagation
+
+    docs = load(spark, sf, "documents")
+    pairs = containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    ).select("l_id", "r_id")
+    edges = pairs.select(
+        F.col("l_id").alias("src"), F.col("r_id").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("r_id").alias("src"), F.col("l_id").alias("dst")
+        )
+    )
+    seeds = docs.where(
+        F.col("doc_id") % LP_SEED_MOD == 0
+    ).select(F.col("doc_id").alias("node"), F.col("lang").alias("label"))
+    lp = label_propagation(edges, seeds, iterations=3)
+    is_seed_all = (F.col("doc_id") % LP_SEED_MOD == 0)
+    return docs.select("doc_id", "lang").join(
+        lp, docs.doc_id == lp.node, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("node").isNotNull(), F.col("label"))
+        .otherwise(F.when(is_seed_all, F.col("lang")))
+        .alias("label"),
+        is_seed_all.alias("is_seed"),
+    ).orderBy("doc_id")
+
+
+def oracle_label_prop() -> str:
+    from ..operators.dedup import containment_pairs_sql
+    from ..operators.graph import label_propagation_sql
+
+    pairs = containment_pairs_sql(
+        "documents", "doc_id", "text", n=3, threshold=0.1
+    )
+    frag, final = label_propagation_sql("edges", "seeds", iterations=3)
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT l_id AS src, r_id AS dst FROM pairs
+  UNION ALL
+  SELECT r_id, l_id FROM pairs
+),
+seeds AS (
+  SELECT doc_id AS node, lang AS label FROM documents
+  WHERE doc_id % {LP_SEED_MOD} = 0
+),
+{frag}
+SELECT d.doc_id,
+       CASE WHEN s.node IS NOT NULL THEN s.label
+            WHEN d.doc_id % {LP_SEED_MOD} = 0 THEN d.lang
+            ELSE NULL END AS label,
+       (d.doc_id % {LP_SEED_MOD} = 0) AS is_seed
+FROM documents d LEFT JOIN {final} s ON d.doc_id = s.node
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -6717,6 +6835,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_neardup": q_tfidf_neardup,
     "bpe_encode": q_bpe_encode,
     "keyword_textrank": q_keyword_textrank,
+    "pack_global": q_pack_global,
+    "containment_pairs": q_containment,
+    "label_prop": q_label_prop,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -6795,6 +6916,9 @@ ORACLES: dict[str, str] = {
     "tfidf_neardup": oracle_tfidf_neardup(),
     "bpe_encode": oracle_bpe_encode(),
     "keyword_textrank": oracle_keyword_textrank(),
+    "pack_global": oracle_pack_global(),
+    "containment_pairs": oracle_containment(),
+    "label_prop": oracle_label_prop(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,

@@ -190,3 +190,54 @@ def test_skipgram_subsampling_thins_frequent_words(spark):
     # sqrt(t/f) rule keeps ~4.5% of them
     assert total_the_centers < 2000, centers
     assert "rare" in centers
+
+
+# --- pack_sequences_global (round 6: two-phase global packing) -------
+
+
+def test_pack_global_equals_naive_window(spark):
+    from pyspark.sql import Window, functions as F
+    from news_clustering_and_summarization_spark.functions import hashing as H
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        pack_sequences_global,
+    )
+
+    rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, pack_sequences_global(
+            df, "doc_id", "text", budget=16, shard_width=32
+        ).collect())
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    tok_n = F.size(H.tokens("text")).cast("long")
+    naive = sorted(
+        map(tuple, df.select(
+            "doc_id",
+            tok_n.alias("n_tokens"),
+            F.coalesce(F.sum(tok_n).over(w), F.lit(0)).alias("cum_before"),
+        ).select(
+            "doc_id", "n_tokens", "cum_before",
+            F.expr("cum_before DIV 16").alias("seq_id"),
+        ).collect())
+    )
+    assert got == naive
+
+
+def test_pack_global_monotone_nonskipping(spark):
+    from news_clustering_and_summarization_spark.operators.chunking import (
+        pack_sequences_global,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(50)], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["seq_id"])
+        for r in pack_sequences_global(
+            df, "doc_id", "text", budget=8, shard_width=7
+        ).collect()
+    )
+    seqs = [s for _, s in rows]
+    assert seqs == sorted(seqs)  # monotone in doc order
+    assert set(seqs) == set(range(max(seqs) + 1))  # no gaps

@@ -415,3 +415,61 @@ def test_tfidf_exact_pairs_df_pruning(spark):
         docs, "grp", "id", "text", threshold=0.0, max_df_frac=0.5
     ).collect()
     assert out == []
+
+
+# --- containment_pairs (round 6: asymmetric sub-document dup) --------
+
+
+def test_containment_asymmetric_quote(spark):
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta"
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["l_id"], r["r_id"]) == (1, 2)
+    # every 5-gram of the quote appears in the long doc -> left
+    # containment 1.0; right containment far below threshold
+    assert r["cont_l_q"] == 1_000_000
+    assert r["cont_r_q"] < 200_000
+    # Jaccard for this pair would be inter/union = 3/43 -- the case
+    # containment exists to catch
+
+
+def test_containment_capped_reverifies_exact(spark):
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six seven"),
+            (3, "one two three four five six eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    unc = {
+        (r["l_id"], r["r_id"]): (r["inter"], r["cont_l_q"], r["cont_r_q"])
+        for r in containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    cap = {
+        (r["l_id"], r["r_id"]): (r["inter"], r["cont_l_q"], r["cont_r_q"])
+        for r in containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=2
+        ).collect()
+    }
+    # capped candidates that survive carry EXACT re-verified values
+    for k in cap:
+        assert cap[k] == unc[k]

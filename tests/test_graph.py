@@ -121,3 +121,47 @@ def test_textrank_edges_filter_gap_adjacency(spark):
         (r["src"], r["dst"]) for r in textrank_edges(docs, "text").collect()
     }
     assert got == {("wordone", "wordtwo"), ("wordtwo", "wordone")}
+
+
+# --- label propagation (round 6) -------------------------------------
+
+
+def _lp(spark, edges, seeds, iterations=3):
+    from news_clustering_and_summarization_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sym = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    s = spark.createDataFrame(seeds, "node long, label string")
+    return {
+        r["node"]: (r["label"], r["is_seed"])
+        for r in label_propagation(sym, s, iterations).collect()
+    }
+
+
+def test_label_prop_spreads_majority(spark):
+    # star: center 0 with seeds 1,2 ('a') and 3 ('b') -> majority 'a'
+    got = _lp(spark, [(0, 1), (0, 2), (0, 3)],
+              [(1, "a"), (2, "a"), (3, "b")], iterations=1)
+    assert got[0] == ("a", False)
+    assert got[1] == ("a", True)
+
+
+def test_label_prop_tie_breaks_lexicographic(spark):
+    got = _lp(spark, [(0, 1), (0, 2)], [(1, "b"), (2, "a")], iterations=1)
+    assert got[0][0] == "a"
+
+
+def test_label_prop_seeds_clamped_and_hops_bound(spark):
+    # chain: 0(seed 'x') - 1 - 2 - 3; 1 hop reaches only node 1
+    got1 = _lp(spark, [(0, 1), (1, 2), (2, 3)], [(0, "x")], iterations=1)
+    assert got1[1][0] == "x" and got1[2][0] is None and got1[3][0] is None
+    got3 = _lp(spark, [(0, 1), (1, 2), (2, 3)], [(0, "x")], iterations=3)
+    assert got3[3][0] == "x"
+    # seed keeps its label even when neighbors disagree
+    got = _lp(
+        spark, [(0, 1), (0, 2)], [(0, "z"), (1, "a"), (2, "a")],
+        iterations=2,
+    )
+    assert got[0] == ("z", True)

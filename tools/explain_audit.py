@@ -126,6 +126,10 @@ GLOBAL_WIN_OK = {
     # rank + running-sum windows run over ONLY the top_k (≤100) head
     # rows after the limit — bounded single-partition input
     "vocab_coverage",
+    # the two-phase prefix sum's only single-partition window runs
+    # over the shard-TOTAL table (N/shard_width rows, same shape as
+    # classifier_auc); per-row cumsums partition by shard
+    "pack_global",
 }
 
 
