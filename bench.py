@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "dsir_select",         # hashed-bigram importance resampling (r4)
     "span_corruption",     # T5 denoising pair generation (r4)
     "record_linkage",      # blocked Fellegi-Sunter entity resolution (r4)
+    "bpe_encode",          # BPE train + zero-shuffle corpus encode (r6)
+    "keyword_textrank",    # TextRank keywords via fixed-point pagerank (r6)
 ]
 
 

@@ -184,13 +184,23 @@ def textrank_edges(
     pairs = df.select(F.explode(F.expr(adj)).alias("p")).select(
         "p.a", "p.b"
     )
-    sym = pairs.unionAll(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # distinct on CANONICAL (min,max) pairs first — half the rows
+    # through the dedup shuffle — then mirror; materialized once so
+    # the pagerank iterations that re-scan the edge table don't
+    # re-run the corpus explode per iteration
+    canon = (
+        pairs.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
     )
     return (
-        sym.where(F.col("a") != F.col("b"))
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .distinct()
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -241,6 +251,9 @@ def label_propagation(
     Returns (node, label, is_seed); label NULL where no labeled
     neighborhood reached the node within ``iterations`` hops.
     """
+    # materialize the edge list once — every hop re-scans it, and
+    # callers often hand in an expensive candidate-pair pipeline
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

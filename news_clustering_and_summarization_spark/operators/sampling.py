@@ -394,3 +394,58 @@ def temperature_mix(
         )
         .drop("_n_d")
     )
+
+
+# --- duplicate-aware sampling weights (round 6) ----------------------
+
+
+def dup_weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 11,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """'Count every near-dup cluster once': resolve near-duplicate
+    groups (the dedup_components transitive closure), weight each
+    member 1/cluster_size, and keep rows whose content-addressed hash
+    bucket falls under that weight — in expectation one survivor per
+    cluster, without the bias of always keeping the canonical member
+    (the standard corpus-mixing correction for duplicated documents;
+    deterministic, partition-independent, re-runnable).
+
+    weight_q is an exact integer (SAMPLE_BUCKETS div size) and the
+    keep decision reuses the tested hash_sample bucket convention, so
+    the whole output replays in SQL. Output: (id_col, canonical_id,
+    cluster_size, weight_q, sampled)."""
+    from .dedup import dedup_components
+
+    comp = dedup_components(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        method="ngram",
+        max_shingle_df=max_shingle_df,
+    )
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "canonical_id")
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.expr(f"{SAMPLE_BUCKETS} DIV cluster_size").alias(
+                "weight_q"
+            ),
+            (
+                _bucket(F.col(id_col), seed)
+                < F.expr(f"{SAMPLE_BUCKETS} DIV cluster_size")
+            ).alias("sampled"),
+        )
+    )

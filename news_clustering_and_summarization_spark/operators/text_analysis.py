@@ -733,3 +733,99 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+# --- character-distribution entropy (round 6) ------------------------
+
+ENT_LOG_QUANT = 10**9
+_LN2_LIT = "0.6931471805599453"
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution entropy in bits — the
+    compression-ratio-style quality signal (gibberish and boilerplate
+    sit at the entropy extremes; RefinedWeb/CCNet filter on exactly
+    this family). H = -Σ (n_c/N)·log2(n_c/N) over character classes.
+
+    Exactness: each class contributes the INTEGER term
+    n_c · round(ln(n_c/N)·1e9) — n_c and N are integers, ln of their
+    ratio is computed once per class (no cross-row float sums), so
+    the per-doc total is an order-free integer sum and the single
+    final division is one IEEE double op. Shape: one explode + two
+    map-side-combinable groupBys; N is length(text), carried through
+    the explode (no second pass).
+
+    Output: (id_col, n_chars, ent_q, entropy_bits); empty docs get
+    entropy 0."""
+    chars = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.explode(
+            # Spark's sequence(1, 0) counts DOWN — empty docs need an
+            # explicit empty-array branch (the word_shingles gotcha)
+            F.expr(
+                f"CASE WHEN length({text_col}) < 1 "
+                f"THEN cast(array() AS array<string>) "
+                f"ELSE transform(sequence(1, length({text_col})), "
+                f"i -> substr({text_col}, i, 1)) END"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "n_chars", "ch").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    per = counts.groupBy(id_col, "n_chars").agg(
+        F.sum(
+            F.col("n_c")
+            * F.round(
+                F.log(F.col("n_c") / F.col("n_chars"))
+                * F.lit(float(ENT_LOG_QUANT))
+            ).cast("long")
+        ).alias("ent_q")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("ent_q", F.lit(0)).cast("long").alias("ent_q"),
+            F.expr(
+                "round(-coalesce(ent_q, 0) / cast(greatest("
+                "coalesce(n_chars, 0), 1) as double) / "
+                f"{float(ENT_LOG_QUANT)!r} / {_LN2_LIT}, 6)"
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def char_entropy_sql(
+    table: str, id_col: str = "doc_id", text_expr: str = "text"
+) -> str:
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, length({text_expr})::BIGINT AS n_chars,
+         unnest(list_transform(range(1, length({text_expr}) + 1),
+                               i -> {text_expr}[i]::VARCHAR)) AS ch
+  FROM {table}
+),
+counts AS (
+  SELECT {id_col}, n_chars, ch, count(*)::BIGINT AS n_c
+  FROM chars GROUP BY {id_col}, n_chars, ch
+),
+per AS (
+  SELECT {id_col}, n_chars,
+         CAST(sum(n_c * CAST(round(ln(n_c / n_chars::DOUBLE)
+              * {float(ENT_LOG_QUANT)!r}) AS BIGINT)) AS BIGINT) AS ent_q
+  FROM counts GROUP BY {id_col}, n_chars
+)
+SELECT d.{id_col},
+       coalesce(p.n_chars, 0)::BIGINT AS n_chars,
+       coalesce(p.ent_q, 0)::BIGINT AS ent_q,
+       round(-coalesce(p.ent_q, 0) / greatest(coalesce(p.n_chars, 0),
+             1)::DOUBLE / {float(ENT_LOG_QUANT)!r} / {_LN2_LIT}, 6)
+         AS entropy_bits
+FROM {table} d LEFT JOIN per p USING ({id_col})
+"""

@@ -6695,6 +6695,83 @@ ORDER BY d.doc_id
 """
 
 
+def q_char_entropy(spark, sf):
+    """Character-distribution entropy quality signal
+    (operators/text_analysis.py char_entropy): the compression-ratio
+    family of filters (gibberish/boilerplate sit at the extremes).
+    Per-class integer terms n_c*round(ln(n_c/N)*1e9) make the per-doc
+    sum order-free; one explode + two map-side-combined groupBys."""
+    return TA.char_entropy(
+        load(spark, sf, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def oracle_char_entropy() -> str:
+    return TA.char_entropy_sql("documents", "doc_id", "text")
+
+
+def q_dup_weighted_sample(spark, sf):
+    """Duplicate-aware sampling (operators/sampling.py
+    dup_weighted_sample): near-dup clusters from the transitive
+    closure weighted 1/size, content-addressed keep decision — the
+    'count every near-dup cluster once' corpus-mixing correction,
+    deterministic and re-runnable. Oracle nests the recursive-CTE
+    closure the dedup_components query already certifies."""
+    from ..operators.sampling import dup_weighted_sample
+
+    docs = load(spark, sf, "documents")
+    return dup_weighted_sample(
+        docs, "doc_id", "text", n=3, threshold=0.5, seed=11
+    ).orderBy("doc_id")
+
+
+def oracle_dup_weighted_sample() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS, bucket_sql
+
+    base = oracle_dedup_components().strip()
+    return f"""
+WITH base AS ({base}),
+sizes AS (
+  SELECT canonical_id, count(*)::BIGINT AS cluster_size
+  FROM base GROUP BY canonical_id
+)
+SELECT b.doc_id, b.canonical_id, s.cluster_size,
+       ({SAMPLE_BUCKETS} // s.cluster_size)::BIGINT AS weight_q,
+       ({bucket_sql("b.doc_id", 11)}
+        < {SAMPLE_BUCKETS} // s.cluster_size) AS sampled
+FROM base b JOIN sizes s USING (canonical_id)
+ORDER BY b.doc_id
+"""
+
+
+def q_percent_rank(spark, sf):
+    """percent_rank + cume_dist window coverage: customer balance
+    percentile within market segment (unique tie-break via custkey so
+    both functions are deterministic); partitioned windows only."""
+    cust = load(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_PERCENT_RANK = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey), 9) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey), 9) AS cume
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -6838,6 +6915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_global": q_pack_global,
     "containment_pairs": q_containment,
     "label_prop": q_label_prop,
+    "char_entropy": q_char_entropy,
+    "dup_weighted_sample": q_dup_weighted_sample,
+    "percent_rank": q_percent_rank,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -6919,6 +6999,9 @@ ORACLES: dict[str, str] = {
     "pack_global": oracle_pack_global(),
     "containment_pairs": oracle_containment(),
     "label_prop": oracle_label_prop(),
+    "char_entropy": oracle_char_entropy(),
+    "dup_weighted_sample": oracle_dup_weighted_sample(),
+    "percent_rank": ORACLE_PERCENT_RANK,
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,

@@ -294,3 +294,34 @@ def test_dsir_returns_row_for_bigramless_docs(spark):
     assert set(out) == {1, 2, 3}
     assert out[2] is None and out[3] is None
     assert out[1] is not None
+
+
+# --- dup_weighted_sample (round 6) -----------------------------------
+
+
+def test_dup_weighted_sample_weights_and_determinism(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        dup_weighted_sample,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, dup) for i in range(3)] + [
+        (10 + i, " ".join(f"u{i}w{j}" for j in range(6))) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_size"], r["weight_q"], r["sampled"])
+        for r in dup_weighted_sample(docs, threshold=0.5).collect()
+    }
+    assert len(out) == 7
+    for i in range(3):
+        assert out[i][0] == 3 and out[i][1] == SAMPLE_BUCKETS // 3
+    for i in range(4):
+        assert out[10 + i] == (1, SAMPLE_BUCKETS, True)  # singletons kept
+    # deterministic: re-run is identical
+    again = {
+        r["doc_id"]: (r["cluster_size"], r["weight_q"], r["sampled"])
+        for r in dup_weighted_sample(docs, threshold=0.5).collect()
+    }
+    assert again == out

@@ -390,3 +390,28 @@ def test_gopher_filter_names_failures(spark):
     assert "too_short" in out[2]["fail_reasons"] and not out[2]["keep"]
     assert "repetitive" in out[3]["fail_reasons"]
     assert "dominated" in out[3]["fail_reasons"]
+
+
+# --- char_entropy (round 6) ------------------------------------------
+
+
+def test_char_entropy_hand_cases(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "abcd")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_chars"], r["entropy_bits"])
+        for r in TA.char_entropy(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (4, 0.0)          # single class -> zero entropy
+    assert out[2][0] == 2 and abs(out[2][1] - 1.0) < 1e-6   # fair coin
+    assert out[3] == (0, 0.0)          # empty doc
+    assert out[4][0] == 4 and abs(out[4][1] - 2.0) < 1e-6   # 4 classes
+    # skewed distribution: H(3/4, 1/4)
+    skew = spark.createDataFrame([(1, "aaab")], ["doc_id", "text"])
+    r = TA.char_entropy(skew, "doc_id", "text").first()
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(r["entropy_bits"] - want) < 1e-5
