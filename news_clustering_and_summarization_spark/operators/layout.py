@@ -1,0 +1,127 @@
+"""Z-order (Morton) data layout keys — the multi-dimensional
+clustering lever behind Delta/Iceberg OPTIMIZE ZORDER: interleave the
+bits of several dimensions so range predicates on ANY of them prune
+file-level min/max stats (sources/tables.py stats_skipping shows the
+pruning side; this produces the layout that makes it effective on
+more than one column).
+
+Everything is integer arithmetic — normalization is an integer
+rescale against broadcast min/max aggregates, interleaving is a sum
+of shifted bit tests — so the DuckDB oracle replays the keys
+bit-for-bit. At 100 TB the flow is: compute zkey (zero-shuffle
+projection after one tiny stats aggregate), repartitionByRange(zkey)
+at write time, and let every engine's stats-based skipping do the
+rest; the per-bucket min/max spans this module reports are exactly
+the footer stats a scan would prune on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key_expr", "zorder_layout_stats"]
+
+
+def _interleave_sql(x: str, y: str, bits: int, idiv: str) -> str:
+    """SQL expression interleaving ``bits`` low bits of x (even
+    positions) and y (odd positions). ``idiv`` is the dialect's
+    integer-division operator: Spark spells it DIV, DuckDB // —
+    everything else (%, *, +) is shared."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x}) {idiv} {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((({y}) {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_expr(
+    x: str, y: str, x_min: str, x_max: str, y_min: str, y_max: str,
+    bits: int = 8,
+    idiv: str = "//",
+) -> str:
+    """SQL expression for the z-order key of (x, y) normalized to
+    ``bits``-bit grids against the given min/max expressions. Integer
+    throughout: q = ((v - lo) * (2^bits - 1)) idiv max(hi - lo, 1)."""
+    top = (1 << bits) - 1
+    xq = (f"((({x}) - ({x_min})) * {top} {idiv} "
+          f"greatest(({x_max}) - ({x_min}), 1))")
+    yq = (f"((({y}) - ({y_min})) * {top} {idiv} "
+          f"greatest(({y_max}) - ({y_min}), 1))")
+    return _interleave_sql(xq, yq, bits, idiv)
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bucket_bits: int = 3,
+) -> DataFrame:
+    """Assign every row its z-order key and report per-z-bucket
+    min/max spans of BOTH dimensions — the footer stats a z-ordered
+    layout would expose to scan pruning (tight on x AND y, where a
+    single-column sort is tight on one and spans the full range of
+    the other).
+
+    One 1-row min/max aggregate broadcast into a zero-shuffle key
+    projection, then one groupBy over 4^bucket_bits buckets. Output:
+    (zbucket, n_rows, x_lo, x_hi, y_lo, y_hi)."""
+    stats = df.agg(
+        F.min(x_col).cast("long").alias("_xlo"),
+        F.max(x_col).cast("long").alias("_xhi"),
+        F.min(y_col).cast("long").alias("_ylo"),
+        F.max(y_col).cast("long").alias("_yhi"),
+    )
+    zkey = zorder_key_expr(
+        x_col, y_col, "_xlo", "_xhi", "_ylo", "_yhi", bits, idiv="DIV"
+    )
+    shift = 1 << (2 * bits - 2 * bucket_bits)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            F.expr(f"{zkey} DIV {shift}").alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+    )
+
+
+def zorder_layout_stats_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bucket_bits: int = 3,
+) -> str:
+    zkey = zorder_key_expr(
+        f"t.{x_col}::BIGINT",
+        f"t.{y_col}::BIGINT",
+        "s._xlo",
+        "s._xhi",
+        "s._ylo",
+        "s._yhi",
+        bits,
+    )
+    shift = 1 << (2 * bits - 2 * bucket_bits)
+    return f"""
+WITH s AS (
+  SELECT min({x_col})::BIGINT AS _xlo, max({x_col})::BIGINT AS _xhi,
+         min({y_col})::BIGINT AS _ylo, max({y_col})::BIGINT AS _yhi
+  FROM {table}
+)
+SELECT {zkey} // {shift} AS zbucket,
+       count(*)::BIGINT AS n_rows,
+       min(t.{x_col}::BIGINT) AS x_lo, max(t.{x_col}::BIGINT) AS x_hi,
+       min(t.{y_col}::BIGINT) AS y_lo, max(t.{y_col}::BIGINT) AS y_hi
+FROM {table} t CROSS JOIN s
+GROUP BY 1
+"""

@@ -273,3 +273,88 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+# --- exponentially weighted moving average (round 6) -----------------
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha_pct: int = 30,
+) -> DataFrame:
+    """Per-key EWMA (s_1 = v_1; s_t = α·v_t + (1-α)·s_{t-1}) over the
+    deterministic (order_col, value) sequence — the recency-weighted
+    smoothing signal (rate monitoring, drifting quality baselines).
+
+    The recursion is inherently ordered, so it runs as an
+    INDEX-ORDERED left fold over each key's collected (order, value)
+    array — bit-identical in Spark's ``aggregate`` and DuckDB's
+    ``list_reduce`` (the proven cross-engine fold pattern; float sums
+    never cross rows unordered). Per-key history must be bounded
+    (entity-level sequences, the same contract as sessionize /
+    scd2_history) — this is NOT for a single global series.
+
+    α = alpha_pct/100 built via explicit double casts (bare decimal
+    literals parse as DECIMAL in both engines). The fold result
+    quantizes through floor(x*1e6 + 0.5) — arithmetic half-away on
+    the bit-identical fold double — NOT round(x, 6), whose
+    BigDecimal-vs-libm tie behavior diverges one ulp from the grid
+    (the functions/exact.py failure shape, here on a raw double).
+    Output: (key_col, n_obs, ewma_q, ewma = ewma_q/1e6)."""
+    a = f"(cast({alpha_pct} as double) / cast(100 as double))"
+    fold = (
+        f"aggregate(slice(_vs, 2, greatest(size(_vs) - 1, 0)), "
+        f"element_at(_vs, 1), "
+        f"(acc, x) -> {a} * x + (cast(1 as double) - {a}) * acc)"
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_sv"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(_sv)), s -> s.v)")
+            .alias("_vs")
+        )
+        .select(
+            key_col,
+            F.size("_vs").cast("long").alias("n_obs"),
+            F.expr(
+                f"cast(floor({fold} * 1000000.0 + 0.5) as bigint)"
+            ).alias("ewma_q"),
+        )
+        .withColumn("ewma", F.col("ewma_q") / F.lit(1000000.0))
+    )
+
+
+def ewma_sql(
+    table: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha_pct: int = 30,
+) -> str:
+    a = f"(cast({alpha_pct} as double) / cast(100 as double))"
+    return f"""
+WITH seq AS (
+  SELECT {key_col},
+         list({value_col}::DOUBLE ORDER BY {order_col}, {value_col}) AS vs
+  FROM {table} GROUP BY {key_col}
+),
+folded AS (
+  SELECT {key_col}, len(vs)::BIGINT AS n_obs,
+         CAST(floor(list_reduce(vs,
+              (acc, x) -> {a} * x + (cast(1 as double) - {a}) * acc)
+              * 1000000.0 + 0.5) AS BIGINT) AS ewma_q
+  FROM seq
+)
+SELECT {key_col}, n_obs, ewma_q, ewma_q / 1000000.0 AS ewma
+FROM folded
+"""

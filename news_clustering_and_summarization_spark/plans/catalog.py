@@ -6772,6 +6772,51 @@ ORDER BY c_custkey
 """
 
 
+def q_zorder_layout(spark, sf):
+    """Z-order layout keys (operators/layout.py): Morton-interleave
+    (l_partkey, l_suppkey) and report per-z-bucket min/max spans of
+    BOTH dimensions — the footer stats a z-ordered rewrite exposes to
+    scan pruning on either column (Delta/Iceberg OPTIMIZE ZORDER; the
+    write-side pair of the stats_skipping query). Integer rescale +
+    bit interleave only, one broadcast stats row, one groupBy."""
+    from ..operators.layout import zorder_layout_stats
+
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return zorder_layout_stats(
+        li, "l_partkey", "l_suppkey", bits=8, bucket_bits=3
+    ).orderBy("zbucket")
+
+
+def oracle_zorder_layout() -> str:
+    from ..operators.layout import zorder_layout_stats_sql
+
+    return zorder_layout_stats_sql(
+        "lineitem", "l_partkey", "l_suppkey", bits=8, bucket_bits=3
+    )
+
+
+def q_ewma_smooth(spark, sf):
+    """Per-customer EWMA of order totals (operators/temporal.py ewma):
+    the recency-weighted smoothing baseline. The recursion is an
+    index-ordered fold over each key's bounded (date, value) history —
+    the proven bit-identical cross-engine fold (cf. bpe/dedup folds) —
+    so no float sum ever crosses rows unordered."""
+    from ..operators.temporal import ewma
+
+    orders = load(spark, sf, "orders")
+    return ewma(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", alpha_pct=30
+    ).orderBy("o_custkey")
+
+
+def oracle_ewma_smooth() -> str:
+    from ..operators.temporal import ewma_sql
+
+    return ewma_sql(
+        "orders", "o_custkey", "o_orderdate", "o_totalprice", alpha_pct=30
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -6918,6 +6963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "dup_weighted_sample": q_dup_weighted_sample,
     "percent_rank": q_percent_rank,
+    "zorder_layout": q_zorder_layout,
+    "ewma_smooth": q_ewma_smooth,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -7002,6 +7049,8 @@ ORACLES: dict[str, str] = {
     "char_entropy": oracle_char_entropy(),
     "dup_weighted_sample": oracle_dup_weighted_sample(),
     "percent_rank": ORACLE_PERCENT_RANK,
+    "zorder_layout": oracle_zorder_layout(),
+    "ewma_smooth": oracle_ewma_smooth(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,

@@ -217,3 +217,40 @@ def test_time_weighted_avg_hand_case(spark):
     assert out["u1"]["span_seconds"] == 40
     assert out["u1"]["twa"] == 12.5
     assert out["u2"]["twa"] is None and out["u2"]["n_obs"] == 1
+
+
+# --- ewma (round 6) --------------------------------------------------
+
+
+def test_ewma_hand_computed(spark):
+    from news_clustering_and_summarization_spark.operators.temporal import ewma
+
+    rows = [
+        (1, 1, 10.0),
+        (1, 2, 20.0),
+        (1, 3, 30.0),
+        (2, 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        r["k"]: (r["n_obs"], r["ewma"])
+        for r in ewma(df, "k", "t", "v", alpha_pct=30).collect()
+    }
+    # s1=10; s2=.3*20+.7*10=13; s3=.3*30+.7*13=18.1
+    assert out[1][0] == 3 and abs(out[1][1] - 18.1) < 1e-6
+    assert out[2] == (1, 5.0)
+
+
+def test_ewma_order_by_time_not_input(spark):
+    from news_clustering_and_summarization_spark.operators.temporal import ewma
+
+    a = spark.createDataFrame(
+        [(1, 2, 20.0), (1, 1, 10.0)], "k long, t long, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0)], "k long, t long, v double"
+    ).repartition(5)
+    ra = ewma(a, "k", "t", "v").first()
+    rb = ewma(b, "k", "t", "v").first()
+    assert ra["ewma_q"] == rb["ewma_q"]  # partition/input-order invariant
+    assert abs(ra["ewma"] - 13.0) < 1e-6

@@ -74,6 +74,9 @@ CARTESIAN_OK = {
     # same pagerank kernel over the TextRank co-occurrence graph —
     # the only crossJoin is the ONE-ROW node-count aggregate
     "keyword_textrank",
+    # crossJoins the ONE-ROW min/max stats aggregate onto the rows
+    # before the zero-shuffle z-key projection — O(1)-row side
+    "zorder_layout",
     # bounded anchor mini-batch (25 rows) x corpus scored pass — the
     # same gated brute-force kernel as ann_topk; at corpus scale the
     # candidates come from ivf_topk/lsh_topk instead (documented)
