@@ -6817,6 +6817,131 @@ def oracle_ewma_smooth() -> str:
     )
 
 
+WFQ_SCALE = 10**9
+
+
+def q_interleave_schedule(spark, sf):
+    """Weighted-fair-queueing curriculum interleave: the deterministic
+    ORDER in which a training run should consume a mixed corpus.
+    Each source gets weight sqrt(count)·1000 (the T=2 temperature
+    damping mix_temperature certifies for RATES — this is the
+    streaming-order side), each doc its within-source arrival k (by
+    content hash), and the WFQ virtual finishing time vt = (2k+1) /
+    (2w) — integer arithmetic at 1e9 scale. The first 200 positions
+    of the global merge are the certified output; heavy sources
+    appear proportionally more often, with no RNG and no global
+    window (orderBy+limit = TakeOrdered)."""
+    docs = load(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        "source",
+        F.expr("cast(round(sqrt(cnt) * 1000) as bigint)").alias("w_q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        H.hash64(F.col("doc_id").cast("string"), seed=5), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("k", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(counts), "source")
+        .select(
+            "source",
+            "doc_id",
+            "k",
+            F.expr(f"((2 * k + 1) * {WFQ_SCALE}) DIV (2 * w_q)").alias(
+                "vt_q"
+            ),
+        )
+        .orderBy("vt_q", "source", "doc_id")
+        .limit(200)
+    )
+
+
+def oracle_interleave_schedule() -> str:
+    h = H.hash64_sql("(doc_id)::VARCHAR", seed=5)
+    return f"""
+WITH counts AS (
+  SELECT source,
+         CAST(round(sqrt(count(*)) * 1000) AS BIGINT) AS w_q
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h}, doc_id) - 1 AS k
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.k::BIGINT AS k,
+       ((2 * r.k + 1) * {WFQ_SCALE}) // (2 * c.w_q) AS vt_q
+FROM ranked r JOIN counts c USING (source)
+ORDER BY vt_q, r.source, r.doc_id
+LIMIT 200
+"""
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility (tokens-per-word) per language under the
+    corpus-learned BPE — the standard tokenizer-evaluation metric
+    (multilingual fertility gaps drive vocab-size decisions). Rides
+    the certified bpe_encode path; per-lang totals are integer sums
+    and the ratio is the exact half-away integer division at 1e6."""
+    from ..functions.exact import half_away_div
+    from ..operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = load(spark, sf, "documents")
+    merges_df, _ = learn_bpe_merges(word_frequencies(docs, "text"), 3)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    enc = bpe_encode(docs, merges, "doc_id", "text")
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_syms").alias("syms"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words",
+            "syms",
+            (
+                half_away_div("syms * 1000000", "greatest(words, 1)")
+                / F.lit(1000000.0)
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def oracle_tokenizer_fertility() -> str:
+    from ..functions.exact import half_away_div_sql
+
+    enc = oracle_bpe_encode()
+    ratio = half_away_div_sql("syms * 1000000", "greatest(words, 1)")
+    return f"""
+WITH enc AS ({enc}),
+agg AS (
+  SELECT d.lang, count(*)::BIGINT AS n_docs,
+         CAST(sum(e.n_words) AS BIGINT) AS words,
+         CAST(sum(e.n_syms) AS BIGINT) AS syms
+  FROM enc e JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, words, syms,
+       {ratio} / 1000000.0 AS fertility
+FROM agg ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -6965,6 +7090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percent_rank": q_percent_rank,
     "zorder_layout": q_zorder_layout,
     "ewma_smooth": q_ewma_smooth,
+    "interleave_schedule": q_interleave_schedule,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -7051,6 +7178,8 @@ ORACLES: dict[str, str] = {
     "percent_rank": ORACLE_PERCENT_RANK,
     "zorder_layout": oracle_zorder_layout(),
     "ewma_smooth": oracle_ewma_smooth(),
+    "interleave_schedule": oracle_interleave_schedule(),
+    "tokenizer_fertility": oracle_tokenizer_fertility(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,

@@ -106,3 +106,48 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
         )
+
+
+# --- round-6 batch 5 -------------------------------------------------
+
+
+def test_interleave_schedule_wfq_order(spark):
+    from news_clustering_and_summarization_spark.plans.catalog import (
+        WFQ_SCALE,
+    )
+
+    # WFQ math on a hand fixture: w = sqrt(cnt)*1000, vt=(2k+1)/(2w)
+    # source A cnt=4 -> w=2000; B cnt=1 -> w=1000
+    # A: 250000, 750000, 1250000, 1750000; B: 500000 (at 1e9 scale //)
+    assert ((2 * 0 + 1) * WFQ_SCALE) // (2 * 2000) == 250_000
+    assert ((2 * 0 + 1) * WFQ_SCALE) // (2 * 1000) == 500_000
+    assert ((2 * 1 + 1) * WFQ_SCALE) // (2 * 2000) == 750_000
+
+
+def test_interleave_schedule_proportional(spark):
+    from news_clustering_and_summarization_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["interleave_schedule"](spark, SF_SMOKE).collect()
+    assert len(rows) == 200
+    vts = [r["vt_q"] for r in rows]
+    assert vts == sorted(vts)  # schedule is vt-ordered
+    # within any source, arrival order k is respected
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["k"])
+    for ks in by_src.values():
+        assert ks == sorted(ks)
+
+
+def test_tokenizer_fertility_contract(spark):
+    from news_clustering_and_summarization_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.QUERIES["tokenizer_fertility"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 2  # multiple languages present
+    for r in rows:
+        # with 3 merges, encoding can never yield fewer symbols than
+        # words nor more than characters; fertility matches the ratio
+        assert r["syms"] >= r["words"] > 0
+        assert abs(r["fertility"] - r["syms"] / r["words"]) < 1e-5
