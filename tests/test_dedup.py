@@ -473,3 +473,38 @@ def test_containment_capped_reverifies_exact(spark):
     # capped candidates that survive carry EXACT re-verified values
     for k in cap:
         assert cap[k] == unc[k]
+
+
+def test_tfidf_mllib_and_exact_paths_agree_on_planted_dups(spark):
+    """The reference-parity MLlib path (tfidf_near_duplicates) and the
+    oracle-replayable exact path (tfidf_exact_pairs) must both surface
+    the planted high-similarity pair and agree no disjoint pair
+    qualifies — same semantics, two formulations."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        tfidf_exact_pairs,
+        tfidf_near_duplicates,
+    )
+
+    near = "markets rallied on strong earnings and upbeat guidance today"
+    docs = spark.createDataFrame(
+        [
+            ("g", 1, near),
+            ("g", 2, near + " again"),
+            ("g", 3, "volcanic eruption disrupts island flights overnight"),
+        ],
+        ["cluster", "doc_id", "text"],
+    )
+    ml = {
+        (r["l_id"], r["r_id"])
+        for r in tfidf_near_duplicates(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["l_id"], r["r_id"])
+        for r in tfidf_exact_pairs(
+            docs, "cluster", "doc_id", "text",
+            threshold=0.5, max_df_frac=1.0,
+        ).collect()
+    }
+    assert (1, 2) in ml and (1, 2) in exact
+    assert (1, 3) not in ml and (1, 3) not in exact
+    assert (2, 3) not in ml and (2, 3) not in exact
