@@ -6942,6 +6942,43 @@ FROM agg ORDER BY lang
 """
 
 
+# One SQL text, two engines: the implicit supplier hierarchy
+# parent(k) = floor(k/10) forms a forest rooted at keys 1..9; the
+# recursive CTE walks each supplier to its root. floor(x/10.0) is the
+# portable integer step (Spark int/int division and DuckDB CAST
+# rounding both diverge; floor does not).
+_RECURSIVE_CLOSURE_SQL = """
+WITH RECURSIVE up AS (
+  SELECT s_suppkey, s_suppkey AS anc, 0 AS depth
+  FROM supplier
+  UNION ALL
+  SELECT s_suppkey, CAST(floor(anc / 10.0) AS BIGINT) AS anc,
+         depth + 1 AS depth
+  FROM up WHERE anc >= 10
+)
+SELECT s_suppkey,
+       CAST(max(depth) AS BIGINT) AS depth,
+       CAST(min(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS root,
+       CAST(sum(anc) AS BIGINT) AS chain_sum
+FROM up
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+"""
+
+
+def q_sql_recursive_closure(spark, sf):
+    """Native recursive CTE (Spark 4.1 WITH RECURSIVE) walking the
+    implicit supplier hierarchy parent(k)=floor(k/10) to its roots —
+    the iterative-closure workloads (org charts, BOM explosions,
+    reachability) expressed in ONE SQL text shared verbatim with the
+    DuckDB oracle. Complements the engine's DataFrame-loop closures
+    (connected components, pagerank), whose oracles go the other
+    direction (SQL replays the loop); here Spark itself runs the
+    recursion."""
+    load(spark, sf, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -7092,6 +7129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_smooth": q_ewma_smooth,
     "interleave_schedule": q_interleave_schedule,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "sql_recursive_closure": q_sql_recursive_closure,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -7180,6 +7218,7 @@ ORACLES: dict[str, str] = {
     "ewma_smooth": oracle_ewma_smooth(),
     "interleave_schedule": oracle_interleave_schedule(),
     "tokenizer_fertility": oracle_tokenizer_fertility(),
+    "sql_recursive_closure": _RECURSIVE_CLOSURE_SQL,
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,
