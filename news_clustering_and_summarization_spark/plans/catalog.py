@@ -6942,6 +6942,118 @@ FROM agg ORDER BY lang
 """
 
 
+POOL_DIMS = 16
+
+
+def q_frame_pool(spark, sf):
+    """Temporal pooling over sampled video/audio frames — the
+    decode -> frame-sample -> per-frame-embed -> mean-pool pipeline
+    shape every multimodal trainer runs. decode_media is the REAL
+    mapInPandas plumbing (deterministic fake codec, as in
+    multimodal_decode); per-frame features are md5-derived integers
+    (the codec stand-in), and the per-dimension mean is the exact
+    half-away integer division, so the asset-level pooled embedding
+    replays bit-for-bit in SQL. Output per pooled asset:
+    (asset_id, n_sampled, pool_checksum, pool_sum_q)."""
+    from ..functions.exact import half_away_div
+    from ..operators.multimodal import decode_media, sample_frames
+
+    decoded = decode_media(_media_frame(spark, sf), fake=True)
+    frames = sample_frames(decoded, every_nth=5)
+    dims = frames.select(
+        "asset_id",
+        "frame_index",
+        F.explode(F.expr(f"sequence(0, {POOL_DIMS - 1})")).alias("dim"),
+    ).select(
+        "asset_id",
+        "dim",
+        (
+            H.hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("asset_id"),
+                    F.col("frame_index").cast("string"),
+                    F.col("dim").cast("string"),
+                )
+            )
+            % 1000
+        ).alias("f"),
+    )
+    per_dim = dims.groupBy("asset_id", "dim").agg(
+        F.sum("f").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "asset_id",
+        "dim",
+        "s",
+        "n",
+        half_away_div("1000 * s", "n").alias("mean_q"),
+    )
+    return (
+        per_dim.groupBy("asset_id")
+        .agg(
+            F.max("n").cast("long").alias("n_sampled"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(dim, mean_q))), "
+                    "x -> concat(x.dim, ':', x.mean_q)), chr(31))"
+                )
+            ).alias("pool_checksum"),
+            F.sum("s").cast("long").alias("pool_sum_q"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+def oracle_frame_pool() -> str:
+    from ..functions.exact import half_away_div_sql
+
+    h = H.hash64_sql(
+        "(asset_id || ':' || frame_index::VARCHAR || ':' || dim::VARCHAR)"
+    )
+    mean_q = half_away_div_sql("1000 * s", "n")
+    return f"""
+WITH m AS (
+  SELECT doc_id::VARCHAR AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(coalesce(text, '')) AS h
+  FROM documents
+),
+dec AS (
+  SELECT asset_id, media_type,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + ('0x' || substr(h, 5, 2))::INT % 30
+         END AS n_frames
+  FROM m
+),
+frames AS (
+  SELECT asset_id, unnest(range(0, n_frames, 5)) AS frame_index
+  FROM dec WHERE n_frames > 1
+),
+dims AS (
+  SELECT asset_id, frame_index, unnest(range(0, {POOL_DIMS})) AS dim
+  FROM frames
+),
+feat AS (
+  SELECT asset_id, dim, {h} % 1000 AS f FROM dims
+),
+per_dim AS (
+  SELECT asset_id, dim, CAST(sum(f) AS BIGINT) AS s,
+         count(*)::BIGINT AS n
+  FROM feat GROUP BY asset_id, dim
+)
+SELECT asset_id,
+       CAST(max(n) AS BIGINT) AS n_sampled,
+       md5(string_agg(dim::VARCHAR || ':' || ({mean_q})::VARCHAR,
+                      chr(31) ORDER BY dim)) AS pool_checksum,
+       CAST(sum(s) AS BIGINT) AS pool_sum_q
+FROM per_dim
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
 # One SQL text, two engines: the implicit supplier hierarchy
 # parent(k) = floor(k/10) forms a forest rooted at keys 1..9; the
 # recursive CTE walks each supplier to its root. floor(x/10.0) is the
@@ -7130,6 +7242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interleave_schedule": q_interleave_schedule,
     "tokenizer_fertility": q_tokenizer_fertility,
     "sql_recursive_closure": q_sql_recursive_closure,
+    "frame_pool": q_frame_pool,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -7219,6 +7332,7 @@ ORACLES: dict[str, str] = {
     "interleave_schedule": oracle_interleave_schedule(),
     "tokenizer_fertility": oracle_tokenizer_fertility(),
     "sql_recursive_closure": _RECURSIVE_CLOSURE_SQL,
+    "frame_pool": oracle_frame_pool(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,
