@@ -6942,6 +6942,98 @@ FROM agg ORDER BY lang
 """
 
 
+ROUNDTRIP_MOD = 1_000_000_007
+
+
+def _row_checksum_col():
+    return F.sum(
+        H.hash64(
+            F.concat_ws(
+                "\x1f",
+                F.col("doc_id").cast("string"),
+                F.col("text"),
+                F.col("lang"),
+                F.col("source"),
+                F.col("n_chars").cast("string"),
+            )
+        )
+        % ROUNDTRIP_MOD
+    ).cast("long")
+
+
+def q_format_roundtrip(spark, sf):
+    """Source/sink format breadth: write the documents table to CSV
+    (quoted/escaped, multiLine), ORC, and JSON-lines sinks, read each
+    back with the EXPLICIT schema, and emit (fmt, n_rows, checksum)
+    where checksum is an order-free integer sum of per-row hashes.
+    The oracle computes the same checksum straight from parquet — a
+    green hash certifies every format's write+read path is LOSSLESS
+    for every row, including quoting/escaping of free text. Writes go
+    under the Spark warehouse dir (the bucketed-table pattern)."""
+    tag = _safe_sf_tag(sf)
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    base = (
+        f"{spark.conf.get('spark.sql.warehouse.dir')}"
+        f"/fmt_roundtrip_{tag}"
+    )
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    parts = []
+    for fmt in ("csv", "orc", "json"):
+        path = f"{base}/{fmt}"
+        w = docs.write.mode("overwrite").format(fmt)
+        r = spark.read.format(fmt).schema(schema)
+        if fmt == "csv":
+            w = w.option("header", True).option("escape", '"').option(
+                "emptyValue", ""
+            )
+            r = (
+                r.option("header", True)
+                .option("escape", '"')
+                .option("multiLine", True)
+                .option("emptyValue", "")
+            )
+        w.save(path)
+        rt = r.load(path)
+        parts.append(
+            rt.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                _row_checksum_col().alias("checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fmt")
+
+
+def oracle_format_roundtrip() -> str:
+    h = H.hash64_sql(
+        "(doc_id::VARCHAR || chr(31) || coalesce(text, '') || chr(31)"
+        " || lang || chr(31) || source || chr(31) || n_chars::VARCHAR)"
+    )
+    one = (
+        f"SELECT count(*)::BIGINT AS n_rows, "
+        f"CAST(sum({h} % {ROUNDTRIP_MOD}) AS BIGINT) AS checksum "
+        f"FROM documents"
+    )
+    return f"""
+WITH ref AS ({one})
+SELECT fmt, n_rows, checksum
+FROM (VALUES ('csv'), ('orc'), ('json')) AS f(fmt) CROSS JOIN ref
+ORDER BY fmt
+"""
+
+
 POOL_DIMS = 16
 
 
@@ -7243,6 +7335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "sql_recursive_closure": q_sql_recursive_closure,
     "frame_pool": q_frame_pool,
+    "format_roundtrip": q_format_roundtrip,
     "mix_temperature": q_mix_temperature,
     "calibration": q_calibration,
     "time_weighted_avg": q_time_weighted_avg,
@@ -7333,6 +7426,7 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility": oracle_tokenizer_fertility(),
     "sql_recursive_closure": _RECURSIVE_CLOSURE_SQL,
     "frame_pool": oracle_frame_pool(),
+    "format_roundtrip": oracle_format_roundtrip(),
     "mix_temperature": oracle_mix_temperature(),
     "calibration": oracle_calibration(),
     "time_weighted_avg": ORACLE_TWA,
