@@ -186,10 +186,20 @@ def bpe_encode(
             t=text_col
         )
     )
-    stream = f"flatten(transform({words}, w -> {enc}))"
-    return df.select(
-        F.col(id_col),
-        F.expr(f"size({words})").cast("long").alias("n_words"),
-        F.expr(f"size({stream})").cast("long").alias("n_syms"),
-        F.md5(F.expr(f"array_join({stream}, chr(31))")).alias("syms_h"),
+    # materialize words and the encoded stream in their own
+    # projections — inlining the expressions would re-run the
+    # tokenizer and the whole fold once per referencing column
+    return (
+        df.select(F.col(id_col), F.expr(words).alias("_w"))
+        .select(
+            id_col,
+            F.expr("size(_w)").cast("long").alias("n_words"),
+            F.expr(f"flatten(transform(_w, w -> {enc}))").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.expr("size(_s)").cast("long").alias("n_syms"),
+            F.md5(F.expr("array_join(_s, chr(31))")).alias("syms_h"),
+        )
     )

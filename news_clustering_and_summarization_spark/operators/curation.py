@@ -132,19 +132,25 @@ def bm25_search(
     reuses the materialized batch), shuffled never.
 
     Output: (id_col, score_q, score) top_k by (score_q DESC, id)."""
-    tok = H.tokens(F.col(text_col))
     terms = sorted(set(query_terms))
+    tok_col = F.col("_tok")
 
     def _tf(word):
         # single-arg lambda: a two-arg lambda would make F.filter pass
         # (element, index) and shadow the captured word
-        return F.size(F.filter(tok, lambda t: t == F.lit(word)))
+        return F.size(F.filter(tok_col, lambda t: t == F.lit(word)))
 
-    base = df.select(
-        F.col(id_col),
-        F.size(tok).alias("dl"),
-        *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)],
-    ).localCheckpoint(eager=False)
+    # tokenize ONCE into a column; inlining the tokenizer expression
+    # would re-run it per tf_i reference
+    base = (
+        df.select(F.col(id_col), H.tokens(F.col(text_col)).alias("_tok"))
+        .select(
+            F.col(id_col),
+            F.size(tok_col).alias("dl"),
+            *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)],
+        )
+        .localCheckpoint(eager=False)
+    )
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_dl"),

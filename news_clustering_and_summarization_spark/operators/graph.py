@@ -175,14 +175,20 @@ def textrank_edges(
         f"filter(filter(split(lower({text_col}), '[^a-z0-9]+'), "
         f"t -> t != ''), t -> length(t) >= {min_len})"
     )
+    # materialize the filtered token array in its own projection: an
+    # inlined {tokf} inside the transform lambda would re-run the
+    # tokenizer per array INDEX (O(len²) per doc — measured 15s vs
+    # 1s at sf0.1); a column reference evaluates once per row
     adj = (
-        f"CASE WHEN size({tokf}) < 2 THEN "
-        f"cast(array() AS array<struct<a string, b string>>) "
-        f"ELSE transform(sequence(1, size({tokf}) - 1), "
-        f"i -> struct({tokf}[i-1] AS a, {tokf}[i] AS b)) END"
+        "CASE WHEN size(tk) < 2 THEN "
+        "cast(array() AS array<struct<a string, b string>>) "
+        "ELSE transform(sequence(1, size(tk) - 1), "
+        "i -> struct(tk[i-1] AS a, tk[i] AS b)) END"
     )
-    pairs = df.select(F.explode(F.expr(adj)).alias("p")).select(
-        "p.a", "p.b"
+    pairs = (
+        df.select(F.expr(tokf).alias("tk"))
+        .select(F.explode(F.expr(adj)).alias("p"))
+        .select("p.a", "p.b")
     )
     # distinct on CANONICAL (min,max) pairs first — half the rows
     # through the dedup shuffle — then mirror; materialized once so
