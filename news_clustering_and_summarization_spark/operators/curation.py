@@ -329,13 +329,15 @@ def ngram_novelty(
 
     Output: (id_col, n_grams, n_shared, novelty); docs with fewer than
     ``n`` tokens have n_grams = 0 and novelty 1.0."""
-    tok = H.tokens(F.col(text_col))
     grams = df.select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("_tok")
+    ).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
                 F.transform(
-                    H.word_shingles(tok, n), lambda s: H.hash64(s)
+                    H.word_shingles(F.col("_tok"), n),
+                    lambda s: H.hash64(s),
                 )
             )
         ).alias("g"),

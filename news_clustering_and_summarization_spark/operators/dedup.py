@@ -128,10 +128,14 @@ def ngram_jaccard_pairs(
     document)."""
     shingled = (
         fan_out(df)
+        # tokens materialized in their own projection: Catalyst does
+        # not CSE inside the shingle transform's lambda, so an
+        # inlined tokenizer tree re-runs per array index
+        .select(F.col(id_col).alias("id"), H.tokens(text_col).alias("_tok"))
         .select(
-            F.col(id_col).alias("id"),
+            "id",
             F.array_distinct(
-                H.word_shingles(H.tokens(text_col), n)
+                H.word_shingles(F.col("_tok"), n)
             ).alias("sh"),
         )
         .where(F.size("sh") > 0)
@@ -211,14 +215,21 @@ def minhash_signatures(
     Output: (id, sig array<long>). With ``preshingled`` the text
     column already holds the distinct shingle array."""
     params = H.minhash_params(k)
-    shingle_arr = (
-        F.col(text_col)
-        if preshingled
-        else F.array_distinct(H.word_shingles(H.tokens(text_col), n))
-    )
-    exploded = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_arr).alias("s"),
+    if preshingled:
+        base = fan_out(df).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_sharr")
+        )
+    else:
+        base = fan_out(df).select(
+            F.col(id_col).alias("id"), H.tokens(text_col).alias("_tok")
+        ).select(
+            "id",
+            F.array_distinct(
+                H.word_shingles(F.col("_tok"), n)
+            ).alias("_sharr"),
+        )
+    exploded = base.select(
+        "id", F.explode("_sharr").alias("s")
     ).withColumn("h31", H.shingle_hash31(F.col("s")))
     aggs = [
         F.min(
@@ -316,9 +327,11 @@ def minhash_near_duplicates(
     join all read them, and tokenize+shingle is the expensive part.
     """
     shingled = fan_out(df).select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), H.tokens(text_col).alias("_tok")
+    ).select(
+        "id",
         F.array_distinct(
-            H.word_shingles(H.tokens(text_col), n)
+            H.word_shingles(F.col("_tok"), n)
         ).alias("sh"),
     ).localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(
@@ -397,9 +410,11 @@ def minhash_incremental_near_duplicates(
 
     def shingles_of(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(alias),
+            F.col(id_col).alias(alias), H.tokens(text_col).alias("_tok")
+        ).select(
+            alias,
             F.array_distinct(
-                H.word_shingles(H.tokens(text_col), n)
+                H.word_shingles(F.col("_tok"), n)
             ).alias(f"{alias[:1]}_sh"),
         )
 
@@ -630,10 +645,11 @@ def containment_pairs(
     threshold."""
     shingled = (
         fan_out(df)
+        .select(F.col(id_col).alias("id"), H.tokens(text_col).alias("_tok"))
         .select(
-            F.col(id_col).alias("id"),
+            "id",
             F.array_distinct(
-                H.word_shingles(H.tokens(text_col), n)
+                H.word_shingles(F.col("_tok"), n)
             ).alias("sh"),
         )
         .where(F.size("sh") > 0)
@@ -901,9 +917,11 @@ def decontaminate(
 
     def shingle(df: DataFrame) -> DataFrame:
         return df.select(
-            F.col(id_col),
+            F.col(id_col), H.tokens(text_col).alias("_tok")
+        ).select(
+            id_col,
             F.array_distinct(
-                H.word_shingles(H.tokens(text_col), n)
+                H.word_shingles(F.col("_tok"), n)
             ).alias("sh"),
         )
 

@@ -261,9 +261,11 @@ def dsir_importance_weights(
 
     def bigram_instances(df: DataFrame, *cols: str) -> DataFrame:
         return df.select(
+            *cols, H.tokens(F.col(text_col)).alias("_tok")
+        ).select(
             *cols,
             F.explode(
-                H.word_shingles(H.tokens(F.col(text_col)), 2)
+                H.word_shingles(F.col("_tok"), 2)
             ).alias("bg"),
         ).withColumn(
             "bucket", H.hash64(F.col("bg"), DSIR_BUCKET_SEED) % n_buckets

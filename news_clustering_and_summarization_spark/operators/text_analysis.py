@@ -386,9 +386,11 @@ def repeated_passages(
     duplicate-ridden corpora, which is exactly when it matters.
     """
     base = df.select(
-        F.col(id_col),
+        F.col(id_col), H.tokens(text_col).alias("_tok")
+    ).select(
+        id_col,
         F.array_distinct(
-            H.word_shingles(H.tokens(text_col), n)
+            H.word_shingles(F.col("_tok"), n)
         ).alias("sh"),
     )
     inv = base.select(
@@ -706,10 +708,12 @@ def winnow_fingerprints(
     selected fingerprint (id_col, fp_hash, fp_pos).
     """
     shingled = df.select(
-        F.col(id_col),
+        F.col(id_col), H.tokens(F.col(text_col)).alias("_tok")
+    ).select(
+        id_col,
         F.posexplode(
             F.transform(
-                H.word_shingles(H.tokens(F.col(text_col)), k),
+                H.word_shingles(F.col("_tok"), k),
                 lambda s: H.hash64(s),
             )
         ).alias("pos", "h"),

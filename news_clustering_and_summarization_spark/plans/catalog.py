@@ -5478,8 +5478,10 @@ def q_hll_distinct(spark, sf):
     m = 1024
     docs = load(spark, sf, "documents")
     sh = docs.select(
+        "lang", H.tokens(F.col("text")).alias("_tok")
+    ).select(
         "lang",
-        F.explode(H.word_shingles(H.tokens(F.col("text")), 3)).alias("sh"),
+        F.explode(H.word_shingles(F.col("_tok"), 3)).alias("sh"),
     )
     regs = hll_build(sh, "sh", m, ["lang"])
     est = hll_estimate(regs, m, ["lang"])
