@@ -287,3 +287,170 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+# --- ROUGE-N summary evaluation ---------------------------------------
+
+
+def rouge_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lead_k: int = 15,
+) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 (Lin 2004, "ROUGE: A Package for Automatic
+    Evaluation of Summaries") of the lead-k extractive summary
+    against the document remainder — the standard intrinsic metric
+    for the reference's summarization stage
+    (business_logic/summarization/; its LLM summaries have no
+    deterministic surface, so the catalog scores the classic LEAD-k
+    baseline whose candidate/reference split is a pure function of
+    the document).
+
+    Per document: candidate C = first ``lead_k`` tokens, reference
+    R = the rest. For n in {1, 2}: match_n = Σ_g min(c_C(g), c_R(g))
+    over n-grams g (clipped counts — the ROUGE definition), candidate
+    gram count |C_n| = lead_k - n + 1 (constant), reference count
+    |R_n| = n_tok - lead_k - n + 1. Precision, recall and F1 are
+    single exact integer divisions: F1 = 2·match / (|C_n| + |R_n|)
+    (the harmonic-mean identity keeps it one division), emitted
+    half-away-quantized at 1e6 so both engines agree bit-for-bit.
+
+    Shape: tokens materialized once per doc (no-CSE-inside-lambda
+    rule), one explode per side per n with map-side-combined
+    (id, gram) counts, one equi-join per n on (id, gram) — the same
+    shuffle budget as a TF computation; no windows, no collects.
+    Docs shorter than lead_k + 2 tokens (empty bigram reference) are
+    excluded up front.
+
+    Output: (id, n_tok, r1_match, r1_ref, r1_f1_q, r2_match, r2_ref,
+    r2_f1_q) — candidate sizes are the documented constants."""
+    from ..functions import hashing as H
+
+    parts = (
+        df.select(
+            F.col(id_col).alias("id"), H.tokens(F.col(text_col)).alias("_tok")
+        )
+        .where(F.size("_tok") >= lead_k + 2)
+        .select(
+            "id",
+            F.size("_tok").cast("long").alias("n_tok"),
+            F.slice("_tok", 1, lead_k).alias("_cand"),
+            F.expr(f"slice(_tok, {lead_k + 1}, size(_tok) - {lead_k})").alias(
+                "_ref"
+            ),
+        )
+    )
+
+    def match_counts(n: int) -> DataFrame:
+        cand = (
+            parts.select(
+                "id", F.explode(H.word_shingles(F.col("_cand"), n)).alias("g")
+            )
+            .groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("c_c"))
+        )
+        ref = (
+            parts.select(
+                "id", F.explode(H.word_shingles(F.col("_ref"), n)).alias("g")
+            )
+            .groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("c_r"))
+        )
+        return (
+            cand.join(ref, ["id", "g"])
+            .groupBy("id")
+            .agg(
+                F.sum(F.least("c_c", "c_r")).cast("long").alias(f"r{n}_match")
+            )
+        )
+
+    out = parts.select("id", "n_tok")
+    for n in (1, 2):
+        n_cand = lead_k - n + 1
+        out = (
+            out.join(match_counts(n), "id", "left")
+            .withColumn(
+                f"r{n}_match", F.coalesce(f"r{n}_match", F.lit(0)).cast("long")
+            )
+            .withColumn(
+                f"r{n}_ref", (F.col("n_tok") - F.lit(lead_k + n - 1)).cast("long")
+            )
+            .withColumn(
+                f"r{n}_f1_q",
+                half_away_div(
+                    f"2000000 * r{n}_match", f"{n_cand} + r{n}_ref"
+                ).cast("long"),
+            )
+        )
+    return out.select(
+        "id",
+        "n_tok",
+        "r1_match",
+        "r1_ref",
+        "r1_f1_q",
+        "r2_match",
+        "r2_ref",
+        "r2_f1_q",
+    ).orderBy("id")
+
+
+def rouge_scores_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    lead_k: int = 15,
+) -> str:
+    """DuckDB twin of rouge_scores (same clipped-count grams, same
+    half-away integer F1)."""
+    from ..functions.exact import half_away_div_sql
+    from ..functions.hashing import tokens_sql, word_shingles_sql
+
+    def side(n: int, col: str, cname: str) -> str:
+        return f"""
+  SELECT id, g, count(*)::BIGINT AS {cname}
+  FROM (SELECT id, unnest({word_shingles_sql(col, n)}) AS g FROM parts)
+  GROUP BY id, g"""
+
+    def f1(n: int) -> str:
+        n_cand = lead_k - n + 1
+        return half_away_div_sql(
+            f"2000000 * r{n}_match", f"{n_cand} + r{n}_ref"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, {tokens_sql(text_expr)} AS t FROM {table}
+),
+parts AS (
+  SELECT id, len(t)::BIGINT AS n_tok,
+         list_slice(t, 1, {lead_k}) AS cand,
+         list_slice(t, {lead_k + 1}, len(t)) AS ref
+  FROM tok WHERE len(t) >= {lead_k + 2}
+),
+c1 AS ({side(1, 'cand', 'c_c')}),
+r1 AS ({side(1, 'ref', 'c_r')}),
+m1 AS (
+  SELECT id, sum(least(c_c, c_r))::BIGINT AS m
+  FROM c1 JOIN r1 USING (id, g) GROUP BY id
+),
+c2 AS ({side(2, 'cand', 'c_c')}),
+r2 AS ({side(2, 'ref', 'c_r')}),
+m2 AS (
+  SELECT id, sum(least(c_c, c_r))::BIGINT AS m
+  FROM c2 JOIN r2 USING (id, g) GROUP BY id
+),
+scored AS (
+  SELECT p.id, p.n_tok,
+         coalesce(m1.m, 0)::BIGINT AS r1_match,
+         (p.n_tok - {lead_k})::BIGINT AS r1_ref,
+         coalesce(m2.m, 0)::BIGINT AS r2_match,
+         (p.n_tok - {lead_k + 1})::BIGINT AS r2_ref
+  FROM parts p
+  LEFT JOIN m1 ON p.id = m1.id
+  LEFT JOIN m2 ON p.id = m2.id
+)
+SELECT id, n_tok, r1_match, r1_ref, {f1(1)}::BIGINT AS r1_f1_q,
+       r2_match, r2_ref, {f1(2)}::BIGINT AS r2_f1_q
+FROM scored ORDER BY id
+"""

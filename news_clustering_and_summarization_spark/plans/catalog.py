@@ -7185,6 +7185,24 @@ def q_sql_recursive_closure(spark, sf):
     return spark.sql(_RECURSIVE_CLOSURE_SQL)
 
 
+def q_rouge_eval(spark, sf):
+    """ROUGE-1/2 of the LEAD-k extractive summary vs the document
+    remainder (operators/evaluation.rouge_scores) — the intrinsic
+    metric for the reference's summarization stage scored on the
+    deterministic LEAD baseline. Clipped n-gram counts, constant
+    candidate sizes, F1 as ONE half-away integer division via the
+    harmonic-mean identity; shuffle budget of a TF computation."""
+    from ..operators.evaluation import rouge_scores
+
+    return rouge_scores(load(spark, sf, "documents"), "doc_id", "text")
+
+
+def oracle_rouge_eval() -> str:
+    from ..operators.evaluation import rouge_scores_sql
+
+    return rouge_scores_sql("documents", "doc_id", "text")
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -7347,6 +7365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq": q_ann_ivf_pq,
     "basket_rules": q_basket_rules,
     "skipgram_pairs": q_skipgram_pairs,
+    "rouge_eval": q_rouge_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -7437,6 +7456,7 @@ ORACLES: dict[str, str] = {
     "record_linkage": ORACLE_RECORD_LINKAGE,
     "basket_rules": ORACLE_BASKET_RULES,
     "skipgram_pairs": oracle_skipgram_pairs(),
+    "rouge_eval": oracle_rouge_eval(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -112,3 +112,42 @@ def test_binary_auc_single_class_yields_null(spark):
     pos_only = spark.createDataFrame([(1, 1), (2, 1)], ["score", "y"])
     r = binary_auc(pos_only, "score", "y").first()
     assert r["auc"] is None and r["n_pos"] == 2 and r["n_neg"] == 0
+
+
+def test_rouge_hand_case(spark):
+    """ROUGE clipped counts on a tiny hand-computable doc: candidate
+    'a b a c' (lead_k=4) vs reference 'a a b d x y'."""
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        rouge_scores,
+    )
+
+    # 10 tokens: cand = [a b a c], ref = [a a b d x y]
+    df = spark.createDataFrame([(1, "a b a c a a b d x y")], ["doc_id", "text"])
+    r = rouge_scores(df, "doc_id", "text", lead_k=4).first()
+    # unigrams: cand counts {a:2,b:1,c:1}, ref {a:2,b:1,d:1,x:1,y:1}
+    # clipped match = min(2,2)+min(1,1) = 3; |C1|=4, |R1|=6
+    assert r["r1_match"] == 3 and r["r1_ref"] == 6
+    assert r["r1_f1_q"] == 600000  # 2*3/(4+6) = 0.6
+    # bigrams: cand {'a b','b a','a c'}, ref {'a a','a b','b d','d x','x y'}
+    # match = 1 ('a b'); |C2|=3, |R2|=5
+    assert r["r2_match"] == 1 and r["r2_ref"] == 5
+    assert r["r2_f1_q"] == 250000  # 2*1/(3+5) = 0.25
+
+
+def test_rouge_short_docs_excluded_and_zero_overlap(spark):
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        rouge_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),                       # < lead_k+2 tokens: dropped
+            (2, "a b c d p q"),                 # cand [a b c d], ref [p q]
+        ],
+        ["doc_id", "text"],
+    )
+    out = rouge_scores(df, "doc_id", "text", lead_k=4).collect()
+    assert [r["id"] for r in out] == [2]
+    r = out[0]
+    assert r["r1_match"] == 0 and r["r1_f1_q"] == 0
+    assert r["r2_match"] == 0 and r["r2_f1_q"] == 0
