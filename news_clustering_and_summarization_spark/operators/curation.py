@@ -397,3 +397,100 @@ SELECT t.{id_col},
                   ELSE 1.0 END, 6) AS novelty
 FROM {table} t LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+# --- Positional phrase search -----------------------------------------
+
+
+def phrase_matches(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-word phrase query — the positional complement to
+    the term-level retrieval ops (bm25_search scores bags of words;
+    a phrase query needs token ADJACENCY).
+
+    Formulation: for a document table (text stored per row, no
+    pre-built index) the optimal plan is a single in-row scan — the
+    token array is materialized once (no-CSE-inside-lambda rule) and
+    a filter over start offsets checks all k phrase terms by index.
+    ZERO shuffles, zero explodes: at 100 TB this is one codegen'd
+    pass over the corpus, strictly cheaper than the classic
+    posting-list self-join (k-1 shuffles of (doc, pos) pairs) which
+    only wins when an inverted index is already materialized — that
+    shape is covered by bm25_search's df/posting build.
+
+    Output: (id, n_matches, first_pos, last_pos) for matching docs
+    only, positions 1-based token offsets."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    # terms are embedded in expression text on both engines; the
+    # tokenizer alphabet is [a-z0-9] so anything else can never match
+    # anyway — reject instead of quoting
+    import re as _re
+
+    if not all(_re.fullmatch(r"[a-z0-9]+", t) for t in terms):
+        raise ValueError(f"phrase terms must be [a-z0-9]+: {terms!r}")
+    k = len(terms)
+    # element_at is 1-based like DuckDB's t[i]; Spark's arr[i] is NOT
+    cond = " AND ".join(
+        f"element_at(_tok, i + {j - 1}) = '{t}'"
+        for j, t in enumerate(terms, 1)
+    )
+    hits = (
+        df.select(
+            F.col(id_col).alias("id"), H.tokens(F.col(text_col)).alias("_tok")
+        )
+        .select(
+            "id",
+            F.expr(
+                f"CASE WHEN size(_tok) < {k} THEN array()"
+                f" ELSE filter(sequence(1, size(_tok) - {k} + 1),"
+                f" i -> {cond}) END"
+            ).alias("_pos"),
+        )
+        .where(F.size("_pos") > 0)
+    )
+    return hits.select(
+        "id",
+        F.size("_pos").cast("long").alias("n_matches"),
+        F.element_at("_pos", 1).cast("long").alias("first_pos"),
+        F.element_at("_pos", -1).cast("long").alias("last_pos"),
+    ).orderBy("id")
+
+
+def phrase_matches_sql(
+    table: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of phrase_matches (same 1-based offsets)."""
+    import re as _re
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not all(_re.fullmatch(r"[a-z0-9]+", t) for t in terms):
+        raise ValueError(f"phrase terms must be [a-z0-9]+: {terms!r}")
+    k = len(terms)
+    cond = " AND ".join(
+        f"t[i + {j - 1}] = '{t}'" for j, t in enumerate(terms, 1)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, {H.tokens_sql(text_expr)} AS t FROM {table}
+),
+hits AS (
+  SELECT id,
+         CASE WHEN len(t) < {k} THEN []
+              ELSE list_filter(range(1, len(t) - {k} + 2), i -> {cond})
+         END AS pos
+  FROM tok
+)
+SELECT id, len(pos)::BIGINT AS n_matches,
+       pos[1]::BIGINT AS first_pos,
+       pos[-1]::BIGINT AS last_pos
+FROM hits WHERE len(pos) > 0 ORDER BY id
+"""

@@ -1089,3 +1089,162 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+# --- maximal duplicated-span audit (exact substring dedup) ------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_span: int = 8,
+) -> DataFrame:
+    """Maximal duplicated-SPAN detection — the distributed shape of
+    exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which removes
+    repeated substrings >= 50 tokens via a suffix array; a suffix
+    array is not a cluster-friendly structure, so this uses the
+    standard n-gram-anchor reformulation: a token is part of a
+    duplicated span iff it is covered by an n-gram occurring in >= 2
+    distinct documents, and maximal spans are runs of overlapping
+    duplicated anchors).
+
+    Pipeline: positional n-grams (token array materialized once) ->
+    gram document frequency (map-side-combined count distinct) ->
+    semi-join positions whose gram is shared -> per-doc
+    gaps-and-islands (lag window: a new island starts when the next
+    duplicated anchor position jumps by > n, i.e. coverage no longer
+    overlaps or touches) -> island spans [min_pos, max_pos + n - 1],
+    kept at >= ``min_span`` tokens. Islands are disjoint by
+    construction so per-doc duplicated-token totals never
+    double-count.
+
+    Scale: the anchor explode is the corpus token stream (the same
+    volume every TF pass moves); the window partitions per doc_id.
+    Unlike pair-forming dedup there is NO candidate join at all —
+    cost is linear in corpus size, which is exactly why the
+    substring formulation is the one that runs at 100 TB.
+
+    Output: (id, n_tok, n_spans, dup_tokens, dup_frac_q) for docs
+    with at least one qualifying span; positions are 0-based."""
+    from ..functions.exact import half_away_div
+
+    grams = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"), H.tokens(F.col(text_col)).alias("_tok")
+        )
+        .select(
+            "id",
+            F.size("_tok").cast("long").alias("n_tok"),
+            F.posexplode(H.word_shingles(F.col("_tok"), n)).alias(
+                "pos", "g"
+            ),
+        )
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("id").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("g")
+    )
+    dup_pos = grams.join(shared, "g", "left_semi").select(
+        "id", "n_tok", "pos"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn(
+            "_new",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id", "n_tok", "_island")
+        .agg(
+            (F.max("pos") - F.min("pos") + n).cast("long").alias("_span_len")
+        )
+        .where(F.col("_span_len") >= min_span)
+    )
+    return (
+        islands.groupBy("id", "n_tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("_span_len").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "id",
+            "n_tok",
+            "n_spans",
+            "dup_tokens",
+            half_away_div("1000000 * dup_tokens", "n_tok")
+            .cast("long")
+            .alias("dup_frac_q"),
+        )
+        .orderBy("id")
+    )
+
+
+def duplicate_spans_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n: int = 5,
+    min_span: int = 8,
+) -> str:
+    """DuckDB twin of duplicate_spans (same 0-based anchor positions,
+    same island rule)."""
+    from ..functions.exact import half_away_div_sql
+    from ..functions.hashing import tokens_sql, word_shingles_sql
+
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, {tokens_sql(text_expr)} AS t FROM {table}
+),
+grams AS (
+  SELECT id, len(t)::BIGINT AS n_tok,
+         unnest(range(0, len(sh))) AS pos, unnest(sh) AS g
+  FROM (SELECT id, t, {word_shingles_sql('t', n)} AS sh FROM tok)
+),
+shared AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT id) >= 2
+),
+dup_pos AS (
+  SELECT id, n_tok, pos FROM grams WHERE g IN (SELECT g FROM shared)
+),
+flagged AS (
+  SELECT id, n_tok, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {n}
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos
+  WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+islands AS (
+  SELECT id, n_tok,
+         sum(new_island) OVER (PARTITION BY id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island,
+         pos
+  FROM flagged
+),
+spans AS (
+  SELECT id, n_tok,
+         (max(pos) - min(pos) + {n})::BIGINT AS span_len
+  FROM islands GROUP BY id, n_tok, island
+  HAVING max(pos) - min(pos) + {n} >= {min_span}
+)
+SELECT id, n_tok, count(*)::BIGINT AS n_spans,
+       CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+       {half_away_div_sql('CAST(sum(span_len) AS BIGINT) * 1000000',
+                          'n_tok')}::BIGINT AS dup_frac_q
+FROM spans GROUP BY id, n_tok ORDER BY id
+"""

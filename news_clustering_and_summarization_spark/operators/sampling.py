@@ -451,3 +451,200 @@ def dup_weighted_sample(
             ).alias("sampled"),
         )
     )
+
+
+# --- DoReMi-style domain reweighting ----------------------------------
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    iters: int = 3,
+    eta_q: int = 300_000,
+    eps_q: int = 100_000,
+) -> DataFrame:
+    """Group-DRO multiplicative-weights domain reweighting in the
+    DoReMi shape (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    Speeds Up Language Model Pretraining"): domains whose proxy loss
+    exceeds the reference loss get upweighted multiplicatively, then
+    the mixture is smoothed toward uniform.
+
+    Proxy loss here is a pure data statistic (no model in the engine):
+    per-doc chars-per-token at 1e6 fixed point — the compression-rate
+    family every curation stack already computes. Reference loss is
+    the corpus-wide mean. The multiplicative update uses the linear
+    MW rule w·(1 + η·excess) (exp-free — exp(double) is the one
+    transcendental whose last ulp differs between Java's Math.exp and
+    libm, so the oracle could never hash-match), with every step in
+    exact integer arithmetic:
+
+        excess_d = half_away(1e6·(loss_d - base) / base)
+        f_d      = max(1, 1e6 + half_away(η_q·excess_d / 1e6))   (fixed)
+        a_0      = 1e6;  a_{t+1} = normalize(half_away(a_t·f_d / 1e6))
+
+    ``iters`` rounds, then ε-uniform smoothing
+    w = (1-ε)·a + ε/k. All sums are int64 over ≤|domains| rows.
+
+    Shape: one pass over the corpus for per-doc losses, one groupBy
+    on the domain, then ≤ 4 one-row broadcast cross-joins over the
+    DOMAIN table (|domains| rows — kilobytes at any corpus size; the
+    corpus itself is never touched again). At 100 TB the cost is the
+    single scan, same as any quality-signal pass.
+
+    Output: (domain, n_docs, loss_q, excess_q, w_q, w_smooth_q),
+    weights at 1e6 scale summing to ~1e6."""
+    from ..functions.exact import half_away_div
+
+    per_doc = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.length(text_col).cast("long").alias("n_chars"),
+            F.size(H.tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+        .select(
+            "domain",
+            half_away_div("1000000 * n_chars", "n_tok")
+            .cast("long")
+            .alias("ld"),
+        )
+    )
+    dom = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ld").alias("_s")
+    )
+    base = per_doc.agg(
+        F.sum("ld").alias("_ts"), F.count(F.lit(1)).alias("_tn")
+    ).select(half_away_div("_ts", "_tn").cast("long").alias("base_q"))
+    d = (
+        dom.crossJoin(F.broadcast(base))
+        .withColumn(
+            "loss_q", half_away_div("_s", "n_docs").cast("long")
+        )
+        .withColumn(
+            "excess_q",
+            half_away_div("1000000 * (loss_q - base_q)", "base_q").cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "f_q",
+            F.greatest(
+                F.lit(1).cast("long"),
+                (
+                    F.lit(1_000_000)
+                    + half_away_div(f"{eta_q} * excess_q", "1000000")
+                ).cast("long"),
+            ),
+        )
+        .withColumn("a_q", F.lit(1_000_000).cast("long"))
+        .select("domain", "n_docs", "loss_q", "excess_q", "f_q", "a_q")
+        # the domain table is tiny; cut the lineage so the per-
+        # iteration total doesn't recompute the corpus scan 2^iters
+        # times
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        d = d.withColumn(
+            "_raw", half_away_div("a_q * f_q", "1000000").cast("long")
+        )
+        tot = d.agg(F.sum("_raw").cast("long").alias("_tot"))
+        d = (
+            d.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "a_q", half_away_div("_raw * 1000000", "_tot").cast("long")
+            )
+            .drop("_raw", "_tot")
+        )
+    return (
+        d.crossJoin(
+            F.broadcast(d.agg(F.count(F.lit(1)).alias("_k")))
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "loss_q",
+            "excess_q",
+            F.col("a_q").alias("w_q"),
+            (
+                half_away_div(f"(1000000 - {eps_q}) * a_q", "1000000")
+                + half_away_div(f"{eps_q}", "_k")
+            )
+            .cast("long")
+            .alias("w_smooth_q"),
+        )
+        .orderBy("domain")
+    )
+
+
+def doremi_domain_weights_sql(
+    table: str,
+    domain_col: str = "source",
+    text_expr: str = "text",
+    iters: int = 3,
+    eta_q: int = 300_000,
+    eps_q: int = 100_000,
+) -> str:
+    """DuckDB twin of doremi_domain_weights (iterations unrolled as
+    CTEs, identical integer arithmetic)."""
+    from ..functions.exact import half_away_div_sql
+    from ..functions.hashing import tokens_sql
+
+    had = half_away_div_sql
+    ctes = [
+        f"""pd AS (
+  SELECT {domain_col} AS domain,
+         {had('1000000 * n_chars', 'n_tok')}::BIGINT AS ld
+  FROM (SELECT {domain_col}, length({text_expr})::BIGINT AS n_chars,
+               len({tokens_sql(text_expr)})::BIGINT AS n_tok
+        FROM {table})
+  WHERE n_tok > 0
+)""",
+        f"""dom AS (
+  SELECT domain, count(*)::BIGINT AS n_docs,
+         CAST(sum(ld) AS BIGINT) AS s
+  FROM pd GROUP BY domain
+)""",
+        f"""base AS (
+  SELECT {had('CAST(sum(ld) AS BIGINT)', 'count(*)::BIGINT')}::BIGINT
+         AS base_q
+  FROM pd
+)""",
+        f"""s0 AS (
+  SELECT domain, n_docs,
+         {had('s', 'n_docs')}::BIGINT AS loss_q,
+         {had(f"1000000 * ({had('s', 'n_docs')} - base_q)", 'base_q')}::BIGINT
+           AS excess_q,
+         greatest(1, 1000000 + {had(f'{eta_q} * ' + had(f"1000000 * ({had('s', 'n_docs')} - base_q)", 'base_q'), '1000000')})::BIGINT AS f_q,
+         1000000::BIGINT AS a_q
+  FROM dom, base
+)""",
+    ]
+    prev = "s0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT domain, n_docs, loss_q, excess_q, f_q,
+         {had('a_q * f_q', '1000000')}::BIGINT AS raw
+  FROM {prev}
+)"""
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT domain, n_docs, loss_q, excess_q, f_q,
+         {had('raw * 1000000', 'tot')}::BIGINT AS a_q
+  FROM r{t}, (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r{t}) n{t}
+)"""
+        )
+        prev = f"s{t}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT domain, n_docs, loss_q, excess_q, a_q AS w_q,
+       ({had(f'(1000000 - {eps_q}) * a_q', '1000000')}
+        + {had(f'{eps_q}', 'k')})::BIGINT AS w_smooth_q
+FROM {prev}, (SELECT count(*)::BIGINT AS k FROM {prev}) kk
+ORDER BY domain
+"""
+    )

@@ -7203,6 +7203,61 @@ def oracle_rouge_eval() -> str:
     return rouge_scores_sql("documents", "doc_id", "text")
 
 
+PHRASE_QUERY = "slow hash"
+
+
+def q_phrase_search(spark, sf):
+    """Exact phrase query (operators/curation.phrase_matches):
+    adjacency-checked token offsets computed IN-ROW over the
+    materialized token array — zero shuffles, one codegen'd corpus
+    pass; the optimal plan for a doc-store table (the posting-list
+    join shape only wins with a pre-materialized inverted index —
+    that side is covered by bm25_search)."""
+    from ..operators.curation import phrase_matches
+
+    return phrase_matches(
+        load(spark, sf, "documents"), PHRASE_QUERY, "doc_id", "text"
+    )
+
+
+def oracle_phrase_search() -> str:
+    from ..operators.curation import phrase_matches_sql
+
+    return phrase_matches_sql("documents", PHRASE_QUERY, "doc_id", "text")
+
+
+def q_doremi_weights(spark, sf):
+    """DoReMi-style Group-DRO domain reweighting (operators/sampling.
+    doremi_domain_weights): multiplicative-weights iterations over
+    per-domain excess proxy loss, exp-free integer MW rule, ε-uniform
+    smoothing. One corpus scan + one domain groupBy; every iteration
+    runs over the |domains|-row table only."""
+    from ..operators.sampling import doremi_domain_weights
+
+    return doremi_domain_weights(load(spark, sf, "documents"))
+
+
+def oracle_doremi_weights() -> str:
+    from ..operators.sampling import doremi_domain_weights_sql
+
+    return doremi_domain_weights_sql("documents")
+
+
+def q_dup_spans(spark, sf):
+    """Maximal duplicated-span audit (operators/dedup.duplicate_spans)
+    — the distributed form of Lee et al. exact substring dedup:
+    n-gram anchors shared across >= 2 docs, merged into maximal
+    islands per doc with a lag window; NO candidate pair join, cost
+    linear in the corpus token stream."""
+    return D.duplicate_spans(
+        load(spark, sf, "documents"), "doc_id", "text", n=5, min_span=8
+    )
+
+
+def oracle_dup_spans() -> str:
+    return D.duplicate_spans_sql("documents", "doc_id", "text", 5, 8)
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -7366,6 +7421,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_rules": q_basket_rules,
     "skipgram_pairs": q_skipgram_pairs,
     "rouge_eval": q_rouge_eval,
+    "phrase_search": q_phrase_search,
+    "doremi_weights": q_doremi_weights,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -7457,6 +7515,9 @@ ORACLES: dict[str, str] = {
     "basket_rules": ORACLE_BASKET_RULES,
     "skipgram_pairs": oracle_skipgram_pairs(),
     "rouge_eval": oracle_rouge_eval(),
+    "phrase_search": oracle_phrase_search(),
+    "doremi_weights": oracle_doremi_weights(),
+    "dup_spans": oracle_dup_spans(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -187,3 +187,45 @@ def test_ngram_novelty_counts_distinct_grams(spark):
     )
     r = C.ngram_novelty(df, "doc_id", "text", n=8).collect()[0]
     assert (r["n_grams"], r["n_shared"], r["novelty"]) == (1, 0, 1.0)
+
+
+def test_phrase_matches_positions_and_overlap(spark):
+    from news_clustering_and_summarization_spark.operators.curation import (
+        phrase_matches,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x slow hash y slow hash"),   # matches at pos 2 and 5
+            (2, "a a a"),                     # overlapping 'a a': pos 1, 2
+            (3, "slow x hash"),               # adjacency broken: no match
+            (4, "hash slow"),                 # wrong order: no match
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in phrase_matches(df, "slow hash").collect()}
+    assert set(out) == {1}
+    assert out[1]["n_matches"] == 2
+    assert out[1]["first_pos"] == 2 and out[1]["last_pos"] == 5
+    aa = {r["id"]: r for r in phrase_matches(df, "a a").collect()}
+    assert aa[2]["n_matches"] == 2
+    assert aa[2]["first_pos"] == 1 and aa[2]["last_pos"] == 2
+
+
+def test_phrase_matches_three_terms_and_validation(spark):
+    import pytest
+
+    from news_clustering_and_summarization_spark.operators.curation import (
+        phrase_matches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the Big Order scan runs"), (2, "big scan order")],
+        ["doc_id", "text"],
+    )
+    out = phrase_matches(df, "Big order SCAN").collect()  # case-folds
+    assert [(r["id"], r["first_pos"]) for r in out] == [(1, 2)]
+    with pytest.raises(ValueError):
+        phrase_matches(df, "bad'quote term")
+    with pytest.raises(ValueError):
+        phrase_matches(df, "   ")

@@ -508,3 +508,49 @@ def test_tfidf_mllib_and_exact_paths_agree_on_planted_dups(spark):
     assert (1, 2) in ml and (1, 2) in exact
     assert (1, 3) not in ml and (1, 3) not in exact
     assert (2, 3) not in ml and (2, 3) not in exact
+
+
+def test_duplicate_spans_shared_passage(spark):
+    """Two docs sharing a 10-token passage: each gets ONE span of
+    exactly 10 tokens; a unique doc yields no row."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    shared = "q w e r t y u i o p"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"delta {shared} epsilon zeta"),
+            (3, "totally unique words only here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in duplicate_spans(df, n=5, min_span=8).collect()
+    }
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["n_spans"] == 1 and r["dup_tokens"] == 10
+
+
+def test_duplicate_spans_short_run_excluded(spark):
+    """A shared 6-token passage produces anchors but the merged span
+    (6 tokens) is under min_span=8 and must be dropped."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    shared = "q w e r t y"  # 6 tokens -> 2 anchors at n=5 -> span 6
+    df = spark.createDataFrame(
+        [(1, f"aa bb {shared} cc"), (2, f"dd {shared} ee")],
+        ["doc_id", "text"],
+    )
+    assert duplicate_spans(df, n=5, min_span=8).count() == 0
+    # with the threshold at 6 the same spans qualify
+    out = duplicate_spans(df, n=5, min_span=6).collect()
+    assert sorted((r["id"], r["dup_tokens"]) for r in out) == [
+        (1, 6),
+        (2, 6),
+    ]

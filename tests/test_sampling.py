@@ -325,3 +325,39 @@ def test_dup_weighted_sample_weights_and_determinism(spark):
         for r in dup_weighted_sample(docs, threshold=0.5).collect()
     }
     assert again == out
+
+
+def test_doremi_weights_direction_and_normalization(spark):
+    """Domains with above-average chars-per-token upweight; weights
+    stay normalized and smoothing pulls toward uniform."""
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    rows = [("verbose", "aaaaaaaaaa bbbbbbbbbb cccccccccc")] * 4 + [
+        ("terse", "a b c")
+    ] * 4
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        r["domain"]: r
+        for r in doremi_domain_weights(df, "source", "text").collect()
+    }
+    assert out["verbose"]["excess_q"] > 0 > out["terse"]["excess_q"]
+    assert out["verbose"]["w_q"] > 500_000 > out["terse"]["w_q"]
+    total = sum(r["w_q"] for r in out.values())
+    assert abs(total - 1_000_000) <= 2  # integer rounding only
+    # smoothing moves both toward uniform (500k at k=2)
+    assert out["verbose"]["w_smooth_q"] < out["verbose"]["w_q"]
+    assert out["terse"]["w_smooth_q"] > out["terse"]["w_q"]
+
+
+def test_doremi_weights_uniform_corpus(spark):
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    rows = [("a", "xx yy zz"), ("b", "xx yy zz"), ("c", "xx yy zz")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = doremi_domain_weights(df, "source", "text").collect()
+    assert all(r["excess_q"] == 0 for r in out)
+    assert all(abs(r["w_q"] - 333_333) <= 1 for r in out)

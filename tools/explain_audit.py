@@ -65,6 +65,11 @@ CARTESIAN_OK = {
     # per-config summary = crossJoin of two ONE-ROW count aggregates
     # (candidates x verified), three configs unioned
     "minhash_band_sweep",
+    # MW iterations: ONE-ROW broadcast aggregates (baseline loss, per-
+    # iteration weight total, domain count) crossJoined onto the
+    # |domains|-row table — every crossJoin side is O(1) rows or the
+    # kilobyte-scale domain table; the corpus is scanned exactly once
+    "doremi_weights",
     # crossJoins the two ONE-ROW corpus-total aggregates (source and
     # target token counts) onto the 1024-row bucket ratio table
     "dsir_select",
