@@ -337,3 +337,137 @@ def label_propagation_sql(
         )
         prev = f"s{i}"
     return ",\n".join(parts), prev
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+) -> DataFrame:
+    """Per-node triangle counting with degree orientation — the
+    standard scalable formulation (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer"): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, so each triangle is generated exactly once at its
+    minimum-key vertex and — critically at 100 TB — a hot vertex of
+    degree D contributes O(D·avg_deg) wedges instead of O(D²): the
+    wedge explosion lands on LOW-degree vertices by construction.
+
+    Input: one row per undirected edge (either orientation, no
+    self-loops; duplicates are collapsed). Two equi-joins: wedge
+    formation on the oriented source, then wedge-closure against the
+    oriented edge list. All integer ids/counts — bit-exact on any
+    engine.
+
+    Output: (id, n_tri) per vertex in >= 1 triangle, plus total
+    triangle count on every row (n_total) for the global audit."""
+    e0 = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # edge generation (often an expensive similarity kernel) feeds
+        # degree AND orientation — cut the lineage so it runs once
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e0.select(F.col("u").alias("id"))
+        .unionAll(e0.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # total order key: (deg, id) packed into one comparable BIGINT —
+    # ids are < 1e9 in every testdata table (documented bound)
+    keyed = (
+        e0.join(deg.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("id", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+        .select(
+            "u",
+            "v",
+            (F.col("du") * F.lit(1_000_000_000) + F.col("u")).alias("ku"),
+            (F.col("dv") * F.lit(1_000_000_000) + F.col("v")).alias("kv"),
+        )
+    )
+    arcs = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v"))
+        .otherwise(F.col("u"))
+        .alias("dst"),
+        F.greatest("ku", "kv").alias("kdst"),
+    ).localCheckpoint(eager=True)  # consumed 3x (two wedge legs + closure)
+    a1 = arcs.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
+    )
+    a2 = arcs.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("kdst").alias("kc")
+    )
+    wedges = a1.join(a2, "a").where(F.col("kb") < F.col("kc"))
+    closing = arcs.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = (
+        wedges.join(closing, ["b", "c"])
+        .select("a", "b", "c")
+        .localCheckpoint(eager=True)  # feeds per-node counts AND total
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    total = tris.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        per_node.crossJoin(F.broadcast(total))
+        .select("id", "n_tri", "n_total")
+        .orderBy("id")
+    )
+
+
+def triangle_counts_sql(edges_cte: str) -> str:
+    """DuckDB twin of triangle_counts. ``edges_cte`` must be a SELECT
+    yielding columns (l_id, r_id) — one row per undirected edge in
+    either orientation."""
+    return f"""
+WITH raw_edges AS MATERIALIZED ({edges_cte}),
+e0 AS (
+  SELECT DISTINCT least(l_id, r_id) AS u, greatest(l_id, r_id) AS v
+  FROM raw_edges WHERE l_id <> r_id
+),
+deg AS (
+  SELECT id, count(*)::BIGINT AS deg
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY id
+),
+keyed AS (
+  SELECT u, v, du.deg * 1000000000 + u AS ku, dv.deg * 1000000000 + v AS kv
+  FROM e0 JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+),
+arcs AS (
+  SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+         CASE WHEN ku < kv THEN v ELSE u END AS dst,
+         greatest(ku, kv) AS kdst
+  FROM keyed
+),
+wedges AS (
+  SELECT a1.src AS a, a1.dst AS b, a2.dst AS c
+  FROM arcs a1 JOIN arcs a2 ON a1.src = a2.src
+  WHERE a1.kdst < a2.kdst
+),
+tris AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN arcs cl ON cl.src = w.b AND cl.dst = w.c
+),
+per_node AS (
+  SELECT id, count(*)::BIGINT AS n_tri
+  FROM (SELECT unnest([a, b, c]) AS id FROM tris)
+  GROUP BY id
+)
+SELECT id, n_tri, (SELECT count(*)::BIGINT FROM tris) AS n_total
+FROM per_node ORDER BY id
+"""

@@ -358,3 +358,129 @@ folded AS (
 SELECT {key_col}, n_obs, ewma_q, ewma_q / 1000000.0 AS ewma
 FROM folded
 """
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar gap-fill with linear interpolation — the timeseries
+    regularization step (downsample-to-daily + fill missing days)
+    that precedes any windowed model over event streams.
+
+    Per key: daily totals (exact DECIMAL(18,2) sums — the engine's
+    certified order-free money-sum pattern — held as integer cents),
+    then a generated day spine from the key's first to last active
+    day, observed rows joined on, and every gap filled by linear
+    interpolation between the bracketing observations:
+
+        v(d) = v_prev + half_away((v_next - v_prev)·(d - d_prev)
+                                   / (d_next - d_prev))
+
+    in exact integer cents (one half-away integer division — both
+    engines agree bit-for-bit; see functions/exact.py). Spine
+    endpoints are always observed so prev/next never fall off.
+
+    Shape: one (key, day) groupBy; the spine explode is |keys| ×
+    span-days rows; two frame-bounded windows per key (last/first
+    IGNORE NULLS) — everything partitions by key, nothing global.
+
+    Output: (key, day 'yyyy-MM-dd' string, n_events, v_cents,
+    filled) — v_cents observed or interpolated integer cents."""
+    daily = df.groupBy(
+        F.col(key_col).alias("k"), F.to_date(ts_col).alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")) * 100
+        ).cast("long").alias("v_obs"),
+    )
+    spine = (
+        daily.groupBy("k")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["k", "d"], "left")
+    wp = (
+        Window.partitionBy("k")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("k")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v_obs").isNotNull(), F.col("d"))
+    filled = (
+        full.withColumn("_pv", F.last("v_obs", ignorenulls=True).over(wp))
+        .withColumn("_pd", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first("v_obs", ignorenulls=True).over(wn))
+        .withColumn("_nd", F.first(obs_day, ignorenulls=True).over(wn))
+    )
+    interp = F.col("_pv") + half_away_div(
+        "(_nv - _pv) * datediff(d, _pd)", "datediff(_nd, _pd)"
+    )
+    return filled.select(
+        F.col("k").alias(key_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("v_obs"), interp).cast("long").alias("v_cents"),
+        F.col("v_obs").isNull().alias("filled"),
+    ).orderBy(key_col, "day")
+
+
+def gap_fill_daily_sql(
+    table: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of gap_fill_daily."""
+    from ..functions.exact import half_away_div_sql
+
+    interp = half_away_div_sql("(nv - pv) * (d - pd)", "(nd - pd)")
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS d,
+         count(*)::BIGINT AS n_events,
+         CAST(sum(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS v_obs
+  FROM {table} GROUP BY 1, 2
+),
+spine AS (
+  SELECT k, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM (SELECT k, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY k)
+),
+full_cal AS (
+  SELECT s.k, s.d, dy.n_events, dy.v_obs
+  FROM spine s LEFT JOIN daily dy ON s.k = dy.k AND s.d = dy.d
+),
+brk AS (
+  SELECT k, d, n_events, v_obs,
+         last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wp AS pd,
+         first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wn AS nd
+  FROM full_cal
+  WINDOW wp AS (PARTITION BY k ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY k ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT k AS {key_col}, strftime(d, '%Y-%m-%d') AS day,
+       coalesce(n_events, 0)::BIGINT AS n_events,
+       coalesce(v_obs, pv + {interp})::BIGINT AS v_cents,
+       (v_obs IS NULL) AS filled
+FROM brk ORDER BY {key_col}, day
+"""

@@ -7258,6 +7258,57 @@ def oracle_dup_spans() -> str:
     return D.duplicate_spans_sql("documents", "doc_id", "text", 5, 8)
 
 
+def q_gap_fill(spark, sf):
+    """Calendar gap-fill + linear interpolation (operators/temporal.
+    gap_fill_daily): per-user daily spine with missing days
+    interpolated in exact integer cents — the timeseries
+    regularization pass; per-key windows only, nothing global."""
+    from ..operators.temporal import gap_fill_daily
+
+    return gap_fill_daily(load(spark, sf, "events"), "user_id", "ts", "value")
+
+
+def oracle_gap_fill() -> str:
+    from ..operators.temporal import gap_fill_daily_sql
+
+    return gap_fill_daily_sql("events", "user_id", "ts", "value")
+
+
+TRIANGLE_EPS = 0.75
+
+
+def q_triangle_count(spark, sf):
+    """Degree-oriented triangle counting (operators/graph.
+    triangle_counts) over the ε-similarity graph on embeddings —
+    the clustering-coefficient / community-density audit for a
+    near-dup graph. Orientation puts the wedge explosion on
+    low-degree vertices (Suri & Vassilvitskii), so a hot node of
+    degree D costs O(D·avg_deg), not O(D²). Edge generation here is
+    the exact kernel (500 vectors); at LSH_THRESHOLD scale the same
+    edges come from lsh_candidate_pairs — triangle_counts only sees
+    an edge list either way."""
+    from ..operators.graph import triangle_counts
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, TRIANGLE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    )
+    return triangle_counts(edges, "l_id", "r_id")
+
+
+def oracle_triangle_count() -> str:
+    from ..operators.graph import triangle_counts_sql
+
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    cte = (
+        "SELECT a.vec_id AS l_id, b.vec_id AS r_id "
+        "FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND {dist} <= {TRIANGLE_EPS}"
+    )
+    return triangle_counts_sql(cte)
+
+
 # ---------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------
@@ -7424,6 +7475,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "doremi_weights": q_doremi_weights,
     "dup_spans": q_dup_spans,
+    "gap_fill": q_gap_fill,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -7518,6 +7571,8 @@ ORACLES: dict[str, str] = {
     "phrase_search": oracle_phrase_search(),
     "doremi_weights": oracle_doremi_weights(),
     "dup_spans": oracle_dup_spans(),
+    "gap_fill": oracle_gap_fill(),
+    "triangle_count": oracle_triangle_count(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

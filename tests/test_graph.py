@@ -165,3 +165,33 @@ def test_label_prop_seeds_clamped_and_hops_bound(spark):
         iterations=2,
     )
     assert got[0] == ("z", True)
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    """K4 has 4 triangles (each vertex in 3); a pendant path adds
+    none. Duplicate and reversed edges must collapse."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (5, 6)]           # path, no triangles
+    dups = [(2, 1), (3, 1)]            # reversed duplicates
+    df = spark.createDataFrame(k4 + extra + dups, ["l_id", "r_id"])
+    rows = triangle_counts(df).collect()
+    out = {r["id"]: r["n_tri"] for r in rows}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert all(r["n_total"] == 4 for r in rows)
+
+
+def test_triangle_counts_self_loops_ignored(spark):
+    from news_clustering_and_summarization_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (1, 3), (3, 3)], ["l_id", "r_id"]
+    )
+    rows = triangle_counts(df).collect()
+    assert {r["id"]: r["n_tri"] for r in rows} == {1: 1, 2: 1, 3: 1}
+    assert rows[0]["n_total"] == 1

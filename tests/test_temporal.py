@@ -254,3 +254,50 @@ def test_ewma_order_by_time_not_input(spark):
     rb = ewma(b, "k", "t", "v").first()
     assert ra["ewma_q"] == rb["ewma_q"]  # partition/input-order invariant
     assert abs(ra["ewma"] - 13.0) < 1e-6
+
+
+def test_gap_fill_daily_linear_interpolation(spark):
+    """Observed days 1/3/5 with 10.00/30.00/20.00: day 2 -> 20.00
+    (midpoint), day 4 -> 25.00; endpoints never filled."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        gap_fill_daily,
+    )
+
+    rows = [
+        (7, dt.datetime(2024, 3, 1, 9, 0), 10.0),
+        (7, dt.datetime(2024, 3, 3, 9, 0), 30.0),
+        (7, dt.datetime(2024, 3, 5, 9, 0), 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["day"]: r for r in gap_fill_daily(df).collect()}
+    assert sorted(out) == [f"2024-03-0{i}" for i in range(1, 6)]
+    assert [out[d]["v_cents"] for d in sorted(out)] == [
+        1000, 2000, 3000, 2500, 2000
+    ]
+    assert [out[d]["filled"] for d in sorted(out)] == [
+        False, True, False, True, False
+    ]
+    assert out["2024-03-02"]["n_events"] == 0
+
+
+def test_gap_fill_daily_multiple_events_and_keys(spark):
+    """Same-day events sum exactly; keys keep independent spines."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        gap_fill_daily,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 1, 0), 1.25),
+        (1, dt.datetime(2024, 3, 1, 2, 0), 2.50),
+        (2, dt.datetime(2024, 3, 9, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = gap_fill_daily(df).collect()
+    assert len(out) == 2  # one day per key, no spine beyond extents
+    by_key = {r["user_id"]: r for r in out}
+    assert by_key[1]["v_cents"] == 375 and by_key[1]["n_events"] == 2
+    assert by_key[2]["v_cents"] == 500 and not by_key[2]["filled"]

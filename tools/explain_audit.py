@@ -70,6 +70,9 @@ CARTESIAN_OK = {
     # |domains|-row table — every crossJoin side is O(1) rows or the
     # kilobyte-scale domain table; the corpus is scanned exactly once
     "doremi_weights",
+    # ONE-ROW broadcast global-triangle-total crossJoined onto the
+    # per-node counts for the audit column
+    "triangle_count",
     # crossJoins the two ONE-ROW corpus-total aggregates (source and
     # target token counts) onto the 1024-row bucket ratio table
     "dsir_select",
