@@ -7297,6 +7297,24 @@ def q_triangle_count(spark, sf):
     return triangle_counts(edges, "l_id", "r_id")
 
 
+def q_embedding_pca(spark, sf):
+    """Centered top principal component by integer fixed-point power
+    iteration (operators/pca.top_component) — the All-but-the-top
+    isotropy correction for embedding spaces. Every cross-row sum is
+    integer or DECIMAL(38,0); per-step renormalization by max|u|
+    (exact on integers) instead of an L2 norm, so all three
+    iterations replay bit-for-bit in SQL."""
+    from ..operators.pca import top_component
+
+    return top_component(load(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
+def oracle_embedding_pca() -> str:
+    from ..operators.pca import top_component_sql
+
+    return top_component_sql("embeddings", "vec_id", "embedding")
+
+
 def oracle_triangle_count() -> str:
     from ..operators.graph import triangle_counts_sql
 
@@ -7477,6 +7495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "gap_fill": q_gap_fill,
     "triangle_count": q_triangle_count,
+    "embedding_pca": q_embedding_pca,
 }
 
 ORACLES: dict[str, str] = {
@@ -7573,6 +7592,7 @@ ORACLES: dict[str, str] = {
     "dup_spans": oracle_dup_spans(),
     "gap_fill": oracle_gap_fill(),
     "triangle_count": oracle_triangle_count(),
+    "embedding_pca": oracle_embedding_pca(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -73,6 +73,9 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast global-triangle-total crossJoined onto the
     # per-node counts for the audit column
     "triangle_count",
+    # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
+    # pivot crossJoined onto the 64-row iterate/component tables
+    "embedding_pca",
     # crossJoins the two ONE-ROW corpus-total aggregates (source and
     # target token counts) onto the 1024-row bucket ratio table
     "dsir_select",
