@@ -7297,6 +7297,88 @@ def q_triangle_count(spark, sf):
     return triangle_counts(edges, "l_id", "r_id")
 
 
+def q_ccnet_mix(spark, sf):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): every document scored by the certified add-one bigram LM
+    (operators/lm.py — the same train+score path lm_perplexity
+    certifies), then split into per-language terciles by fluency.
+    Ordering key is the exact integer avg logprob (half-away), ties
+    broken by doc_id, so ntile is deterministic on both engines.
+    Unscorable docs (< 2 tokens) are excluded. Production note: the
+    per-lang ntile is an exact global sort per language — at corpus
+    scale CCNet derives the two thresholds from a SAMPLE (the
+    engine's quantile_sketch path); the exact form here is the
+    oracle-checkable contract."""
+    from ..functions.exact import half_away_div
+    from ..operators.lm import score_perplexity, train_bigram_lm
+
+    docs = load(spark, sf, "documents")
+    bigrams, uni, vocab = train_bigram_lm(
+        docs.where(F.col("lang") == "en"), "text", min_count=2
+    )
+    scored = (
+        score_perplexity(docs, bigrams, uni, vocab)
+        .where(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            half_away_div("logprob_q", "n_bigrams")
+            .cast("long")
+            .alias("avg_q"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_q").desc(), "doc_id"
+    )
+    bucketed = scored.withColumn("b", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("avg_q").alias("best_avg_q"),
+            F.min("avg_q").alias("worst_avg_q"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, F.lit("head"))
+            .when(F.col("b") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "n_docs",
+            "best_avg_q",
+            "worst_avg_q",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def oracle_ccnet_mix() -> str:
+    lmp = oracle_lm_perplexity().strip()
+    return f"""
+WITH lmp AS ({lmp}),
+scored AS (
+  SELECT l.doc_id, d.lang,
+         {half_away_div_sql('l.logprob_q', 'l.n_bigrams')}::BIGINT AS avg_q
+  FROM lmp l JOIN documents d USING (doc_id)
+  WHERE l.n_bigrams > 0
+),
+bucketed AS (
+  SELECT lang, avg_q,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY avg_q DESC, doc_id) AS b
+  FROM scored
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       max(avg_q) AS best_avg_q,
+       min(avg_q) AS worst_avg_q
+FROM bucketed GROUP BY lang, b ORDER BY lang, bucket
+"""
+
+
 def q_embedding_pca(spark, sf):
     """Centered top principal component by integer fixed-point power
     iteration (operators/pca.top_component) — the All-but-the-top
@@ -7496,6 +7578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill": q_gap_fill,
     "triangle_count": q_triangle_count,
     "embedding_pca": q_embedding_pca,
+    "ccnet_mix": q_ccnet_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -7593,6 +7676,7 @@ ORACLES: dict[str, str] = {
     "gap_fill": oracle_gap_fill(),
     "triangle_count": oracle_triangle_count(),
     "embedding_pca": oracle_embedding_pca(),
+    "ccnet_mix": oracle_ccnet_mix(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -151,3 +151,24 @@ def test_tokenizer_fertility_contract(spark):
         # words nor more than characters; fertility matches the ratio
         assert r["syms"] >= r["words"] > 0
         assert abs(r["fertility"] - r["syms"] / r["words"]) < 1e-5
+
+
+def test_ccnet_mix_bucket_contract(spark):
+    """Per-lang terciles: head best_avg_q >= middle >= tail, sizes
+    within 1 of each other, all scorable docs accounted for."""
+    from news_clustering_and_summarization_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["ccnet_mix"](spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        assert (
+            b["head"]["worst_avg_q"]
+            >= b["middle"]["best_avg_q"]
+            >= b["middle"]["worst_avg_q"]
+            >= b["tail"]["best_avg_q"]
+        )
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1

@@ -76,6 +76,9 @@ CARTESIAN_OK = {
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
+    # inherits lm_perplexity's ONE-ROW vocab-size crossJoin (the
+    # add-one smoothing denominator) — O(1)-row side by construction
+    "ccnet_mix",
     # crossJoins the two ONE-ROW corpus-total aggregates (source and
     # target token counts) onto the 1024-row bucket ratio table
     "dsir_select",
@@ -144,6 +147,10 @@ GLOBAL_WIN_OK = {
     # over the shard-TOTAL table (N/shard_width rows, same shape as
     # classifier_auc); per-row cumsums partition by shard
     "pack_global",
+    # SinglePartition here is the LM path's ONE-ROW vocab aggregate
+    # (not a window input); the tercile ntile windows partition by
+    # lang
+    "ccnet_mix",
 }
 
 
