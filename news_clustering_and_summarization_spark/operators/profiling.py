@@ -111,3 +111,184 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .withColumn("at_risk", F.col("class_size") < F.lit(k))
     )
+
+
+# --- column-dependency profiling --------------------------------------
+
+MI_LOG_QUANT = 10**9
+
+
+def mutual_information(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """Mutual information I(X;Y) between two categorical columns —
+    the column-dependency audit a profiler runs before choosing
+    partition keys or stratification variables (high MI between a
+    proposed partition column and the query filter column predicts
+    partition-pruning payoff; MI ~ 0 means the split is useless).
+
+    I(X;Y) = Σ_xy p_xy · ln(p_xy / (p_x·p_y)). Each contingency cell
+    contributes the INTEGER term n_xy · round(ln(n_xy·N / (n_x·n_y))
+    · 1e9) — counts are integers, the ratio is ONE double division of
+    exact integer products, so the total is an order-free integer sum
+    (the char_entropy discipline, operators/text_analysis.py).
+
+    Shape: one (x, y) groupBy for the contingency table (map-side
+    combined), two broadcast margin joins, a ONE-ROW total crossJoin;
+    the exchange carries |X|·|Y| cells, never rows.
+
+    Output: a single row (n, cells, mi_q, mi_nats)."""
+    cells = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    term = (
+        F.col("n_xy")
+        * F.round(
+            F.log(
+                (F.col("n_xy") * F.col("n")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            )
+            * F.lit(float(MI_LOG_QUANT))
+        ).cast("long")
+    )
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("cells"),
+            F.sum(term).cast("long").alias("mi_q"),
+        )
+        .select(
+            "n",
+            "cells",
+            "mi_q",
+            F.expr(
+                f"round(mi_q / CAST(n AS DOUBLE) / {float(MI_LOG_QUANT)!r}, 6)"
+            ).alias("mi_nats"),
+        )
+    )
+
+
+def mutual_information_sql(table: str, col_x: str, col_y: str) -> str:
+    """DuckDB twin of mutual_information."""
+    return f"""
+WITH cells AS (
+  SELECT {col_x} AS x, {col_y} AS y, count(*)::BIGINT AS n_xy
+  FROM {table} GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS cells,
+       CAST(sum(n_xy * CAST(round(ln(
+         CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)
+       ) * {float(MI_LOG_QUANT)!r}) AS BIGINT)) AS BIGINT) AS mi_q,
+       round(CAST(sum(n_xy * CAST(round(ln(
+         CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)
+       ) * {float(MI_LOG_QUANT)!r}) AS BIGINT)) AS BIGINT)
+         / CAST(max(n) AS DOUBLE) / {float(MI_LOG_QUANT)!r}, 6) AS mi_nats
+FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+"""
+
+
+def robust_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Median/MAD robust outlier audit per group — the
+    non-parametric counterpart of z-score anomaly flags (median and
+    MAD are insensitive to the outliers being hunted, unlike
+    mean/stddev). A value is flagged when |v - median| > k·MAD.
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n-1)·p interpolation rule (certified by
+    group_quantiles); every per-row op afterwards (subtract, abs,
+    one multiply, compare) is the same IEEE op on the same doubles
+    in both engines, so the flag can never diverge. Two passes over
+    the grouped values (median, then MAD of deviations) + one count
+    — all shuffles key on the group.
+
+    Output: (group, n, med, mad, n_outliers, outlier_rate_q)."""
+    from ..functions.exact import half_away_div
+
+    g = F.col(group_col)
+    med = df.groupBy(g.alias("grp")).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5D)").alias(
+            "med"
+        )
+    )
+    dev = df.select(
+        g.alias("grp"), F.col(value_col).cast("double").alias("v")
+    ).join(F.broadcast(med), "grp")
+    mad = dev.groupBy("grp").agg(
+        F.expr("percentile(abs(v - med), 0.5D)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "grp")
+    return (
+        flagged.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med"))
+                    > F.lit(k) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "med",
+            "mad",
+            "n_outliers",
+            half_away_div("1000000 * n_outliers", "n")
+            .cast("long")
+            .alias("outlier_rate_q"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def robust_outliers_sql(
+    table: str, group_col: str, value_col: str, k: float = 3.0
+) -> str:
+    """DuckDB twin of robust_outliers."""
+    from ..functions.exact import half_away_div_sql
+
+    return f"""
+WITH med AS (
+  SELECT {group_col} AS grp,
+         quantile_cont(CAST({value_col} AS DOUBLE), 0.5) AS med
+  FROM {table} GROUP BY 1
+),
+dev AS (
+  SELECT t.{group_col} AS grp, CAST(t.{value_col} AS DOUBLE) AS v, m.med
+  FROM {table} t JOIN med m ON t.{group_col} = m.grp
+),
+mad AS (
+  SELECT grp, quantile_cont(abs(v - med), 0.5) AS mad
+  FROM dev GROUP BY grp
+)
+SELECT d.grp AS {group_col}, count(*)::BIGINT AS n,
+       round(max(d.med), 6) AS med,
+       round(max(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN abs(d.v - d.med) > {k} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {half_away_div_sql(
+           "1000000 * CAST(sum(CASE WHEN abs(d.v - d.med) > "
+           + str(k)
+           + " * m.mad THEN 1 ELSE 0 END) AS BIGINT)",
+           "count(*)",
+       )}::BIGINT AS outlier_rate_q
+FROM dev d JOIN mad m USING (grp)
+GROUP BY d.grp ORDER BY {group_col}
+"""

@@ -7297,6 +7297,38 @@ def q_triangle_count(spark, sf):
     return triangle_counts(edges, "l_id", "r_id")
 
 
+def q_mutual_info(spark, sf):
+    """Column-dependency MI audit (operators/profiling.
+    mutual_information) between lang and source — the partition-key
+    payoff predictor. Integer per-cell terms (char_entropy
+    discipline); exchange carries contingency cells, never rows."""
+    from ..operators.profiling import mutual_information
+
+    return mutual_information(load(spark, sf, "documents"), "lang", "source")
+
+
+def oracle_mutual_info() -> str:
+    from ..operators.profiling import mutual_information_sql
+
+    return mutual_information_sql("documents", "lang", "source")
+
+
+def q_robust_outliers(spark, sf):
+    """Median/MAD robust outlier audit (operators/profiling.
+    robust_outliers) of event values per event type — the
+    non-parametric anomaly flag; both engines share the quantile
+    interpolation rule and every per-row op afterwards."""
+    from ..operators.profiling import robust_outliers
+
+    return robust_outliers(load(spark, sf, "events"), "event_type", "value")
+
+
+def oracle_robust_outliers() -> str:
+    from ..operators.profiling import robust_outliers_sql
+
+    return robust_outliers_sql("events", "event_type", "value")
+
+
 def q_ccnet_mix(spark, sf):
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
     2020): every document scored by the certified add-one bigram LM
@@ -7579,6 +7611,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "embedding_pca": q_embedding_pca,
     "ccnet_mix": q_ccnet_mix,
+    "mutual_info": q_mutual_info,
+    "robust_outliers": q_robust_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -7677,6 +7711,8 @@ ORACLES: dict[str, str] = {
     "triangle_count": oracle_triangle_count(),
     "embedding_pca": oracle_embedding_pca(),
     "ccnet_mix": oracle_ccnet_mix(),
+    "mutual_info": oracle_mutual_info(),
+    "robust_outliers": oracle_robust_outliers(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

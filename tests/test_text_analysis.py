@@ -415,3 +415,42 @@ def test_char_entropy_hand_cases(spark):
     r = TA.char_entropy(skew, "doc_id", "text").first()
     want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert abs(r["entropy_bits"] - want) < 1e-5
+
+
+def test_mutual_information_hand_cases(spark):
+    """Perfectly dependent columns: I(X;Y) = H(X) = ln 2 for a
+    balanced binary pair; independent columns: I = 0."""
+    import math
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    dep = spark.createDataFrame(
+        [("a", "p")] * 4 + [("b", "q")] * 4, ["x", "y"]
+    )
+    r = mutual_information(dep, "x", "y").first()
+    assert r["n"] == 8 and r["cells"] == 2
+    assert abs(r["mi_nats"] - math.log(2)) < 1e-6
+    ind = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 3, ["x", "y"]
+    )
+    r2 = mutual_information(ind, "x", "y").first()
+    assert r2["mi_q"] == 0 and r2["mi_nats"] == 0.0
+
+
+def test_robust_outliers_flags_only_the_planted_spike(spark):
+    """MAD ignores the spike (unlike stddev): 9 values near 10 plus
+    one at 1000 -> exactly one outlier; a clean group flags none."""
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        robust_outliers,
+    )
+
+    spiky = [("s", 9.0 + i * 0.25) for i in range(9)] + [("s", 1000.0)]
+    clean = [("c", 5.0 + (i % 3) * 0.1) for i in range(10)]
+    df = spark.createDataFrame(spiky + clean, ["g", "v"])
+    out = {r["g"]: r for r in robust_outliers(df, "g", "v").collect()}
+    assert out["s"]["n_outliers"] == 1
+    assert out["s"]["outlier_rate_q"] == 100000
+    assert out["c"]["n_outliers"] == 0
+    assert abs(out["s"]["med"] - 10.125) < 1e-9

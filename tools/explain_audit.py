@@ -79,6 +79,9 @@ CARTESIAN_OK = {
     # inherits lm_perplexity's ONE-ROW vocab-size crossJoin (the
     # add-one smoothing denominator) — O(1)-row side by construction
     "ccnet_mix",
+    # crossJoins the ONE-ROW grand-total aggregate onto the
+    # contingency-cell table — O(1)-row side by construction
+    "mutual_info",
     # crossJoins the two ONE-ROW corpus-total aggregates (source and
     # target token counts) onto the 1024-row bucket ratio table
     "dsir_select",
