@@ -183,3 +183,138 @@ def basket_pairs(
             ).alias("lift"),
         )
     )
+
+
+# --- AGMS (tug-of-war) second-moment sketch ---------------------------
+
+AGMS_SEED = 77_000
+
+
+def agms_f2(
+    df: DataFrame,
+    key_col: str,
+    counters: int = 35,
+    groups: int = 7,
+) -> DataFrame:
+    """AGMS / tug-of-war sketch of the second frequency moment
+    F₂ = Σ_k c_k² (Alon, Matias & Szegedy 1996) — F₂ IS the
+    self-join size, and the cross-product of two AGMS sketches
+    estimates any equi-join's cardinality, which is what a planner
+    wants BEFORE paying for the join. One streaming pass, ``counters``
+    integer registers, no per-key state: the sketch costs O(1) memory
+    where the exact answer needs a full key shuffle.
+
+    Each register is s_j = Σ_rows ±1(key) with md5-derived signs —
+    an order-free INTEGER sum, so partial aggregation can never
+    drift. E[s_j²] = F₂ exactly; variance is tamed the classical
+    way: means of ``counters/groups`` registers, then the median of
+    the ``groups`` means (odd count — the median is an exact middle
+    element, no interpolation). The exact F₂ is computed beside the
+    sketch (ONE key shuffle) and the relative error is emitted so
+    the row certifies the estimator itself — the quantile_sketch
+    self-certification pattern.
+
+    All ``counters`` sums evaluate in a SINGLE aggregation (35
+    columns, map-side combined) — no row explosion; the reshape to
+    register rows happens on the one-row result.
+
+    Output: one row (n_rows, f2_exact, f2_est, rel_err_q)."""
+    per = counters // groups
+    assert per * groups == counters and groups % 2 == 1
+
+    def sign(j: int) -> Column:
+        return F.lit(1) - 2 * (
+            H.hash64(F.col(key_col).cast("string"), seed=AGMS_SEED + j)
+            % F.lit(2)
+        )
+
+    sk = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(sign(j)).cast("long").alias(f"s{j}") for j in range(counters)],
+    )
+    stack = ", ".join(f"{j}, s{j}" for j in range(counters))
+    regs = sk.select(
+        "n_rows", F.expr(f"stack({counters}, {stack}) AS (j, s)")
+    )
+    means = (
+        regs.withColumn("grp", F.col("j") % groups)
+        .groupBy("n_rows", "grp")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("_ss"))
+        .select(
+            "n_rows",
+            half_away_div("_ss", str(per)).cast("long").alias("m"),
+        )
+    )
+    est = means.groupBy("n_rows").agg(
+        F.expr("percentile(CAST(m AS DOUBLE), 0.5D)")
+        .cast("long")
+        .alias("f2_est")
+    )
+    exact = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("f2_exact")
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            "f2_exact",
+            "f2_est",
+            half_away_div(
+                "1000000 * abs(f2_est - f2_exact)", "f2_exact"
+            )
+            .cast("long")
+            .alias("rel_err_q"),
+        )
+    )
+
+
+def agms_f2_sql(
+    table: str,
+    key_col: str,
+    counters: int = 35,
+    groups: int = 7,
+) -> str:
+    """DuckDB twin of agms_f2."""
+    from ..functions.exact import half_away_div_sql
+
+    per = counters // groups
+    signs = ", ".join(
+        "sum(1 - 2 * ("
+        + H.hash64_sql(f"CAST({key_col} AS VARCHAR)", seed=AGMS_SEED + j)
+        + " % 2))"
+        for j in range(counters)
+    )
+    return f"""
+WITH sk AS (
+  SELECT count(*)::BIGINT AS n_rows, [{signs}] AS ss FROM {table}
+),
+regs AS (
+  SELECT n_rows, unnest(range(0, {counters})) AS j, unnest(ss) AS s
+  FROM sk
+),
+means AS (
+  SELECT n_rows, j % {groups} AS grp,
+         {half_away_div_sql('CAST(sum(s * s) AS BIGINT)', str(per))}::BIGINT
+           AS m
+  FROM regs GROUP BY 1, 2
+),
+est AS (
+  SELECT n_rows,
+         CAST(quantile_cont(CAST(m AS DOUBLE), 0.5) AS BIGINT) AS f2_est
+  FROM means GROUP BY n_rows
+),
+ex AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*)::BIGINT AS c FROM {table} GROUP BY {key_col})
+)
+SELECT n_rows, f2_exact, f2_est,
+       {half_away_div_sql('1000000 * abs(f2_est - f2_exact)',
+                          'f2_exact')}::BIGINT AS rel_err_q
+FROM est CROSS JOIN ex
+"""

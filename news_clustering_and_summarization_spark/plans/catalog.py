@@ -7297,6 +7297,24 @@ def q_triangle_count(spark, sf):
     return triangle_counts(edges, "l_id", "r_id")
 
 
+def q_join_size_sketch(spark, sf):
+    """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
+    lineitem's part-key frequency vector — F2 is the self-join size
+    and the planner's join-cardinality probe. 35 integer registers
+    in ONE streaming aggregation (no row explosion, no per-key
+    state) beside the exact one-shuffle answer; the emitted relative
+    error certifies the estimator (quantile_sketch pattern)."""
+    from ..operators.frequent import agms_f2
+
+    return agms_f2(load(spark, sf, "lineitem"), "l_partkey")
+
+
+def oracle_join_size_sketch() -> str:
+    from ..operators.frequent import agms_f2_sql
+
+    return agms_f2_sql("lineitem", "l_partkey")
+
+
 def q_mutual_info(spark, sf):
     """Column-dependency MI audit (operators/profiling.
     mutual_information) between lang and source — the partition-key
@@ -7613,6 +7631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_mix": q_ccnet_mix,
     "mutual_info": q_mutual_info,
     "robust_outliers": q_robust_outliers,
+    "join_size_sketch": q_join_size_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -7713,6 +7732,7 @@ ORACLES: dict[str, str] = {
     "ccnet_mix": oracle_ccnet_mix(),
     "mutual_info": oracle_mutual_info(),
     "robust_outliers": oracle_robust_outliers(),
+    "join_size_sketch": oracle_join_size_sketch(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -106,3 +106,26 @@ def test_basket_pairs_hand_case(spark):
     # symmetric direction has different confidence
     assert out[("butter", "bread")]["confidence"] == 1.0
     assert ("bread", "milk") not in out  # support 1 pruned
+
+
+def test_agms_f2_exact_leg_and_estimator_band(spark):
+    """F2 of {a:4, b:2, c:1} is 21 exactly; the deterministic
+    md5-sign sketch must land within the documented
+    median-of-means band on a larger skewed stream."""
+    from news_clustering_and_summarization_spark.operators.frequent import (
+        agms_f2,
+    )
+
+    small = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("c",)], ["k"]
+    )
+    r = agms_f2(small, "k").first()
+    assert r["n_rows"] == 7 and r["f2_exact"] == 21
+    # skewed stream: one hot key + uniform tail
+    rows = [("hot",)] * 200 + [(f"k{i}",) for i in range(400)]
+    big = agms_f2(spark.createDataFrame(rows, ["k"]), "k").first()
+    assert big["f2_exact"] == 200 * 200 + 400
+    # median-of-7-means keeps the estimate inside ~2 std
+    # (std/F2 ~ sqrt(2/5)/sqrt(7) ~ 0.24); deterministic here
+    assert big["rel_err_q"] < 600_000
+    assert big["f2_est"] > 0
