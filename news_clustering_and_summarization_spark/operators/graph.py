@@ -471,3 +471,154 @@ per_node AS (
 SELECT id, n_tri, (SELECT count(*)::BIGINT FROM tris) AS n_total
 FROM per_node ORDER BY id
 """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 10,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Matula & Beck
+    1983; the BSP formulation is the standard distributed one):
+    repeatedly delete every vertex whose degree among SURVIVORS is
+    < k; the fixpoint is the maximal subgraph with min degree >= k —
+    the community-density filter that separates a dense near-dup
+    cluster from its periphery.
+
+    Runs EXACTLY ``rounds`` synchronous peels (the oracle unrolls
+    them), then performs one more degree pass to certify the
+    fixpoint: ``converged`` is true iff no vertex would be dropped
+    in round rounds+1. A green hash therefore certifies BOTH the
+    peeling arithmetic and that the answer IS the k-core (pick
+    ``rounds`` with margin; peeling converges in O(diameter)-ish
+    rounds in practice — 7 on the densest testdata graph).
+
+    Per round: one both-endpoints semi-join against the survivor
+    set + one degree groupBy — everything keys on vertex id; the
+    survivor table only shrinks. Same shape at any scale.
+
+    Output: (id, core_deg, core_size, converged) for core members."""
+    e0 = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = (
+        e0.select(F.col("u").alias("id"))
+        .unionAll(e0.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def survivor_degrees(alive_df: DataFrame) -> DataFrame:
+        act = e0.join(
+            alive_df.withColumnRenamed("id", "u"), "u", "left_semi"
+        ).join(alive_df.withColumnRenamed("id", "v"), "v", "left_semi")
+        return (
+            act.select(F.col("u").alias("id"))
+            .unionAll(act.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        alive = (
+            survivor_degrees(alive)
+            .where(F.col("deg") >= k)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+    final = survivor_degrees(alive).join(alive, "id", "left_semi")
+    stats = final.agg(
+        F.count(F.lit(1)).cast("long").alias("core_size"),
+        F.min("deg").alias("_min_deg"),
+    )
+    return (
+        final.crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.col("deg").alias("core_deg"),
+            "core_size",
+            (F.coalesce(F.col("_min_deg"), F.lit(k)) >= k).alias(
+                "converged"
+            ),
+        )
+        .orderBy("id")
+    )
+
+
+def kcore_sql(
+    edges_cte: str, k: int = 4, rounds: int = 10
+) -> str:
+    """DuckDB twin of kcore (peels unrolled as CTEs).
+
+    Every per-round CTE is MATERIALIZED: each round references the
+    previous survivor set four times, so inlined (non-materialized)
+    CTEs would re-evaluate the whole chain ~4**rounds times."""
+    ctes = [
+        f"raw_edges AS MATERIALIZED ({edges_cte})",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(l_id, r_id) AS u, greatest(l_id, r_id) AS v
+  FROM raw_edges WHERE l_id <> r_id
+)""",
+        """a0 AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT u AS id FROM e0
+                           UNION ALL SELECT v FROM e0)
+)""",
+    ]
+    prev = "a0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT id, count(*)::BIGINT AS deg
+  FROM (SELECT u AS id FROM e0
+        WHERE u IN (SELECT id FROM {prev})
+          AND v IN (SELECT id FROM {prev})
+        UNION ALL
+        SELECT v FROM e0
+        WHERE u IN (SELECT id FROM {prev})
+          AND v IN (SELECT id FROM {prev}))
+  GROUP BY id
+)"""
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED "
+            f"(SELECT id FROM d{t} WHERE deg >= {k})"
+        )
+        prev = f"a{t}"
+    ctes.append(
+        f"""fin AS (
+  SELECT id, count(*)::BIGINT AS deg
+  FROM (SELECT u AS id FROM e0
+        WHERE u IN (SELECT id FROM {prev})
+          AND v IN (SELECT id FROM {prev})
+        UNION ALL
+        SELECT v FROM e0
+        WHERE u IN (SELECT id FROM {prev})
+          AND v IN (SELECT id FROM {prev}))
+  GROUP BY id
+)""",
+    )
+    ctes.append(
+        f"""core AS (
+  SELECT f.id, f.deg FROM fin f
+  WHERE f.id IN (SELECT id FROM {prev})
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT c.id, c.deg AS core_deg, s.core_size,
+       (coalesce(s.min_deg, {k}) >= {k}) AS converged
+FROM core c, (SELECT count(*)::BIGINT AS core_size, min(deg) AS min_deg
+              FROM core) s
+ORDER BY c.id
+"""
+    )

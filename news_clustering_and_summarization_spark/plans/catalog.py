@@ -7297,6 +7297,39 @@ def q_triangle_count(spark, sf):
     return triangle_counts(edges, "l_id", "r_id")
 
 
+KCORE_EPS = 0.72
+KCORE_K = 4
+
+
+def q_kcore(spark, sf):
+    """k-core decomposition (operators/graph.kcore) of the
+    ε-similarity graph — synchronous peeling to the dense community
+    core, with one extra degree pass certifying the fixpoint in the
+    hashed output (converged=true). 10 peels cover every testdata
+    graph (densest needs 7); per round one survivor semi-join + one
+    degree groupBy, all keyed on vertex id."""
+    from ..operators.graph import kcore
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, KCORE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    )
+    return kcore(edges, k=KCORE_K, rounds=10)
+
+
+def oracle_kcore() -> str:
+    from ..operators.graph import kcore_sql
+
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    cte = (
+        "SELECT a.vec_id AS l_id, b.vec_id AS r_id "
+        "FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND {dist} <= {KCORE_EPS}"
+    )
+    return kcore_sql(cte, k=KCORE_K, rounds=10)
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7632,6 +7665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_info": q_mutual_info,
     "robust_outliers": q_robust_outliers,
     "join_size_sketch": q_join_size_sketch,
+    "kcore": q_kcore,
 }
 
 ORACLES: dict[str, str] = {
@@ -7733,6 +7767,7 @@ ORACLES: dict[str, str] = {
     "mutual_info": oracle_mutual_info(),
     "robust_outliers": oracle_robust_outliers(),
     "join_size_sketch": oracle_join_size_sketch(),
+    "kcore": oracle_kcore(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -195,3 +195,75 @@ def test_triangle_counts_self_loops_ignored(spark):
     rows = triangle_counts(df).collect()
     assert {r["id"]: r["n_tri"] for r in rows} == {1: 1, 2: 1, 3: 1}
     assert rows[0]["n_total"] == 1
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """K5 (min degree 4) survives a 4-core; a pendant chain hanging
+    off it peels away layer by layer. converged must be true once
+    enough rounds have run, and the survivor degrees are degrees
+    within the CORE, not the original graph."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        kcore,
+    )
+
+    k5 = [
+        (i, j) for i in range(1, 6) for j in range(i + 1, 6)
+    ]
+    tail = [(5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(k5 + tail, ["l_id", "r_id"])
+    rows = kcore(df, k=4, rounds=3).collect()
+    out = {r["id"]: r for r in rows}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(r["core_deg"] == 4 for r in rows)
+    assert all(r["core_size"] == 5 for r in rows)
+    assert all(r["converged"] for r in rows)
+
+
+def test_kcore_unconverged_flag_and_empty_core(spark):
+    """A 6-cycle at k=3 empties out: every vertex has degree 2, so
+    round 1 already deletes everything — the empty result is the
+    correct 3-core. With rounds=0 no peeling happens, so the
+    'core' is the whole (degree-2) graph and converged=False."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        kcore,
+    )
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(cyc, ["l_id", "r_id"])
+    assert kcore(df, k=3, rounds=2).count() == 0
+    rows = kcore(df, k=3, rounds=0).collect()
+    assert len(rows) == 6
+    assert all(not r["converged"] for r in rows)
+
+
+def test_kcore_sql_matches_spark_on_random_graph(spark):
+    """Oracle twin agrees with the Spark peeling on an Erdos-Renyi
+    graph seeded via md5 (deterministic), including reversed-dup
+    edges and self loops."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        kcore,
+        kcore_sql,
+    )
+
+    import hashlib
+
+    edges = []
+    for i in range(30):
+        for j in range(30):
+            h = hashlib.md5(f"kc|{i}|{j}".encode()).hexdigest()
+            if int(h[:8], 16) % 5 == 0:
+                edges.append((i, j))
+    df = spark.createDataFrame(edges, ["l_id", "r_id"])
+    got = sorted(
+        tuple(r) for r in kcore(df, k=3, rounds=6).collect()
+    )
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = kcore_sql(
+        f"SELECT * FROM (VALUES {values}) t(l_id, r_id)",
+        k=3,
+        rounds=6,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want

@@ -73,6 +73,9 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast global-triangle-total crossJoined onto the
     # per-node counts for the audit column
     "triangle_count",
+    # ONE-ROW broadcast (core_size, min_deg) aggregate crossJoined
+    # onto the surviving core for the fixpoint-certificate columns
+    "kcore",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
