@@ -343,6 +343,7 @@ def triangle_counts(
     edges: DataFrame,
     src_col: str = "l_id",
     dst_col: str = "r_id",
+    with_total: bool = True,
 ) -> DataFrame:
     """Per-node triangle counting with degree orientation — the
     standard scalable formulation (Suri & Vassilvitskii 2011,
@@ -421,6 +422,12 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
+    if not with_total:
+        # callers that only need per-node counts (e.g.
+        # clustering_coefficient) skip the 1-row total crossJoin —
+        # Catalyst cannot prune it (an empty aggregate side would
+        # change cardinality)
+        return per_node.select("id", "n_tri").orderBy("id")
     total = tris.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
         per_node.crossJoin(F.broadcast(total))
@@ -622,3 +629,199 @@ FROM core c, (SELECT count(*)::BIGINT AS core_size, min(deg) AS min_deg
 ORDER BY c.id
 """
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998):
+    lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) for deg >= 2 — the
+    density of a node's neighborhood, the standard community-
+    tightness signal next to [[kcore]]'s global one.
+
+    Triangles come from :func:`triangle_counts` (degree-oriented
+    wedges — never the naive deg^2 explosion); degrees are one
+    groupBy. Both key on vertex id, so the join is co-partitioned.
+
+    Determinism: tri and deg are exact integers; the coefficient is
+    ONE IEEE division of exact ints (2*tri*1e6 / denom) then
+    arithmetic half-away rounding — bit-identical across engines
+    (see functions/exact.py rationale).
+
+    Output: (id, deg, n_tri, lcc_q) with lcc_q = round(lcc * 1e6).
+    """
+    e0 = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees AND triangles
+    )
+    deg = (
+        e0.select(F.col("u").alias("id"))
+        .unionAll(e0.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") >= 2)
+    )
+    tri = triangle_counts(e0, "u", "v", with_total=False)
+    denom = F.col("deg") * (F.col("deg") - F.lit(1))
+    num = (
+        F.coalesce(F.col("n_tri"), F.lit(0)) * F.lit(2_000_000)
+    ).cast("double")
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.floor(num / denom.cast("double") + F.lit(0.5))
+            .cast("long")
+            .alias("lcc_q"),
+        )
+        .orderBy("id")
+    )
+
+
+def clustering_coefficient_sql(edges_cte: str) -> str:
+    """DuckDB twin of clustering_coefficient (shares the
+    triangle_counts_sql wedge pipeline)."""
+    return f"""
+WITH raw_in AS MATERIALIZED ({edges_cte}),
+e00 AS MATERIALIZED (
+  SELECT DISTINCT least(l_id, r_id) AS u, greatest(l_id, r_id) AS v
+  FROM raw_in WHERE l_id <> r_id
+),
+degs AS (
+  SELECT id, count(*)::BIGINT AS deg
+  FROM (SELECT u AS id FROM e00 UNION ALL SELECT v FROM e00)
+  GROUP BY id HAVING count(*) >= 2
+),
+tri AS MATERIALIZED (
+  SELECT id, n_tri FROM ({triangle_counts_sql(
+      "SELECT u AS l_id, v AS r_id FROM e00")})
+)
+SELECT d.id, d.deg,
+       coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+       floor((coalesce(t.n_tri, 0) * 2000000)::DOUBLE
+             / (d.deg * (d.deg - 1))::DOUBLE + 0.5)::BIGINT AS lcc_q
+FROM degs d LEFT JOIN tri t ON t.id = d.id
+ORDER BY d.id
+"""
+
+
+def link_predict(
+    edges: DataFrame,
+    top_k: int = 100,
+    max_degree: int = 0,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+) -> DataFrame:
+    """Link prediction by common-neighbor count + resource-allocation
+    index (Zhou, Lu & Zhang 2009: RA(u,w) = sum over common
+    neighbors z of 1/deg(z)) — ranks NON-adjacent pairs most likely
+    to be the same community, the graph-side dual of embedding
+    near-dup mining.
+
+    Shape: adjacency self-join keyed on the shared neighbor z emits
+    each wedge once (nbr1 < nbr2), groupBy the candidate pair,
+    anti-join the existing edge set, deterministic top-k. The wedge
+    count is sum(deg(z)^2); ``max_degree`` (0 = off) drops hub
+    wedge-centers first — at 100 TB you always cap (a celebrity hub
+    contributes deg^2 wedges and ~zero RA weight: 1/deg each).
+
+    Determinism: cn is an exact count; each RA term is ONE IEEE
+    division of exact ints (1e9/deg) half-away-rounded to an
+    integer, then summed as integers (order-free). Ranking ties
+    break on (u, w).
+
+    Output: (u, w, cn, ra_q) with ra_q = round(sum(1/deg) * 1e9).
+    """
+    e0 = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # adjacency, degrees, anti-join
+    )
+    adj = e0.select(F.col("u").alias("z"), F.col("v").alias("nbr")).unionAll(
+        e0.select(F.col("v").alias("z"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    if max_degree > 0:
+        deg = deg.where(F.col("deg") <= max_degree)
+    ra_term = F.floor(
+        F.lit(1_000_000_000).cast("double") / F.col("deg").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    centers = adj.join(deg, "z").select("z", "nbr", ra_term.alias("ra_t"))
+    a1 = centers.select("z", F.col("nbr").alias("cu"), "ra_t")
+    a2 = centers.select("z", F.col("nbr").alias("cw"))
+    cand = (
+        a1.join(a2, "z")
+        .where(F.col("cu") < F.col("cw"))
+        .groupBy("cu", "cw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("ra_t").cast("long").alias("ra_q"),
+        )
+    )
+    return (
+        cand.join(
+            e0,
+            (cand["cu"] == e0["u"]) & (cand["cw"] == e0["v"]),
+            "left_anti",
+        )
+        .select(
+            F.col("cu").alias("u"), F.col("cw").alias("w"), "cn", "ra_q"
+        )
+        .orderBy(
+            F.col("cn").desc(), F.col("ra_q").desc(), "u", "w"
+        )
+        .limit(top_k)
+    )
+
+
+def link_predict_sql(
+    edges_cte: str, top_k: int = 100, max_degree: int = 0
+) -> str:
+    """DuckDB twin of link_predict."""
+    cap = f"HAVING count(*) <= {max_degree}" if max_degree > 0 else ""
+    return f"""
+WITH raw_in AS MATERIALIZED ({edges_cte}),
+e00 AS MATERIALIZED (
+  SELECT DISTINCT least(l_id, r_id) AS u, greatest(l_id, r_id) AS v
+  FROM raw_in WHERE l_id <> r_id
+),
+adj AS MATERIALIZED (
+  SELECT u AS z, v AS nbr FROM e00
+  UNION ALL SELECT v, u FROM e00
+),
+degs AS MATERIALIZED (
+  SELECT z, count(*)::BIGINT AS deg,
+         floor(1000000000::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+           AS ra_t
+  FROM adj GROUP BY z {cap}
+),
+centers AS MATERIALIZED (
+  SELECT a.z, a.nbr, d.ra_t FROM adj a JOIN degs d ON d.z = a.z
+),
+cand AS (
+  SELECT a1.nbr AS u, a2.nbr AS w,
+         count(*)::BIGINT AS cn, sum(a1.ra_t)::BIGINT AS ra_q
+  FROM centers a1 JOIN centers a2 ON a1.z = a2.z AND a1.nbr < a2.nbr
+  GROUP BY a1.nbr, a2.nbr
+)
+SELECT c.u, c.w, c.cn, c.ra_q
+FROM cand c ANTI JOIN e00 e ON e.u = c.u AND e.v = c.w
+ORDER BY c.cn DESC, c.ra_q DESC, c.u, c.w
+LIMIT {top_k}
+"""

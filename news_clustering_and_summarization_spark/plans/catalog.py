@@ -7330,6 +7330,71 @@ def oracle_kcore() -> str:
     return kcore_sql(cte, k=KCORE_K, rounds=10)
 
 
+def q_clustering_coeff(spark, sf):
+    """Local clustering coefficient (operators/graph.
+    clustering_coefficient) over the ε-similarity graph: Watts-
+    Strogatz neighborhood density per node, exact integer tri/deg
+    plus one IEEE division quantized half-away — the community-
+    tightness profile next to kcore's global fixpoint."""
+    from ..operators.graph import clustering_coefficient
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, KCORE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    )
+    return clustering_coefficient(edges)
+
+
+def oracle_clustering_coeff() -> str:
+    from ..operators.graph import clustering_coefficient_sql
+
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    cte = (
+        "SELECT a.vec_id AS l_id, b.vec_id AS r_id "
+        "FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND {dist} <= {KCORE_EPS}"
+    )
+    return clustering_coefficient_sql(cte)
+
+
+LINKPRED_TOPK = 100
+LINKPRED_MAXDEG = 64
+
+
+def q_link_predict(spark, sf):
+    """Link prediction (operators/graph.link_predict): common-
+    neighbor count + resource-allocation index over the ε-graph,
+    ranking the non-adjacent pairs most likely to merge — the graph
+    dual of embedding near-dup mining. Hub wedge-centers capped at
+    deg 64 (deg^2 wedge blowup; RA weight of a hub term is ~0
+    anyway), deterministic top-100."""
+    from ..operators.graph import link_predict
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, KCORE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    )
+    return link_predict(
+        edges, top_k=LINKPRED_TOPK, max_degree=LINKPRED_MAXDEG
+    )
+
+
+def oracle_link_predict() -> str:
+    from ..operators.graph import link_predict_sql
+
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    cte = (
+        "SELECT a.vec_id AS l_id, b.vec_id AS r_id "
+        "FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND {dist} <= {KCORE_EPS}"
+    )
+    return link_predict_sql(
+        cte, top_k=LINKPRED_TOPK, max_degree=LINKPRED_MAXDEG
+    )
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7666,6 +7731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "join_size_sketch": q_join_size_sketch,
     "kcore": q_kcore,
+    "clustering_coeff": q_clustering_coeff,
+    "link_predict": q_link_predict,
 }
 
 ORACLES: dict[str, str] = {
@@ -7768,6 +7835,8 @@ ORACLES: dict[str, str] = {
     "robust_outliers": oracle_robust_outliers(),
     "join_size_sketch": oracle_join_size_sketch(),
     "kcore": oracle_kcore(),
+    "clustering_coeff": oracle_clustering_coeff(),
+    "link_predict": oracle_link_predict(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

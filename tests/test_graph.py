@@ -267,3 +267,124 @@ def test_kcore_sql_matches_spark_on_random_graph(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_clustering_coefficient_hand_cases(spark):
+    """Triangle+pendant: triangle nodes have lcc=1 except the one
+    carrying the pendant (deg 3, 1 triangle -> 1/3); pendant leaf
+    (deg 1) is excluded. K4: all 1.0."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    rows = clustering_coefficient(
+        spark.createDataFrame(tri, ["l_id", "r_id"])
+    ).collect()
+    out = {r["id"]: r for r in rows}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["lcc_q"] == 1_000_000
+    assert out[2]["lcc_q"] == 1_000_000
+    assert out[3]["lcc_q"] == 333_333  # 1/3 half-away at 6dp
+    assert out[3]["deg"] == 3 and out[3]["n_tri"] == 1
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    rows = clustering_coefficient(
+        spark.createDataFrame(k4, ["l_id", "r_id"])
+    ).collect()
+    assert all(r["lcc_q"] == 1_000_000 for r in rows)
+
+
+def test_clustering_coefficient_zero_and_sql_twin(spark):
+    """A star has lcc=0 at the hub (no closed wedges); SQL twin
+    agrees on a seeded random graph."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        clustering_coefficient,
+        clustering_coefficient_sql,
+    )
+
+    star = [(0, i) for i in range(1, 5)]
+    rows = clustering_coefficient(
+        spark.createDataFrame(star, ["l_id", "r_id"])
+    ).collect()
+    assert {r["id"]: r["lcc_q"] for r in rows} == {0: 0}
+
+    edges = []
+    for i in range(25):
+        for j in range(25):
+            h = hashlib.md5(f"cc|{i}|{j}".encode()).hexdigest()
+            if int(h[:8], 16) % 4 == 0:
+                edges.append((i, j))
+    df = spark.createDataFrame(edges, ["l_id", "r_id"])
+    got = sorted(tuple(r) for r in clustering_coefficient(df).collect())
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = clustering_coefficient_sql(
+        f"SELECT * FROM (VALUES {values}) t(l_id, r_id)"
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_link_predict_hand_case_and_cap(spark):
+    """Path 1-2-3 predicts (1,3) via center 2 (deg 2 -> ra 5e8); a
+    square 1-2-3-4-1 predicts both diagonals with cn=2. Adjacent
+    pairs never appear. max_degree drops hub-centered wedges."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        link_predict,
+    )
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["l_id", "r_id"])
+    rows = link_predict(path, top_k=10).collect()
+    assert [(r["u"], r["w"], r["cn"], r["ra_q"]) for r in rows] == [
+        (1, 3, 1, 500_000_000)
+    ]
+
+    sq = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["l_id", "r_id"]
+    )
+    rows = link_predict(sq, top_k=10).collect()
+    got = {(r["u"], r["w"]): (r["cn"], r["ra_q"]) for r in rows}
+    assert got == {
+        (1, 3): (2, 1_000_000_000),
+        (2, 4): (2, 1_000_000_000),
+    }
+
+    # star hub deg 4: capping at 3 removes every wedge
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["l_id", "r_id"]
+    )
+    assert link_predict(star, top_k=10, max_degree=3).count() == 0
+    assert link_predict(star, top_k=10).count() == 6
+
+
+def test_link_predict_sql_matches_spark(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        link_predict,
+        link_predict_sql,
+    )
+
+    edges = []
+    for i in range(25):
+        for j in range(25):
+            h = hashlib.md5(f"lp|{i}|{j}".encode()).hexdigest()
+            if int(h[:8], 16) % 4 == 0:
+                edges.append((i, j))
+    df = spark.createDataFrame(edges, ["l_id", "r_id"])
+    got = [
+        tuple(r)
+        for r in link_predict(df, top_k=20, max_degree=10).collect()
+    ]
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = link_predict_sql(
+        f"SELECT * FROM (VALUES {values}) t(l_id, r_id)",
+        top_k=20,
+        max_degree=10,
+    )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want
