@@ -100,3 +100,68 @@ def link_records(
         )
         .withColumn("is_match", F.col("score") >= F.lit(threshold))
     )
+
+
+def fuzzy_join_lev1(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Edit-distance-1 self-join by SymSpell deletion neighborhoods
+    (Garbe 2012; the lossless d=1 blocking): two strings are within
+    Levenshtein distance 1 iff they share a key in
+    {s} ∪ {s minus one character} — a substitution shares the
+    deletion at the edited position, an insert/delete shares the
+    shorter string itself. So blocking is an EQUI-join on generated
+    keys (O(len) keys per row, never all-pairs), and the exact
+    `levenshtein` check only runs per candidate — at 100 TB the
+    quadratic term is bounded by key-bucket sizes exactly like LSH
+    bands (hot keys are the standard AQE skew case; cap key
+    frequency for adversarial corpora).
+
+    Output: (id_l, id_r, dist) with id_l < id_r, dist in {0, 1}
+    (0 = identical strings under distinct ids)."""
+    keys = (
+        "array_distinct(concat(array(t), "
+        "transform(sequence(1, length(t)), "
+        "i -> concat(substring(t, 1, i - 1), substring(t, i + 1)))))"
+    )
+    keyed = df.select(
+        F.col(id_col).alias("rid"), F.col(text_col).alias("t")
+    ).select("rid", "t", F.explode(F.expr(keys)).alias("k"))
+    left = keyed.select(
+        F.col("rid").alias("id_l"), F.col("t").alias("t_l"), "k"
+    )
+    right = keyed.select(
+        F.col("rid").alias("id_r"), F.col("t").alias("t_r"), "k"
+    )
+    return (
+        left.join(right, "k")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", "t_l", "t_r")
+        .distinct()
+        .where(F.levenshtein("t_l", "t_r") <= 1)
+        .select(
+            "id_l",
+            "id_r",
+            F.levenshtein("t_l", "t_r").cast("long").alias("dist"),
+        )
+        .orderBy("id_l", "id_r")
+    )
+
+
+def fuzzy_join_lev1_sql(
+    table: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB twin of fuzzy_join_lev1 — deliberately the INDEPENDENT
+    quadratic formulation (plain θ-join on levenshtein <= 1), so a
+    green hash also certifies the deletion-neighborhood blocking is
+    lossless, not just that both sides ran the same plan."""
+    return f"""
+SELECT a.{id_col} AS id_l, b.{id_col} AS id_r,
+       levenshtein(a.{text_col}, b.{text_col})::BIGINT AS dist
+FROM {table} a JOIN {table} b
+  ON a.{id_col} < b.{id_col}
+ AND levenshtein(a.{text_col}, b.{text_col}) <= 1
+ORDER BY id_l, id_r
+"""

@@ -7395,6 +7395,64 @@ def oracle_link_predict() -> str:
     )
 
 
+def q_skyline(spark, sf):
+    """2-D skyline / Pareto frontier (operators/skyline.skyline_2d)
+    of part: cheapest price (integer cents) at each size level —
+    two-phase distributed frontier (per-bucket window, then one
+    window over the provably reduced local-frontier union). Oracle
+    is the independent NOT-EXISTS dominance definition."""
+    from ..operators.skyline import skyline_2d
+
+    part = load(spark, sf, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    )
+    return skyline_2d(
+        part, id_col="p_partkey", min_col="price_c", max_col="p_size"
+    ).select(
+        F.col("id").alias("p_partkey"),
+        F.col("min_axis").alias("price_c"),
+        F.col("max_axis").alias("p_size"),
+    )
+
+
+def oracle_skyline() -> str:
+    from ..operators.skyline import skyline_2d_sql
+
+    cte = (
+        "SELECT p_partkey, "
+        "floor(p_retailprice * 100.0 + 0.5)::BIGINT AS price_c, "
+        "p_size FROM part"
+    )
+    sql = skyline_2d_sql(cte, "p_partkey", "price_c", "p_size")
+    return (
+        "SELECT id AS p_partkey, min_axis AS price_c, "
+        f"max_axis AS p_size FROM ({sql}) ORDER BY price_c, p_partkey"
+    )
+
+
+def q_fuzzy_join(spark, sf):
+    """Levenshtein-1 fuzzy self-join (operators/linkage.
+    fuzzy_join_lev1) over customer names via lossless SymSpell
+    deletion-neighborhood blocking — equi-join on O(len) generated
+    keys, exact edit-distance verify per candidate only. The oracle
+    is the independent quadratic θ-join, so green also certifies
+    the blocking loses no pair."""
+    from ..operators.linkage import fuzzy_join_lev1
+
+    cust = load(spark, sf, "customer")
+    return fuzzy_join_lev1(cust, id_col="c_custkey", text_col="c_name")
+
+
+def oracle_fuzzy_join() -> str:
+    from ..operators.linkage import fuzzy_join_lev1_sql
+
+    return fuzzy_join_lev1_sql("customer", "c_custkey", "c_name")
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7733,6 +7791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "clustering_coeff": q_clustering_coeff,
     "link_predict": q_link_predict,
+    "skyline": q_skyline,
+    "fuzzy_join": q_fuzzy_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -7837,6 +7897,8 @@ ORACLES: dict[str, str] = {
     "kcore": oracle_kcore(),
     "clustering_coeff": oracle_clustering_coeff(),
     "link_predict": oracle_link_predict(),
+    "skyline": oracle_skyline(),
+    "fuzzy_join": oracle_fuzzy_join(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -57,3 +57,55 @@ def test_null_fields_compare_null_safe(spark):
     # NULL == NULL agrees under eqNullSafe; NULL vs value disagrees
     assert out["r1"] == (True, True, 50)
     assert out["r2"] == (False, False, -25)
+
+
+def test_fuzzy_join_lev1_hand_cases(spark):
+    """Substitution, insertion, deletion and exact-dup pairs are all
+    found; distance-2 pairs are not. The SQL twin (independent
+    quadratic θ-join) agrees."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        fuzzy_join_lev1,
+        fuzzy_join_lev1_sql,
+    )
+
+    rows = [
+        (1, "carpet"),
+        (2, "carpets"),   # insertion of 1
+        (3, "carpe"),     # deletion of 1
+        (4, "carpem"),    # substitution vs carpet
+        (5, "carpet"),    # exact dup of 1
+        (6, "cxrpxt"),    # distance 2 from carpet
+        (7, "zzz"),       # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_join_lev1(df, "rid", "name").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{s}')" for i, s in rows)
+                + ") v(rid, name)")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            fuzzy_join_lev1_sql("t", "rid", "name")
+        ).fetchall()
+    )
+    assert got == want
+    pairs = {(a, b): d for a, b, d in got}
+    assert pairs[(1, 5)] == 0
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 1
+    assert pairs[(1, 4)] == 1
+    assert (1, 6) not in pairs and (6, 7) not in pairs
+    # empty string pairs with single chars (insertion)
+    df2 = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab")], ["rid", "name"]
+    )
+    got2 = {
+        (r["id_l"], r["id_r"]): r["dist"]
+        for r in fuzzy_join_lev1(df2, "rid", "name").collect()
+    }
+    assert got2 == {(1, 2): 1, (2, 3): 1}

@@ -157,6 +157,11 @@ GLOBAL_WIN_OK = {
     # (not a window input); the tercile ntile windows partition by
     # lang
     "ccnet_mix",
+    # two-phase distributed skyline: the one global window is the
+    # merge over the UNION OF PER-BUCKET FRONTIERS (expected
+    # O(buckets * log n) rows for 2-D skylines), not the input —
+    # phase 1's windows partition by bucket
+    "skyline",
 }
 
 
