@@ -7453,6 +7453,109 @@ def oracle_fuzzy_join() -> str:
     return fuzzy_join_lev1_sql("customer", "c_custkey", "c_name")
 
 
+def q_ols_fit(spark, sf):
+    """Per-language OLS (operators/regression.ols_fit) of document
+    chars on whitespace tokens — ONE groupBy of six exact-integer
+    sufficient statistics (map-side combinable, order-free), then
+    O(1) arithmetic per group. The canonical profiling regression
+    at any scale."""
+    from ..operators.regression import ols_fit
+
+    docs = load(spark, sf, "documents")
+    pts = TA.token_counts(docs, "text").select(
+        "lang", F.col("ws_token_count").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    return ols_fit(pts, group_col="lang", x_col="x", y_col="y")
+
+
+def oracle_ols_fit() -> str:
+    from ..operators.regression import ols_fit_sql
+
+    ws, _ = TA.token_counts_sql("text")
+    cte = (
+        f"SELECT lang, {ws} AS x, n_chars AS y FROM documents"
+    )
+    return ols_fit_sql(cte, "lang", "x", "y")
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape, per brand: revenue from lineitems whose
+    quantity is below 20% of their part's average — the classic
+    correlated-scalar-subquery DECORRELATION: per-part aggregate
+    once, join back, never a per-row subquery. The threshold
+    compare is exact integer algebra (qty < 0.2*avg ⟺
+    5*qty*cnt < sum_qty), so no float drift can flip a row."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_q"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    below = (
+        li.join(per_part, "l_partkey")
+        .where(
+            F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_q")
+        )
+        .join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        below.groupBy("p_brand")
+        .agg(
+            _money(F.sum(_dec("l_extendedprice"))).alias("below_rev"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            "below_rev",
+            "n_items",
+            F.floor(
+                F.col("below_rev") / F.lit(7.0) * F.lit(100.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_yearly_c"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, l_quantity::BIGINT AS qty, l_extendedprice
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, sum(qty)::BIGINT AS sum_q, count(*)::BIGINT AS cnt
+  FROM li GROUP BY l_partkey
+),
+below AS (
+  SELECT p.p_brand, l.l_extendedprice
+  FROM li l
+  JOIN per_part pp ON pp.l_partkey = l.l_partkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE 5 * l.qty * pp.cnt < pp.sum_q
+),
+agg AS (
+  SELECT p_brand,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE
+           AS below_rev,
+         count(*)::BIGINT AS n_items
+  FROM below GROUP BY p_brand
+)
+SELECT p_brand, below_rev, n_items,
+       floor(below_rev / 7.0 * 100.0 + 0.5)::BIGINT AS avg_yearly_c
+FROM agg ORDER BY p_brand
+"""
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7793,6 +7896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_predict": q_link_predict,
     "skyline": q_skyline,
     "fuzzy_join": q_fuzzy_join,
+    "ols_fit": q_ols_fit,
+    "small_qty_revenue": q_small_qty_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -7899,6 +8004,8 @@ ORACLES: dict[str, str] = {
     "link_predict": oracle_link_predict(),
     "skyline": oracle_skyline(),
     "fuzzy_join": oracle_fuzzy_join(),
+    "ols_fit": oracle_ols_fit(),
+    "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,
