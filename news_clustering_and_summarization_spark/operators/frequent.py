@@ -318,3 +318,82 @@ SELECT n_rows, f2_exact, f2_est,
                           'f2_exact')}::BIGINT AS rel_err_q
 FROM est CROSS JOIN ex
 """
+
+
+def sequence_pair_support(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Length-2 sequential-pattern support (the AprioriAll/PrefixSpan
+    base case, Agrawal & Srikant 1995): for every ordered type pair
+    (a → b), the number of users with SOME occurrence of a strictly
+    before some occurrence of b.
+
+    The scalable identity: "a before b somewhere in the stream" ⟺
+    first(a) < last(b). So one groupBy(user, type) reduces each
+    user's stream to ≤|type-vocabulary| rows carrying
+    (min_key, max_key) — the per-user pair join is then
+    vocab² (constant), never events². Keys are fixed-width
+    zero-padded (ts_us, event_id) strings, whose lexicographic
+    order IS the total event order (the struct-min trick both
+    engines agree on).
+
+    Output: (a, b, support) for a != b, support >= min_support,
+    ordered by (support desc, a, b)."""
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    per_ut = (
+        events.select(
+            F.col(user_col).alias("usr"),
+            F.col(type_col).alias("etype"),
+            key.alias("k"),
+        )
+        .groupBy("usr", "etype")
+        .agg(F.min("k").alias("first_k"), F.max("k").alias("last_k"))
+    )
+    a = per_ut.select(
+        "usr", F.col("etype").alias("a"), "first_k"
+    )
+    b = per_ut.select("usr", F.col("etype").alias("b"), "last_k")
+    return (
+        a.join(b, "usr")
+        .where(
+            (F.col("a") != F.col("b"))
+            & (F.col("first_k") < F.col("last_k"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+        .orderBy(F.col("support").desc(), "a", "b")
+    )
+
+
+def sequence_pair_support_sql(
+    events_table: str = "events", min_support: int = 1
+) -> str:
+    """DuckDB twin of sequence_pair_support."""
+    return f"""
+WITH keyed AS (
+  SELECT user_id AS usr, event_type AS etype,
+         lpad(epoch_us(ts)::VARCHAR, 20, '0')
+           || lpad(event_id::VARCHAR, 12, '0') AS k
+  FROM {events_table}
+),
+per_ut AS (
+  SELECT usr, etype, min(k) AS first_k, max(k) AS last_k
+  FROM keyed GROUP BY usr, etype
+)
+SELECT a.etype AS a, b.etype AS b, count(*)::BIGINT AS support
+FROM per_ut a JOIN per_ut b
+  ON a.usr = b.usr AND a.etype <> b.etype
+ AND a.first_k < b.last_k
+GROUP BY a.etype, b.etype
+HAVING count(*) >= {min_support}
+ORDER BY support DESC, a, b
+"""

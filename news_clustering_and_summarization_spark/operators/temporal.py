@@ -484,3 +484,112 @@ SELECT k AS {key_col}, strftime(d, '%Y-%m-%d') AS day,
        (v_obs IS NULL) AS filled
 FROM brk ORDER BY {key_col}, day
 """
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent preceding touch event (click/view) by the same user
+    within ``lookback_us`` microseconds — the standard
+    marketing-credit assignment, and the canonical carry-forward
+    window (same family as gap_fill/SCD2).
+
+    ONE window per user ordered by the total key (ts_us, event_id):
+    ``last(touch, ignorenulls=True)`` over the unbounded-to-previous
+    frame carries the latest touch to each row — no self-join, no
+    per-conversion scan-back. At 100 TB this is one shuffle on
+    user_id; a hot user only serializes their own event stream.
+
+    Determinism: timestamps enter as exact integer MICROSECONDS
+    (epoch_us both engines — no sub-second floor/round divergence,
+    see ewma's rationale); ties break on event_id.
+
+    Output: one row per conversion —
+    (conv_id, user, conv_ts_us, touch_id, gap_us); touch columns
+    NULL when no touch precedes the conversion inside the window.
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("usr"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        ts_us.alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("usr")
+        .orderBy("ts_us", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("etype").isin(*touch_types)
+    last_ts = F.last(
+        F.when(is_touch, F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    last_id = F.last(
+        F.when(is_touch, F.col("eid")), ignorenulls=True
+    ).over(w)
+    # gap/in_window MUST reference the materialized t_ts/t_id columns,
+    # not the window expressions: a window expression used after the
+    # conversion filter would re-evaluate over the FILTERED frame
+    # (purchases only), where no touch rows exist
+    gap = F.col("ts_us") - F.col("t_ts")
+    in_window = gap <= F.lit(lookback_us)
+    return (
+        base.withColumn("t_ts", last_ts)
+        .withColumn("t_id", last_id)
+        .where(F.col("etype") == conversion_type)
+        .select(
+            F.col("eid").alias("conv_id"),
+            F.col("usr").alias("user_id"),
+            F.col("ts_us").alias("conv_ts_us"),
+            F.when(in_window, F.col("t_id")).alias("touch_id"),
+            F.when(in_window, gap).cast("long").alias("gap_us"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def last_touch_attribution_sql(
+    events_table: str = "events",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_us: int = 3_600_000_000,
+) -> str:
+    """DuckDB twin of last_touch_attribution."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH base AS (
+  SELECT user_id AS usr, event_id AS eid, event_type AS etype,
+         epoch_us(ts) AS ts_us
+  FROM {events_table}
+),
+carried AS (
+  SELECT usr, eid, etype, ts_us,
+         last_value(CASE WHEN etype IN ({touches}) THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY usr ORDER BY ts_us, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS t_ts,
+         last_value(CASE WHEN etype IN ({touches}) THEN eid END
+                    IGNORE NULLS)
+           OVER (PARTITION BY usr ORDER BY ts_us, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS t_id
+  FROM base
+)
+SELECT eid AS conv_id, usr AS user_id, ts_us AS conv_ts_us,
+       CASE WHEN ts_us - t_ts <= {lookback_us} THEN t_id END
+         AS touch_id,
+       CASE WHEN ts_us - t_ts <= {lookback_us} THEN ts_us - t_ts END
+         ::BIGINT AS gap_us
+FROM carried
+WHERE etype = '{conversion_type}'
+ORDER BY conv_id
+"""

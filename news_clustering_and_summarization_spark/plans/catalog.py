@@ -7556,6 +7556,40 @@ FROM agg ORDER BY p_brand
 """
 
 
+def q_attribution(spark, sf):
+    """Last-touch attribution (operators/temporal.
+    last_touch_attribution): one carry-forward window per user (no
+    self-join, no scan-back), exact integer-microsecond gaps,
+    1-hour lookback."""
+    from ..operators.temporal import last_touch_attribution
+
+    ev = load(spark, sf, "events")
+    return last_touch_attribution(ev)
+
+
+def oracle_attribution() -> str:
+    from ..operators.temporal import last_touch_attribution_sql
+
+    return last_touch_attribution_sql()
+
+
+def q_seq_patterns(spark, sf):
+    """Length-2 sequential-pattern support (operators/frequent.
+    sequence_pair_support): first(a) < last(b) identity reduces each
+    user to vocab-bounded rows; the pair join is vocab² per user,
+    never events²."""
+    from ..operators.frequent import sequence_pair_support
+
+    ev = load(spark, sf, "events")
+    return sequence_pair_support(ev, min_support=2)
+
+
+def oracle_seq_patterns() -> str:
+    from ..operators.frequent import sequence_pair_support_sql
+
+    return sequence_pair_support_sql(min_support=2)
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7898,6 +7932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     "ols_fit": q_ols_fit,
     "small_qty_revenue": q_small_qty_revenue,
+    "attribution": q_attribution,
+    "seq_patterns": q_seq_patterns,
 }
 
 ORACLES: dict[str, str] = {
@@ -8006,6 +8042,8 @@ ORACLES: dict[str, str] = {
     "fuzzy_join": oracle_fuzzy_join(),
     "ols_fit": oracle_ols_fit(),
     "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "attribution": oracle_attribution(),
+    "seq_patterns": oracle_seq_patterns(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

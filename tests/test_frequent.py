@@ -129,3 +129,91 @@ def test_agms_f2_exact_leg_and_estimator_band(spark):
     # (std/F2 ~ sqrt(2/5)/sqrt(7) ~ 0.24); deterministic here
     assert big["rel_err_q"] < 600_000
     assert big["f2_est"] > 0
+
+
+def test_sequence_pair_support_hand_case(spark):
+    """u1: A,B,A — supports A->B AND B->A (first(A)<last(B),
+    first(B)<last(A)); u2: B,A — supports only B->A; a user with a
+    single type supports nothing."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.frequent import (
+        sequence_pair_support,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 1, "A"),
+        (2, at(1), 1, "B"),
+        (3, at(2), 1, "A"),
+        (4, at(0), 2, "B"),
+        (5, at(1), 2, "A"),
+        (6, at(0), 3, "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in sequence_pair_support(ev).collect()
+    }
+    assert got == {("A", "B"): 1, ("B", "A"): 2}
+
+
+def test_sequence_pair_support_same_ts_and_sql_twin(spark):
+    """Events at the SAME timestamp order by event_id (strict '<'
+    on the padded key): A(id 1) then B(id 2) at t0 counts as
+    A-before-B but not B-before-A. SQL twin agrees on a seeded
+    stream."""
+    import datetime as dt
+    import hashlib
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.frequent import (
+        sequence_pair_support,
+        sequence_pair_support_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 1, "A"), (2, t0, 1, "B")],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in sequence_pair_support(ev).collect()
+    }
+    assert got == {("A", "B"): 1}
+
+    types = ["A", "B", "C", "D"]
+    data = []
+    for i in range(300):
+        h = int(hashlib.md5(f"sq|{i}".encode()).hexdigest()[:8], 16)
+        data.append(
+            (i, t0 + dt.timedelta(seconds=h % 5000), h % 11,
+             types[h % 4], 0.0, "")
+        )
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = sorted(
+        tuple(r) for r in sequence_pair_support(df, min_support=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", data)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sequence_pair_support_sql(min_support=2)
+        ).fetchall()
+    )
+    assert got == want

@@ -301,3 +301,106 @@ def test_gap_fill_daily_multiple_events_and_keys(spark):
     by_key = {r["user_id"]: r for r in out}
     assert by_key[1]["v_cents"] == 375 and by_key[1]["n_events"] == 2
     assert by_key[2]["v_cents"] == 500 and not by_key[2]["filled"]
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Latest touch wins, lookback gates, other users' touches never
+    leak, conversions with no preceding touch emit NULLs, and a
+    touch AFTER the conversion does not count."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: click, view, purchase -> credits the VIEW (latest)
+        (1, at(0), 1, "click", 0.0, ""),
+        (2, at(10), 1, "view", 0.0, ""),
+        (3, at(20), 1, "purchase", 0.0, ""),
+        # user 1: second purchase 2h later -> outside 1h lookback
+        (4, at(7800), 1, "purchase", 0.0, ""),
+        # user 2: purchase with NO touch before (touch comes after)
+        (5, at(100), 2, "purchase", 0.0, ""),
+        (6, at(200), 2, "click", 0.0, ""),
+        # user 3: error events are not touches
+        (7, at(0), 3, "error", 0.0, ""),
+        (8, at(5), 3, "purchase", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r["conv_id"]: (r["touch_id"], r["gap_us"])
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got[3] == (2, 10_000_000)
+    assert got[4] == (None, None)     # view was 7790s ago > 1h
+    assert got[5] == (None, None)
+    assert got[8] == (None, None)
+
+
+def test_last_touch_attribution_tie_and_sql_twin(spark):
+    """Same-timestamp touch/conversion: tie breaks on event_id, so a
+    touch with a smaller id at the identical ts IS credited (it
+    sorts before the conversion). SQL twin agrees on a seeded
+    stream."""
+    import datetime as dt
+    import hashlib
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        last_touch_attribution,
+        last_touch_attribution_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (10, t0, 1, "view", 0.0, ""),
+            (11, t0, 1, "purchase", 0.0, ""),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    rows = last_touch_attribution(ev).collect()
+    assert (rows[0]["touch_id"], rows[0]["gap_us"]) == (10, 0)
+
+    types = ["click", "view", "purchase", "error", "signup"]
+    data = []
+    for i in range(400):
+        h = int(hashlib.md5(f"att|{i}".encode()).hexdigest()[:8], 16)
+        data.append(
+            (
+                i,
+                t0 + dt.timedelta(seconds=(h % 100_000)),
+                h % 7,
+                types[h % 5],
+                0.0,
+                "",
+            )
+        )
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = sorted(
+        tuple(r) for r in last_touch_attribution(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", data
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(last_touch_attribution_sql()).fetchall()
+    )
+    assert got == want
