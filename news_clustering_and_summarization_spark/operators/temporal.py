@@ -593,3 +593,231 @@ FROM carried
 WHERE etype = '{conversion_type}'
 ORDER BY conv_id
 """
+
+
+def cusum_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    alarm_mult: int = 3,
+) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) over zero-filled
+    daily event counts, per series — the classic drift detector for
+    rate shifts that a plain threshold misses.
+
+    The recurrence s_i = max(0, s_{i-1} + (x_i - k)) looks
+    sequential, but has the closed form
+
+        s_i = p_i - min(0, min_{j<=i} p_j),   p = prefix sum of (x-k)
+
+    so it is TWO frame-bounded windows per series (cumulative sum +
+    cumulative min) — no recursion, no driver loop, partitioned by
+    series key, nothing global. k is the series mean; to keep every
+    term an exact integer the whole series is scaled by n (days):
+    p_i = Σ (n·x_j − S) with S = Σx, and the alarm fires when the
+    unscaled cusum exceeds ``alarm_mult``× the daily mean, i.e.
+    s_scaled > alarm_mult·S. Bit-identical on any engine.
+
+    Output: (event_type, day, x, s_scaled, alarm) ordered by
+    (event_type, day); s_scaled = n·cusum."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    totals = full.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s_tot"),
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_p = full.join(totals, "g").withColumn(
+        "p",
+        F.sum(F.col("n") * F.col("x") - F.col("s_tot")).over(wcum),
+    )
+    s_scaled = F.col("p") - F.least(F.lit(0), F.min("p").over(wcum))
+    return (
+        with_p.select(
+            F.col("g").alias(type_col),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "x",
+            s_scaled.alias("s_scaled"),
+            (s_scaled > F.lit(alarm_mult) * F.col("s_tot")).alias(
+                "alarm"
+            ),
+        )
+        .orderBy(type_col, "day")
+    )
+
+
+def cusum_daily_sql(
+    events_table: str = "events", alarm_mult: int = 3
+) -> str:
+    """DuckDB twin of cusum_daily."""
+    return f"""
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+full_days AS (
+  SELECT s.g, s.d, coalesce(dl.x, 0)::BIGINT AS x
+  FROM spine s LEFT JOIN daily dl ON dl.g = s.g AND dl.d = s.d
+),
+tot AS (
+  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS s_tot
+  FROM full_days GROUP BY g
+),
+cum AS (
+  SELECT f.g, f.d, f.x, t.s_tot,
+         sum(t.n * f.x - t.s_tot)
+           OVER (PARTITION BY f.g ORDER BY f.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p
+  FROM full_days f JOIN tot t ON t.g = f.g
+),
+sc AS (
+  SELECT g, d, x, s_tot,
+         p - least(0, min(p)
+               OVER (PARTITION BY g ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s_scaled
+  FROM cum
+)
+SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       s_scaled::BIGINT AS s_scaled,
+       (s_scaled > {alarm_mult} * s_tot) AS alarm
+FROM sc ORDER BY event_type, day
+"""
+
+
+def autocorr_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lag: int = 1,
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Lag-k autocorrelation of zero-filled daily event counts per
+    series — the seasonality/burst-persistence probe (ACF value)
+    behind every rate model.
+
+    Pearson r over (x_{t-lag}, x_t) pairs from ONE window lag per
+    series, then the same exact-integer sufficient statistics as
+    operators/regression.ols_fit. The only non-rational op is
+    sqrt, which IEEE-754 requires to be correctly rounded, so the
+    result quantizes identically on both engines.
+
+    Output: (event_type, n_pairs, r_q = round(r * 1e6))."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    w = Window.partitionBy("g").orderBy("d")
+    pairs = full.withColumn("xprev", F.lag("v", lag).over(w)).where(
+        F.col("xprev").isNotNull()
+    )
+    stats = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xprev").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("xprev") * F.col("v")).alias("sxy"),
+        F.sum(F.col("xprev") * F.col("xprev")).alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = num / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        stats.where(
+            (F.col("n") >= min_pairs) & (vx > 0) & (vy > 0)
+        )
+        .select(
+            F.col("g").alias(type_col),
+            F.col("n").alias("n_pairs"),
+            F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+                "r_q"
+            ),
+        )
+        .orderBy(type_col)
+    )
+
+
+def autocorr_daily_sql(
+    events_table: str = "events", lag: int = 1, min_pairs: int = 3
+) -> str:
+    """DuckDB twin of autocorr_daily."""
+    return f"""
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS v
+  FROM {events_table} GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+full_days AS (
+  SELECT s.g, s.d, coalesce(dl.v, 0)::BIGINT AS v
+  FROM spine s LEFT JOIN daily dl ON dl.g = s.g AND dl.d = s.d
+),
+pairs AS (
+  SELECT g, v,
+         lag(v, {lag}) OVER (PARTITION BY g ORDER BY d) AS xprev
+  FROM full_days
+),
+stats AS (
+  SELECT g, count(*)::BIGINT AS n,
+         sum(xprev)::BIGINT AS sx, sum(v)::BIGINT AS sy,
+         sum(xprev * v)::BIGINT AS sxy,
+         sum(xprev * xprev)::BIGINT AS sxx,
+         sum(v * v)::BIGINT AS syy
+  FROM pairs WHERE xprev IS NOT NULL GROUP BY g
+)
+SELECT g AS event_type, n AS n_pairs,
+       floor((n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)) * 1e6 + 0.5
+            )::BIGINT AS r_q
+FROM stats
+WHERE n >= {min_pairs}
+  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+ORDER BY event_type
+"""

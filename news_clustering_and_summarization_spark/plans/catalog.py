@@ -7590,6 +7590,39 @@ def oracle_seq_patterns() -> str:
     return sequence_pair_support_sql(min_support=2)
 
 
+def q_cusum(spark, sf):
+    """CUSUM change-point detection (operators/temporal.cusum_daily):
+    the sequential max(0, s+(x-k)) recurrence via its closed form
+    p_i - min(0, running-min p) — two frame-bounded windows per
+    series, exact integers throughout (series scaled by n so the
+    mean reference never divides)."""
+    from ..operators.temporal import cusum_daily
+
+    return cusum_daily(load(spark, sf, "events"))
+
+
+def oracle_cusum() -> str:
+    from ..operators.temporal import cusum_daily_sql
+
+    return cusum_daily_sql()
+
+
+def q_autocorr(spark, sf):
+    """Lag-1 autocorrelation of zero-filled daily counts per event
+    type (operators/temporal.autocorr_daily): one window lag +
+    exact-integer sufficient statistics; sqrt is IEEE
+    correctly-rounded so the quantized r replays in DuckDB."""
+    from ..operators.temporal import autocorr_daily
+
+    return autocorr_daily(load(spark, sf, "events"))
+
+
+def oracle_autocorr() -> str:
+    from ..operators.temporal import autocorr_daily_sql
+
+    return autocorr_daily_sql()
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7934,6 +7967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "attribution": q_attribution,
     "seq_patterns": q_seq_patterns,
+    "cusum_detect": q_cusum,
+    "autocorr": q_autocorr,
 }
 
 ORACLES: dict[str, str] = {
@@ -8044,6 +8079,8 @@ ORACLES: dict[str, str] = {
     "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "attribution": oracle_attribution(),
     "seq_patterns": oracle_seq_patterns(),
+    "cusum_detect": oracle_cusum(),
+    "autocorr": oracle_autocorr(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -404,3 +404,117 @@ def test_last_touch_attribution_tie_and_sql_twin(spark):
         for r in con.execute(last_touch_attribution_sql()).fetchall()
     )
     assert got == want
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """The window closed form must equal the sequential
+    max(0, s + (x - mean)) recurrence, scaled by n; a level shift
+    mid-series must raise the alarm while the flat head stays off."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        cusum_daily,
+    )
+
+    # 10 days at 1/day then 10 days at 21/day: mean 11, big shift
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(20):
+        cnt = 1 if day < 10 else 21
+        for _ in range(cnt):
+            rows.append((eid, t0 + dt.timedelta(days=day), 7, "shift"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = cusum_daily(ev).collect()
+    xs = [r["x"] for r in got]
+    n, S = len(xs), sum(xs)
+    s, expect = 0, []
+    for x in xs:
+        s = max(0, s + (n * x - S))  # scaled recurrence
+        expect.append(s)
+    assert [r["s_scaled"] for r in got] == expect
+    assert not any(r["alarm"] for r in got[:10])
+    assert got[-1]["alarm"]  # shifted tail accumulates
+
+
+def test_cusum_zero_fills_missing_days(spark):
+    """A series with an absent middle day gets an x=0 spine row."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        cusum_daily,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "a"),
+            (2, t0 + dt.timedelta(days=2), 1, "a"),
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    got = cusum_daily(ev).collect()
+    assert [(r["day"], r["x"]) for r in got] == [
+        ("2024-03-01", 1),
+        ("2024-03-02", 0),
+        ("2024-03-03", 1),
+    ]
+
+
+def test_autocorr_known_series(spark):
+    """A strictly alternating series has lag-1 r = -1 (quantized);
+    constant series are filtered (zero variance); the SQL twin
+    agrees on a seeded stream."""
+    import datetime as dt
+    import hashlib
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        autocorr_daily,
+        autocorr_daily_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    eid = 0
+    for day in range(12):
+        cnt = 5 if day % 2 == 0 else 1
+        for _ in range(cnt):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "alt"))
+            eid += 1
+    for day in range(12):  # constant 2/day -> zero variance
+        for _ in range(2):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "flat"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {r["event_type"]: r for r in autocorr_daily(ev).collect()}
+    assert set(got) == {"alt"}
+    assert got["alt"]["r_q"] == -1_000_000
+
+    data = []
+    for i in range(500):
+        h = int(hashlib.md5(f"ac|{i}".encode()).hexdigest()[:8], 16)
+        data.append(
+            (i, t0 + dt.timedelta(seconds=h % (86400 * 30)),
+             h % 5, ["a", "b", "c"][h % 3], 0.0, "")
+        )
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = sorted(tuple(r) for r in autocorr_daily(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", data)
+    want = sorted(
+        tuple(r) for r in con.execute(autocorr_daily_sql()).fetchall()
+    )
+    assert got == want
