@@ -184,3 +184,92 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy(*groups, "bucket")
         .agg(F.max("r").alias("r"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV / theta distinct-count sketch (Bar-Yossef et al. 2002;
+    the k-minimum-values estimator behind Theta sketches): hash
+    every value to a uniform 60-bit integer, keep the k smallest
+    DISTINCT hashes; the k-th smallest at normalized position
+    h_k/2^60 estimates the distinct count as (k-1)·2^60/h_k.
+
+    The complement to [[hll]]: mergeable by union-of-mins, and —
+    unlike HLL — supports set INTERSECTION estimates, which is why
+    dedup planners carry both. One exact top-k (TakeOrdered — never
+    a global sort materialization) over the distinct-hash stream.
+
+    Determinism: hashes are md5-derived exact integers; the only
+    float op is one division of exactly-representable doubles
+    (255·2^60 has 60 trailing zero bits, well inside the 53-bit
+    mantissa rule), half-away-quantized. The true count rides along
+    for a self-certifying relative error.
+
+    Output: ONE row (k_used, kth_hash, est, exact, rel_err_q)."""
+    # md5 needs a string: integer keys render as decimal digits,
+    # identical in both engines
+    hashes = df.select(
+        H.hash64(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    topk = hashes.orderBy("h").limit(k)
+    sk = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = hashes.agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    est = F.floor(
+        (F.col("k_used") - F.lit(1)).cast("double")
+        * (F.lit(float(1 << 60)) / F.col("kth_hash").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            "k_used",
+            "kth_hash",
+            est.alias("est"),
+            "exact",
+            F.floor(
+                F.abs(
+                    est.cast("double") - F.col("exact").cast("double")
+                )
+                / F.col("exact").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rel_err_q"),
+        )
+    )
+
+
+def kmv_distinct_sql(table: str, col: str, k: int = 256) -> str:
+    """DuckDB twin of kmv_distinct."""
+    h = H.hash64_sql(f"{col}::VARCHAR")
+    return f"""
+WITH hashes AS MATERIALIZED (
+  SELECT DISTINCT {h} AS h FROM {table}
+),
+topk AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
+sk AS (
+  SELECT count(*)::BIGINT AS k_used, max(h) AS kth_hash FROM topk
+),
+ex AS (SELECT count(*)::BIGINT AS exact FROM hashes),
+j AS (
+  SELECT k_used, kth_hash,
+         floor((k_used - 1)::DOUBLE
+               * ({float(1 << 60)} / kth_hash::DOUBLE) + 0.5)::BIGINT
+           AS est,
+         exact
+  FROM sk, ex
+)
+SELECT k_used, kth_hash, est, exact,
+       floor(abs(est::DOUBLE - exact::DOUBLE) / exact::DOUBLE
+             * 1e6 + 0.5)::BIGINT AS rel_err_q
+FROM j
+"""

@@ -292,3 +292,120 @@ SELECT d.grp AS {group_col}, count(*)::BIGINT AS n,
 FROM dev d JOIN mad m USING (grp)
 GROUP BY d.grp ORDER BY {group_col}
 """
+
+
+CORR_VARS = [
+    ("qty", "l_quantity", 1),
+    ("price_c", "l_extendedprice", 100),
+    ("disc_c", "l_discount", 100),
+    ("tax_c", "l_tax", 100),
+]
+
+
+def corr_matrix(df: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures — the standard profiling pass before any feature
+    selection (collinear measures, pricing relationships).
+
+    ONE full-scan aggregation produces every sufficient statistic
+    (n plus Σx, Σx², Σx·y for all pairs — map-side combinable,
+    order-free); the 6 upper-triangle correlations are then built
+    from that single row by an unpivot, so the matrix costs exactly
+    one shuffle-to-one-row regardless of scale.
+
+    Inputs are quantized to exact integer units (cents) first;
+    cross-products are accumulated in DECIMAL(38,0) — at 100 TB the
+    cent-squared sums pass int64 (~9.2e18) long before the row
+    count does. The only irrational op is IEEE-correctly-rounded
+    sqrt; r quantizes half-away at 1e6 identically cross-engine.
+
+    Output: (var_a, var_b, n, r_q) for the 6 unordered pairs."""
+    cols = {}
+    for name, src, mult in CORR_VARS:
+        c = F.col(src)
+        if mult != 1:
+            c = F.floor(c * F.lit(float(mult)) + F.lit(0.5))
+        cols[name] = c.cast("long")
+    base = df.select(*[c.alias(n) for n, c in cols.items()])
+    names = [n for n, _, _ in CORR_VARS]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, a in enumerate(names):
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)")).alias(f"s_{a}")
+        )
+        for b in names[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("decimal(19,0)")
+                    * F.col(b).cast("decimal(19,0)")
+                ).alias(f"s_{a}_{b}")
+            )
+    stats = base.agg(*aggs)
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (
+                F.col("n").cast("decimal(38,0)") * F.col(f"s_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ).cast("double")
+            va = (
+                F.col("n").cast("decimal(38,0)") * F.col(f"s_{a}_{a}")
+                - F.col(f"s_{a}") * F.col(f"s_{a}")
+            ).cast("double")
+            vb = (
+                F.col("n").cast("decimal(38,0)") * F.col(f"s_{b}_{b}")
+                - F.col(f"s_{b}") * F.col(f"s_{b}")
+            ).cast("double")
+            r = num / (F.sqrt(va) * F.sqrt(vb))
+            pair_rows.append(
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    F.col("n").alias("n"),
+                    F.floor(r * F.lit(1e6) + F.lit(0.5))
+                    .cast("long")
+                    .alias("r_q"),
+                )
+            )
+    return (
+        stats.select(
+            F.explode(F.array(*pair_rows)).alias("p")
+        )
+        .select("p.var_a", "p.var_b", "p.n", "p.r_q")
+        .orderBy("var_a", "var_b")
+    )
+
+
+def corr_matrix_sql(table: str = "lineitem") -> str:
+    """DuckDB twin of corr_matrix (HUGEINT plays DECIMAL(38,0))."""
+    names = [n for n, _, _ in CORR_VARS]
+    sel = []
+    for name, src, mult in CORR_VARS:
+        if mult == 1:
+            sel.append(f"{src}::BIGINT AS {name}")
+        else:
+            sel.append(
+                f"floor({src} * {float(mult)} + 0.5)::BIGINT AS {name}"
+            )
+    aggs = ["count(*)::BIGINT AS n"]
+    for i, a in enumerate(names):
+        aggs.append(f"sum({a}::HUGEINT) AS s_{a}")
+        for b in names[i:]:
+            aggs.append(f"sum({a}::HUGEINT * {b}::HUGEINT) AS s_{a}_{b}")
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pairs.append(
+                f"""SELECT '{a}' AS var_a, '{b}' AS var_b, n,
+floor((n::HUGEINT * s_{a}_{b} - s_{a} * s_{b})::DOUBLE
+      / (sqrt((n::HUGEINT * s_{a}_{a} - s_{a} * s_{a})::DOUBLE)
+         * sqrt((n::HUGEINT * s_{b}_{b} - s_{b} * s_{b})::DOUBLE))
+      * 1e6 + 0.5)::BIGINT AS r_q
+FROM stats"""
+            )
+    union = "\nUNION ALL\n".join(pairs)
+    return f"""
+WITH base AS (SELECT {", ".join(sel)} FROM {table}),
+stats AS MATERIALIZED (SELECT {", ".join(aggs)} FROM base)
+SELECT * FROM ({union}) ORDER BY var_a, var_b
+"""

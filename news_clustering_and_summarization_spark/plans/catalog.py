@@ -7623,6 +7623,40 @@ def oracle_autocorr() -> str:
     return autocorr_daily_sql()
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV/theta distinct sketch (operators/cardinality.kmv_distinct)
+    of lineitem part keys — k-minimum md5 hashes, exact top-k, one
+    exactly-representable double division; self-certifying rel_err
+    against the exact count."""
+    from ..operators.cardinality import kmv_distinct
+
+    li = load(spark, sf, "lineitem")
+    return kmv_distinct(li, "l_partkey", k=256)
+
+
+def oracle_kmv_distinct() -> str:
+    from ..operators.cardinality import kmv_distinct_sql
+
+    return kmv_distinct_sql("lineitem", "l_partkey", k=256)
+
+
+def q_corr_matrix(spark, sf):
+    """Pairwise Pearson matrix over lineitem measures (operators/
+    profiling.corr_matrix): every sufficient statistic from ONE
+    map-side-combinable aggregation, DECIMAL(38,0) cross-products
+    (int64-safe past 100 TB), 6 pairs unpivoted from the single
+    stats row."""
+    from ..operators.profiling import corr_matrix
+
+    return corr_matrix(load(spark, sf, "lineitem"))
+
+
+def oracle_corr_matrix() -> str:
+    from ..operators.profiling import corr_matrix_sql
+
+    return corr_matrix_sql("lineitem")
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -7969,6 +8003,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_patterns": q_seq_patterns,
     "cusum_detect": q_cusum,
     "autocorr": q_autocorr,
+    "kmv_distinct": q_kmv_distinct,
+    "corr_matrix": q_corr_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -8081,6 +8117,8 @@ ORACLES: dict[str, str] = {
     "seq_patterns": oracle_seq_patterns(),
     "cusum_detect": oracle_cusum(),
     "autocorr": oracle_autocorr(),
+    "kmv_distinct": oracle_kmv_distinct(),
+    "corr_matrix": oracle_corr_matrix(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

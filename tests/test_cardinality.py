@@ -101,3 +101,49 @@ def test_merge_associativity_random_splits(spark):
     a = sorted(map(tuple, merged_lr.collect()))
     assert a == sorted(map(tuple, merged_rl.collect()))
     assert a == sorted(map(tuple, one_shot.collect()))
+
+
+def test_kmv_distinct_small_and_estimate_band(spark):
+    """Fewer distincts than k: the sketch holds them all and the
+    estimator is irrelevant (k_used == exact). Many distincts: the
+    estimate lands inside the ~3/sqrt(k) relative-error band, and
+    rel_err_q self-reports the same error."""
+    from news_clustering_and_summarization_spark.operators.cardinality import (
+        kmv_distinct,
+    )
+
+    small = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], ["v"]
+    )
+    r = kmv_distinct(small, "v", k=256).collect()[0]
+    assert r["k_used"] == 10 and r["exact"] == 10
+
+    big = spark.createDataFrame([(i,) for i in range(20_000)], ["v"])
+    r = kmv_distinct(big, "v", k=256).collect()[0]
+    assert r["exact"] == 20_000 and r["k_used"] == 256
+    rel = abs(r["est"] - 20_000) / 20_000
+    assert rel < 3 / (256 ** 0.5)
+    assert r["rel_err_q"] == int(rel * 1e6 + 0.5)
+
+
+def test_kmv_distinct_sql_twin(spark):
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.cardinality import (
+        kmv_distinct,
+        kmv_distinct_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 7 % 997,) for i in range(5000)], ["v"]
+    )
+    got = tuple(kmv_distinct(df, "v", k=64).collect()[0])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT (i * 7) % 997 AS v "
+        "FROM range(5000) r(i)"
+    )
+    want = tuple(
+        con.execute(kmv_distinct_sql("t", "v", k=64)).fetchall()[0]
+    )
+    assert got == want

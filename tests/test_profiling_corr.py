@@ -1,0 +1,71 @@
+"""Correlation-matrix profiler tests."""
+
+import duckdb
+
+from news_clustering_and_summarization_spark.operators.profiling import (
+    corr_matrix,
+    corr_matrix_sql,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def test_corr_matrix_known_relationships(spark):
+    """price = 100*qty gives r=1 for (price_c, qty); an exactly
+    anti-correlated tax gives r=-1; all 6 pairs present."""
+    rows = []
+    for q in range(1, 21):
+        rows.append(
+            (float(q), 100.0 * q, 0.01 * (q % 5), 0.10 - 0.005 * (q % 5) * 0)
+        )
+    # make tax exactly anti-linear in discount: tax = 0.10 - disc
+    rows = [
+        (float(q), 100.0 * q, 0.01 * (q % 5), 0.10 - 0.01 * (q % 5))
+        for q in range(1, 21)
+    ]
+    df = _mk(spark, rows)
+    got = {
+        (r["var_a"], r["var_b"]): r["r_q"]
+        for r in corr_matrix(df).collect()
+    }
+    assert len(got) == 6
+    assert got[("qty", "price_c")] == 1_000_000
+    assert got[("disc_c", "tax_c")] == -1_000_000
+
+
+def test_corr_matrix_matches_duckdb_and_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(200):
+        h = hashlib.md5(f"cm|{i}".encode()).hexdigest()
+        q = 1 + int(h[:4], 16) % 50
+        p = round(q * (900 + int(h[4:8], 16) % 200) / 100.0, 2)
+        d = (int(h[8:12], 16) % 11) / 100.0
+        t = (int(h[12:16], 16) % 9) / 100.0
+        rows.append((float(q), p, d, t))
+    df = _mk(spark, rows)
+    got = sorted(tuple(r) for r in corr_matrix(df).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem (l_quantity DOUBLE, l_extendedprice "
+        "DOUBLE, l_discount DOUBLE, l_tax DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(corr_matrix_sql()).fetchall())
+    assert got == want
+
+    # sanity vs numpy on one pair (qty vs price cents)
+    qs = np.array([r[0] for r in rows])
+    ps = np.array([np.floor(r[1] * 100 + 0.5) for r in rows])
+    expect = np.corrcoef(qs, ps)[0, 1]
+    r_q = dict(((a, b), r) for a, b, _, r in got)[("qty", "price_c")]
+    assert abs(r_q / 1e6 - expect) < 2e-6

@@ -76,6 +76,9 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast (core_size, min_deg) aggregate crossJoined
     # onto the surviving core for the fixpoint-certificate columns
     "kcore",
+    # crossJoin of two ONE-ROW aggregates (k-min sketch stats x exact
+    # count) — both sides O(1) rows by construction
+    "kmv_distinct",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
