@@ -125,3 +125,157 @@ SELECT {zkey} // {shift} AS zbucket,
 FROM {table} t CROSS JOIN s
 GROUP BY 1
 """
+
+
+# --- Hilbert curve ----------------------------------------------------
+
+
+def hilbert_steps(bits: int, idiv: str) -> list[tuple[str, str, str]]:
+    """Per-level (d_increment, new_x, new_y) SQL templates for the
+    standard xy2d walk (the Wikipedia/Hamilton formulation): at each
+    scale s = 2^(bits-1) .. 1, read quadrant bits (rx, ry), add
+    s²·((3rx) XOR ry) to the key, then rotate/flip the frame. The
+    XOR-of-one-bit-values table is spelled as a CASE (0,1,3,2) so no
+    dialect bitwise op is needed; bit tests use ``idiv``/% only.
+
+    Templates reference {x} and {y}; the caller chains them
+    (column-by-column in Spark, CTE-by-CTE in DuckDB)."""
+    steps = []
+    n = 1 << bits
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"((({{x}}) {idiv} {s}) % 2)"
+        ry = f"((({{y}}) {idiv} {s}) % 2)"
+        d_inc = (
+            f"{s * s} * (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        new_x = (
+            f"(CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {n - 1} - ({{y}}) "
+            f"ELSE ({{y}}) END) ELSE ({{x}}) END)"
+        )
+        new_y = (
+            f"(CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {n - 1} - ({{x}}) "
+            f"ELSE ({{x}}) END) ELSE ({{y}}) END)"
+        )
+        steps.append((d_inc, new_x, new_y))
+    return steps
+
+
+def hilbert_layout_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bucket_bits: int = 3,
+) -> DataFrame:
+    """Hilbert-curve layout keys + per-bucket min/max spans — the
+    better-locality sibling of zorder_layout_stats (a Hilbert walk
+    never jumps across the grid the way Morton's Z-seams do, so
+    bucket bounding boxes are tighter and stats-based pruning skips
+    more files; same normalize → key → repartitionByRange flow).
+
+    The per-level rotation makes the key stateful, so it unrolls as
+    ``bits`` chained projections (still zero-shuffle — Catalyst
+    collapses them into one) after the broadcast 1-row min/max
+    aggregate. All integer CASE/divide arithmetic — bit-identical
+    cross-engine.
+
+    Output: (hbucket, n_rows, x_lo, x_hi, y_lo, y_hi)."""
+    top = (1 << bits) - 1
+    stats = df.agg(
+        F.min(x_col).cast("long").alias("_xlo"),
+        F.max(x_col).cast("long").alias("_xhi"),
+        F.min(y_col).cast("long").alias("_ylo"),
+        F.max(y_col).cast("long").alias("_yhi"),
+    )
+    base = df.crossJoin(F.broadcast(stats)).select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.expr(
+            f"(({x_col} - _xlo) * {top}) DIV greatest(_xhi - _xlo, 1)"
+        ).alias("hx"),
+        F.expr(
+            f"(({y_col} - _ylo) * {top}) DIV greatest(_yhi - _ylo, 1)"
+        ).alias("hy"),
+    )
+    cur = base.withColumn("hd", F.lit(0).cast("long"))
+    for d_inc, new_x, new_y in hilbert_steps(bits, idiv="DIV"):
+        cur = cur.select(
+            "x",
+            "y",
+            F.expr(new_x.format(x="hx", y="hy")).alias("hx"),
+            F.expr(new_y.format(x="hx", y="hy")).alias("hy"),
+            (
+                F.col("hd") + F.expr(d_inc.format(x="hx", y="hy"))
+            ).alias("hd"),
+        )
+    shift = 1 << (2 * bits - 2 * bucket_bits)
+    return (
+        cur.select(
+            "x", "y", F.expr(f"hd DIV {shift}").alias("hbucket")
+        )
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+    )
+
+
+def hilbert_layout_stats_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bucket_bits: int = 3,
+) -> str:
+    """DuckDB twin of hilbert_layout_stats (CTE chain per level)."""
+    top = (1 << bits) - 1
+    ctes = [
+        f"""s AS (
+  SELECT min({x_col})::BIGINT AS _xlo, max({x_col})::BIGINT AS _xhi,
+         min({y_col})::BIGINT AS _ylo, max({y_col})::BIGINT AS _yhi
+  FROM {table}
+)""",
+        f"""h0 AS (
+  SELECT t.{x_col}::BIGINT AS x, t.{y_col}::BIGINT AS y,
+         ((t.{x_col}::BIGINT - s._xlo) * {top})
+           // greatest(s._xhi - s._xlo, 1) AS hx,
+         ((t.{y_col}::BIGINT - s._ylo) * {top})
+           // greatest(s._yhi - s._ylo, 1) AS hy,
+         0::BIGINT AS hd
+  FROM {table} t CROSS JOIN s
+)""",
+    ]
+    prev = "h0"
+    for i, (d_inc, new_x, new_y) in enumerate(
+        hilbert_steps(bits, idiv="//"), start=1
+    ):
+        ctes.append(
+            f"""h{i} AS (
+  SELECT x, y,
+         {new_x.format(x="hx", y="hy")} AS hx,
+         {new_y.format(x="hx", y="hy")} AS hy,
+         hd + {d_inc.format(x="hx", y="hy")} AS hd
+  FROM {prev}
+)"""
+        )
+        prev = f"h{i}"
+    shift = 1 << (2 * bits - 2 * bucket_bits)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT hd // {shift} AS hbucket, count(*)::BIGINT AS n_rows,
+       min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+FROM {prev}
+GROUP BY 1
+"""
+    )

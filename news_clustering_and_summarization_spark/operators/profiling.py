@@ -409,3 +409,105 @@ WITH base AS (SELECT {", ".join(sel)} FROM {table}),
 stats AS MATERIALIZED (SELECT {", ".join(aggs)} FROM base)
 SELECT * FROM ({union}) ORDER BY var_a, var_b
 """
+
+
+# First-significant-digit probabilities log10(1 + 1/d), embedded as
+# the SAME literals in both engines (no runtime log -> no libm
+# divergence surface at all)
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data
+    / synthetic-leak detector for naturally-occurring positive
+    amounts (Benford 1938; Nigrini's forensic-accounting usage):
+    compare the observed first-significant-digit distribution to
+    p(d) = log10(1 + 1/d) and report each digit's chi-square term.
+
+    One groupBy(digit) over a zero-shuffle projection; the total
+    row count joins back as a broadcast 1-row aggregate. The first
+    digit comes from the decimal STRING rendering of the integer
+    cents (identical across engines), never from float log10.
+    Expected probabilities are shared compile-time literals, so the
+    chi-square terms are a fixed IEEE dag — bit-identical.
+
+    Output per digit 1..9: (digit, n_obs, n_total, exp_q, chi2_q)
+    with exp_q = round(n_total·p_d·1e6)... exp_q in millionths of a
+    row; chi2_q = round((obs - n·p)²/(n·p) · 1e6)."""
+    cents = F.floor(F.col(col) * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    obs = (
+        df.where(F.col(col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    rows = obs.crossJoin(F.broadcast(total))
+    p = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d, pv in BENFORD_P.items()
+                for x in (F.lit(d), F.lit(pv))
+            ]
+        ),
+        F.col("digit"),
+    )
+    expected = F.col("n_total").cast("double") * p
+    # squared via plain multiply, not pow(): libm pow is not required
+    # to be correctly rounded, x*x is a single IEEE multiply
+    dev = F.col("n_obs").cast("double") - expected
+    chi2 = dev * dev / expected
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return rows.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        q(expected).alias("exp_q"),
+        q(chi2).alias("chi2_q"),
+    ).orderBy("digit")
+
+
+def benford_audit_sql(table: str, col: str) -> str:
+    """DuckDB twin of benford_audit."""
+    cases = " ".join(
+        f"WHEN {d} THEN {pv!r}" for d, pv in BENFORD_P.items()
+    )
+    return f"""
+WITH obs AS (
+  SELECT substr((floor({col} * 100.0 + 0.5)::BIGINT)::VARCHAR, 1, 1)
+           ::BIGINT AS digit,
+         count(*)::BIGINT AS n_obs
+  FROM {table} WHERE {col} > 0 GROUP BY 1
+),
+tot AS (SELECT sum(n_obs)::BIGINT AS n_total FROM obs),
+j AS (
+  SELECT digit, n_obs, n_total,
+         n_total::DOUBLE * (CASE digit {cases} END) AS expected
+  FROM obs, tot
+)
+SELECT digit, n_obs, n_total,
+       floor(expected * 1e6 + 0.5)::BIGINT AS exp_q,
+       floor((n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected)
+             / expected * 1e6 + 0.5)::BIGINT AS chi2_q
+FROM j ORDER BY digit
+"""

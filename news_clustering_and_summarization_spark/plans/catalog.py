@@ -7657,6 +7657,53 @@ def oracle_corr_matrix() -> str:
     return corr_matrix_sql("lineitem")
 
 
+def q_hilbert_layout(spark, sf):
+    """Hilbert-curve layout keys over part (price cents × size)
+    (operators/layout.hilbert_layout_stats): better-locality sibling
+    of zorder_layout — the stateful rotation unrolls into chained
+    zero-shuffle projections Catalyst collapses; per-bucket min/max
+    spans are the footer stats pruning would use."""
+    from ..operators.layout import hilbert_layout_stats
+
+    part = load(spark, sf, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    )
+    return hilbert_layout_stats(part, "price_c", "p_size").orderBy(
+        "hbucket"
+    )
+
+
+def oracle_hilbert_layout() -> str:
+    from ..operators.layout import hilbert_layout_stats_sql
+
+    inner = (
+        "SELECT p_partkey, floor(p_retailprice * 100.0 + 0.5)::BIGINT "
+        "AS price_c, p_size FROM part"
+    )
+    sql = hilbert_layout_stats_sql(f"({inner})", "price_c", "p_size")
+    return f"SELECT * FROM ({sql}) ORDER BY hbucket"
+
+
+def q_benford(spark, sf):
+    """Benford first-digit audit of lineitem prices (operators/
+    profiling.benford_audit): digit from the decimal string of
+    integer cents (never float log10), expected probabilities as
+    shared compile-time literals, per-digit chi-square terms."""
+    from ..operators.profiling import benford_audit
+
+    return benford_audit(load(spark, sf, "lineitem"), "l_extendedprice")
+
+
+def oracle_benford() -> str:
+    from ..operators.profiling import benford_audit_sql
+
+    return benford_audit_sql("lineitem", "l_extendedprice")
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8005,6 +8052,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "autocorr": q_autocorr,
     "kmv_distinct": q_kmv_distinct,
     "corr_matrix": q_corr_matrix,
+    "hilbert_layout": q_hilbert_layout,
+    "benford_audit": q_benford,
 }
 
 ORACLES: dict[str, str] = {
@@ -8119,6 +8168,8 @@ ORACLES: dict[str, str] = {
     "autocorr": oracle_autocorr(),
     "kmv_distinct": oracle_kmv_distinct(),
     "corr_matrix": oracle_corr_matrix(),
+    "hilbert_layout": oracle_hilbert_layout(),
+    "benford_audit": oracle_benford(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -28,3 +28,93 @@ def test_zorder_beats_linear_sort_on_second_dim(spark):
     z = zorder_layout_stats(df, "x", "y", bits=3, bucket_bits=2).collect()
     max_y_span = max(r["y_hi"] - r["y_lo"] for r in z)
     assert max_y_span == 1 < 7  # linear-by-x buckets would span 7
+
+
+def _hilbert_xy2d_ref(n, x, y):
+    """Wikipedia reference implementation."""
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_steps_match_reference_all_cells():
+    """The SQL step templates replay the reference xy2d on every
+    cell of a 16x16 grid (via DuckDB), and the resulting d values
+    are a permutation of 0..255 with unit-step locality (consecutive
+    d -> manhattan-adjacent cells, the property Morton lacks)."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.layout import (
+        hilbert_steps,
+    )
+
+    bits, n = 4, 16
+    sql_prev = (
+        "h0 AS (SELECT x, y, x AS hx, y AS hy, 0 AS hd FROM "
+        "(SELECT a.r AS x, b.r AS y FROM range(16) a(r), range(16) b(r)))"
+    )
+    ctes = [sql_prev]
+    prev = "h0"
+    for i, (d_inc, new_x, new_y) in enumerate(
+        hilbert_steps(bits, idiv="//"), start=1
+    ):
+        ctes.append(
+            f"h{i} AS (SELECT x, y, "
+            f"{new_x.format(x='hx', y='hy')} AS hx, "
+            f"{new_y.format(x='hx', y='hy')} AS hy, "
+            f"hd + {d_inc.format(x='hx', y='hy')} AS hd FROM {prev})"
+        )
+        prev = f"h{i}"
+    rows = duckdb.sql(
+        "WITH " + ",".join(ctes) + f" SELECT x, y, hd FROM {prev}"
+    ).fetchall()
+    got = {(x, y): d for x, y, d in rows}
+    for (x, y), d in got.items():
+        assert d == _hilbert_xy2d_ref(n, x, y)
+    by_d = sorted(got.items(), key=lambda kv: kv[1])
+    assert [d for _, d in by_d] == list(range(256))
+    for ((x1, y1), _), ((x2, y2), _) in zip(by_d, by_d[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_stats_spark_matches_sql(spark):
+    """Spark chained projections == DuckDB CTE chain on a seeded
+    point set, including the normalize-to-grid stage."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.layout import (
+        hilbert_layout_stats,
+        hilbert_layout_stats_sql,
+    )
+
+    pts = []
+    for i in range(500):
+        h = hashlib.md5(f"hil|{i}".encode()).hexdigest()
+        pts.append((int(h[:6], 16) % 10_000, int(h[6:12], 16) % 3_000))
+    df = spark.createDataFrame(pts, ["px", "py"])
+    got = sorted(
+        tuple(r)
+        for r in hilbert_layout_stats(df, "px", "py").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (px BIGINT, py BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pts)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            hilbert_layout_stats_sql("t", "px", "py")
+        ).fetchall()
+    )
+    assert got == want

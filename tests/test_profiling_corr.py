@@ -69,3 +69,60 @@ def test_corr_matrix_matches_duckdb_and_numpy(spark):
     expect = np.corrcoef(qs, ps)[0, 1]
     r_q = dict(((a, b), r) for a, b, _, r in got)[("qty", "price_c")]
     assert abs(r_q / 1e6 - expect) < 2e-6
+
+
+def test_benford_audit_known_distribution(spark):
+    """A perfectly Benford-ish sample (counts proportional to p_d)
+    yields near-zero chi2 terms; a uniform-digit sample deviates
+    sharply on digit 1. Digits from string-of-cents: 0.05 -> '5'."""
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        BENFORD_P,
+        benford_audit,
+    )
+
+    rows = []
+    for d, p in BENFORD_P.items():
+        for i in range(int(round(p * 1000))):
+            rows.append((float(d) * (10 ** (i % 3)),))
+    df = spark.createDataFrame(rows, ["v"])
+    got = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    assert sum(r["n_obs"] for r in got.values()) == len(rows)
+    assert all(r["chi2_q"] < 400_000 for r in got.values())  # < 0.4
+
+    uni = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10) for _ in range(100)], ["v"]
+    )
+    got = {r["digit"]: r for r in benford_audit(uni, "v").collect()}
+    assert got[1]["chi2_q"] > 50_000_000  # digit 1 way under-observed
+
+    # sub-dollar values take their digit from the cents string
+    small = spark.createDataFrame([(0.05,), (0.42,), (-3.0,), (0.0,)], ["v"])
+    got = {r["digit"]: r["n_obs"] for r in benford_audit(small, "v").collect()}
+    assert got == {5: 1, 4: 1}  # negatives/zeros excluded
+
+
+def test_benford_audit_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        benford_audit,
+        benford_audit_sql,
+    )
+
+    rows = [
+        (int(hashlib.md5(f"bf|{i}".encode()).hexdigest()[:6], 16)
+         % 99_999 / 100.0,)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["v"])
+    got = sorted(tuple(r) for r in benford_audit(df, "v").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(benford_audit_sql("t", "v")).fetchall()
+    )
+    assert got == want

@@ -100,6 +100,11 @@ CARTESIAN_OK = {
     # crossJoins the ONE-ROW min/max stats aggregate onto the rows
     # before the zero-shuffle z-key projection — O(1)-row side
     "zorder_layout",
+    # same ONE-ROW min/max stats broadcast before the chained
+    # zero-shuffle Hilbert key projections
+    "hilbert_layout",
+    # ONE-ROW total-count aggregate crossJoined onto the 9 digit rows
+    "benford_audit",
     # bounded anchor mini-batch (25 rows) x corpus scored pass — the
     # same gated brute-force kernel as ann_topk; at corpus scale the
     # candidates come from ivf_topk/lsh_topk instead (documented)
