@@ -1248,3 +1248,112 @@ SELECT id, n_tok, count(*)::BIGINT AS n_spans,
                           'n_tok')}::BIGINT AS dup_frac_q
 FROM spans GROUP BY id, n_tok ORDER BY id
 """
+
+
+def source_jaccard(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-level pairwise Jaccard between SOURCES over word
+    n-gram shingle sets — the dedup-planning view ("how much does
+    crawl A overlap crawl B?") that decides which corpus pairs are
+    worth a document-level near-dup pass at all.
+
+    Exact, not sketched: distinct (source, shingle-hash) is one
+    shuffle keyed on the hash; pair intersections come from a
+    self-join ON THE SHINGLE KEY (rows per shingle = #sources
+    containing it, so the blowup is sources-per-shingle², bounded
+    by the source count — never documents²); set sizes broadcast
+    back. jaccard_q = one IEEE division of exact ints, half-away
+    quantized.
+
+    Output: (src_a, src_b, inter, size_a, size_b, jaccard_q)."""
+    from ..functions import hashing as H
+
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                H.word_shingles(H.tokens(text_col), shingle_n)
+            ).alias("g"),
+        )
+        .select("src", H.hash64(F.col("g")).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sizes AND the pair join
+    )
+    sizes = sh.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = sh.select(F.col("src").alias("src_a"), "sh")
+    b = sh.select(F.col("src").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("src", "src_a")
+                        .withColumnRenamed("sz", "size_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("src", "src_b")
+                        .withColumnRenamed("sz", "size_b")),
+            "src_b",
+        )
+    )
+    union_sz = (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return out.select(
+        "src_a",
+        "src_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.floor(
+            F.col("inter").cast("double") / union_sz * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jaccard_q"),
+    ).orderBy("src_a", "src_b")
+
+
+def source_jaccard_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of source_jaccard."""
+    from ..functions import hashing as H
+
+    tok = H.tokens_sql(text_col)
+    sh = H.word_shingles_sql(tok, shingle_n)
+    hh = H.hash64_sql("g")
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT {source_col} AS src, {hh} AS sh
+  FROM (SELECT {source_col}, unnest({sh}) AS g FROM {table})
+),
+sizes AS (SELECT src, count(*)::BIGINT AS sz FROM sh GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       floor(i.inter::DOUBLE
+             / (sa.sz + sb.sz - i.inter)::DOUBLE * 1e6 + 0.5)::BIGINT
+         AS jaccard_q
+FROM inter i
+JOIN sizes sa ON sa.src = i.src_a
+JOIN sizes sb ON sb.src = i.src_b
+ORDER BY src_a, src_b
+"""

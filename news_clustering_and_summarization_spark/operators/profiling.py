@@ -10,7 +10,7 @@ duplicate-key guards, SURVEY §2.2 P13) — engine extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -510,4 +510,76 @@ SELECT digit, n_obs, n_total,
        floor((n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected)
              / expected * 1e6 + 0.5)::BIGINT AS chi2_q
 FROM j ORDER BY digit
+"""
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group (lower weighted median: the
+    smallest value whose cumulative weight reaches half the total) —
+    the robust location statistic for skewed weighted data
+    (price-by-volume, score-by-token-count) where a plain median
+    over rows mis-weights.
+
+    Shape: pre-aggregate weight per (group, value) — collapses
+    duplicates BEFORE the window so the sort is over distinct
+    values — then one cumulative-sum window per group and a
+    min-over-qualifying filter. Exact integer weights: the
+    half-total test is 2·cumw >= totw, no division anywhere.
+
+    Output: (group, w_median, tot_w)."""
+    per_val = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    ranked = per_val.withColumn(
+        "cumw", F.sum("w").over(wc)
+    ).withColumn("totw", F.sum("w").over(tot))
+    return (
+        ranked.where(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").alias("w_median"),
+            F.max("totw").alias("tot_w"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "w_median",
+            F.col("tot_w").cast("long").alias("tot_w"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def weighted_median_sql(
+    table_cte: str, group_col: str, value_col: str, weight_col: str
+) -> str:
+    """DuckDB twin of weighted_median."""
+    return f"""
+WITH per_val AS (
+  SELECT {group_col} AS grp, {value_col} AS v,
+         sum({weight_col}::BIGINT) AS w
+  FROM ({table_cte}) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT grp, v, w,
+         sum(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY grp) AS totw
+  FROM per_val
+)
+SELECT grp AS {group_col}, min(v) AS w_median,
+       max(totw)::BIGINT AS tot_w
+FROM ranked WHERE 2 * cumw >= totw
+GROUP BY grp ORDER BY grp
 """

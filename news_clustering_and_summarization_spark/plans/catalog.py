@@ -7704,6 +7704,59 @@ def oracle_benford() -> str:
     return benford_audit_sql("lineitem", "l_extendedprice")
 
 
+def q_source_jaccard(spark, sf):
+    """Corpus-pair Jaccard between document sources (operators/
+    dedup.source_jaccard): exact shingle-set overlap via a
+    shingle-keyed equi-join (blowup bounded by sources-per-shingle²,
+    never documents²) — the dedup-planning matrix."""
+    from ..operators.dedup import source_jaccard
+
+    return source_jaccard(load(spark, sf, "documents"))
+
+
+def oracle_source_jaccard() -> str:
+    from ..operators.dedup import source_jaccard_sql
+
+    return source_jaccard_sql("documents")
+
+
+def q_weighted_median(spark, sf):
+    """Exact lower weighted median of price-by-quantity per brand
+    (operators/profiling.weighted_median): weight pre-aggregated per
+    (group, value) before the per-group cumulative window; the
+    half-total test is pure integer algebra (2·cumw >= totw)."""
+    from ..operators.profiling import weighted_median
+
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    return weighted_median(joined, "p_brand", "price_c", "qty")
+
+
+ORACLE_WEIGHTED_MEDIAN_CTE = """
+SELECT p.p_brand,
+       floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT AS price_c,
+       l.l_quantity::BIGINT AS qty
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+
+def oracle_weighted_median() -> str:
+    from ..operators.profiling import weighted_median_sql
+
+    return weighted_median_sql(
+        ORACLE_WEIGHTED_MEDIAN_CTE, "p_brand", "price_c", "qty"
+    )
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8054,6 +8107,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_matrix": q_corr_matrix,
     "hilbert_layout": q_hilbert_layout,
     "benford_audit": q_benford,
+    "source_jaccard": q_source_jaccard,
+    "weighted_median": q_weighted_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -8170,6 +8225,8 @@ ORACLES: dict[str, str] = {
     "corr_matrix": oracle_corr_matrix(),
     "hilbert_layout": oracle_hilbert_layout(),
     "benford_audit": oracle_benford(),
+    "source_jaccard": oracle_source_jaccard(),
+    "weighted_median": oracle_weighted_median(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

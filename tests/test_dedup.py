@@ -554,3 +554,61 @@ def test_duplicate_spans_short_run_excluded(spark):
         (1, 6),
         (2, 6),
     ]
+
+
+def test_source_jaccard_hand_case(spark):
+    """Two sources sharing half their shingles; a third disjoint.
+    Shingles are word 3-grams, so docs share a shingle only via a
+    3-token overlap."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        source_jaccard,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta", "A"),   # shingles: ab g, b g d
+        (2, "alpha beta gamma zeta", "B"),    # shares 'alpha beta gamma'
+        (3, "one two three four", "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_jaccard(df).collect()
+    }
+    # A: {abg, bgd}, B: {abg, bgz} -> inter 1, union 3
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert (r["inter"], r["size_a"], r["size_b"]) == (1, 2, 2)
+    assert r["jaccard_q"] == 333_333
+
+
+def test_source_jaccard_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        source_jaccard,
+        source_jaccard_sql,
+    )
+
+    words = ["red", "blue", "green", "gold", "iron", "clay", "moss"]
+    rows = []
+    for i in range(120):
+        h = hashlib.md5(f"sj|{i}".encode()).hexdigest()
+        txt = " ".join(
+            words[int(h[j * 2 : j * 2 + 2], 16) % len(words)]
+            for j in range(6)
+        )
+        rows.append((i, txt, f"s{int(h[:2], 16) % 4}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sorted(tuple(r) for r in source_jaccard(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+        "source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(source_jaccard_sql("documents")).fetchall()
+    )
+    assert got == want

@@ -126,3 +126,68 @@ def test_benford_audit_sql_twin(spark):
         for r in con.execute(benford_audit_sql("t", "v")).fetchall()
     )
     assert got == want
+
+
+def test_weighted_median_hand_cases(spark):
+    """Lower weighted median semantics: value whose cumulative
+    weight first reaches half the total; heavy single value
+    dominates; duplicate values collapse their weight."""
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        weighted_median,
+    )
+
+    rows = [
+        # g1: values 1(w1) 2(w1) 3(w1) -> median 2
+        ("g1", 1, 1), ("g1", 2, 1), ("g1", 3, 1),
+        # g2: 1(w1) 10(w9) -> half=5 -> 10
+        ("g2", 1, 1), ("g2", 10, 9),
+        # g3: duplicates: 5 appears twice w2 each; 1(w1) 5(w4) ->
+        # cum at 5 = 5 >= 2.5 of tot 5 -> median 5
+        ("g3", 1, 1), ("g3", 5, 2), ("g3", 5, 2),
+        # g4: exact half boundary: 1(w2) 2(w2) -> 2*cumw(1)=4 >=
+        # totw 4 -> lower median 1
+        ("g4", 1, 2), ("g4", 2, 2),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        r["g"]: (r["w_median"], r["tot_w"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {
+        "g1": (2, 3),
+        "g2": (10, 10),
+        "g3": (5, 5),
+        "g4": (1, 4),
+    }
+
+
+def test_weighted_median_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        weighted_median,
+        weighted_median_sql,
+    )
+
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(f"wm|{i}".encode()).hexdigest()
+        rows.append(
+            (f"g{int(h[:2], 16) % 7}", int(h[2:6], 16) % 100,
+             1 + int(h[6:8], 16) % 9)
+        )
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = sorted(
+        tuple(r) for r in weighted_median(df, "g", "v", "w").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            weighted_median_sql("SELECT * FROM t", "g", "v", "w")
+        ).fetchall()
+    )
+    assert got == want
