@@ -79,6 +79,10 @@ CARTESIAN_OK = {
     # crossJoin of two ONE-ROW aggregates (k-min sketch stats x exact
     # count) — both sides O(1) rows by construction
     "kmv_distinct",
+    # same shape: ONE-ROW AGMS estimate crossJoined onto the ONE-ROW
+    # exact F2 aggregate for the self-certifying rel-error column
+    # (frequent.py agms_f2, est.crossJoin(broadcast(exact)))
+    "join_size_sketch",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
