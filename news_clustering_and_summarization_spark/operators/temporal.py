@@ -821,3 +821,99 @@ WHERE n >= {min_pairs}
   AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 ORDER BY event_type
 """
+
+
+def fano_factor(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_days: int = 3,
+) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean) of zero-filled
+    daily counts per series — the burstiness classifier: ≈1 is
+    Poisson arrivals, >1 bursty/overdispersed (retry storms, bot
+    floods), <1 regular/scheduled. The companion statistic to
+    [[cusum]]'s level-shift alarm.
+
+    Exact integers end to end: with S = Σx, n days,
+    sample variance = (n·Σx² − S²)/(n·(n−1)) and mean = S/n, so
+    F = (n·Σx² − S²)/((n−1)·S) — ONE double division of exact
+    int64s (daily-count squares pass int64 until a single key sees
+    ~3e9 events/day), half-away quantized at 1e6.
+
+    Output: (event_type, n_days, mean_q, fano_q)."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    stats = full.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fano = (
+        (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / ((F.col("n") - F.lit(1)) * F.col("s")).cast("double")
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return (
+        stats.where((F.col("n") >= min_days) & (F.col("s") > 0))
+        .select(
+            F.col("g").alias(type_col),
+            F.col("n").alias("n_days"),
+            q(mean).alias("mean_q"),
+            q(fano).alias("fano_q"),
+        )
+        .orderBy(type_col)
+    )
+
+
+def fano_factor_sql(
+    events_table: str = "events", min_days: int = 3
+) -> str:
+    """DuckDB twin of fano_factor."""
+    return f"""
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+full_days AS (
+  SELECT s.g, coalesce(dl.x, 0)::BIGINT AS x
+  FROM spine s LEFT JOIN daily dl ON dl.g = s.g AND dl.d = s.d
+),
+stats AS (
+  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS sxx
+  FROM full_days GROUP BY g
+)
+SELECT g AS event_type, n AS n_days,
+       floor(s::DOUBLE / n::DOUBLE * 1e6 + 0.5)::BIGINT AS mean_q,
+       floor((n * sxx - s * s)::DOUBLE / ((n - 1) * s)::DOUBLE
+             * 1e6 + 0.5)::BIGINT AS fano_q
+FROM stats
+WHERE n >= {min_days} AND s > 0
+ORDER BY event_type
+"""

@@ -833,3 +833,224 @@ SELECT d.{id_col},
          AS entropy_bits
 FROM {table} d LEFT JOIN per p USING ({id_col})
 """
+
+
+# --- corpus-level distribution statistics -----------------------------
+
+ZIPF_TOPK = 1000
+ZIPF_LOG_QUANT = 10**6
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_k: int = ZIPF_TOPK
+) -> DataFrame:
+    """Zipf's-law slope of the corpus frequency distribution —
+    log-log OLS of frequency on rank over the top-k head (the
+    standard corpus-health statistic: natural text sits near −1;
+    boilerplate-heavy or deduplicated-to-death corpora drift off).
+
+    One token groupBy builds the frequency table; the head comes
+    from an exact TakeOrdered top-k (never a global sort of the
+    vocabulary); the ONLY window runs over those ≤top_k rows to
+    assign ranks. Each (ln rank, ln freq) is quantized to an
+    integer ONCE (the mutual_information/char_entropy log
+    discipline), then the OLS sufficient statistics accumulate in
+    DECIMAL(38,0) — the q-products pass int64 at top_k ≈ 1e3 with
+    ln·1e6 quantization, so the decimal accumulator is the
+    100 TB-proof choice (corr_matrix rationale).
+
+    Output: ONE row (n_fit, slope_q, intercept_q, r2_q), _q at 1e6.
+    """
+    freqs = (
+        df.select(F.explode(H.tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "t")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "t")
+    lq = float(ZIPF_LOG_QUANT)
+    ranked = freqs.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * F.lit(lq))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(lq))
+        .cast("long")
+        .alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)")
+            * F.col("y").cast("decimal(19,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)")
+            * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)")
+            * F.col("y").cast("decimal(19,0)")
+        ).alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.lit(lq)
+        - slope * F.col("sx").cast("double") / F.lit(lq)
+    ) / F.col("n").cast("double")
+    r2 = (num * num) / (den * deny)
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return stats.select(
+        F.col("n").alias("n_fit"),
+        q(slope).alias("slope_q"),
+        q(intercept).alias("intercept_q"),
+        q(r2).alias("r2_q"),
+    )
+
+
+def zipf_slope_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_k: int = ZIPF_TOPK,
+) -> str:
+    """DuckDB twin of zipf_slope."""
+    tok = H.tokens_sql(text_col)
+    lq = float(ZIPF_LOG_QUANT)
+    return f"""
+WITH freqs AS (
+  SELECT t, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({tok}) AS t FROM {table})
+  GROUP BY t ORDER BY freq DESC, t LIMIT {top_k}
+),
+ranked AS (
+  SELECT round(ln((row_number() OVER (ORDER BY freq DESC, t))::DOUBLE)
+               * {lq!r})::BIGINT AS x,
+         round(ln(freq::DOUBLE) * {lq!r})::BIGINT AS y
+  FROM freqs
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         sum(y::HUGEINT * y::HUGEINT) AS syy
+  FROM ranked
+),
+derived AS (
+  SELECT n,
+         (n::HUGEINT * sxy - sx * sy)::DOUBLE AS num,
+         (n::HUGEINT * sxx - sx * sx)::DOUBLE AS den,
+         (n::HUGEINT * syy - sy * sy)::DOUBLE AS deny,
+         sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+  FROM stats
+)
+SELECT n AS n_fit,
+       floor(num / den * 1e6 + 0.5)::BIGINT AS slope_q,
+       floor((syd / {lq!r} - (num / den) * sxd / {lq!r}) / nd
+             * 1e6 + 0.5)::BIGINT AS intercept_q,
+       floor((num * num) / (den * deny) * 1e6 + 0.5)::BIGINT AS r2_q
+FROM derived
+"""
+
+
+def shannon_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-type Shannon diversity per corpus slice — the lexical
+    richness profile (a slice whose H collapses is boilerplate or a
+    dedup bug; Pielou's evenness J = H/ln(V) normalizes out
+    vocabulary size).
+
+    H = ln N − (Σ n_t·ln n_t)/N over type counts. Each type
+    contributes the INTEGER term n_t · round(ln(n_t)·1e9) — counts
+    exact, one log per TYPE (never per row), summed in
+    DECIMAL(38,0) (the n_t·ln n_t products pass int64 around 1e8
+    occurrences of a single type). Two shuffles: (group, type)
+    counts, then per-group aggregate.
+
+    Output: (group, n_tokens, vocab, h_q, evenness_q), _q at 1e6."""
+    lq = 1e9
+    types = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(H.tokens(text_col)).alias("t"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    term = (
+        F.col("n_t").cast("decimal(19,0)")
+        * F.round(F.log(F.col("n_t").cast("double")) * F.lit(lq))
+        .cast("decimal(19,0)")
+    )
+    per_grp = types.groupBy("grp").agg(
+        F.sum("n_t").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(term).alias("s_nlogn"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("s_nlogn").cast("double")
+        / F.lit(lq)
+        / F.col("n_tokens").cast("double")
+    )
+    even = h / F.log(F.col("vocab").cast("double"))
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return per_grp.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        q(h).alias("h_q"),
+        q(F.when(F.col("vocab") > 1, even).otherwise(F.lit(0.0))).alias(
+            "evenness_q"
+        ),
+    ).orderBy(group_col)
+
+
+def shannon_diversity_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of shannon_diversity."""
+    tok = H.tokens_sql(text_col)
+    return f"""
+WITH types AS (
+  SELECT {group_col} AS grp, t, count(*)::BIGINT AS n_t
+  FROM (SELECT {group_col}, unnest({tok}) AS t FROM {table})
+  GROUP BY 1, 2
+),
+per_grp AS (
+  SELECT grp, sum(n_t)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+         sum(n_t::HUGEINT *
+             round(ln(n_t::DOUBLE) * 1e9)::HUGEINT) AS s_nlogn
+  FROM types GROUP BY grp
+),
+derived AS (
+  SELECT grp, n_tokens, vocab,
+         ln(n_tokens::DOUBLE)
+           - (s_nlogn::DOUBLE / 1e9 / n_tokens::DOUBLE) AS h
+  FROM per_grp
+)
+SELECT grp AS {group_col}, n_tokens, vocab,
+       floor(h * 1e6 + 0.5)::BIGINT AS h_q,
+       floor((CASE WHEN vocab > 1 THEN h / ln(vocab::DOUBLE)
+              ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS evenness_q
+FROM derived ORDER BY {group_col}
+"""

@@ -7757,6 +7757,52 @@ def oracle_weighted_median() -> str:
     )
 
 
+def q_zipf_slope(spark, sf):
+    """Zipf slope of the document corpus (operators/text_analysis.
+    zipf_slope): exact TakeOrdered top-1000 head, one bounded
+    window for ranks, per-term quantized logs, DECIMAL(38,0)
+    sufficient statistics."""
+    from ..operators.text_analysis import zipf_slope
+
+    return zipf_slope(load(spark, sf, "documents"))
+
+
+def oracle_zipf_slope() -> str:
+    from ..operators.text_analysis import zipf_slope_sql
+
+    return zipf_slope_sql("documents")
+
+
+def q_shannon_diversity(spark, sf):
+    """Token-type Shannon diversity + Pielou evenness per source
+    (operators/text_analysis.shannon_diversity): one log per TYPE
+    quantized to an integer term, decimal accumulation."""
+    from ..operators.text_analysis import shannon_diversity
+
+    return shannon_diversity(load(spark, sf, "documents"))
+
+
+def oracle_shannon_diversity() -> str:
+    from ..operators.text_analysis import shannon_diversity_sql
+
+    return shannon_diversity_sql("documents")
+
+
+def q_fano_factor(spark, sf):
+    """Burstiness (index of dispersion) of daily counts per event
+    type (operators/temporal.fano_factor): exact integer variance
+    algebra, one division, zero-filled spine."""
+    from ..operators.temporal import fano_factor
+
+    return fano_factor(load(spark, sf, "events"))
+
+
+def oracle_fano_factor() -> str:
+    from ..operators.temporal import fano_factor_sql
+
+    return fano_factor_sql()
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8109,6 +8155,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_audit": q_benford,
     "source_jaccard": q_source_jaccard,
     "weighted_median": q_weighted_median,
+    "zipf_slope": q_zipf_slope,
+    "shannon_diversity": q_shannon_diversity,
+    "fano_factor": q_fano_factor,
 }
 
 ORACLES: dict[str, str] = {
@@ -8227,6 +8276,9 @@ ORACLES: dict[str, str] = {
     "benford_audit": oracle_benford(),
     "source_jaccard": oracle_source_jaccard(),
     "weighted_median": oracle_weighted_median(),
+    "zipf_slope": oracle_zipf_slope(),
+    "shannon_diversity": oracle_shannon_diversity(),
+    "fano_factor": oracle_fano_factor(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

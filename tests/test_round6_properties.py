@@ -124,3 +124,134 @@ def test_label_prop_matches_python_reference(spark):
             for r in label_propagation(e, s, iterations=3).collect()
         }
         assert got == want, f"case {case}"
+
+
+def test_zipf_slope_synthetic_power_law(spark):
+    """A corpus built so freq(rank) ∝ rank^-1 must fit slope ≈ -1
+    with r² ≈ 1; the SQL twin matches bit-for-bit."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        zipf_slope,
+        zipf_slope_sql,
+    )
+
+    # vocab of 50 words, word i repeated round(1000/i) times
+    words = []
+    for i in range(1, 51):
+        words += [f"w{i:03d}"] * round(1000 / i)
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text, "x", "s", len(text))],
+                               ["doc_id", "text", "lang", "source",
+                                "n_chars"])
+    row = zipf_slope(df, top_k=50).collect()[0]
+    assert row["n_fit"] == 50
+    assert abs(row["slope_q"] / 1e6 + 1.0) < 0.02
+    assert row["r2_q"] > 990_000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+        "lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.execute("INSERT INTO documents VALUES (1, ?, 'x', 's', 1)",
+                [text])
+    want = con.execute(zipf_slope_sql("documents", top_k=50)).fetchall()[0]
+    assert tuple(row) == want
+
+
+def test_shannon_diversity_extremes(spark):
+    """Uniform types maximize H (evenness 1); a single repeated type
+    gives H = 0; twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        shannon_diversity,
+        shannon_diversity_sql,
+    )
+
+    rows = [
+        (1, "a b c d e f g h", "x", "uniform", 1),
+        (2, "z z z z z z z z", "x", "mono", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {r["source"]: r for r in shannon_diversity(df).collect()}
+    import math
+
+    assert abs(got["uniform"]["h_q"] / 1e6 - math.log(8)) < 1e-5
+    assert got["uniform"]["evenness_q"] == 1_000_000
+    assert got["mono"]["h_q"] == 0 and got["mono"]["vocab"] == 1
+    assert got["mono"]["evenness_q"] == 0  # vocab=1 guard
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+        "lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(shannon_diversity_sql("documents")).fetchall()
+    )
+    assert sorted(tuple(r) for r in shannon_diversity(df).collect()) == want
+
+
+def test_fano_factor_poisson_vs_regular(spark):
+    """A constant 5/day series has variance 0 -> F = 0; an
+    all-or-nothing bursty series is overdispersed (F > 1); twin
+    matches on a seeded stream."""
+    import datetime as dt
+    import hashlib
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        fano_factor,
+        fano_factor_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    eid = 0
+    for day in range(10):
+        for _ in range(5):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "flat"))
+            eid += 1
+    for day in range(10):
+        if day % 5 == 0:
+            for _ in range(25):
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day), 1, "burst")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {r["event_type"]: r for r in fano_factor(ev).collect()}
+    assert got["flat"]["fano_q"] == 0
+    assert got["flat"]["mean_q"] == 5_000_000
+    assert got["burst"]["fano_q"] > 1_000_000
+
+    data = []
+    for i in range(400):
+        h = int(hashlib.md5(f"ff|{i}".encode()).hexdigest()[:8], 16)
+        data.append(
+            (i, t0 + dt.timedelta(seconds=h % (86400 * 20)), h % 5,
+             ["a", "b", "c"][h % 3], 0.0, "")
+        )
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = sorted(tuple(r) for r in fano_factor(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", data)
+    want = sorted(
+        tuple(r) for r in con.execute(fano_factor_sql()).fetchall()
+    )
+    assert got == want
