@@ -494,3 +494,80 @@ SELECT id, len(pos)::BIGINT AS n_matches,
        pos[-1]::BIGINT AS last_pos
 FROM hits WHERE len(pos) > 0 ORDER BY id
 """
+
+
+# --- hybrid retrieval fusion ------------------------------------------
+
+RRF_K = 60
+RRF_QUANT = 10**9
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = RRF_K,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of
+    two ranked retrieval lists — the standard hybrid-search combiner
+    (lexical BM25 leg + embedding leg) that needs no score
+    calibration because only RANKS enter:
+    RRF(d) = Σ_legs 1/(k + rank_leg(d)).
+
+    Each term quantizes 1e9/(k+rank) — ONE division of exact ints,
+    half-away rounded — and the fused score is an integer sum, so
+    the hash-compared output is exact. Full-outer join on the doc
+    id over two ≤top-k lists: driver-scale inputs by construction.
+
+    Output: (id, rank_a, rank_b, rrf_q) top_k by (rrf_q DESC, id)."""
+
+    def leg(df, out):
+        term = F.floor(
+            F.lit(float(RRF_QUANT))
+            / (F.lit(k) + F.col(rank_col)).cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).alias(f"rank_{out}"),
+            term.alias(f"q_{out}"),
+        )
+    a = leg(ranked_a, "a")
+    b = leg(ranked_b, "b")
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(F.col("q_a"), F.lit(0))
+            + F.coalesce(F.col("q_b"), F.lit(0))
+        ).alias("rrf_q"),
+    )
+    return fused.orderBy(F.col("rrf_q").desc(), "id").limit(top_k)
+
+
+def rrf_fuse_sql(
+    leg_a_cte: str,
+    leg_b_cte: str,
+    k: int = RRF_K,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of rrf_fuse. Each leg CTE must yield (id, rank)."""
+    q = float(RRF_QUANT)
+    return f"""
+WITH la AS MATERIALIZED ({leg_a_cte}),
+lb AS MATERIALIZED ({leg_b_cte}),
+fused AS (
+  SELECT coalesce(la.id, lb.id) AS id, la.rank AS rank_a,
+         lb.rank AS rank_b,
+         coalesce(floor({q!r} / ({k} + la.rank)::DOUBLE + 0.5)::BIGINT,
+                  0)
+         + coalesce(floor({q!r} / ({k} + lb.rank)::DOUBLE + 0.5)::BIGINT,
+                    0) AS rrf_q
+  FROM la FULL OUTER JOIN lb ON la.id = lb.id
+)
+SELECT id, rank_a, rank_b, rrf_q
+FROM fused ORDER BY rrf_q DESC, id LIMIT {top_k}
+"""

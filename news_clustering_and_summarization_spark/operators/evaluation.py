@@ -454,3 +454,171 @@ SELECT id, n_tok, r1_match, r1_ref, {f1(1)}::BIGINT AS r1_f1_q,
        r2_match, r2_ref, {f1(2)}::BIGINT AS r2_f1_q
 FROM scored ORDER BY id
 """
+
+
+def gini_stump(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    min_side: int = 1,
+) -> DataFrame:
+    """Best 1-level decision stump per feature by Gini impurity —
+    the CART split-finding pass (Breiman et al. 1984), the kernel
+    every distributed tree learner (and every "which feature
+    predicts quality?" audit) runs first.
+
+    Scalable shape: unpivot features → groupBy (feature, value)
+    collapses rows to distinct values BEFORE any window, then ONE
+    cumulative window PER FEATURE (partitioned — nothing global)
+    sweeps every candidate threshold "x <= v" in a single pass:
+    weighted Gini = 2·(posL·negL/nL + posR·negR/nR)/n from the
+    running counts. The argmin is a deterministic (score, value)
+    min-struct per feature.
+
+    Determinism: counts are exact int64; products are computed as
+    doubles (same single IEEE multiply both engines — deterministic
+    even past the 2^53 exactness line), quantized half-away at 1e9
+    for the argmin so ties break identically.
+
+    Output per feature: (feature, threshold, n, pos,
+    gini_root_q, gini_split_q, gain_q) at 1e9 quantization."""
+    pairs = []
+    for fc in feature_cols:
+        pairs.append(F.lit(fc))
+        pairs.append(F.col(fc).cast("long"))
+    lab = F.col(label_col).cast("long")
+    long_df = df.select(
+        lab.alias("y"),
+        F.expr(
+            "stack({n}, {args})".format(
+                n=len(feature_cols),
+                args=", ".join(
+                    f"'{fc}', CAST({fc} AS BIGINT)"
+                    for fc in feature_cols
+                ),
+            )
+        ).alias("feat", "v"),
+    )
+    per_val = long_df.groupBy("feat", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("y").cast("long").alias("pos_v"),
+    )
+    wc = (
+        Window.partitionBy("feat")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("feat")
+    cum = (
+        per_val.withColumn("nl", F.sum("n_v").over(wc))
+        .withColumn("posl", F.sum("pos_v").over(wc))
+        .withColumn("n", F.sum("n_v").over(wt))
+        .withColumn("pos", F.sum("pos_v").over(wt))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    negl = F.col("nl") - F.col("posl")
+    nr = F.col("n") - F.col("nl")
+    posr = F.col("pos") - F.col("posl")
+    negr = nr - posr
+    split = (
+        F.lit(2.0)
+        * (
+            d(F.col("posl")) * d(negl) / d(F.col("nl"))
+            + d(posr) * d(negr) / d(nr)
+        )
+        / d(F.col("n"))
+    )
+    root = (
+        F.lit(2.0)
+        * d(F.col("pos"))
+        * d(F.col("n") - F.col("pos"))
+        / (d(F.col("n")) * d(F.col("n")))
+    )
+
+    def q(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    cand = cum.where(
+        (F.col("nl") >= min_side) & (nr >= min_side)
+    ).select(
+        "feat",
+        F.col("v").alias("threshold"),
+        "n",
+        "pos",
+        q(root).alias("gini_root_q"),
+        q(split).alias("gini_split_q"),
+    )
+    wbest = Window.partitionBy("feat").orderBy(
+        "gini_split_q", "threshold"
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("feat").alias("feature"),
+            "threshold",
+            "n",
+            "pos",
+            "gini_root_q",
+            "gini_split_q",
+            (F.col("gini_root_q") - F.col("gini_split_q")).alias(
+                "gain_q"
+            ),
+        )
+        .orderBy("feature")
+    )
+
+
+def gini_stump_sql(
+    table_cte: str,
+    label_col: str,
+    feature_cols: list[str],
+    min_side: int = 1,
+) -> str:
+    """DuckDB twin of gini_stump."""
+    legs = " UNION ALL ".join(
+        f"SELECT '{fc}' AS feat, {fc}::BIGINT AS v, "
+        f"{label_col}::BIGINT AS y FROM base"
+        for fc in feature_cols
+    )
+    return f"""
+WITH base AS MATERIALIZED (SELECT * FROM ({table_cte})),
+long_rows AS ({legs}),
+per_val AS (
+  SELECT feat, v, count(*)::BIGINT AS n_v, sum(y)::BIGINT AS pos_v
+  FROM long_rows GROUP BY 1, 2
+),
+cum AS (
+  SELECT feat, v,
+         sum(n_v) OVER (PARTITION BY feat ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS nl,
+         sum(pos_v) OVER (PARTITION BY feat ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS posl,
+         sum(n_v) OVER (PARTITION BY feat) AS n,
+         sum(pos_v) OVER (PARTITION BY feat) AS pos
+  FROM per_val
+),
+cand AS (
+  SELECT feat, v AS threshold, n::BIGINT AS n, pos::BIGINT AS pos,
+         floor(2.0 * pos::DOUBLE * (n - pos)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE) * 1e9 + 0.5)::BIGINT
+           AS gini_root_q,
+         floor(2.0 * (posl::DOUBLE * (nl - posl)::DOUBLE / nl::DOUBLE
+                      + (pos - posl)::DOUBLE
+                        * ((n - nl) - (pos - posl))::DOUBLE
+                        / (n - nl)::DOUBLE)
+               / n::DOUBLE * 1e9 + 0.5)::BIGINT AS gini_split_q
+  FROM cum
+  WHERE nl >= {min_side} AND (n - nl) >= {min_side}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY feat
+             ORDER BY gini_split_q, threshold) AS rn
+  FROM cand
+)
+SELECT feat AS feature, threshold, n, pos, gini_root_q, gini_split_q,
+       (gini_root_q - gini_split_q)::BIGINT AS gain_q
+FROM best WHERE rn = 1 ORDER BY feature
+"""

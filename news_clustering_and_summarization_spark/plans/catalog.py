@@ -7803,6 +7803,94 @@ def oracle_fano_factor() -> str:
     return fano_factor_sql()
 
 
+RRF_LEG_K = 50
+
+
+def q_rrf_fusion(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (operators/curation.
+    rrf_fuse) of a BM25 lexical leg and an embedding-cosine leg —
+    rank-only combination, integer-quantized RRF terms. The cosine
+    leg is the gated 1-query brute-force kernel (ann family); at
+    corpus scale it swaps for ivf/lsh_topk unchanged."""
+    from ..operators.curation import bm25_search, rrf_fuse
+
+    docs = load(spark, sf, "documents")
+    bm = bm25_search(
+        docs, "doc_id", "text", BM25_QUERY_TERMS, top_k=RRF_LEG_K
+    )
+    wa = Window.orderBy(F.col("score_q").desc(), "doc_id")
+    leg_a = bm.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("rank")
+    )
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    leg_b = S.brute_force_topk(q, emb, k=RRF_LEG_K).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(leg_a, leg_b, id_col="doc_id", top_k=20)
+
+
+def oracle_rrf_fusion() -> str:
+    from ..operators.curation import bm25_search_sql, rrf_fuse_sql
+
+    bm = bm25_search_sql(
+        "text", "doc_id", "documents", BM25_QUERY_TERMS,
+        top_k=RRF_LEG_K,
+    )
+    leg_a = (
+        f"SELECT doc_id AS id, row_number() OVER "
+        f"(ORDER BY score_q DESC, doc_id) AS rank FROM ({bm})"
+    )
+    cos = V.dot_sql("q.embedding", "c.embedding")
+    nrm = f"({V.norm_sql('q.embedding')} * {V.norm_sql('c.embedding')})"
+    leg_b = f"""
+SELECT neighbor_id AS id, rank FROM (
+  SELECT c.vec_id AS neighbor_id,
+         row_number() OVER (ORDER BY {cos} / {nrm} DESC, c.vec_id ASC)
+           AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id = 0
+) WHERE rank <= {RRF_LEG_K}
+"""
+    sql = rrf_fuse_sql(leg_a, leg_b, top_k=20)
+    return (
+        f"SELECT id AS doc_id, rank_a, rank_b, rrf_q FROM ({sql})"
+    )
+
+
+def q_gini_stump(spark, sf):
+    """CART split finding (operators/evaluation.gini_stump): best
+    1-level Gini stump predicting returned lineitems from quantity /
+    discount — distinct-value collapse before per-feature cumulative
+    windows, single-pass threshold sweep, deterministic quantized
+    argmin."""
+    from ..operators.evaluation import gini_stump
+
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_returnflag") == F.lit("R")).cast("long").alias("ret"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("disc_c"),
+    )
+    return gini_stump(li, "ret", ["qty", "disc_c"])
+
+
+def oracle_gini_stump() -> str:
+    from ..operators.evaluation import gini_stump_sql
+
+    cte = (
+        "SELECT (l_returnflag = 'R')::BIGINT AS ret, "
+        "l_quantity::BIGINT AS qty, "
+        "floor(l_discount * 100.0 + 0.5)::BIGINT AS disc_c "
+        "FROM lineitem"
+    )
+    return gini_stump_sql(cte, "ret", ["qty", "disc_c"])
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8158,6 +8246,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_slope": q_zipf_slope,
     "shannon_diversity": q_shannon_diversity,
     "fano_factor": q_fano_factor,
+    "rrf_fusion": q_rrf_fusion,
+    "gini_stump": q_gini_stump,
 }
 
 ORACLES: dict[str, str] = {
@@ -8279,6 +8369,8 @@ ORACLES: dict[str, str] = {
     "zipf_slope": oracle_zipf_slope(),
     "shannon_diversity": oracle_shannon_diversity(),
     "fano_factor": oracle_fano_factor(),
+    "rrf_fusion": oracle_rrf_fusion(),
+    "gini_stump": oracle_gini_stump(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -229,3 +229,37 @@ def test_phrase_matches_three_terms_and_validation(spark):
         phrase_matches(df, "bad'quote term")
     with pytest.raises(ValueError):
         phrase_matches(df, "   ")
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc ranked #1 in both legs beats a doc #1 in only one;
+    docs in a single leg still fuse (coalesce 0); k dampens rank
+    differences; twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.curation import (
+        rrf_fuse,
+        rrf_fuse_sql,
+    )
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (40, 2)], ["doc_id", "rank"]
+    )
+    got = [tuple(r) for r in rrf_fuse(a, b, top_k=10).collect()]
+    ids = [g[0] for g in got]
+    assert ids[0] == 10                  # in both legs at rank 1
+    assert set(ids) == {10, 20, 30, 40}
+    both = dict((g[0], g[3]) for g in got)
+    assert both[10] == 2 * round(1e9 / 61)
+    assert both[40] == round(1e9 / 62)
+
+    sql = rrf_fuse_sql(
+        "SELECT * FROM (VALUES (10, 1), (20, 2), (30, 3)) t(id, rank)",
+        "SELECT * FROM (VALUES (10, 1), (40, 2)) t(id, rank)",
+        top_k=10,
+    )
+    want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
+    assert got == want

@@ -151,3 +151,65 @@ def test_rouge_short_docs_excluded_and_zero_overlap(spark):
     r = out[0]
     assert r["r1_match"] == 0 and r["r1_f1_q"] == 0
     assert r["r2_match"] == 0 and r["r2_f1_q"] == 0
+
+
+def test_gini_stump_perfect_split(spark):
+    """A feature that separates classes exactly at x<=5 must be
+    found with gini_split 0 and gain == root gini; a pure-noise
+    feature gains ~nothing; the SQL twin matches bit-for-bit."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        gini_stump,
+        gini_stump_sql,
+    )
+
+    rows = []
+    for i in range(40):
+        y = 1 if i < 20 else 0
+        perfect = i % 10 if y == 1 else 10 + i % 10  # <=9 iff y=1
+        noise = i % 4
+        rows.append((y, perfect, noise))
+    df = spark.createDataFrame(rows, ["y", "perfect", "noise"])
+    got = {
+        r["feature"]: r
+        for r in gini_stump(df, "y", ["perfect", "noise"]).collect()
+    }
+    assert got["perfect"]["gini_split_q"] == 0
+    assert got["perfect"]["threshold"] == 9
+    assert got["perfect"]["gain_q"] == got["perfect"]["gini_root_q"]
+    assert got["perfect"]["gini_root_q"] == 500_000_000  # balanced
+    assert got["noise"]["gain_q"] < 10_000_000
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (y BIGINT, perfect BIGINT, noise BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            gini_stump_sql("SELECT * FROM t", "y", ["perfect", "noise"])
+        ).fetchall()
+    )
+    assert sorted(
+        tuple(r)
+        for r in gini_stump(df, "y", ["perfect", "noise"]).collect()
+    ) == want
+
+
+def test_gini_stump_min_side_and_ties(spark):
+    """min_side excludes degenerate splits; equal-score thresholds
+    break ties on the smaller threshold."""
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        gini_stump,
+    )
+
+    # symmetric data: thresholds 1 and 2 both give the same split
+    # score; the argmin must pick threshold 1
+    rows = [(1, 1), (1, 2), (0, 3), (0, 4)]
+    df = spark.createDataFrame(rows, ["y", "x"])
+    r = gini_stump(df, "y", ["x"]).collect()[0]
+    assert r["gini_split_q"] == 0 and r["threshold"] == 2
+
+    # min_side=2 forbids the 1-vs-3 splits
+    r2 = gini_stump(df, "y", ["x"], min_side=2).collect()[0]
+    assert r2["threshold"] == 2

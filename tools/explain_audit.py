@@ -83,6 +83,9 @@ CARTESIAN_OK = {
     # exact F2 aggregate for the self-certifying rel-error column
     # (frequent.py agms_f2, est.crossJoin(broadcast(exact)))
     "join_size_sketch",
+    # BM25 leg's ONE-ROW corpus-stats broadcast (same as bm25_search)
+    # plus the gated 1-query brute-force cosine leg (same as ann_topk)
+    "rrf_fusion",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
@@ -174,6 +177,10 @@ GLOBAL_WIN_OK = {
     # O(buckets * log n) rows for 2-D skylines), not the input —
     # phase 1's windows partition by bucket
     "skyline",
+    # rank windows run over the two <=50-row retrieval legs
+    # (post-limit) — bounded single-partition input, the
+    # vocab_coverage pattern
+    "rrf_fusion",
 }
 
 
