@@ -7830,7 +7830,10 @@ def q_rrf_fusion(spark, sf):
     leg_b = S.brute_force_topk(q, emb, k=RRF_LEG_K).select(
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
-    return rrf_fuse(leg_a, leg_b, id_col="doc_id", top_k=20)
+    fused = rrf_fuse(leg_a, leg_b, id_col="doc_id", top_k=20)
+    # rename to match the oracle's column set exactly (the driver
+    # compares schemas by NAME)
+    return fused.withColumnRenamed("id", "doc_id")
 
 
 def oracle_rrf_fusion() -> str:
