@@ -583,3 +583,201 @@ SELECT grp AS {group_col}, min(v) AS w_median,
 FROM ranked WHERE 2 * cumw >= totw
 GROUP BY grp ORDER BY grp
 """
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of value concentration per group — the
+    inequality statistic behind "is this corpus dominated by a few
+    domains?" / revenue-concentration audits (0 = perfectly even,
+    →1 = one member holds everything).
+
+    Sample Gini on the ascending-sorted sequence:
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). One rank window per group
+    (ties ordered arbitrarily but Σ i·x_i is tie-invariant when the
+    x are equal — and the window still carries a deterministic
+    tiebreak on value). Integer values in, rank·value products
+    accumulate in DECIMAL(38,0)/HUGEINT (rank·cents passes int64
+    around 1e9 members), ONE double division out, half-away
+    quantized at 1e6.
+
+    Output: (group, n, total, gini_q)."""
+    # ties in v need no explicit tiebreak: Σ i·v over a constant-v
+    # rank block is permutation-invariant, so the aggregate is
+    # deterministic whatever order the engine picks
+    w = Window.partitionBy("grp").orderBy("v")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    ranked = base.withColumn(
+        "i", F.row_number().over(w).cast("long")
+    )
+    stats = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)")
+            * F.col("v").cast("decimal(19,0)")
+        ).alias("siv"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("siv")
+        - (n38 + F.lit(1).cast("decimal(38,0)")) * F.col("s")
+    ).cast("double")
+    den = (n38 * F.col("s")).cast("double")
+    return (
+        stats.where(F.col("s") > 0)
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("s").cast("long").alias("total"),
+            F.floor(num / den * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("gini_q"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def gini_concentration_sql(
+    table_cte: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB twin of gini_concentration."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {value_col}::BIGINT AS v
+  FROM ({table_cte})
+),
+ranked AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v)::BIGINT AS i
+  FROM base
+),
+stats AS (
+  SELECT grp, count(*)::BIGINT AS n, sum(v::HUGEINT) AS s,
+         sum(i::HUGEINT * v::HUGEINT) AS siv
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS {group_col}, n, s::BIGINT AS total,
+       floor((2::HUGEINT * siv - (n + 1)::HUGEINT * s)::DOUBLE
+             / (n::HUGEINT * s)::DOUBLE * 1e6 + 0.5)::BIGINT AS gini_q
+FROM stats
+WHERE s > 0
+ORDER BY {group_col}
+"""
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Winsorized per-group statistics — clip values at exact
+    per-group order-statistic percentiles (percentile_disc
+    semantics: the value at rank ceil(p·n/100)) and report the
+    clipped mean, the robust alternative to dropping outliers.
+
+    One rank window per group (deterministic tiebreak on value then
+    a stable seed), thresholds picked by INTEGER rank compare
+    (k = (p·n + 99) integer-div 100 — no float percentile), clipped
+    sum in DECIMAL(38,0), one division for the mean.
+
+    Output: (group, n, lo_c, hi_c, clipped_mean_q, n_clipped)."""
+    # order-statistic VALUES are tie-invariant (the value at rank k
+    # inside a tied block is the tied value), so orderBy(v) alone is
+    # deterministic in output
+    w = Window.partitionBy("grp").orderBy("v")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    ranked = base.withColumn(
+        "i", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    klo = F.expr(f"({lo_pct} * n + 99) DIV 100")
+    khi = F.expr(f"({hi_pct} * n + 99) DIV 100")
+    th = ranked.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("i") == klo, F.col("v"))).alias("lo_c"),
+        F.min(F.when(F.col("i") == khi, F.col("v"))).alias("hi_c"),
+    )
+    joined = base.join(F.broadcast(th), "grp")
+    clipped = F.greatest(
+        F.col("lo_c"), F.least(F.col("hi_c"), F.col("v"))
+    )
+    out = joined.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("lo_c").alias("lo_c"),
+        F.max("hi_c").alias("hi_c"),
+        F.sum(clipped.cast("decimal(38,0)")).alias("_cs"),
+        F.sum(
+            ((F.col("v") < F.col("lo_c")) | (F.col("v") > F.col("hi_c")))
+            .cast("long")
+        ).alias("n_clipped"),
+    )
+    mean_q = F.floor(
+        F.col("_cs").cast("double") / F.col("n").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "lo_c",
+        "hi_c",
+        mean_q.alias("clipped_mean_q"),
+        F.col("n_clipped").cast("long").alias("n_clipped"),
+    ).orderBy(group_col)
+
+
+def winsorized_stats_sql(
+    table_cte: str,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> str:
+    """DuckDB twin of winsorized_stats."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {value_col}::BIGINT AS v
+  FROM ({table_cte})
+),
+ranked AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v)::BIGINT AS i,
+         count(*) OVER (PARTITION BY grp)::BIGINT AS n
+  FROM base
+),
+th AS (
+  SELECT grp, max(n)::BIGINT AS n,
+         min(CASE WHEN i = ({lo_pct} * n + 99) // 100 THEN v END)
+           AS lo_c,
+         min(CASE WHEN i = ({hi_pct} * n + 99) // 100 THEN v END)
+           AS hi_c
+  FROM ranked GROUP BY grp
+),
+agg AS (
+  SELECT b.grp, max(t.n) AS n, max(t.lo_c) AS lo_c,
+         max(t.hi_c) AS hi_c,
+         sum(greatest(t.lo_c, least(t.hi_c, b.v))::HUGEINT) AS cs,
+         sum(CASE WHEN b.v < t.lo_c OR b.v > t.hi_c
+                  THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+  FROM base b JOIN th t ON t.grp = b.grp
+  GROUP BY b.grp
+)
+SELECT grp AS {group_col}, n::BIGINT AS n, lo_c, hi_c,
+       floor(cs::DOUBLE / n::DOUBLE * 1e6 + 0.5)::BIGINT
+         AS clipped_mean_q,
+       n_clipped
+FROM agg ORDER BY {group_col}
+"""

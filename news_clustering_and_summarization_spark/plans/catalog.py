@@ -7894,6 +7894,82 @@ def oracle_gini_stump() -> str:
     return gini_stump_sql(cte, "ret", ["qty", "disc_c"])
 
 
+def q_gini_concentration(spark, sf):
+    """Revenue-concentration Gini per nation (operators/profiling.
+    gini_concentration): customer order totals in cents, one rank
+    window per nation, DECIMAL(38,0) rank·value accumulation."""
+    from ..operators.profiling import gini_concentration
+
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("rev_c"),
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("rev_c").alias("rev"))
+    )
+    return gini_concentration(per_cust, "c_nationkey", "rev")
+
+
+ORACLE_GINI_CTE = """
+SELECT c.c_nationkey, c.c_custkey, sum(rc.rev_c)::BIGINT AS rev
+FROM (SELECT o_custkey,
+             floor(o_totalprice * 100.0 + 0.5)::BIGINT AS rev_c
+      FROM orders) rc
+JOIN customer c ON c.c_custkey = rc.o_custkey
+GROUP BY 1, 2
+"""
+
+
+def oracle_gini_concentration() -> str:
+    from ..operators.profiling import gini_concentration_sql
+
+    return gini_concentration_sql(
+        ORACLE_GINI_CTE, "c_nationkey", "rev"
+    )
+
+
+def q_winsorize(spark, sf):
+    """Winsorized price statistics per brand (operators/profiling.
+    winsorized_stats): exact order-statistic P05/P95 clip via
+    integer rank compare — no float percentile anywhere."""
+    from ..operators.profiling import winsorized_stats
+
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    return winsorized_stats(joined, "p_brand", "price_c")
+
+
+ORACLE_WINSOR_CTE = """
+SELECT p.p_brand,
+       floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT AS price_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+
+def oracle_winsorize() -> str:
+    from ..operators.profiling import winsorized_stats_sql
+
+    return winsorized_stats_sql(ORACLE_WINSOR_CTE, "p_brand", "price_c")
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8251,6 +8327,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fano_factor": q_fano_factor,
     "rrf_fusion": q_rrf_fusion,
     "gini_stump": q_gini_stump,
+    "gini_concentration": q_gini_concentration,
+    "winsorize": q_winsorize,
 }
 
 ORACLES: dict[str, str] = {
@@ -8374,6 +8452,8 @@ ORACLES: dict[str, str] = {
     "fano_factor": oracle_fano_factor(),
     "rrf_fusion": oracle_rrf_fusion(),
     "gini_stump": oracle_gini_stump(),
+    "gini_concentration": oracle_gini_concentration(),
+    "winsorize": oracle_winsorize(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

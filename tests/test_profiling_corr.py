@@ -191,3 +191,71 @@ def test_weighted_median_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_gini_concentration_extremes(spark):
+    """Perfect equality -> G = 0 (well, (n-1)/n correction: the
+    sample formula gives 0 for equal values); total concentration
+    in one member -> G = (n-1)/n; twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        gini_concentration,
+        gini_concentration_sql,
+    )
+
+    rows = (
+        [("eq", i, 10) for i in range(10)]
+        + [("one", 0, 100)]
+        + [("one", i, 0) for i in range(1, 10)]
+    )
+    df = spark.createDataFrame(rows, ["g", "m", "v"])
+    got = {
+        r["g"]: r for r in gini_concentration(df, "g", "v").collect()
+    }
+    assert got["eq"]["gini_q"] == 0
+    assert got["one"]["gini_q"] == 900_000  # (n-1)/n with n=10
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, m BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            gini_concentration_sql("SELECT * FROM t", "g", "v")
+        ).fetchall()
+    )
+    assert sorted(
+        tuple(r) for r in gini_concentration(df, "g", "v").collect()
+    ) == want
+
+
+def test_winsorized_stats_semantics(spark):
+    """Outliers get clipped to the exact P05/P95 order statistics;
+    the clipped mean moves toward the bulk; n_clipped counts only
+    values strictly outside; twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        winsorized_stats,
+        winsorized_stats_sql,
+    )
+
+    # 100 values: 1..98 plus two wild outliers
+    rows = [("g", v) for v in range(1, 99)] + [("g", 10_000), ("g", -5_000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = winsorized_stats(df, "g", "v").collect()[0]
+    # n=100 -> k05 = ceil(5) = 5, k95 = ceil(95) = 95
+    # sorted: -5000, 1..98, 10000 -> rank5 = 4, rank95 = 94
+    assert (r["lo_c"], r["hi_c"]) == (4, 94)
+    assert r["n_clipped"] == 2 + 3 + 4  # outliers + 1,2,3 + 95..98
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        tuple(x)
+        for x in con.execute(
+            winsorized_stats_sql("SELECT * FROM t", "g", "v")
+        ).fetchall()
+    ]
+    assert [tuple(r)] == want
