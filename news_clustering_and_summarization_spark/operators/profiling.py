@@ -781,3 +781,225 @@ SELECT grp AS {group_col}, n::BIGINT AS n, lo_c, hi_c,
        n_clipped
 FROM agg ORDER BY {group_col}
 """
+
+
+
+def abc_classify(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification per group — the 80/15/5 inventory
+    analysis: rank items by value, classify by cumulative share
+    (A = head up to a_pct%%, B = to b_pct%%, C = tail). The corpus
+    analogue decides which domains get human review vs spot checks.
+
+    One rank + running-sum window per group (partitioned — nothing
+    global), integer share compare (100·cum <= pct·total — no float
+    thresholds), deterministic (value desc, item) order. Output is
+    the per-(group, class) rollup.
+
+    Output: (group, abc_class, n_items, class_value, share_q)."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(item_col).alias("item"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("v").desc(), "item")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("grp")
+    ranked = base.withColumn("cum", F.sum("v").over(w)).withColumn(
+        "tot", F.sum("v").over(wt)
+    )
+    cls = (
+        F.when(
+            F.lit(100) * F.col("cum") <= F.lit(a_pct) * F.col("tot"),
+            F.lit("A"),
+        )
+        .when(
+            F.lit(100) * F.col("cum") <= F.lit(b_pct) * F.col("tot"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+    )
+    out = (
+        ranked.withColumn("abc_class", cls)
+        .groupBy("grp", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("v").cast("long").alias("class_value"),
+            F.max("tot").alias("_tot"),
+        )
+    )
+    share_q = F.floor(
+        F.col("class_value").cast("double")
+        / F.col("_tot").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return out.select(
+        F.col("grp").alias(group_col),
+        "abc_class",
+        "n_items",
+        "class_value",
+        share_q.alias("share_q"),
+    ).orderBy(group_col, "abc_class")
+
+
+def abc_classify_sql(
+    table_cte: str,
+    group_col: str,
+    item_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> str:
+    """DuckDB twin of abc_classify."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {item_col} AS item,
+         {value_col}::BIGINT AS v
+  FROM ({table_cte})
+),
+ranked AS (
+  SELECT grp, v,
+         sum(v) OVER (PARTITION BY grp ORDER BY v DESC, item
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(v) OVER (PARTITION BY grp) AS tot
+  FROM base
+),
+classed AS (
+  SELECT grp, v, tot,
+         CASE WHEN 100 * cum <= {a_pct} * tot THEN 'A'
+              WHEN 100 * cum <= {b_pct} * tot THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT grp AS {group_col}, abc_class,
+       count(*)::BIGINT AS n_items,
+       sum(v)::BIGINT AS class_value,
+       floor(sum(v)::DOUBLE / max(tot)::DOUBLE * 1e6 + 0.5)::BIGINT
+         AS share_q
+FROM classed
+GROUP BY grp, abc_class
+ORDER BY {group_col}, abc_class
+"""
+
+
+def welch_z_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_n: int = 2,
+) -> DataFrame:
+    """One-vs-rest Welch z-test per group — the A/B-screening pass
+    ("does this segment's metric differ from everyone else's?")
+    run before any deeper causal analysis.
+
+    z = (m_g − m_rest) / sqrt(s²_g/n_g + s²_rest/n_rest) from ONE
+    aggregation of exact integer sufficient statistics (values
+    pre-quantized to cents by the caller); the rest-side stats are
+    total − group, so no second scan and no self-join. sqrt is IEEE
+    correctly-rounded; z quantizes half-away at 1e6.
+
+    Output: (group, n, mean_q, z_q) ordered by group."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)")
+            * F.col("v").cast("decimal(19,0)")
+        ).alias("ss"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("decimal(38,0)").alias("ts"),
+        F.sum("ss").cast("decimal(38,0)").alias("tss"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    d = lambda c: c.cast("double")  # noqa: E731
+    n_g, s_g, ss_g = F.col("n"), F.col("s"), F.col("ss")
+    n_r = F.col("tn") - n_g
+    s_r = F.col("ts") - s_g.cast("decimal(38,0)")
+    ss_r = F.col("tss") - ss_g
+    mean_g = d(s_g) / d(n_g)
+    mean_r = d(s_r) / d(n_r)
+    # sample variance: (n·Σv² − (Σv)²) / (n·(n−1)) — decimal
+    # numerators stay exact, ONE double division each
+    var_g = d(
+        n_g.cast("decimal(38,0)") * ss_g
+        - s_g.cast("decimal(38,0)") * s_g.cast("decimal(38,0)")
+    ) / d(n_g * (n_g - F.lit(1)))
+    var_r = d(
+        n_r.cast("decimal(38,0)") * ss_r - s_r * s_r
+    ) / d(n_r * (n_r - F.lit(1)))
+    z = (mean_g - mean_r) / F.sqrt(
+        var_g / d(n_g) + var_r / d(n_r)
+    )
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return (
+        j.where((n_g >= min_n) & (n_r >= min_n))
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            q(mean_g).alias("mean_q"),
+            q(z).alias("z_q"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def welch_z_test_sql(
+    table_cte: str, group_col: str, value_col: str, min_n: int = 2
+) -> str:
+    """DuckDB twin of welch_z_test."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {value_col}::BIGINT AS v
+  FROM ({table_cte})
+),
+per AS (
+  SELECT grp, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+         sum(v::HUGEINT * v::HUGEINT) AS ss
+  FROM base GROUP BY grp
+),
+tot AS (
+  SELECT sum(n)::BIGINT AS tn, sum(s::HUGEINT) AS ts,
+         sum(ss) AS tss
+  FROM per
+),
+j AS (
+  SELECT p.grp, p.n,
+         p.s::DOUBLE / p.n::DOUBLE AS mean_g,
+         (t.ts - p.s)::DOUBLE / (t.tn - p.n)::DOUBLE AS mean_r,
+         (p.n::HUGEINT * p.ss - p.s::HUGEINT * p.s::HUGEINT)::DOUBLE
+           / (p.n * (p.n - 1))::DOUBLE AS var_g,
+         ((t.tn - p.n)::HUGEINT * (t.tss - p.ss)
+          - (t.ts - p.s) * (t.ts - p.s))::DOUBLE
+           / ((t.tn - p.n) * (t.tn - p.n - 1))::DOUBLE AS var_r,
+         t.tn - p.n AS n_r
+  FROM per p CROSS JOIN tot t
+)
+SELECT grp AS {group_col}, n,
+       floor(mean_g * 1e6 + 0.5)::BIGINT AS mean_q,
+       floor((mean_g - mean_r)
+             / sqrt(var_g / n::DOUBLE + var_r / n_r::DOUBLE)
+             * 1e6 + 0.5)::BIGINT AS z_q
+FROM j
+WHERE n >= {min_n} AND n_r >= {min_n}
+ORDER BY {group_col}
+"""

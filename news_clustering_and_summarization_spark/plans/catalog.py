@@ -7970,6 +7970,70 @@ def oracle_winsorize() -> str:
     return winsorized_stats_sql(ORACLE_WINSOR_CTE, "p_brand", "price_c")
 
 
+def q_abc_classify(spark, sf):
+    """ABC/Pareto classification of parts by revenue within brand
+    (operators/profiling.abc_classify): per-brand rank + running-sum
+    windows, integer share thresholds, per-class rollup."""
+    from ..operators.profiling import abc_classify
+
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(
+            F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum("price_c").alias("rev"))
+    )
+    return abc_classify(rev, "p_brand", "p_partkey", "rev")
+
+
+ORACLE_ABC_CTE = """
+SELECT p.p_brand, p.p_partkey, sum(
+  floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT) AS rev
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2
+"""
+
+
+def oracle_abc_classify() -> str:
+    from ..operators.profiling import abc_classify_sql
+
+    return abc_classify_sql(
+        ORACLE_ABC_CTE, "p_brand", "p_partkey", "rev"
+    )
+
+
+def q_welch_z(spark, sf):
+    """One-vs-rest Welch z-test of event value by type (operators/
+    profiling.welch_z_test): rest-side statistics derived as
+    total − group from one aggregation — no second scan."""
+    from ..operators.profiling import welch_z_test
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v_c"),
+    )
+    return welch_z_test(ev, "event_type", "v_c")
+
+
+def oracle_welch_z() -> str:
+    from ..operators.profiling import welch_z_test_sql
+
+    cte = (
+        "SELECT event_type, "
+        "floor(value * 100.0 + 0.5)::BIGINT AS v_c FROM events"
+    )
+    return welch_z_test_sql(cte, "event_type", "v_c")
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8329,6 +8393,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_stump": q_gini_stump,
     "gini_concentration": q_gini_concentration,
     "winsorize": q_winsorize,
+    "abc_classify": q_abc_classify,
+    "welch_z": q_welch_z,
 }
 
 ORACLES: dict[str, str] = {
@@ -8454,6 +8520,8 @@ ORACLES: dict[str, str] = {
     "gini_stump": oracle_gini_stump(),
     "gini_concentration": oracle_gini_concentration(),
     "winsorize": oracle_winsorize(),
+    "abc_classify": oracle_abc_classify(),
+    "welch_z": oracle_welch_z(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

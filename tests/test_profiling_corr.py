@@ -259,3 +259,84 @@ def test_winsorized_stats_semantics(spark):
         ).fetchall()
     ]
     assert [tuple(r)] == want
+
+
+def test_abc_classify_hand_case(spark):
+    """Values 80, 15, 3, 2 (total 100): the 80 item is A (cum 80%),
+    the 15 item is B (cum 95%), the tail is C; ties order by item;
+    twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        abc_classify,
+        abc_classify_sql,
+    )
+
+    rows = [("g", 1, 80), ("g", 2, 15), ("g", 3, 3), ("g", 4, 2)]
+    df = spark.createDataFrame(rows, ["grp", "item", "v"])
+    got = {
+        r["abc_class"]: (r["n_items"], r["class_value"], r["share_q"])
+        for r in abc_classify(df, "grp", "item", "v").collect()
+    }
+    assert got == {
+        "A": (1, 80, 800_000),
+        "B": (1, 15, 150_000),
+        "C": (2, 5, 50_000),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, item BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            abc_classify_sql("SELECT * FROM t", "grp", "item", "v")
+        ).fetchall()
+    )
+    assert sorted(
+        tuple(r) for r in abc_classify(df, "grp", "item", "v").collect()
+    ) == want
+
+
+def test_welch_z_known_separation(spark):
+    """A group whose values sit far above the rest gets a large
+    positive z; symmetric groups get symmetric z; min_n gates; twin
+    matches on a seeded table."""
+    import hashlib
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        welch_z_test,
+        welch_z_test_sql,
+    )
+
+    rows = (
+        [("hi", 100 + i % 3) for i in range(20)]
+        + [("lo", 10 + i % 3) for i in range(20)]
+        + [("solo", 55)]  # n=1 -> gated
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r for r in welch_z_test(df, "g", "v").collect()}
+    assert set(got) == {"hi", "lo"}
+    assert got["hi"]["z_q"] > 10_000_000   # z >> 10
+    assert got["lo"]["z_q"] < -10_000_000
+
+    data = [
+        (
+            f"g{int(hashlib.md5(f'wz|{i}'.encode()).hexdigest()[:2], 16) % 4}",
+            int(hashlib.md5(f"wzv|{i}".encode()).hexdigest()[:4], 16) % 1000,
+        )
+        for i in range(300)
+    ]
+    df2 = spark.createDataFrame(data, ["g", "v"])
+    got2 = sorted(tuple(r) for r in welch_z_test(df2, "g", "v").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", data)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            welch_z_test_sql("SELECT * FROM t", "g", "v")
+        ).fetchall()
+    )
+    assert got2 == want

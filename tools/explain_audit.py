@@ -86,6 +86,9 @@ CARTESIAN_OK = {
     # BM25 leg's ONE-ROW corpus-stats broadcast (same as bm25_search)
     # plus the gated 1-query brute-force cosine leg (same as ann_topk)
     "rrf_fusion",
+    # ONE-ROW grand-total sufficient-statistics aggregate crossJoined
+    # onto the per-group stats (rest-side = total - group)
+    "welch_z",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
