@@ -1357,3 +1357,166 @@ JOIN sizes sa ON sa.src = i.src_a
 JOIN sizes sb ON sb.src = i.src_b
 ORDER BY src_a, src_b
 """
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join at Jaccard >=
+    num/den via prefix filtering (Chaudhuri-Ganti-Kaushik 2006 /
+    Bayardo-Ma-Srikant AllPairs 2007) — the deterministic
+    complement to MinHash LSH: no bands, no probability of a miss.
+
+    The theorem: order the universe by GLOBAL token frequency
+    (rarest first); if J(A,B) >= t then A and B must share a token
+    within their first |s| - ceil(t·|s|) + 1 ordered tokens. So the
+    candidate join keys only on PREFIX tokens — the frequent tokens
+    that would explode a naive token join never enter the join, by
+    construction (rare tokens have tiny postings). Verification is
+    an exact integer intersect on the candidate pairs only, and the
+    threshold test den·|∩| >= num·|∪| never touches a float.
+
+    Shape: one token groupBy (frequencies), one per-doc rank window
+    (prefix pick), one equi-join on prefix tokens, array-intersect
+    verify. 100 TB: postings of prefix tokens are the only fan-out,
+    bounded by rare-token frequencies.
+
+    Output: (id_a, id_b, inter, union_sz, jaccard_q)."""
+    from ..functions import hashing as HH
+
+    # similarity universe: word n-gram shingles (shingle_n=1 = plain
+    # tokens). Shingles are far more discriminative than tokens on a
+    # shared-vocabulary corpus, and their frequency skew is exactly
+    # what makes the prefix filter selective
+    unit = (
+        F.explode(HH.word_shingles(HH.tokens(text_col), shingle_n))
+        if shingle_n > 1
+        else F.explode(HH.tokens(text_col))
+    )
+    toks = (
+        df.select(F.col(id_col).alias("id"), unit.alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)  # freq, prefix AND set legs
+    )
+    freq = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    keyed = toks.join(freq, "t").select(
+        "id",
+        "t",
+        F.concat(
+            F.lpad(F.col("f").cast("string"), 12, "0"), F.col("t")
+        ).alias("k"),
+    )
+    wsz = Window.partitionBy("id")
+    wrk = Window.partitionBy("id").orderBy("k")
+    ranked = keyed.withColumn(
+        "sz", F.count(F.lit(1)).over(wsz).cast("long")
+    ).withColumn("rk", F.row_number().over(wrk).cast("long"))
+    # prefix length p = sz - ceil(t*sz) + 1
+    ceil_t = F.expr(
+        f"({threshold_num} * sz + {threshold_den} - 1)"
+        f" DIV {threshold_den}"
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("sz") - ceil_t + F.lit(1)
+    ).select("id", "t")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "t")
+        .join(prefix.select(F.col("id").alias("id_b"), "t"), "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("t")).alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("ts").alias("ts_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("ts").alias("ts_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long"),
+        )
+        .withColumn(
+            "union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter")
+        )
+        .where(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("union_sz")
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "union_sz",
+        F.floor(
+            F.col("inter").cast("double")
+            / F.col("union_sz").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jaccard_q"),
+    ).orderBy("id_a", "id_b")
+
+
+def setsim_join_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB oracle — deliberately the INDEPENDENT quadratic
+    formulation (exact Jaccard over all pairs), so a green hash
+    certifies the prefix filter is LOSSLESS, not just replayed."""
+    from ..functions import hashing as HH
+
+    tok = HH.tokens_sql(text_col)
+    unit = (
+        HH.word_shingles_sql(tok, shingle_n) if shingle_n > 1 else tok
+    )
+    return f"""
+WITH sets AS MATERIALIZED (
+  SELECT {id_col} AS id, list_sort(list(DISTINCT t)) AS ts,
+         count(DISTINCT t)::BIGINT AS sz
+  FROM (SELECT {id_col}, unnest({unit}) AS t FROM {table})
+  GROUP BY {id_col}
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.ts, b.ts))::BIGINT AS inter,
+         (a.sz + b.sz - len(list_intersect(a.ts, b.ts)))::BIGINT
+           AS union_sz
+  FROM sets a JOIN sets b ON a.id < b.id
+)
+SELECT id_a, id_b, inter, union_sz,
+       floor(inter::DOUBLE / union_sz::DOUBLE * 1e6 + 0.5)::BIGINT
+         AS jaccard_q
+FROM pairs
+WHERE {threshold_den} * inter >= {threshold_num} * union_sz
+ORDER BY id_a, id_b
+"""

@@ -8034,6 +8034,23 @@ def oracle_welch_z() -> str:
     return welch_z_test_sql(cte, "event_type", "v_c")
 
 
+def q_setsim_join(spark, sf):
+    """Exact all-pairs Jaccard >= 1/2 self-join over documents via
+    AllPairs prefix filtering (operators/dedup.setsim_join) — the
+    deterministic, no-miss complement to MinHash LSH. The oracle is
+    the independent quadratic formulation, so green certifies the
+    prefix filter is lossless."""
+    from ..operators.dedup import setsim_join
+
+    return setsim_join(load(spark, sf, "documents"))
+
+
+def oracle_setsim_join() -> str:
+    from ..operators.dedup import setsim_join_sql
+
+    return setsim_join_sql("documents")
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8395,6 +8412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "abc_classify": q_abc_classify,
     "welch_z": q_welch_z,
+    "setsim_join": q_setsim_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -8522,6 +8540,7 @@ ORACLES: dict[str, str] = {
     "winsorize": oracle_winsorize(),
     "abc_classify": oracle_abc_classify(),
     "welch_z": oracle_welch_z(),
+    "setsim_join": oracle_setsim_join(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

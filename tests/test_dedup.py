@@ -612,3 +612,82 @@ def test_source_jaccard_sql_twin(spark):
         for r in con.execute(source_jaccard_sql("documents")).fetchall()
     )
     assert got == want
+
+
+def test_setsim_join_prefix_filter_lossless(spark):
+    """Hand case: two near-identical docs pass threshold, an
+    unrelated doc never pairs; the independent quadratic oracle
+    (tokens mode AND shingle mode) agrees exactly — certifying the
+    prefix filter drops no qualifying pair."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        setsim_join,
+        setsim_join_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "x", "s", 1),
+        (2, "the quick brown fox jumps over the lazy cat", "x", "s", 1),
+        (3, "entirely different words appear in this one", "x", "s", 1),
+        (4, "the quick brown fox jumps over the lazy dog", "x", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    for n in (1, 3):
+        got = sorted(
+            tuple(r)
+            for r in setsim_join(df, shingle_n=n).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+            "lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                setsim_join_sql("documents", shingle_n=n)
+            ).fetchall()
+        )
+        assert got == want
+        pairs = {(a, b) for a, b, *_ in got}
+        assert (1, 4) in pairs          # exact dup always qualifies
+        assert not any(3 in p for p in pairs)
+    # exact dup pair has jaccard 1
+    got1 = {
+        (r["id_a"], r["id_b"]): r["jaccard_q"]
+        for r in setsim_join(df, shingle_n=3).collect()
+    }
+    assert got1[(1, 4)] == 1_000_000
+
+
+def test_setsim_join_threshold_boundary(spark):
+    """Sets {a,b,c,d} vs {a,b,c,e}: J = 3/5 >= 1/2 passes; vs
+    {a,b,x,y}: J = 2/6 = 1/3 < 1/2 fails; exact boundary J = 1/2
+    passes (>= semantics)."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        setsim_join,
+    )
+
+    rows = [
+        (1, "a b c d", "x", "s", 1),
+        (2, "a b c e", "x", "s", 1),
+        (3, "a b x y", "x", "s", 1),
+        (4, "a b c d e f", "x", "s", 1),  # vs 1: inter 4, union 6 -> 2/3
+        (5, "a b c d e f g h", "x", "s", 1),  # vs 1: 4/8 = exactly 1/2
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"])
+        for r in setsim_join(df, shingle_n=1).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == (3, 5)
+    assert (1, 3) not in got
+    assert (1, 5) in got and got[(1, 5)] == (4, 8)  # boundary >= 
