@@ -622,3 +622,130 @@ SELECT feat AS feature, threshold, n, pos, gini_root_q, gini_split_q,
        (gini_root_q - gini_split_q)::BIGINT AS gain_q
 FROM best WHERE rn = 1 ORDER BY feature
 """
+
+
+# 1/log2(rank+1) DCG discounts, precomputed once and embedded as the
+# SAME literals in both engines — no runtime log anywhere
+import math as _math
+
+NDCG_MAX_K = 20
+NDCG_DISCOUNTS = {
+    r: 1.0 / _math.log2(r + 1) for r in range(1, NDCG_MAX_K + 1)
+}
+NDCG_QUANT = 10**9
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k of a ranked retrieval list against graded relevance
+    labels (Järvelin & Kekäläinen 2002) — THE ranking-quality
+    metric; here with a fully deterministic arithmetic path:
+
+    DCG terms (2^rel − 1)·(1/log2(rank+1)) use PRE-COMPUTED discount
+    literals (identical doubles both engines) and integer gains, each
+    term quantized to an integer at 1e9 BEFORE summation — so the
+    over-rows sum is order-free. IDCG re-ranks the relevance table's
+    top-k by (rel desc, id) — an exact TakeOrdered, never a global
+    sort.
+
+    Output: ONE row (k, dcg_q, idcg_q, ndcg_q)."""
+    if k > NDCG_MAX_K:
+        raise ValueError(f"k > {NDCG_MAX_K} needs more discounts")
+    disc = F.create_map(
+        *[
+            x
+            for r in range(1, k + 1)
+            for x in (F.lit(r), F.lit(NDCG_DISCOUNTS[r]))
+        ]
+    )
+    # SQL shiftleft takes a column shift amount; the PySpark helper
+    # only accepts an int literal
+    gain = F.expr(f"shiftleft(1, cast({rel_col} as int)) - 1")
+    term = F.floor(
+        gain.cast("double") * F.element_at(disc, F.col(rank_col).cast("int"))
+        * F.lit(float(NDCG_QUANT))
+        + F.lit(0.5)
+    ).cast("long")
+    dcg = (
+        ranked.where(F.col(rank_col) <= k)
+        .join(relevance, id_col, "left")
+        .na.fill({rel_col: 0})
+        .agg(F.sum(term).cast("long").alias("dcg_q"))
+    )
+    w = Window.orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    ideal = (
+        relevance.orderBy(F.col(rel_col).desc(), F.col(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.expr(
+                        f"shiftleft(1, cast({rel_col} as int)) - 1"
+                    ).cast("double")
+                    * F.element_at(disc, F.col("rank").cast("int"))
+                    * F.lit(float(NDCG_QUANT))
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("idcg_q")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        F.lit(k).cast("long").alias("k"),
+        "dcg_q",
+        "idcg_q",
+        F.floor(
+            F.col("dcg_q").cast("double")
+            / F.col("idcg_q").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ndcg_q"),
+    )
+
+
+def ndcg_at_k_sql(
+    ranked_cte: str,
+    relevance_cte: str,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of ndcg_at_k. CTEs yield (doc_id, rank) and
+    (doc_id, rel)."""
+    cases = " ".join(
+        f"WHEN {r} THEN {NDCG_DISCOUNTS[r]!r}" for r in range(1, k + 1)
+    )
+    term = (
+        f"floor(((1 << rel::INT) - 1)::DOUBLE * (CASE rank {cases} END)"
+        f" * {float(NDCG_QUANT)!r} + 0.5)::BIGINT"
+    )
+    return f"""
+WITH ranked AS MATERIALIZED ({ranked_cte}),
+rel AS MATERIALIZED ({relevance_cte}),
+dcg AS (
+  SELECT CAST(sum({term}) AS BIGINT) AS dcg_q
+  FROM (SELECT r.rank, coalesce(v.rel, 0) AS rel
+        FROM ranked r LEFT JOIN rel v ON v.doc_id = r.doc_id
+        WHERE r.rank <= {k})
+),
+ideal AS (
+  SELECT CAST(sum({term}) AS BIGINT) AS idcg_q
+  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+               ::BIGINT AS rank
+        FROM rel ORDER BY rel DESC, doc_id LIMIT {k})
+)
+SELECT {k}::BIGINT AS k, dcg_q, idcg_q,
+       floor(dcg_q::DOUBLE / idcg_q::DOUBLE * 1e6 + 0.5)::BIGINT
+         AS ndcg_q
+FROM dcg, ideal
+"""

@@ -917,3 +917,104 @@ FROM stats
 WHERE n >= {min_days} AND s > 0
 ORDER BY event_type
 """
+
+
+def period_over_period(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    yoy_lag: int = 12,
+) -> DataFrame:
+    """Month-over-month and year-over-year comparison per key — the
+    BI staple. Monthly totals in exact integer cents (the certified
+    DECIMAL money-sum pattern), a generated month spine so a silent
+    empty month reads as 0 rather than silently comparing against
+    the wrong period, and two lag windows per key (nothing global).
+
+    Percent changes are ONE division of exact ints each, half-away
+    quantized; NULL until the lag exists or when the base is 0.
+
+    Output: (key, month 'yyyy-MM', v_cents, mom_pct_q, yoy_pct_q)."""
+    monthly = df.groupBy(
+        F.col(key_col).alias("k"),
+        F.trunc(F.col(ts_col), "month").alias("m"),
+    ).agg(
+        (F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    spine = (
+        monthly.groupBy("k")
+        .agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("m0", "m1", F.expr("interval 1 month"))
+            ).alias("m"),
+        )
+    )
+    full = spine.join(monthly, ["k", "m"], "left").select(
+        "k", "m", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    w = Window.partitionBy("k").orderBy("m")
+    prev = F.lag("v", 1).over(w)
+    yoy = F.lag("v", yoy_lag).over(w)
+
+    def pct(cur, base):
+        return F.when(
+            base.isNotNull() & (base != 0),
+            F.floor(
+                (cur - base).cast("double") / base.cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    return full.select(
+        F.col("k").alias(key_col),
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.col("v").alias("v_cents"),
+        pct(F.col("v"), prev).alias("mom_pct_q"),
+        pct(F.col("v"), yoy).alias("yoy_pct_q"),
+    ).orderBy(key_col, "month")
+
+
+def period_over_period_sql(
+    table_cte: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    yoy_lag: int = 12,
+) -> str:
+    """DuckDB twin of period_over_period."""
+    return f"""
+WITH monthly AS (
+  SELECT {key_col} AS k, date_trunc('month', {ts_col})::DATE AS m,
+         (sum(CAST({value_col} AS DECIMAL(18,2))) * 100)::BIGINT AS v
+  FROM ({table_cte}) GROUP BY 1, 2
+),
+spine AS (
+  SELECT k, unnest(generate_series(min(m), max(m),
+                   INTERVAL 1 MONTH))::DATE AS m
+  FROM monthly GROUP BY k
+),
+full_m AS (
+  SELECT s.k, s.m, coalesce(mo.v, 0)::BIGINT AS v
+  FROM spine s LEFT JOIN monthly mo ON mo.k = s.k AND mo.m = s.m
+),
+lagged AS (
+  SELECT k, m, v,
+         lag(v, 1) OVER (PARTITION BY k ORDER BY m) AS prev,
+         lag(v, {yoy_lag}) OVER (PARTITION BY k ORDER BY m) AS yoy
+  FROM full_m
+)
+SELECT k AS {key_col}, strftime(m, '%Y-%m') AS month, v AS v_cents,
+       CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+         floor((v - prev)::DOUBLE / prev::DOUBLE * 1e6 + 0.5)::BIGINT
+       END AS mom_pct_q,
+       CASE WHEN yoy IS NOT NULL AND yoy <> 0 THEN
+         floor((v - yoy)::DOUBLE / yoy::DOUBLE * 1e6 + 0.5)::BIGINT
+       END AS yoy_pct_q
+FROM lagged ORDER BY {key_col}, month
+"""

@@ -8051,6 +8051,82 @@ def oracle_setsim_join() -> str:
     return setsim_join_sql("documents")
 
 
+def q_ndcg_eval(spark, sf):
+    """NDCG@10 of the BM25 ranking against graded term-coverage
+    relevance (operators/evaluation.ndcg_at_k): discount literals
+    precomputed — no runtime log; per-term integer quantization so
+    the DCG sum is order-free."""
+    from ..operators.curation import bm25_search
+    from ..operators.evaluation import ndcg_at_k
+
+    docs = load(spark, sf, "documents")
+    bm = bm25_search(
+        docs, "doc_id", "text", BM25_QUERY_TERMS, top_k=RRF_LEG_K
+    )
+    wa = Window.orderBy(F.col("score_q").desc(), "doc_id")
+    ranked = bm.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("rank")
+    )
+    from ..functions import hashing as HH
+
+    rel_expr = None
+    for t in sorted(set(BM25_QUERY_TERMS)):
+        has = F.array_contains(HH.tokens("text"), t).cast("long")
+        rel_expr = has if rel_expr is None else rel_expr + has
+    relevance = docs.select(
+        "doc_id", rel_expr.alias("rel")
+    ).where(F.col("rel") > 0)
+    return ndcg_at_k(ranked, relevance, k=10)
+
+
+def oracle_ndcg_eval() -> str:
+    from ..operators.curation import bm25_search_sql
+    from ..operators.evaluation import ndcg_at_k_sql
+    from ..functions import hashing as HH
+
+    bm = bm25_search_sql(
+        "text", "doc_id", "documents", BM25_QUERY_TERMS,
+        top_k=RRF_LEG_K,
+    )
+    ranked = (
+        f"SELECT doc_id, row_number() OVER "
+        f"(ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM ({bm})"
+    )
+    tok = HH.tokens_sql("text")
+    rel = " + ".join(
+        f"list_contains({tok}, '{t}')::BIGINT"
+        for t in sorted(set(BM25_QUERY_TERMS))
+    )
+    relevance = (
+        f"SELECT doc_id, ({rel}) AS rel FROM documents "
+        f"WHERE ({rel}) > 0"
+    )
+    return ndcg_at_k_sql(ranked, relevance, k=10)
+
+
+def q_period_over_period(spark, sf):
+    """Month-over-month / year-over-year revenue by order priority
+    (operators/temporal.period_over_period): month spine zero-fill,
+    two lag windows per key, exact integer cents."""
+    from ..operators.temporal import period_over_period
+
+    orders = load(spark, sf, "orders")
+    return period_over_period(
+        orders, "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+
+
+def oracle_period_over_period() -> str:
+    from ..operators.temporal import period_over_period_sql
+
+    return period_over_period_sql(
+        "SELECT * FROM orders",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_totalprice",
+    )
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8413,6 +8489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_classify": q_abc_classify,
     "welch_z": q_welch_z,
     "setsim_join": q_setsim_join,
+    "ndcg_eval": q_ndcg_eval,
+    "period_over_period": q_period_over_period,
 }
 
 ORACLES: dict[str, str] = {
@@ -8541,6 +8619,8 @@ ORACLES: dict[str, str] = {
     "abc_classify": oracle_abc_classify(),
     "welch_z": oracle_welch_z(),
     "setsim_join": oracle_setsim_join(),
+    "ndcg_eval": oracle_ndcg_eval(),
+    "period_over_period": oracle_period_over_period(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

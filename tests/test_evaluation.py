@@ -213,3 +213,39 @@ def test_gini_stump_min_side_and_ties(spark):
     # min_side=2 forbids the 1-vs-3 splits
     r2 = gini_stump(df, "y", ["x"], min_side=2).collect()[0]
     assert r2["threshold"] == 2
+
+
+def test_ndcg_perfect_and_inverted_ranking(spark):
+    """Ranking exactly by relevance gives NDCG = 1; ranking worst-
+    first scores lower; docs missing relevance labels count rel 0;
+    SQL twin matches bit-for-bit."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        ndcg_at_k,
+        ndcg_at_k_sql,
+    )
+
+    rel_rows = [(1, 3), (2, 2), (3, 1)]
+    rel = spark.createDataFrame(rel_rows, ["doc_id", "rel"])
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], ["doc_id", "rank"]
+    )
+    r = ndcg_at_k(perfect, rel, k=4).collect()[0]
+    assert r["ndcg_q"] == 1_000_000
+    inverted = spark.createDataFrame(
+        [(4, 1), (3, 2), (2, 3), (1, 4)], ["doc_id", "rank"]
+    )
+    r2 = ndcg_at_k(inverted, rel, k=4).collect()[0]
+    assert r2["ndcg_q"] < 800_000
+    assert r2["idcg_q"] == r["idcg_q"]
+
+    got = tuple(ndcg_at_k(inverted, rel, k=4).collect()[0])
+    sql = ndcg_at_k_sql(
+        "SELECT * FROM (VALUES (4, 1), (3, 2), (2, 3), (1, 4)) "
+        "t(doc_id, rank)",
+        "SELECT * FROM (VALUES (1, 3), (2, 2), (3, 1)) t(doc_id, rel)",
+        k=4,
+    )
+    want = tuple(duckdb.sql(sql).fetchall()[0])
+    assert got == want

@@ -518,3 +518,50 @@ def test_autocorr_known_series(spark):
         tuple(r) for r in con.execute(autocorr_daily_sql()).fetchall()
     )
     assert got == want
+
+
+def test_period_over_period_semantics(spark):
+    """MoM and YoY percent changes from exact cents; an empty
+    middle month zero-fills (NULL pct when base is 0); first month
+    has NULL MoM; twin matches."""
+    import datetime as dt
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        period_over_period,
+        period_over_period_sql,
+    )
+
+    rows = []
+    # key 'a': jan 100.00, feb 150.00, (mar missing), apr 75.00,
+    # next-jan 200.00 (YoY +100% with yoy_lag=12)
+    for m, v in [(1, 100.0), (2, 150.0), (4, 75.0)]:
+        rows.append(("a", dt.datetime(2023, m, 15), v))
+    rows.append(("a", dt.datetime(2024, 1, 15), 200.0))
+    df = spark.createDataFrame(rows, ["k", "ts", "val"])
+    got = {
+        (r["k"], r["month"]): (
+            r["v_cents"], r["mom_pct_q"], r["yoy_pct_q"]
+        )
+        for r in period_over_period(df, "k", "ts", "val").collect()
+    }
+    assert got[("a", "2023-01")] == (10000, None, None)
+    assert got[("a", "2023-02")] == (15000, 500_000, None)
+    assert got[("a", "2023-03")] == (0, -1_000_000, None)
+    assert got[("a", "2023-04")][1] is None  # base month was 0
+    assert got[("a", "2024-01")][2] == 1_000_000  # YoY vs 2023-01
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, ts TIMESTAMP, val DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            period_over_period_sql("SELECT * FROM t", "k", "ts", "val")
+        ).fetchall()
+    )
+    assert sorted(
+        tuple(r)
+        for r in period_over_period(df, "k", "ts", "val").collect()
+    ) == want

@@ -89,6 +89,9 @@ CARTESIAN_OK = {
     # ONE-ROW grand-total sufficient-statistics aggregate crossJoined
     # onto the per-group stats (rest-side = total - group)
     "welch_z",
+    # crossJoin of two ONE-ROW aggregates (DCG x IDCG) plus the BM25
+    # leg's ONE-ROW corpus-stats broadcast
+    "ndcg_eval",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
@@ -184,6 +187,9 @@ GLOBAL_WIN_OK = {
     # (post-limit) — bounded single-partition input, the
     # vocab_coverage pattern
     "rrf_fusion",
+    # rank windows over the <=50-row BM25 head and the <=k-row ideal
+    # list (post-limit) — bounded single-partition inputs
+    "ndcg_eval",
 }
 
 
