@@ -1003,3 +1003,81 @@ FROM j
 WHERE n >= {min_n} AND n_r >= {min_n}
 ORDER BY {group_col}
 """
+
+
+def hhi_index(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group — the
+    antitrust-style market-concentration scalar (Σ share², on the
+    conventional 0..10,000 basis-point scale: <1500 competitive,
+    >2500 concentrated). Companion to [[gini]]: HHI weights the
+    head, Gini the whole curve.
+
+    Exact path: HHI = 10^4 · Σv² / S², so member totals and Σv²
+    accumulate as exact integers (DECIMAL(38,0)/HUGEINT — v² passes
+    int64 at member totals ≈ 3e9) and ONE double division closes
+    each group. No per-member float ever crosses rows.
+
+    Output: (group, n_members, total, hhi_q) with hhi_q =
+    round(HHI_basis_points · 1e2) (i.e. 1e6-quantized share-sum)."""
+    per = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(member_col).alias("m"),
+        )
+        .agg(F.sum(F.col(value_col).cast("long")).alias("v"))
+    )
+    stats = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)")
+            * F.col("v").cast("decimal(19,0)")
+        ).alias("svv"),
+    )
+    hhi = (
+        F.col("svv").cast("double")
+        / (F.col("s") * F.col("s")).cast("double")
+        * F.lit(1e4)  # basis points
+    )
+    return (
+        stats.where(F.col("s") > 0)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_members",
+            F.col("s").cast("long").alias("total"),
+            F.floor(hhi * F.lit(1e2) + F.lit(0.5))
+            .cast("long")
+            .alias("hhi_q"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hhi_index_sql(
+    table_cte: str, group_col: str, member_col: str, value_col: str
+) -> str:
+    """DuckDB twin of hhi_index."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS grp, {member_col} AS m,
+         sum({value_col}::BIGINT) AS v
+  FROM ({table_cte}) GROUP BY 1, 2
+),
+stats AS (
+  SELECT grp, count(*)::BIGINT AS n_members,
+         sum(v::HUGEINT) AS s,
+         sum(v::HUGEINT * v::HUGEINT) AS svv
+  FROM per GROUP BY grp
+)
+SELECT grp AS {group_col}, n_members, s::BIGINT AS total,
+       floor(svv::DOUBLE / (s * s)::DOUBLE * 1e4 * 1e2 + 0.5)::BIGINT
+         AS hhi_q
+FROM stats
+WHERE s > 0
+ORDER BY {group_col}
+"""

@@ -1018,3 +1018,172 @@ SELECT k AS {key_col}, strftime(m, '%Y-%m') AS month, v AS v_cents,
        END AS yoy_pct_q
 FROM lagged ORDER BY {key_col}, month
 """
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-second-event per
+    user (Kaplan & Meier 1958) — the retention/churn curve with
+    CORRECT censoring: users who never produced a second event are
+    censored at the observation horizon instead of being dropped
+    (the mistake naive retention queries make).
+
+    Each user contributes one duration in whole MINUTES (first
+    event → second event; censored at the corpus max timestamp —
+    minute resolution keeps the curve informative for streams whose
+    inter-event gaps are minutes, not days). At each
+    distinct duration t: n_i = at-risk, d_i = events. The KM
+    product Π(1 − d_i/n_i) is emitted in LOG space: per-term
+    round(ln(1−d_i/n_i)·1e9) integers, cumulative-summed — a
+    deterministic integer path (the mutual_info log discipline;
+    exp() is not correctly-rounded so the product itself is not
+    hash-safe). log_surv_q = 1e9·ln S(t), monotone decreasing;
+    surv ≈ exp(q/1e9) for display.
+
+    Shape: one window per user (first/second pick), one duration
+    groupBy, one cumulative window over the ≤span-days duration
+    table. Output: (t_days, n_risk, d_events, c_censored,
+    log_surv_q)."""
+    ts_us = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"),
+        ts_us.alias("t"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    seq = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    per_user = seq.groupBy("u").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("t"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("t"))).alias("t2"),
+    )
+    horizon = base.agg(F.max("t").alias("h"))
+    us_min = 60_000_000
+    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.expr(f"(t2 - t1) DIV {us_min}"),
+        )
+        .otherwise(F.expr(f"(h - t1) DIV {us_min}"))
+        .alias("td"),
+        F.col("t2").isNull().alias("censored"),
+    )
+    by_t = durations.groupBy("td").agg(
+        F.sum((~F.col("censored")).cast("long")).alias("d"),
+        F.sum(F.col("censored").cast("long")).alias("c"),
+    )
+    wc = Window.orderBy("td").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = by_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_all"))
+    cum = (
+        by_t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("n_all")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(
+                    Window.orderBy("td").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            # d == n_risk absorbs the curve: S(t)=0, ln undefined —
+            # emit NULL log-survival from that time on (the standard
+            # KM absorption convention) instead of ln(0)
+            "term_q",
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                    * F.lit(1e9)
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "absorbed", (F.col("d") == F.col("n_risk")).cast("long")
+        )
+    )
+    return cum.select(
+        F.col("td").alias("t_min"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        F.when(
+            F.sum("absorbed").over(wc) == 0,
+            F.sum("term_q").over(wc),
+        )
+        .cast("long")
+        .alias("log_surv_q"),
+    ).orderBy("t_min")
+
+
+def survival_curve_sql(events_table: str = "events") -> str:
+    """DuckDB twin of survival_curve."""
+    us_min = 60_000_000
+    return f"""
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid
+  FROM {events_table}
+),
+seq AS (
+  SELECT u, t,
+         row_number() OVER (PARTITION BY u ORDER BY t, eid) AS rn
+  FROM base
+),
+per_user AS (
+  SELECT u, min(CASE WHEN rn = 1 THEN t END) AS t1,
+         min(CASE WHEN rn = 2 THEN t END) AS t2
+  FROM seq WHERE rn <= 2 GROUP BY u
+),
+horizon AS (SELECT max(t) AS h FROM base),
+durations AS (
+  SELECT CASE WHEN t2 IS NOT NULL THEN (t2 - t1) // {us_min}
+              ELSE (h - t1) // {us_min} END AS td,
+         (t2 IS NULL) AS censored
+  FROM per_user, horizon
+),
+by_t AS (
+  SELECT td, sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS d,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM durations GROUP BY td
+),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_all FROM by_t),
+cum AS (
+  SELECT td, d, c,
+         t.n_all - coalesce(sum(d + c) OVER (ORDER BY td
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM by_t, tot t
+),
+termed AS (
+  SELECT td, d, c, n_risk,
+         CASE WHEN d > 0 AND d < n_risk THEN
+           CAST(round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE) * 1e9)
+                AS BIGINT)
+         ELSE 0 END AS term_q,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS absorbed
+  FROM cum
+)
+SELECT td AS t_min, n_risk::BIGINT AS n_risk, d AS d_events,
+       c AS c_censored,
+       CASE WHEN sum(absorbed) OVER (ORDER BY td
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+            THEN CAST(sum(term_q) OVER (ORDER BY td
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT)
+       END AS log_surv_q
+FROM termed ORDER BY t_min
+"""

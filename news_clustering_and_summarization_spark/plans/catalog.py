@@ -8127,6 +8127,59 @@ def oracle_period_over_period() -> str:
     )
 
 
+def q_survival_curve(spark, sf):
+    """Kaplan-Meier time-to-second-event retention curve over events
+    (operators/temporal.survival_curve): censoring handled at the
+    horizon, KM product emitted in quantized log space (exp is not
+    correctly-rounded; ln with per-term integer quantization is the
+    engine's certified log discipline)."""
+    from ..operators.temporal import survival_curve
+
+    return survival_curve(load(spark, sf, "events"))
+
+
+def oracle_survival_curve() -> str:
+    from ..operators.temporal import survival_curve_sql
+
+    return survival_curve_sql()
+
+
+def q_hhi(spark, sf):
+    """Herfindahl-Hirschman supplier-revenue concentration per
+    nation (operators/profiling.hhi_index): exact integer Σv²/S²
+    with one closing division."""
+    from ..operators.profiling import hhi_index
+
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    supp = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = li.join(
+        F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]
+    )
+    return hhi_index(joined, "s_nationkey", "l_suppkey", "price_c")
+
+
+ORACLE_HHI_CTE = """
+SELECT s.s_nationkey, l.l_suppkey,
+       floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT AS price_c
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+def oracle_hhi() -> str:
+    from ..operators.profiling import hhi_index_sql
+
+    return hhi_index_sql(
+        ORACLE_HHI_CTE, "s_nationkey", "l_suppkey", "price_c"
+    )
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8491,6 +8544,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setsim_join": q_setsim_join,
     "ndcg_eval": q_ndcg_eval,
     "period_over_period": q_period_over_period,
+    "survival_curve": q_survival_curve,
+    "hhi_index": q_hhi,
 }
 
 ORACLES: dict[str, str] = {
@@ -8621,6 +8676,8 @@ ORACLES: dict[str, str] = {
     "setsim_join": oracle_setsim_join(),
     "ndcg_eval": oracle_ndcg_eval(),
     "period_over_period": oracle_period_over_period(),
+    "survival_curve": oracle_survival_curve(),
+    "hhi_index": oracle_hhi(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -340,3 +340,38 @@ def test_welch_z_known_separation(spark):
         ).fetchall()
     )
     assert got2 == want
+
+
+def test_hhi_index_extremes(spark):
+    """Monopoly -> HHI 10000 bp; n equal members -> 10000/n bp;
+    twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        hhi_index,
+        hhi_index_sql,
+    )
+
+    rows = (
+        [("mono", 1, 500)]
+        + [("even", m, 100) for m in range(1, 5)]
+    )
+    df = spark.createDataFrame(rows, ["g", "m", "v"])
+    got = {
+        r["g"]: r for r in hhi_index(df, "g", "m", "v").collect()
+    }
+    assert got["mono"]["hhi_q"] == 1_000_000   # 10000 bp * 1e2
+    assert got["even"]["hhi_q"] == 250_000     # 2500 bp * 1e2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, m BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            hhi_index_sql("SELECT * FROM t", "g", "m", "v")
+        ).fetchall()
+    )
+    assert sorted(
+        tuple(r) for r in hhi_index(df, "g", "m", "v").collect()
+    ) == want

@@ -565,3 +565,81 @@ def test_period_over_period_semantics(spark):
         tuple(r)
         for r in period_over_period(df, "k", "ts", "val").collect()
     ) == want
+
+
+def test_survival_curve_km_hand_case(spark):
+    """Textbook KM: 5 users, second events at minutes 1,1,3; two
+    users censored (never convert) with durations 2 and 4. Risk
+    sets and per-step factors must match the hand computation, and
+    censored users leave the risk set WITHOUT a survival drop."""
+    import datetime as dt
+    import math
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        survival_curve,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(u, minute):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), u, "e"))
+        eid += 1
+
+    # all users' first event at t0
+    for u in range(1, 6):
+        ev(u, 0)
+    ev(1, 1)   # convert at 1
+    ev(2, 1)   # convert at 1
+    ev(3, 3)   # convert at 3
+    # users 4,5 never convert; horizon = max ts = minute 4
+    ev(9, 2)   # another user's FIRST event at minute 2 (horizon pad)
+    ev(9, 4)   # user 9 converts at 2 -> also in the curve
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        r["t_min"]: r for r in survival_curve(df).collect()
+    }
+    # durations: u1:1 u2:1 u3:3 u9:2 converted; u4,u5 censored at 4
+    assert got[1]["n_risk"] == 6 and got[1]["d_events"] == 2
+    assert got[2]["n_risk"] == 4 and got[2]["d_events"] == 1
+    assert got[3]["n_risk"] == 3 and got[3]["d_events"] == 1
+    assert got[4]["c_censored"] == 2 and got[4]["d_events"] == 0
+    # S(3) = (1-2/6)(1-1/4)(1-1/3) = 1/3; log terms quantized per step
+    expect = (
+        round(math.log(1 - 2 / 6) * 1e9)
+        + round(math.log(1 - 1 / 4) * 1e9)
+        + round(math.log(1 - 1 / 3) * 1e9)
+    )
+    assert got[3]["log_surv_q"] == expect
+    # censored-only row carries the previous cumulative value
+    assert got[4]["log_surv_q"] == expect
+
+
+def test_survival_curve_absorption_null(spark):
+    """When every remaining at-risk user converts at the final
+    time, S hits 0: log_surv_q is NULL from that row on (never
+    ln(0))."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        survival_curve,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "e"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "e"),
+        (3, t0, 2, "e"),
+        (4, t0 + dt.timedelta(minutes=1), 2, "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = survival_curve(df).collect()
+    assert len(got) == 1
+    assert got[0]["d_events"] == 2 and got[0]["n_risk"] == 2
+    assert got[0]["log_surv_q"] is None

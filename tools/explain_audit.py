@@ -92,6 +92,9 @@ CARTESIAN_OK = {
     # crossJoin of two ONE-ROW aggregates (DCG x IDCG) plus the BM25
     # leg's ONE-ROW corpus-stats broadcast
     "ndcg_eval",
+    # ONE-ROW horizon (max ts) and ONE-ROW total-user aggregates
+    # crossJoined onto the per-user / per-duration tables
+    "survival_curve",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
@@ -190,6 +193,10 @@ GLOBAL_WIN_OK = {
     # rank windows over the <=50-row BM25 head and the <=k-row ideal
     # list (post-limit) — bounded single-partition inputs
     "ndcg_eval",
+    # the cumulative KM window runs over the DISTINCT-DURATION table
+    # (<= observation-span minutes rows after the groupBy), not the
+    # event stream — bounded by the time span, not the data
+    "survival_curve",
 }
 
 
