@@ -1187,3 +1187,115 @@ SELECT td AS t_min, n_risk::BIGINT AS n_risk, d AS d_events,
        END AS log_surv_q
 FROM termed ORDER BY t_min
 """
+
+
+def weekday_profile(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday seasonality per series with SPINE-CORRECT
+    expectations: the null hypothesis share of each ISO weekday is
+    (#occurrences of that weekday in the observed span) / span-days
+    — NOT 1/7, which silently biases any span that is not a whole
+    number of weeks (the classic seasonality-test mistake). Chi-
+    square terms per (series, weekday) flag day-of-week structure.
+
+    All counts exact; expected = total·dow_days/span_days is integer
+    arithmetic until ONE division; the chi-square term is the same
+    plain-multiply dag as benford_audit. One groupBy + a per-series
+    spine join.
+
+    Output: (event_type, dow 1-7, n_obs, expected_q, chi2_q)."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    dow = F.dayofweek("d").cast("long")  # 1=Sunday..7 both engines?
+    spine_dow = spine.groupBy("g", dow.alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("dow_days")
+    )
+    span = spine.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("span_days")
+    )
+    obs = (
+        daily.select("g", dow.alias("dw"), "x")
+        .groupBy("g", "dw")
+        .agg(F.sum("x").alias("n_obs"))
+    )
+    totals = obs.groupBy("g").agg(
+        F.sum("n_obs").cast("long").alias("total")
+    )
+    j = (
+        spine_dow.join(obs, ["g", "dw"], "left")
+        .na.fill({"n_obs": 0})
+        .join(F.broadcast(span), "g")
+        .join(F.broadcast(totals), "g")
+    )
+    expected = (
+        (F.col("total") * F.col("dow_days")).cast("double")
+        / F.col("span_days").cast("double")
+    )
+    dev = F.col("n_obs").cast("double") - expected
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return j.select(
+        F.col("g").alias(type_col),
+        F.col("dw").alias("dow"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        q(expected).alias("expected_q"),
+        q(dev * dev / expected).alias("chi2_q"),
+    ).orderBy(type_col, "dow")
+
+
+def weekday_profile_sql(events_table: str = "events") -> str:
+    """DuckDB twin of weekday_profile. DuckDB dayofweek() is
+    0=Sunday..6; Spark dayofweek() is 1=Sunday..7 — shift by 1."""
+    return f"""
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+spine_dow AS (
+  SELECT g, dayofweek(d)::BIGINT + 1 AS dw,
+         count(*)::BIGINT AS dow_days
+  FROM spine GROUP BY 1, 2
+),
+span AS (SELECT g, count(*)::BIGINT AS span_days FROM spine GROUP BY g),
+obs AS (
+  SELECT g, dayofweek(d)::BIGINT + 1 AS dw, sum(x)::BIGINT AS n_obs
+  FROM daily GROUP BY 1, 2
+),
+totals AS (SELECT g, CAST(sum(n_obs) AS BIGINT) AS total
+           FROM obs GROUP BY g),
+j AS (
+  SELECT sd.g, sd.dw, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+         (t.total * sd.dow_days)::DOUBLE / sp.span_days::DOUBLE
+           AS expected
+  FROM spine_dow sd
+  LEFT JOIN obs o ON o.g = sd.g AND o.dw = sd.dw
+  JOIN span sp ON sp.g = sd.g
+  JOIN totals t ON t.g = sd.g
+)
+SELECT g AS event_type, dw AS dow, n_obs,
+       floor(expected * 1e6 + 0.5)::BIGINT AS expected_q,
+       floor((n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected)
+             / expected * 1e6 + 0.5)::BIGINT AS chi2_q
+FROM j ORDER BY event_type, dow
+"""

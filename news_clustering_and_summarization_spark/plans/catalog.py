@@ -8180,6 +8180,22 @@ def oracle_hhi() -> str:
     )
 
 
+def q_weekday_profile(spark, sf):
+    """Weekday seasonality chi-square per event type (operators/
+    temporal.weekday_profile): spine-correct expectations (weekday
+    share of the actual span, not 1/7) — partial weeks never bias
+    the test."""
+    from ..operators.temporal import weekday_profile
+
+    return weekday_profile(load(spark, sf, "events"))
+
+
+def oracle_weekday_profile() -> str:
+    from ..operators.temporal import weekday_profile_sql
+
+    return weekday_profile_sql()
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8546,6 +8562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "period_over_period": q_period_over_period,
     "survival_curve": q_survival_curve,
     "hhi_index": q_hhi,
+    "weekday_profile": q_weekday_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -8678,6 +8695,7 @@ ORACLES: dict[str, str] = {
     "period_over_period": oracle_period_over_period(),
     "survival_curve": oracle_survival_curve(),
     "hhi_index": oracle_hhi(),
+    "weekday_profile": oracle_weekday_profile(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

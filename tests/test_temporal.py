@@ -643,3 +643,54 @@ def test_survival_curve_absorption_null(spark):
     assert len(got) == 1
     assert got[0]["d_events"] == 2 and got[0]["n_risk"] == 2
     assert got[0]["log_surv_q"] is None
+
+
+def test_weekday_profile_partial_week_expectation(spark):
+    """A 10-day span has 2 of three weekdays and 1 of the rest —
+    the expectation must use those counts, not total/7. A series
+    concentrated on one weekday flags a large chi2 there; twin
+    matches."""
+    import datetime as dt
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        weekday_profile,
+        weekday_profile_sql,
+    )
+
+    # Mon 2024-01-01 .. Wed 2024-01-10: Mon,Tue,Wed x2; Thu..Sun x1
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 10 if (t0 + dt.timedelta(days=day)).weekday() == 0 else 1
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "mon_heavy"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {r["dow"]: r for r in weekday_profile(df).collect()}
+    assert len(got) == 7
+    # Spark dayofweek: Monday = 2; two Mondays in span, 20 obs
+    total = sum(r["n_obs"] for r in got.values())
+    assert got[2]["n_obs"] == 20
+    assert got[2]["expected_q"] == round(total * 2 / 10 * 1e6)
+    assert got[2]["chi2_q"] > max(
+        r["chi2_q"] for d, r in got.items() if d != 2
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(weekday_profile_sql()).fetchall()
+    )
+    assert sorted(
+        tuple(r) for r in weekday_profile(df).collect()
+    ) == want
