@@ -8196,6 +8196,164 @@ def oracle_weekday_profile() -> str:
     return weekday_profile_sql()
 
 
+def q_cohort_ltv(spark, sf):
+    """Cohort lifetime-value accumulation: users grouped by
+    first-seen ISO week, their event value summed per week-offset,
+    then CUMULATIVE per cohort (the LTV curve investors read off a
+    retention matrix). Exact integer cents; the cumulative window
+    partitions by cohort — nothing global. Same two-shuffle shape
+    as cohort_retention (first-seen table is per-user, broadcast
+    back)."""
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v_c"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    j = ev.join(F.broadcast(first), "user_id")
+    week0 = F.date_sub(
+        F.to_date("t0"), (F.dayofweek(F.to_date("t0")) + 5) % 7
+    )
+    offset = F.floor(
+        F.datediff(F.to_date("ts"), week0) / F.lit(7)
+    ).cast("long")
+    weekly = (
+        j.select(
+            F.date_format(week0, "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "v_c",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("v_c").cast("long").alias("week_value"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_week",
+        "week_offset",
+        "week_value",
+        F.sum("week_value").over(wc).cast("long").alias("cum_ltv"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+ORACLE_COHORT_LTV = """
+WITH ev AS (
+  SELECT user_id, ts, floor(value * 100.0 + 0.5)::BIGINT AS v_c
+  FROM events
+),
+first AS (SELECT user_id, min(ts) AS t0 FROM ev GROUP BY user_id),
+j AS (
+  SELECT e.ts, e.v_c,
+         (f.t0::DATE
+          - (((dayofweek(f.t0::DATE) + 6) % 7))::INTEGER) AS week0
+  FROM ev e JOIN first f ON f.user_id = e.user_id
+),
+weekly AS (
+  SELECT strftime(week0, '%Y-%m-%d') AS cohort_week,
+         floor((ts::DATE - week0) / 7)::BIGINT AS week_offset,
+         CAST(sum(v_c) AS BIGINT) AS week_value
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, week_value,
+       CAST(sum(week_value) OVER (PARTITION BY cohort_week
+            ORDER BY week_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_ltv
+FROM weekly ORDER BY cohort_week, week_offset
+"""
+
+
+def q_top_paths(spark, sf):
+    """Top-20 session paths: per 30-min session, the ordered
+    event-type string (events sorted by the zero-padded (ts,id)
+    total key via array_sort over structs — deterministic), counted
+    across sessions. The funnel-discovery view next to
+    event_transitions' pair matrix."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            (gap > 1800 * 1_000_000).cast("long"),
+        )
+        .fillna({"new_sess": 1})
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    keyed = sess.select(
+        "user_id",
+        "sess_id",
+        F.struct(
+            F.concat(
+                F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ).alias("k"),
+            F.col("event_type").alias("et"),
+        ).alias("s"),
+    )
+    paths = (
+        keyed.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["et"]
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+    return paths
+
+
+ORACLE_TOP_PATHS = """
+WITH gapped AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800 * 1000000 THEN 1
+              WHEN lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM gapped
+),
+paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>'
+                    ORDER BY lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                             || lpad(event_id::VARCHAR, 12, '0'))
+           AS path
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8563,6 +8721,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "survival_curve": q_survival_curve,
     "hhi_index": q_hhi,
     "weekday_profile": q_weekday_profile,
+    "cohort_ltv": q_cohort_ltv,
+    "top_paths": q_top_paths,
 }
 
 ORACLES: dict[str, str] = {
@@ -8696,6 +8856,8 @@ ORACLES: dict[str, str] = {
     "survival_curve": oracle_survival_curve(),
     "hhi_index": oracle_hhi(),
     "weekday_profile": oracle_weekday_profile(),
+    "cohort_ltv": ORACLE_COHORT_LTV,
+    "top_paths": ORACLE_TOP_PATHS,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

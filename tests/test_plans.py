@@ -172,3 +172,81 @@ def test_ccnet_mix_bucket_contract(spark):
         )
         sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_cohort_ltv_hand_case(spark):
+    """Two cohorts: week-0 revenue then week-1 revenue accumulate;
+    a user's later events land in their FIRST-SEEN cohort; oracle
+    agrees."""
+    import datetime as dt
+
+    import duckdb
+
+    from news_clustering_and_summarization_spark.plans.catalog import (
+        ORACLE_COHORT_LTV,
+        q_cohort_ltv,
+    )
+
+    # Monday 2024-01-01 anchors cohort A; Monday 2024-01-08 cohort B
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10), 1, "e", 10.0, ""),   # A wk0
+        (2, dt.datetime(2024, 1, 9, 10), 1, "e", 5.0, ""),    # A wk1
+        (3, dt.datetime(2024, 1, 10, 10), 2, "e", 7.0, ""),   # B wk0
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        # the catalog loader reads {sf}/events.parquet
+        got = sorted(
+            tuple(r) for r in q_cohort_ltv(spark, td).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(td, 'events.parquet')}/*.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(ORACLE_COHORT_LTV).fetchall()
+        )
+    assert got == want
+    assert got == [
+        ("2024-01-01", 0, 1000, 1000),
+        ("2024-01-01", 1, 500, 1500),
+        ("2024-01-08", 0, 700, 700),
+    ]
+
+
+def test_top_paths_ordering_and_session_break(spark):
+    """Events within one session join in (ts, id) order; a >30-min
+    gap starts a new path; ties at one timestamp order by id."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from news_clustering_and_summarization_spark.plans.catalog import (
+        q_top_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, t0, 7, "view", 0.0, ""),
+        (2, t0, 7, "click", 0.0, ""),                      # same ts, id order
+        (3, t0 + dt.timedelta(minutes=5), 7, "purchase", 0.0, ""),
+        (4, t0 + dt.timedelta(hours=2), 7, "view", 0.0, ""),  # new session
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in q_top_paths(spark, td).collect()
+        }
+    assert got == {"view>click>purchase": 1, "view": 1}
