@@ -8354,6 +8354,166 @@ LIMIT 20
 """
 
 
+def q_rolling_median(spark, sf):
+    """7-day rolling median/min/max envelope of daily counts per
+    event type: the frame's values are collected and sorted PER ROW
+    (bounded 7-element arrays — never a shuffle), lower-median
+    picked by integer index; zero-filled day spine. The robust
+    alternative to ewma for spiky series."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    wf = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("x").over(wf))
+    n = F.size(arr)
+    med = F.element_at(arr, ((n + F.lit(1)) / F.lit(2)).cast("int"))
+    return full.select(
+        F.col("g").alias("event_type"),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.size(arr).cast("long").alias("n_window"),
+        med.cast("long").alias("roll_median"),
+        F.element_at(arr, 1).cast("long").alias("roll_min"),
+        F.element_at(arr, -1).cast("long").alias("roll_max"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+full_days AS (
+  SELECT s.g, s.d, coalesce(dl.x, 0)::BIGINT AS x
+  FROM spine s LEFT JOIN daily dl ON dl.g = s.g AND dl.d = s.d
+),
+framed AS (
+  SELECT g, d, x,
+         list_sort(list(x) OVER (PARTITION BY g ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM full_days
+)
+SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day, x,
+       len(arr)::BIGINT AS n_window,
+       arr[(len(arr) + 1) // 2]::BIGINT AS roll_median,
+       arr[1]::BIGINT AS roll_min,
+       arr[len(arr)]::BIGINT AS roll_max
+FROM framed ORDER BY event_type, day
+"""
+
+
+def q_seasonal_residuals(spark, sf):
+    """Seasonally-adjusted daily anomalies: per (event_type,
+    weekday) mean/sd from exact integer sufficient statistics, then
+    each day's residual z — the anomaly detector that does NOT fire
+    every weekend (rate_anomaly's seasonal-blind counterpart).
+    sd via IEEE-correctly-rounded sqrt; zero-sd groups gated."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g",
+        "d",
+        F.dayofweek("d").cast("long").alias("dw"),
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    stats = full.groupBy("g", "dw").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = full.join(F.broadcast(stats), ["g", "dw"])
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
+    ).cast("double") / (
+        F.col("n") * (F.col("n") - F.lit(1))
+    ).cast("double")
+    z = (F.col("x").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.where(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("s") * F.col("s") > 0)
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dw",
+            "x",
+            F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+                "z_q"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_SEASONAL_RESIDUALS = """
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+full_days AS (
+  SELECT s.g, s.d, dayofweek(s.d)::BIGINT + 1 AS dw,
+         coalesce(dl.x, 0)::BIGINT AS x
+  FROM spine s LEFT JOIN daily dl ON dl.g = s.g AND dl.d = s.d
+),
+stats AS (
+  SELECT g, dw, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS sxx
+  FROM full_days GROUP BY 1, 2
+)
+SELECT f.g AS event_type, strftime(f.d, '%Y-%m-%d') AS day, f.dw,
+       f.x,
+       floor((f.x::DOUBLE - st.s::DOUBLE / st.n::DOUBLE)
+             / sqrt((st.n * st.sxx - st.s * st.s)::DOUBLE
+                    / (st.n * (st.n - 1))::DOUBLE)
+             * 1e6 + 0.5)::BIGINT AS z_q
+FROM full_days f JOIN stats st ON st.g = f.g AND st.dw = f.dw
+WHERE st.n >= 2 AND st.n * st.sxx - st.s * st.s > 0
+ORDER BY event_type, day
+"""
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8723,6 +8883,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekday_profile": q_weekday_profile,
     "cohort_ltv": q_cohort_ltv,
     "top_paths": q_top_paths,
+    "rolling_median": q_rolling_median,
+    "seasonal_residuals": q_seasonal_residuals,
 }
 
 ORACLES: dict[str, str] = {
@@ -8858,6 +9020,8 @@ ORACLES: dict[str, str] = {
     "weekday_profile": oracle_weekday_profile(),
     "cohort_ltv": ORACLE_COHORT_LTV,
     "top_paths": ORACLE_TOP_PATHS,
+    "rolling_median": ORACLE_ROLLING_MEDIAN,
+    "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

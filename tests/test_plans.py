@@ -250,3 +250,78 @@ def test_top_paths_ordering_and_session_break(spark):
             for r in q_top_paths(spark, td).collect()
         }
     assert got == {"view>click>purchase": 1, "view": 1}
+
+
+def _write_events(spark, td, rows):
+    import os
+
+    spark.createDataFrame(
+        rows,
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).write.parquet(os.path.join(td, "events.parquet"))
+
+
+def test_rolling_median_window_semantics(spark):
+    """First rows see growing windows (n_window = day index + 1);
+    the lower median of an even window picks the lower middle; the
+    envelope brackets x."""
+    import datetime as dt
+    import tempfile
+
+    from news_clustering_and_summarization_spark.plans.catalog import (
+        q_rolling_median,
+    )
+
+    t0 = dt.datetime(2024, 2, 1, 8)
+    counts = [5, 1, 9, 3, 7, 2, 8, 4]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "e", 0.0, ""))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        got = q_rolling_median(spark, td).collect()
+    assert [r["n_window"] for r in got] == [1, 2, 3, 4, 5, 6, 7, 7]
+    # day 2 window [5,1] sorted [1,5]: lower median 1
+    assert got[1]["roll_median"] == 1
+    # day 8 window = counts[1:8] sorted [1,2,3,4,7,8,9] -> 4
+    assert got[7]["roll_median"] == 4
+    assert all(r["roll_min"] <= r["x"] <= r["roll_max"] for r in got)
+
+
+def test_seasonal_residuals_weekday_aware(spark):
+    """A series that is ALWAYS high on Mondays must give Monday z
+    near 0 (it's the seasonal norm) while a one-off weekday spike
+    scores high — exactly what a seasonal-blind detector gets
+    wrong."""
+    import datetime as dt
+    import tempfile
+
+    from news_clustering_and_summarization_spark.plans.catalog import (
+        q_seasonal_residuals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 8)  # a Monday
+    rows = []
+    eid = 0
+    for day in range(28):
+        date = t0 + dt.timedelta(days=day)
+        c = 20 if date.weekday() == 0 else 5
+        if day == 9:          # one Wednesday spikes to 19
+            c = 19
+        for _ in range(c):
+            rows.append((eid, date, 1, "e", 0.0, ""))
+            eid += 1
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        got = {r["day"]: r for r in q_seasonal_residuals(spark, td).collect()}
+    # Mondays: all equal 20 -> zero variance -> GATED (absent)
+    assert "2024-01-01" not in got
+    # every constant weekday (Tue..Sun all 5s) is variance-gated too
+    assert "2024-01-09" not in got
+    # only Wednesdays (5,5,19,5) survive: mean 8.5, sd 7 ->
+    # the spike scores exactly +1.5, the normal ones exactly -0.5
+    assert got["2024-01-10"]["z_q"] == 1_500_000
+    assert got["2024-01-03"]["z_q"] == -500_000
