@@ -279,3 +279,95 @@ FROM {prev}
 GROUP BY 1
 """
     )
+
+
+# --- consistent hashing -----------------------------------------------
+
+
+def hash_ring_assign(
+    keys: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    vnodes_per_node: int = 8,
+) -> DataFrame:
+    """Consistent-hash ring assignment (Karger et al. 1997) — the
+    shard-placement primitive: keys map to the SUCCESSOR virtual
+    node on an md5 ring, so adding/removing one node only remaps
+    ~1/N of the keyspace (a modulo assignment remaps almost all).
+
+    The ring is nodes × vnodes rows — kilobytes at any scale — and
+    BROADCAST; assignment is one broadcast join + a per-key min
+    (successor = smallest vnode position >= key position, wrapping
+    to the global minimum). No shuffle of the key table beyond its
+    own aggregation. All md5-derived integer positions, bit-exact
+    cross-engine.
+
+    Output: (key, node, vnode_pos) one row per key."""
+    from ..functions import hashing as H
+
+    spark = keys.sparkSession
+    ring_rows = [
+        (n, v) for n in nodes for v in range(vnodes_per_node)
+    ]
+    ring = spark.createDataFrame(ring_rows, ["node", "vn"]).select(
+        "node",
+        H.hash64(
+            F.concat_ws("|", F.lit("ring"), F.col("node"),
+                        F.col("vn").cast("string"))
+        ).alias("vpos"),
+    )
+    keyed = keys.select(
+        F.col(key_col).alias("k"),
+        H.hash64(F.col(key_col).cast("string")).alias("kpos"),
+    )
+    j = keyed.crossJoin(F.broadcast(ring))
+    succ = j.groupBy("k", "kpos").agg(
+        F.min(
+            F.when(F.col("vpos") >= F.col("kpos"), F.col("vpos"))
+        ).alias("succ"),
+        F.min("vpos").alias("wrap"),
+    )
+    chosen = succ.select(
+        "k", F.coalesce("succ", "wrap").alias("vpos")
+    )
+    return (
+        chosen.join(F.broadcast(ring), "vpos")
+        .select(F.col("k").alias(key_col), "node", F.col("vpos"))
+        .orderBy(key_col)
+    )
+
+
+def hash_ring_assign_sql(
+    table: str,
+    key_col: str,
+    nodes: list[str],
+    vnodes_per_node: int = 8,
+) -> str:
+    """DuckDB twin of hash_ring_assign."""
+    from ..functions import hashing as H
+
+    ring_vals = ", ".join(
+        f"('{n}', {v})" for n in nodes for v in range(vnodes_per_node)
+    )
+    vh = H.hash64_sql("('ring' || '|' || node || '|' || vn::VARCHAR)")
+    kh = H.hash64_sql(f"{key_col}::VARCHAR")
+    return f"""
+WITH ring AS MATERIALIZED (
+  SELECT node, {vh} AS vpos
+  FROM (VALUES {ring_vals}) t(node, vn)
+),
+keyed AS (
+  SELECT {key_col} AS k, {kh} AS kpos FROM {table}
+),
+succ AS (
+  SELECT k, kpos,
+         min(CASE WHEN r.vpos >= kpos THEN r.vpos END) AS succ,
+         min(r.vpos) AS wrap
+  FROM keyed CROSS JOIN ring r
+  GROUP BY k, kpos
+),
+chosen AS (SELECT k, coalesce(succ, wrap) AS vpos FROM succ)
+SELECT c.k AS {key_col}, r.node, c.vpos
+FROM chosen c JOIN ring r ON r.vpos = c.vpos
+ORDER BY {key_col}
+"""

@@ -235,3 +235,80 @@ FROM {prev_v} v JOIN mu USING (d), sgn
 ORDER BY dim
 """
     )
+
+
+GRAM_QUANT = 10**6
+
+
+def gram_matrix(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact Gram matrix G = EᵀE of an embedding column — the
+    covariance-shaped primitive under PCA/whitening/isotropy audits
+    (embedding_pca's power iteration consumes exactly this product
+    implicitly; materializing G once beats re-streaming E per
+    iteration when d is small).
+
+    Scalable shape: posexplode each vector to (row, i, v), self-join
+    ON THE ROW ID (d² fan-out per row, map-side combinable), one
+    groupBy (i, j) — the output is d² cells regardless of N. Upper
+    triangle only (G is symmetric).
+
+    Determinism: elements are quantized to integers ONCE
+    (arithmetic half-away floor(v·1e6 + 0.5) — engine round()
+    rounding modes differ, the repo-standard quantizer does not);
+    cell sums are then exact integer sums in
+    DECIMAL(38,0)/HUGEINT (q² ≈ 1e12 per term — int64 dies at ~9e6
+    rows, decimal never). g = g_q / 1e12 recovers the float value.
+
+    Output: (i, j, g_q) for 0 <= i <= j < d."""
+    q = F.floor(
+        F.col("v").cast("double") * F.lit(float(GRAM_QUANT))
+        + F.lit(0.5)
+    ).cast("long")
+    cells = emb.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(F.col(vec_col)).alias("i", "v"),
+    ).select("rid", "i", q.alias("vq"))
+    a = cells.select("rid", F.col("i").alias("ia"), F.col("vq").alias("va"))
+    b = cells.select("rid", F.col("i").alias("ib"), F.col("vq").alias("vb"))
+    return (
+        a.join(b, "rid")
+        .where(F.col("ia") <= F.col("ib"))
+        .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
+        .agg(
+            F.sum(
+                F.col("va").cast("decimal(19,0)")
+                * F.col("vb").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("g_q")
+        )
+        .orderBy("i", "j")
+    )
+
+
+def gram_matrix_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of gram_matrix (HUGEINT sums rendered as strings
+    — the driver's pandas canonicalizer cannot hash HUGEINT)."""
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT {id_col} AS rid,
+         generate_subscripts({vec_col}, 1) - 1 AS i,
+         floor(unnest({vec_col})::DOUBLE * {float(GRAM_QUANT)!r}
+               + 0.5)::BIGINT AS vq
+  FROM {table}
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(sum(a.vq::HUGEINT * b.vq::HUGEINT) AS VARCHAR) AS g_q
+FROM cells a JOIN cells b ON a.rid = b.rid AND a.i <= b.i
+GROUP BY 1, 2
+ORDER BY i, j
+"""

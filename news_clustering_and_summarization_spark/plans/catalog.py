@@ -8514,6 +8514,42 @@ ORDER BY event_type, day
 """
 
 
+def q_gram_matrix(spark, sf):
+    """Exact embedding Gram matrix EᵀE (operators/pca.gram_matrix):
+    quantize-once integer elements, row-keyed self-join with
+    map-side combine, d² output cells; HUGEINT sums rendered as
+    strings for the driver's pandas hasher."""
+    from ..operators.pca import gram_matrix
+
+    return gram_matrix(load(spark, sf, "embeddings"))
+
+
+def oracle_gram_matrix() -> str:
+    from ..operators.pca import gram_matrix_sql
+
+    return gram_matrix_sql("embeddings")
+
+
+RING_NODES = ["node-a", "node-b", "node-c", "node-d"]
+
+
+def q_hash_ring(spark, sf):
+    """Consistent-hash shard assignment of customers (operators/
+    layout.hash_ring_assign): md5 ring broadcast (kilobytes at any
+    scale), successor-with-wraparound via per-key min — the
+    placement op behind elastic shard moves."""
+    from ..operators.layout import hash_ring_assign
+
+    cust = load(spark, sf, "customer")
+    return hash_ring_assign(cust, "c_custkey", RING_NODES)
+
+
+def oracle_hash_ring() -> str:
+    from ..operators.layout import hash_ring_assign_sql
+
+    return hash_ring_assign_sql("customer", "c_custkey", RING_NODES)
+
+
 def q_join_size_sketch(spark, sf):
     """AGMS/tug-of-war F2 sketch (operators/frequent.agms_f2) of
     lineitem's part-key frequency vector — F2 is the self-join size
@@ -8885,6 +8921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_paths": q_top_paths,
     "rolling_median": q_rolling_median,
     "seasonal_residuals": q_seasonal_residuals,
+    "gram_matrix": q_gram_matrix,
+    "hash_ring": q_hash_ring,
 }
 
 ORACLES: dict[str, str] = {
@@ -9022,6 +9060,8 @@ ORACLES: dict[str, str] = {
     "top_paths": ORACLE_TOP_PATHS,
     "rolling_median": ORACLE_ROLLING_MEDIAN,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
+    "gram_matrix": oracle_gram_matrix(),
+    "hash_ring": oracle_hash_ring(),
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "rate_anomaly": ORACLE_RATE_ANOMALY,

@@ -118,3 +118,47 @@ def test_hilbert_layout_stats_spark_matches_sql(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hash_ring_properties(spark):
+    """Every key lands on exactly one node; removing one node only
+    remaps the keys that were ON that node (the consistent-hashing
+    contract a modulo scheme violates); twin matches."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.layout import (
+        hash_ring_assign,
+        hash_ring_assign_sql,
+    )
+
+    keys = spark.createDataFrame(
+        [(i,) for i in range(200)], ["k"]
+    )
+    nodes4 = ["n1", "n2", "n3", "n4"]
+    a4 = {
+        r["k"]: r["node"]
+        for r in hash_ring_assign(keys, "k", nodes4).collect()
+    }
+    assert len(a4) == 200
+    assert set(a4.values()) <= set(nodes4)
+    # drop n4: only n4's keys may move
+    a3 = {
+        r["k"]: r["node"]
+        for r in hash_ring_assign(keys, "k", nodes4[:3]).collect()
+    }
+    moved = [k for k in a4 if a4[k] != a3[k]]
+    assert all(a4[k] == "n4" for k in moved)
+    assert any(a4[k] == "n4" for k in a4)  # n4 actually owned keys
+
+    got = sorted(
+        tuple(r) for r in hash_ring_assign(keys, "k", nodes4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(200)) AS k")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            hash_ring_assign_sql("t", "k", nodes4)
+        ).fetchall()
+    )
+    assert got == want

@@ -71,3 +71,54 @@ def test_top_component_mean_is_exact(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r["dim"]: r["mu_q"] for r in top_component(df, dim=2, iters=1).collect()}
     assert out == {0: 2_000_000, 1: -1_000_000}
+
+
+def test_gram_matrix_hand_case_and_twin(spark):
+    """2-D vectors with known Gram: E = [[1,2],[3,4]] -> EᵀE =
+    [[10,14],[14,20]] at quant² scale; upper triangle only; twin
+    matches on a float corpus."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.pca import (
+        GRAM_QUANT,
+        gram_matrix,
+        gram_matrix_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    got = {
+        (r["i"], r["j"]): int(r["g_q"])
+        for r in gram_matrix(df).collect()
+    }
+    s = GRAM_QUANT * GRAM_QUANT
+    assert got == {
+        (0, 0): 10 * s,
+        (0, 1): 14 * s,
+        (1, 1): 20 * s,
+    }
+
+    import hashlib
+
+    rows = []
+    for i in range(40):
+        h = hashlib.md5(f"gm|{i}".encode()).hexdigest()
+        rows.append(
+            (i, [
+                (int(h[j * 3 : j * 3 + 3], 16) - 2048) / 4096.0
+                for j in range(8)
+            ])
+        )
+    df2 = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got2 = sorted(tuple(r) for r in gram_matrix(df2).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(gram_matrix_sql("embeddings")).fetchall()
+    )
+    assert got2 == want

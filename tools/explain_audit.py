@@ -95,6 +95,10 @@ CARTESIAN_OK = {
     # ONE-ROW horizon (max ts) and ONE-ROW total-user aggregates
     # crossJoined onto the per-user / per-duration tables
     "survival_curve",
+    # the broadcast RING table (nodes x vnodes, kilobytes by
+    # construction) crossJoined onto the key table — the consistent-
+    # hashing successor probe
+    "hash_ring",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
