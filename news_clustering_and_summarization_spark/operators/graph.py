@@ -825,3 +825,125 @@ FROM cand c ANTI JOIN e00 e ON e.u = c.u AND e.v = c.w
 ORDER BY c.cn DESC, c.ra_q DESC, c.u, c.w
 LIMIT {top_k}
 """
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seed: int,
+    rounds: int = 8,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+) -> DataFrame:
+    """Breadth-first hop levels from a seed vertex — reachability
+    with distances, the probe behind "how many hops connect these
+    communities" / diameter estimation. Synchronous frontier
+    expansion (the Pregel BFS): per round one neighbor semi-join +
+    one anti-join against the visited set; each round's frontier is
+    localCheckpointed so lineage stays flat.
+
+    Runs EXACTLY ``rounds`` expansions and certifies the fixpoint
+    in-band like [[kcore]]: ``frontier_exhausted`` is true iff round
+    rounds+1 would add no vertex — a green hash proves BOTH the
+    levels and that the reachable set is complete.
+
+    Output: (id, level, frontier_exhausted) for reached vertices."""
+    e0 = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e0.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e0.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(seed, 0)], ["id", "level"]
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for t in range(1, rounds + 1):
+        nxt = (
+            adj.join(
+                frontier.withColumnRenamed("id", "a"), "a", "left_semi"
+            )
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(
+            nxt.select("id", F.lit(t).alias("level"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    # fixpoint certificate: one more expansion must be empty
+    extra = (
+        adj.join(frontier.withColumnRenamed("id", "a"), "a", "left_semi")
+        .select(F.col("b").alias("id"))
+        .distinct()
+        .join(visited.select("id"), "id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_more"))
+    )
+    return (
+        visited.crossJoin(F.broadcast(extra))
+        .select(
+            "id",
+            F.col("level").cast("long").alias("level"),
+            (F.col("n_more") == 0).alias("frontier_exhausted"),
+        )
+        .orderBy("id")
+    )
+
+
+def bfs_levels_sql(edges_cte: str, seed: int, rounds: int = 8) -> str:
+    """DuckDB twin of bfs_levels (rounds unrolled, every per-round
+    CTE MATERIALIZED — see kcore_sql's blowup note)."""
+    ctes = [
+        f"raw_e AS MATERIALIZED ({edges_cte})",
+        """eb AS MATERIALIZED (
+  SELECT DISTINCT least(l_id, r_id) AS u, greatest(l_id, r_id) AS v
+  FROM raw_e WHERE l_id <> r_id
+)""",
+        """adjb AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM eb UNION ALL SELECT v, u FROM eb
+)""",
+        f"vis0 AS MATERIALIZED (SELECT {seed}::BIGINT AS id, 0 AS level)",
+        f"fr0 AS MATERIALIZED (SELECT {seed}::BIGINT AS id)",
+    ]
+    prev_v, prev_f = "vis0", "fr0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""nx{t} AS MATERIALIZED (
+  SELECT DISTINCT b AS id FROM adjb
+  WHERE a IN (SELECT id FROM {prev_f})
+    AND b NOT IN (SELECT id FROM {prev_v})
+)"""
+        )
+        ctes.append(
+            f"""vis{t} AS MATERIALIZED (
+  SELECT id, level FROM {prev_v}
+  UNION ALL SELECT id, {t} AS level FROM nx{t}
+)"""
+        )
+        prev_v, prev_f = f"vis{t}", f"nx{t}"
+    ctes.append(
+        f"""extra AS (
+  SELECT count(*) AS n_more FROM (
+    SELECT DISTINCT b FROM adjb
+    WHERE a IN (SELECT id FROM {prev_f})
+      AND b NOT IN (SELECT id FROM {prev_v})
+  )
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.id, v.level::BIGINT AS level,
+       (e.n_more = 0) AS frontier_exhausted
+FROM {prev_v} v, extra e
+ORDER BY v.id
+"""
+    )
