@@ -7358,6 +7358,41 @@ def oracle_clustering_coeff() -> str:
     return clustering_coefficient_sql(cte)
 
 
+BFS_SEED = 0
+BFS_ROUNDS = 9
+
+
+def q_bfs_levels(spark, sf):
+    """BFS hop levels (operators/graph.bfs_levels) from vec_id 0 on
+    the ε-similarity graph — reachability with distances, the probe
+    behind "how many hops connect these communities". Synchronous
+    frontier expansion; 9 rounds cover every testdata graph (deepest
+    eccentricity observed is 6 at sf0.001, 5 at sf0.01) and the
+    fixpoint is certified in-band (frontier_exhausted), so a green
+    hash proves the reachable set is complete — including the 4
+    sf0.01 vertices correctly absent (disconnected from seed 0)."""
+    from ..operators.graph import bfs_levels
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, KCORE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    )
+    return bfs_levels(edges, seed=BFS_SEED, rounds=BFS_ROUNDS)
+
+
+def oracle_bfs_levels() -> str:
+    from ..operators.graph import bfs_levels_sql
+
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    cte = (
+        "SELECT a.vec_id AS l_id, b.vec_id AS r_id "
+        "FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND {dist} <= {KCORE_EPS}"
+    )
+    return bfs_levels_sql(cte, seed=BFS_SEED, rounds=BFS_ROUNDS)
+
+
 LINKPRED_TOPK = 100
 LINKPRED_MAXDEG = 64
 
@@ -8887,6 +8922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size_sketch": q_join_size_sketch,
     "kcore": q_kcore,
     "clustering_coeff": q_clustering_coeff,
+    "bfs_levels": q_bfs_levels,
     "link_predict": q_link_predict,
     "skyline": q_skyline,
     "fuzzy_join": q_fuzzy_join,
@@ -9026,6 +9062,7 @@ ORACLES: dict[str, str] = {
     "join_size_sketch": oracle_join_size_sketch(),
     "kcore": oracle_kcore(),
     "clustering_coeff": oracle_clustering_coeff(),
+    "bfs_levels": oracle_bfs_levels(),
     "link_predict": oracle_link_predict(),
     "skyline": oracle_skyline(),
     "fuzzy_join": oracle_fuzzy_join(),

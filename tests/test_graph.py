@@ -388,3 +388,61 @@ def test_link_predict_sql_matches_spark(spark):
     )
     want = [tuple(r) for r in duckdb.sql(sql).fetchall()]
     assert got == want
+
+
+def test_bfs_levels_path_graph(spark):
+    """Path 0-1-2-3: levels equal hop distance; vertex 9 in a
+    separate component is absent; fixpoint certified."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        bfs_levels,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (9, 10)]
+    df = spark.createDataFrame(edges, ["l_id", "r_id"])
+    rows = {r["id"]: r for r in bfs_levels(df, seed=0, rounds=5).collect()}
+    assert {k: v["level"] for k, v in rows.items()} == {
+        0: 0, 1: 1, 2: 2, 3: 3,
+    }
+    assert 9 not in rows and 10 not in rows
+    assert all(r["frontier_exhausted"] for r in rows.values())
+
+
+def test_bfs_levels_fixpoint_flag_flips(spark):
+    """With rounds smaller than the eccentricity the certificate
+    goes false — the in-band proof the hash relies on."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        bfs_levels,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, ["l_id", "r_id"])
+    rows = bfs_levels(df, seed=0, rounds=2).collect()
+    assert {r["id"] for r in rows} == {0, 1, 2}
+    assert not any(r["frontier_exhausted"] for r in rows)
+
+
+def test_bfs_levels_sql_matches_spark_on_random_graph(spark):
+    """DuckDB twin agrees on a deterministic Erdos-Renyi graph,
+    including dup/reversed edges and self loops."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        bfs_levels,
+        bfs_levels_sql,
+    )
+
+    edges = [(5, 5)]
+    for i in range(30):
+        for j in range(30):
+            h = hashlib.md5(f"bfs|{i}|{j}".encode()).hexdigest()
+            if int(h[:8], 16) % 14 == 0:
+                edges.append((i, j))
+    df = spark.createDataFrame(edges, ["l_id", "r_id"])
+    got = sorted(tuple(r) for r in bfs_levels(df, seed=0, rounds=8).collect())
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = bfs_levels_sql(
+        f"SELECT * FROM (VALUES {values}) t(l_id, r_id)", seed=0, rounds=8
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want

@@ -54,3 +54,70 @@ def test_no_row_at_a_time_python_udf():
             if hit:
                 offenders.append(f"{path}:{node.lineno}")
     assert not offenders, f"row-at-a-time udf found: {offenders}"
+
+
+ROOT = PKG.parent
+
+
+def _operator_orphans(
+    operators_dir: pathlib.Path, repo_root: pathlib.Path
+) -> list[str]:
+    """Public top-level functions in ``operators_dir`` that no other
+    code references — not the catalog, not a test, not another module,
+    not even code elsewhere in their own file. This is the exact
+    failure mode of r06's ``bfs_levels`` (written in a snapshot
+    commit, wired to nothing): code with zero evidence behind it.
+    Word-boundary text match is deliberately loose — any mention
+    outside the function's own def-block counts, so the rule only
+    fires on genuinely dead surface."""
+    import re
+
+    texts = {
+        p: p.read_text()
+        for p in sorted(repo_root.rglob("*.py"))
+        if ".git" not in p.parts and "spark-warehouse" not in p.parts
+    }
+    orphans = []
+    for path in sorted(operators_dir.glob("*.py")):
+        tree = ast.parse(texts[path], filename=str(path))
+        lines = texts[path].splitlines()
+        for node in tree.body:
+            if not isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) or node.name.startswith("_"):
+                continue
+            pat = re.compile(r"\b" + re.escape(node.name) + r"\b")
+            if any(pat.search(t) for p, t in texts.items() if p != path):
+                continue
+            outside_def = "\n".join(
+                lines[: node.lineno - 1] + lines[node.end_lineno :]
+            )
+            if not pat.search(outside_def):
+                orphans.append(f"{path.name}:{node.lineno} {node.name}")
+    return orphans
+
+
+def test_no_orphan_operator_functions():
+    """Round-7 verdict item 1b: every public function in operators/*
+    must be referenced by the catalog, a test, or other live code —
+    an unwired operator fails the suite immediately instead of
+    surviving to a snapshot commit."""
+    orphans = _operator_orphans(PKG / "operators", ROOT)
+    assert not orphans, (
+        "unreferenced public operator functions (wire a catalog query "
+        f"or a test, or delete them): {orphans}"
+    )
+
+
+def test_orphan_rule_catches_planted_orphan(tmp_path):
+    """The rule itself is verified: a planted dead function in a fake
+    repo tree is flagged; its referenced sibling is not."""
+    ops = tmp_path / "operators"
+    ops.mkdir()
+    (ops / "mod.py").write_text(
+        "def used_fn(df):\n    return df\n\n"
+        "def dead_fn(df):\n    return df\n"
+    )
+    (tmp_path / "test_x.py").write_text("from mod import used_fn\n")
+    got = _operator_orphans(ops, tmp_path)
+    assert got == ["mod.py:4 dead_fn"]

@@ -76,6 +76,11 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast (core_size, min_deg) aggregate crossJoined
     # onto the surviving core for the fixpoint-certificate columns
     "kcore",
+    # ONE-ROW broadcast n_more aggregate (round rounds+1 frontier
+    # count) crossJoined onto the visited set for the
+    # frontier_exhausted fixpoint-certificate column — same shape
+    # as kcore's certificate
+    "bfs_levels",
     # crossJoin of two ONE-ROW aggregates (k-min sketch stats x exact
     # count) — both sides O(1) rows by construction
     "kmv_distinct",
