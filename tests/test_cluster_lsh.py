@@ -132,3 +132,34 @@ def test_signlsh_params_scale_with_corpus():
         # billion-row corpora must keep expected bucket load bounded
         nbits, _ = signlsh_params(eps, 1_000_000_000)
         assert 2**nbits >= 1_000_000_000 / 16
+
+
+def test_symmetric_fast_path_identical_output(spark):
+    """symmetric=True (half-probe + mirror) returns EXACTLY the same
+    edge set as the general path on a self-join — the r07 fast path
+    is a plan change, not a semantics change."""
+    from news_clustering_and_summarization_spark.testing import (
+        inflate_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inflated = inflate_vectors(emb, 4).localCheckpoint(eager=True)
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", nbits=12, dim=64,
+        n_rows=2000,
+    )
+    base = {
+        (r["l_id"], r["r_id"], round(r["dist"], 9))
+        for r in C.lsh_candidate_pairs(
+            inflated, inflated, 0.10, **kw
+        ).collect()
+    }
+    fast = {
+        (r["l_id"], r["r_id"], round(r["dist"], 9))
+        for r in C.lsh_candidate_pairs(
+            inflated, inflated, 0.10, symmetric=True, **kw
+        ).collect()
+    }
+    assert base == fast and len(base) > 0
+    # both directions present
+    assert all((b, a, d) in fast for a, b, d in fast)
