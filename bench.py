@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "record_linkage",      # blocked Fellegi-Sunter entity resolution (r4)
     "bpe_encode",          # BPE train + zero-shuffle corpus encode (r6)
     "keyword_textrank",    # TextRank keywords via fixed-point pagerank (r6)
-    "source_jaccard",      # corpus-pair shingle overlap, shingle-keyed join (r6)
+    "source_jaccard_kmv",  # corpus-pair overlap, KMV sketches (r7; exact variant kept for audits)
     "attribution",         # carry-forward last-touch window per user (r6)
     "weighted_median",     # per-group cumulative-weight window (r6)
 ]

@@ -1324,6 +1324,182 @@ def source_jaccard(
     ).orderBy("src_a", "src_b")
 
 
+def source_jaccard_kmv(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 512,
+) -> DataFrame:
+    """Sketched source-pair Jaccard: the planning variant of
+    [[source_jaccard]] (r07 verdict item 3). The exact operator's
+    shingle-key self-join fans out #sources² rows per universal
+    shingle and its distinct-shingle table is corpus-sized; for the
+    stated use — "which corpus pairs are worth a document-level
+    near-dup pass" — a per-source KMV bottom-k sketch answers the
+    same question at a fixed, corpus-size-independent pair cost.
+
+    Shape: ONE map-side-combinable distinct over (source, shingle
+    hash) — the only corpus-scale pass, no self-join — then a
+    per-source bottom-k window (k rows per source survive). All
+    pair math runs on the #sources·k-row sketch table: kilobytes at
+    ANY corpus size. Jaccard estimate is the Beyer et al. 2007
+    combined-sketch estimator: matches/k' where k' = |bottom-k of
+    the sketch union| and matches counts hashes present in both
+    sides (closed under the KMV merge property, so the estimate is
+    EXACT whenever the true union fits in k).
+
+    Determinism: md5-derived 60-bit hashes; divisions are single
+    IEEE ops on exact integers, half-away quantized — the
+    kmv_distinct pattern.
+
+    Output: (src_a, src_b, k_ab, matches, union_est, inter_est,
+    jaccard_q) for ALL source pairs — zero-overlap pairs included,
+    unlike the exact variant's inner join, because "no overlap" is
+    the planning answer that skips a near-dup pass entirely."""
+    from ..functions import hashing as H
+
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                H.word_shingles(H.tokens(text_col), shingle_n)
+            ).alias("g"),
+        )
+        .select("src", H.hash64(F.col("g")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("h")
+    sk = (
+        sh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("src", "h")
+        .localCheckpoint(eager=True)
+    )
+    srcs = sk.select("src").distinct()
+    # #sources² pair frame — source-dimension bounded, kilobytes at
+    # any corpus scale (whitelisted non-equi join, like hash_ring)
+    pairs = (
+        srcs.select(F.col("src").alias("src_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("src").alias("src_b"))),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    ua = pairs.join(
+        sk.withColumnRenamed("src", "src_a"), "src_a"
+    ).select("src_a", "src_b", "h")
+    ub = pairs.join(
+        sk.withColumnRenamed("src", "src_b"), "src_b"
+    ).select("src_a", "src_b", "h")
+    u = (
+        ua.unionAll(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    comb = u.withColumn("_rn", F.row_number().over(wp)).where(
+        F.col("_rn") <= k
+    )
+    agg = comb.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_ab"),
+        F.max("h").alias("_kth"),
+        F.sum((F.col("_n") == 2).cast("long")).cast("long").alias("matches"),
+    )
+    union_est = F.when(
+        F.col("k_ab") < F.lit(k), F.col("k_ab")
+    ).otherwise(
+        F.floor(
+            (F.col("k_ab") - F.lit(1)).cast("double")
+            * (F.lit(float(1 << 60)) / F.col("_kth").cast("double"))
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    out = agg.withColumn("union_est", union_est)
+    jac = F.col("matches").cast("double") / F.col("k_ab").cast("double")
+    return out.select(
+        "src_a",
+        "src_b",
+        "k_ab",
+        "matches",
+        "union_est",
+        F.floor(jac * F.col("union_est").cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("inter_est"),
+        F.floor(jac * F.lit(1e6) + F.lit(0.5)).cast("long").alias("jaccard_q"),
+    ).orderBy("src_a", "src_b")
+
+
+def source_jaccard_kmv_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 512,
+) -> str:
+    """DuckDB twin of source_jaccard_kmv."""
+    from ..functions import hashing as H
+
+    tok = H.tokens_sql(text_col)
+    shg = H.word_shingles_sql(tok, shingle_n)
+    hh = H.hash64_sql("g")
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT {source_col} AS src, {hh} AS h
+  FROM (SELECT {source_col}, unnest({shg}) AS g FROM {table})
+),
+sk AS MATERIALIZED (
+  SELECT src, h FROM (
+    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn <= {k}
+),
+srcs AS (SELECT DISTINCT src FROM sk),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b
+  FROM srcs a JOIN srcs b ON a.src < b.src
+),
+u AS (
+  SELECT src_a, src_b, h, count(*) AS n FROM (
+    SELECT p.src_a, p.src_b, s.h
+    FROM pairs p JOIN sk s ON s.src = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h
+    FROM pairs p JOIN sk s ON s.src = p.src_b
+  ) GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT * FROM (
+    SELECT src_a, src_b, h, n,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {k}
+),
+agg AS (
+  SELECT src_a, src_b,
+         count(*)::BIGINT AS k_ab,
+         max(h) AS kth,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS matches
+  FROM comb GROUP BY 1, 2
+),
+est AS (
+  SELECT src_a, src_b, k_ab, matches,
+         CASE WHEN k_ab < {k} THEN k_ab
+              ELSE floor((k_ab - 1)::DOUBLE
+                         * ({float(1 << 60)} / kth::DOUBLE) + 0.5)::BIGINT
+         END AS union_est
+  FROM agg
+)
+SELECT src_a, src_b, k_ab, matches, union_est,
+       floor((matches::DOUBLE / k_ab::DOUBLE) * union_est::DOUBLE
+             + 0.5)::BIGINT AS inter_est,
+       floor((matches::DOUBLE / k_ab::DOUBLE) * 1e6 + 0.5)::BIGINT
+         AS jaccard_q
+FROM est
+ORDER BY src_a, src_b
+"""
+
+
 def source_jaccard_sql(
     table: str = "documents",
     source_col: str = "source",

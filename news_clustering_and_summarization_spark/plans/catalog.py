@@ -7755,6 +7755,24 @@ def oracle_source_jaccard() -> str:
     return source_jaccard_sql("documents")
 
 
+def q_source_jaccard_kmv(spark, sf):
+    """Sketched corpus-pair Jaccard (operators/dedup.
+    source_jaccard_kmv, r07): per-source KMV bottom-512 shingle
+    sketches — ONE corpus-scale distinct, no shingle self-join; all
+    pair math on the #sources·k sketch table (kilobytes at any
+    corpus size). The planning-grade replacement for the exact
+    variant's hot-shingle #sources² fanout; exact kept for audits."""
+    from ..operators.dedup import source_jaccard_kmv
+
+    return source_jaccard_kmv(load(spark, sf, "documents"))
+
+
+def oracle_source_jaccard_kmv() -> str:
+    from ..operators.dedup import source_jaccard_kmv_sql
+
+    return source_jaccard_kmv_sql("documents")
+
+
 def q_weighted_median(spark, sf):
     """Exact lower weighted median of price-by-quantity per brand
     (operators/profiling.weighted_median): weight pre-aggregated per
@@ -8937,6 +8955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_layout": q_hilbert_layout,
     "benford_audit": q_benford,
     "source_jaccard": q_source_jaccard,
+    "source_jaccard_kmv": q_source_jaccard_kmv,
     "weighted_median": q_weighted_median,
     "zipf_slope": q_zipf_slope,
     "shannon_diversity": q_shannon_diversity,
@@ -9077,6 +9096,7 @@ ORACLES: dict[str, str] = {
     "hilbert_layout": oracle_hilbert_layout(),
     "benford_audit": oracle_benford(),
     "source_jaccard": oracle_source_jaccard(),
+    "source_jaccard_kmv": oracle_source_jaccard_kmv(),
     "weighted_median": oracle_weighted_median(),
     "zipf_slope": oracle_zipf_slope(),
     "shannon_diversity": oracle_shannon_diversity(),

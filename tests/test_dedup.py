@@ -614,6 +614,81 @@ def test_source_jaccard_sql_twin(spark):
     assert got == want
 
 
+def test_source_jaccard_kmv_exact_when_union_fits(spark):
+    """With k >= the true union size the KMV estimate IS exact:
+    matches/k' = true Jaccard, union_est = true union, and
+    zero-overlap pairs appear with jaccard_q = 0 (the planning
+    answer the exact variant's inner join drops)."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        source_jaccard_kmv,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta", "A"),
+        (2, "alpha beta gamma zeta", "B"),
+        (3, "one two three four", "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_jaccard_kmv(df, k=512).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (ab["k_ab"], ab["matches"], ab["union_est"]) == (3, 1, 3)
+    assert ab["inter_est"] == 1 and ab["jaccard_q"] == 333_333
+    for pair in (("A", "C"), ("B", "C")):
+        assert got[pair]["jaccard_q"] == 0
+        assert got[pair]["inter_est"] == 0
+
+
+def test_source_jaccard_kmv_tracks_exact(spark):
+    """On a 120-doc corpus the k=64 sketch estimate lands within
+    0.1 absolute Jaccard of the exact operator for every pair the
+    exact variant emits, and the SQL twin is bit-identical."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        source_jaccard,
+        source_jaccard_kmv,
+        source_jaccard_kmv_sql,
+    )
+
+    words = ["red", "blue", "green", "gold", "iron", "clay", "moss"]
+    rows = []
+    for i in range(120):
+        h = hashlib.md5(f"sj|{i}".encode()).hexdigest()
+        txt = " ".join(
+            words[int(h[j * 2 : j * 2 + 2], 16) % len(words)]
+            for j in range(6)
+        )
+        rows.append((i, txt, f"s{int(h[:2], 16) % 4}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    exact = {
+        (r["src_a"], r["src_b"]): r["jaccard_q"]
+        for r in source_jaccard(df).collect()
+    }
+    est_rows = source_jaccard_kmv(df, k=64).collect()
+    est = {(r["src_a"], r["src_b"]): r["jaccard_q"] for r in est_rows}
+    for pair, jq in exact.items():
+        assert abs(est[pair] - jq) <= 100_000, (pair, est[pair], jq)
+    got = sorted(tuple(r) for r in est_rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+        "source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            source_jaccard_kmv_sql("documents", k=64)
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_setsim_join_prefix_filter_lossless(spark):
     """Hand case: two near-identical docs pass threshold, an
     unrelated doc never pairs; the independent quadratic oracle

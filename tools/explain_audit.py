@@ -104,6 +104,11 @@ CARTESIAN_OK = {
     # construction) crossJoined onto the key table — the consistent-
     # hashing successor probe
     "hash_ring",
+    # #sources x #sources pair frame (non-equi broadcast join on
+    # src_a < src_b) — source-dimension bounded, kilobytes at any
+    # corpus scale; every corpus-scale pass is an equi-keyed
+    # distinct/groupBy upstream of it
+    "source_jaccard_kmv",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
