@@ -947,3 +947,147 @@ FROM {prev_v} v, extra e
 ORDER BY v.id
 """
     )
+
+
+def sssp(
+    edges: DataFrame,
+    seed: int,
+    rounds: int = 10,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths with non-negative INTEGER edge
+    weights — the weighted generalization of [[bfs_levels]] ("how
+    close is everything to this document under similarity cost"),
+    and the last classic missing from the Pregel-lite family
+    (r07 verdict item 5). Synchronous Bellman-Ford relaxation: per
+    round ONE adjacency join + ONE min-groupBy, state is the
+    (vertex, best_dist) table, lineage cut per round with
+    localCheckpoint. No negative weights by contract, so
+    ``rounds`` >= the hop count of the longest shortest path
+    guarantees convergence.
+
+    Fixpoint certified in-band like [[kcore]]/[[bfs_levels]]:
+    ``converged`` is true iff round rounds+1 improves no vertex — a
+    green hash proves the distances are final, not just "rounds ran
+    out".
+
+    Output: (id, dist, converged) for vertices reachable from
+    ``seed``; unreachable vertices are absent (infinite distance).
+
+    100 TB shape: the per-round state is O(V) keyed by vertex id,
+    relaxation is an equi-join edges-to-frontier on the source key —
+    the same bucketed-join scaling story as pagerank; weights stay
+    int64 so min() is exact and engine-order-free."""
+    e0 = (
+        edges.select(
+            F.col(src_col).alias("u"),
+            F.col(dst_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep cheapest
+        .localCheckpoint(eager=True)
+    )
+    adj = e0.unionAll(
+        e0.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(seed, 0)], ["id", "dist"]).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            adj.join(dist.withColumnRenamed("id", "u"), "u")
+            .select(
+                F.col("v").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    # fixpoint certificate: one more relaxation must improve nothing
+    once_more = (
+        adj.join(dist.withColumnRenamed("id", "u"), "u")
+        .select(
+            F.col("v").alias("id"),
+            (F.col("dist") + F.col("w")).alias("nd"),
+        )
+        .groupBy("id")
+        .agg(F.min("nd").alias("nd"))
+        .join(dist, "id", "left_outer")
+        .where(
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_improved"))
+    )
+    return (
+        dist.crossJoin(F.broadcast(once_more))
+        .select(
+            "id",
+            F.col("dist").cast("long").alias("dist"),
+            (F.col("n_improved") == 0).alias("converged"),
+        )
+        .orderBy("id")
+    )
+
+
+def sssp_sql(
+    edges_cte: str, seed: int, rounds: int = 10
+) -> str:
+    """DuckDB twin of sssp. ``edges_cte`` must yield
+    (l_id, r_id, w) with non-negative integer weights. Rounds
+    unrolled; every per-round CTE MATERIALIZED (kcore_sql's
+    re-inlining blowup note)."""
+    ctes = [
+        f"raw_e AS MATERIALIZED ({edges_cte})",
+        """ew AS MATERIALIZED (
+  SELECT u, v, min(w) AS w FROM (
+    SELECT l_id AS u, r_id AS v, w FROM raw_e WHERE l_id <> r_id
+  ) GROUP BY u, v
+)""",
+        """adjw AS MATERIALIZED (
+  SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew
+)""",
+        f"d0 AS MATERIALIZED (SELECT {seed}::BIGINT AS id, 0::BIGINT AS dist)",
+    ]
+    prev = "d0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT id, min(dist)::BIGINT AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT a.v AS id, d.dist + a.w AS dist
+    FROM adjw a JOIN {prev} d ON a.u = d.id
+  ) GROUP BY id
+)"""
+        )
+        prev = f"d{t}"
+    ctes.append(
+        f"""extra AS (
+  SELECT count(*) AS n_improved FROM (
+    SELECT a.v AS id, min(d.dist + a.w) AS nd
+    FROM adjw a JOIN {prev} d ON a.u = d.id
+    GROUP BY a.v
+  ) n LEFT JOIN {prev} p ON p.id = n.id
+  WHERE p.id IS NULL OR n.nd < p.dist
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.id, d.dist, (e.n_improved = 0) AS converged
+FROM {prev} d, extra e
+ORDER BY d.id
+"""
+    )

@@ -7393,6 +7393,45 @@ def oracle_bfs_levels() -> str:
     return bfs_levels_sql(cte, seed=BFS_SEED, rounds=BFS_ROUNDS)
 
 
+def q_sssp(spark, sf):
+    """Weighted single-source shortest paths (operators/graph.sssp)
+    from vec_id 0 on the ε-similarity graph, edge weight = quantized
+    cosine distance + 1 (strictly positive ints) — "how close is
+    every document to this one under accumulated similarity cost",
+    the weighted generalization of bfs_levels. Synchronous
+    Bellman-Ford; the hop-longest shortest path on the testdata
+    graphs is 6 (probed at both SFs), 9 rounds give fixpoint margin
+    and the certificate (converged) is hashed in-band."""
+    from ..operators.graph import sssp
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, KCORE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=True,
+    ).select(
+        "l_id",
+        "r_id",
+        (
+            F.floor(F.col("dist") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            + F.lit(1)
+        ).alias("w"),
+    )
+    return sssp(edges, seed=BFS_SEED, rounds=BFS_ROUNDS)
+
+
+def oracle_sssp() -> str:
+    from ..operators.graph import sssp_sql
+
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    cte = (
+        "SELECT a.vec_id AS l_id, b.vec_id AS r_id, "
+        f"floor(({dist}) * 1e6 + 0.5)::BIGINT + 1 AS w "
+        "FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND {dist} <= {KCORE_EPS}"
+    )
+    return sssp_sql(cte, seed=BFS_SEED, rounds=BFS_ROUNDS)
+
+
 LINKPRED_TOPK = 100
 LINKPRED_MAXDEG = 64
 
@@ -8941,6 +8980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "clustering_coeff": q_clustering_coeff,
     "bfs_levels": q_bfs_levels,
+    "sssp": q_sssp,
     "link_predict": q_link_predict,
     "skyline": q_skyline,
     "fuzzy_join": q_fuzzy_join,
@@ -9082,6 +9122,7 @@ ORACLES: dict[str, str] = {
     "kcore": oracle_kcore(),
     "clustering_coeff": oracle_clustering_coeff(),
     "bfs_levels": oracle_bfs_levels(),
+    "sssp": oracle_sssp(),
     "link_predict": oracle_link_predict(),
     "skyline": oracle_skyline(),
     "fuzzy_join": oracle_fuzzy_join(),

@@ -446,3 +446,64 @@ def test_bfs_levels_sql_matches_spark_on_random_graph(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_sssp_prefers_cheap_multi_hop_path(spark):
+    """Triangle 0-1-2 where the direct 0->2 edge (w=10) loses to the
+    two-hop path through 1 (w=2+3); negative-free hand case with an
+    unreachable vertex absent."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        sssp,
+    )
+
+    edges = [(0, 1, 2), (1, 2, 3), (0, 2, 10), (7, 8, 1)]
+    df = spark.createDataFrame(edges, ["l_id", "r_id", "w"])
+    rows = {r["id"]: r for r in sssp(df, seed=0, rounds=5).collect()}
+    assert {k: v["dist"] for k, v in rows.items()} == {0: 0, 1: 2, 2: 5}
+    assert 7 not in rows and 8 not in rows
+    assert all(r["converged"] for r in rows.values())
+
+
+def test_sssp_parallel_edges_keep_cheapest_and_certificate_flips(spark):
+    """Duplicate edges collapse to the min weight; with rounds too
+    small for the relaxation to finish the converged flag goes
+    false."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        sssp,
+    )
+
+    edges = [(0, 1, 9), (0, 1, 4), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    df = spark.createDataFrame(edges, ["l_id", "r_id", "w"])
+    done = {r["id"]: r["dist"] for r in sssp(df, seed=0, rounds=6).collect()}
+    assert done == {0: 0, 1: 4, 2: 5, 3: 6, 4: 7}
+    early = sssp(df, seed=0, rounds=2).collect()
+    assert not any(r["converged"] for r in early)
+
+
+def test_sssp_sql_matches_spark_on_random_graph(spark):
+    """DuckDB twin bit-match on a deterministic weighted random
+    graph with parallel edges and self loops."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        sssp,
+        sssp_sql,
+    )
+
+    edges = [(4, 4, 1)]
+    for i in range(25):
+        for j in range(25):
+            h = hashlib.md5(f"sp|{i}|{j}".encode()).hexdigest()
+            if int(h[:8], 16) % 11 == 0:
+                edges.append((i, j, int(h[8:10], 16) % 7 + 1))
+    df = spark.createDataFrame(edges, ["l_id", "r_id", "w"])
+    got = sorted(tuple(r) for r in sssp(df, seed=0, rounds=12).collect())
+    values = ", ".join(f"({a}, {b}, {w})" for a, b, w in edges)
+    sql = sssp_sql(
+        f"SELECT * FROM (VALUES {values}) t(l_id, r_id, w)",
+        seed=0,
+        rounds=12,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want

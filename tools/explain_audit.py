@@ -81,6 +81,10 @@ CARTESIAN_OK = {
     # frontier_exhausted fixpoint-certificate column — same shape
     # as kcore's certificate
     "bfs_levels",
+    # ONE-ROW broadcast n_improved aggregate (round rounds+1
+    # relaxation count) crossJoined onto the distance table for the
+    # converged fixpoint-certificate column — same shape as kcore's
+    "sssp",
     # crossJoin of two ONE-ROW aggregates (k-min sketch stats x exact
     # count) — both sides O(1) rows by construction
     "kmv_distinct",
