@@ -623,6 +623,19 @@ def cusum_daily(
     daily = events.groupBy(
         F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return cusum_from_daily(daily, type_col=type_col, alarm_mult=alarm_mult)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    type_col: str = "event_type",
+    alarm_mult: int = 3,
+) -> DataFrame:
+    """The CUSUM closed form over an already-aggregated daily count
+    table (g, d, x) — factored out of [[cusum_daily]] so the
+    streaming variant (streaming/temporal.CusumStream) computes the
+    IDENTICAL plan over its epoch-summed state: stream == batch by
+    construction, not by parallel implementations."""
     spine = (
         daily.groupBy("g")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))

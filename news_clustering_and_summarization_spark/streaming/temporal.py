@@ -1,0 +1,104 @@
+"""Streaming CUSUM change-point detection: cumulative per-series
+drift monitoring over an event stream, exactly-once under
+foreachBatch crash replay (r07 verdict item 6 — streaming parity for
+the r6 analytics family).
+
+Daily count merges are ADDITIVE (like the CMS stream's counters), so
+replay protection is the same epoch layout: each micro-batch writes
+its OWN (series, day, count) delta table to ``daily/epoch=<id>/``
+with overwrite semantics — replaying epoch N replaces epoch N, never
+adds — and the queryable daily table is the cell-wise SUM across
+epoch directories. ``detect()`` then runs operators/temporal.
+cusum_from_daily — the exact closed form the batch operator uses
+(s_i = p_i − min(0, running-min p), all-integer, k = series mean) —
+over that summed table, so stream == batch is true by construction:
+both paths execute the same plan over the same daily counts.
+
+State never grows with data volume: one row per (series, day) per
+epoch, epochs folded by ``compact()`` — the calendar dimension, not
+the corpus, bounds it. At 100 TB of stream history the detector's
+working set is (series × days) rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import cusum_from_daily
+
+DAILY_SCHEMA = "g string, d date, x long"
+
+
+class CusumStream:
+    """foreachBatch sink accumulating zero-fill-ready daily counts
+    per series and serving CUSUM alarms over the cumulative state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        type_col: str = "event_type",
+        ts_col: str = "ts",
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.type_col = type_col
+        self.ts_col = ts_col
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def daily_path(self) -> str:
+        return os.path.join(self.state_dir, "daily")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(
+            F.col(self.type_col).alias("g"),
+            F.to_date(self.ts_col).alias("d"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # overwrite-per-epoch: crash replay of the same epoch REPLACES
+        # this directory, so a day's count is never added twice
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.daily_path, f"epoch={int(epoch_id)}")
+        )
+
+    def daily(self) -> DataFrame:
+        """Cumulative daily counts: cell-wise sum across epochs."""
+        if not os.path.exists(self.daily_path):
+            return self.spark.createDataFrame([], DAILY_SCHEMA)
+        return (
+            self.spark.read.option("basePath", self.daily_path)
+            .parquet(self.daily_path)
+            .groupBy("g", "d")
+            .agg(F.sum("x").cast("long").alias("x"))
+        )
+
+    def detect(self, alarm_mult: int = 3) -> DataFrame:
+        """CUSUM table over everything streamed so far — the same
+        closed form, plan and output contract as the batch
+        cusum_daily over the union of all events."""
+        return cusum_from_daily(
+            self.daily(), type_col=self.type_col, alarm_mult=alarm_mult
+        )
+
+    def compact(self) -> None:
+        """Fold all epoch directories into a single base epoch (-1).
+        Not crash-atomic against a running stream — maintenance
+        cadence, like parquet compaction."""
+        merged = self.daily().localCheckpoint(eager=True)
+        import shutil
+
+        shutil.rmtree(self.daily_path, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.daily_path, "epoch=-1")
+        )
+
+    def start(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
