@@ -29,7 +29,7 @@ the estimator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["FieldRule", "link_records"]
@@ -165,3 +165,37 @@ FROM {table} a JOIN {table} b
  AND levenshtein(a.{text_col}, b.{text_col}) <= 1
 ORDER BY id_l, id_r
 """
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "score",
+    ascending: bool = False,
+) -> DataFrame:
+    """Symmetric best-match selection over a scored candidate-pair
+    relation — the MERGE DECISION that follows blocking + scoring
+    ([[link_records]], [[fuzzy_join_lev1]]): a pair survives only if
+    each side is the other's single best candidate. The standard
+    conservative 1:1 entity-resolution rule (reciprocal / mutual
+    nearest neighbour), it never chains A-B-C merges the way a
+    threshold does.
+
+    Shape: two row_number windows, each partitioned by one side and
+    ordered by (score, other-id) — both shuffles are keyed on an id
+    column, state per partition is that entity's candidate list.
+    Deterministic: ties on score break by the other side's id, so
+    rank 1 is unique. ``ascending=True`` treats the score as a
+    distance (smaller is better).
+
+    Output: the surviving (l, r, score) rows."""
+    sc = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    wl = Window.partitionBy(l_col).orderBy(sc, F.col(r_col).asc())
+    wr = Window.partitionBy(r_col).orderBy(sc, F.col(l_col).asc())
+    return (
+        pairs.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )

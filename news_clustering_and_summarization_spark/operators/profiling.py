@@ -113,6 +113,99 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    companion gate to [[k_anonymity_audit]]: a class can satisfy
+    k-anonymity yet leak the sensitive attribute outright when every
+    member shares one value. Per quasi-identifier class this reports
+    distinct-l (how many distinct sensitive values) and ENTROPY
+    l-diversity (Shannon entropy of the sensitive distribution must
+    reach ln l), flagging classes below the distinct floor.
+
+    Shape: ONE (quasi, sensitive)-keyed groupBy pre-collapse — the
+    corpus-scale pass — then a class-keyed groupBy over the
+    (classes × values) table; bounded by the attribute domains, not
+    rows. Entropy terms use the established runtime-ln per-term
+    quantization (×1e9, half-away) over exact integer count ratios,
+    so the sum is order-free and engine-identical.
+
+    Output: (quasi_cols..., class_size, distinct_sensitive,
+    entropy_q, at_risk)."""
+    vc = (
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_sv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    tot = F.sum("_c").over(
+        Window.partitionBy(*quasi_cols)
+    )
+    terms = vc.withColumn("_n", tot).select(
+        *quasi_cols,
+        "_c",
+        "_n",
+        # -(c/n)·ln(c/n) quantized: ln on the exact integer ratio
+        (
+            -F.floor(
+                F.log(F.col("_c").cast("double") / F.col("_n").cast("double"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long")
+            * F.col("_c")
+        ).alias("_t"),
+    )
+    return (
+        terms.groupBy(*quasi_cols)
+        .agg(
+            F.max("_n").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+            F.sum("_t").alias("_sumt"),
+        )
+        # Σ terms DIV n: exact integer division (all terms >= 0), the
+        # dialect-split op — Spark DIV, DuckDB // (layout pattern)
+        .withColumn(
+            "entropy_q", F.expr("_sumt DIV class_size").cast("long")
+        )
+        .withColumn("at_risk", F.col("distinct_sensitive") < F.lit(l))
+        .drop("_sumt")
+    )
+
+
+def l_diversity_audit_sql(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> str:
+    """DuckDB twin of l_diversity_audit."""
+    q = ", ".join(quasi_cols)
+    return f"""
+WITH vc AS MATERIALIZED (
+  SELECT {q}, {sensitive_col} AS sv, count(*)::BIGINT AS c
+  FROM {table} GROUP BY ALL
+),
+wt AS (
+  SELECT {q}, c,
+         sum(c) OVER (PARTITION BY {q}) AS n
+  FROM vc
+),
+terms AS (
+  SELECT {q}, c, n,
+         -floor(ln(c::DOUBLE / n::DOUBLE) * 1e9 + 0.5)::BIGINT * c AS t
+  FROM wt
+)
+SELECT {q},
+       max(n)::BIGINT AS class_size,
+       count(*)::BIGINT AS distinct_sensitive,
+       (sum(t) // max(n))::BIGINT AS entropy_q,
+       count(*) < {l} AS at_risk
+FROM terms GROUP BY {q}
+"""
+
+
 # --- column-dependency profiling --------------------------------------
 
 MI_LOG_QUANT = 10**9

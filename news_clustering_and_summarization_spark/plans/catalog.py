@@ -4700,6 +4700,45 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_l_diversity(spark, sf):
+    """l-diversity audit (operators/profiling.l_diversity_audit):
+    the gate k-anonymity misses — a (nation, segment) class whose
+    members all share one balance band leaks the sensitive value at
+    ANY class size. Reports distinct-l and entropy l-diversity per
+    class; one (quasi, sensitive) pre-collapse is the only
+    corpus-scale pass, everything after is bounded by the attribute
+    domains."""
+    from ..operators.profiling import l_diversity_audit
+
+    cust = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "balance_band"
+        ),
+    )
+    return l_diversity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "balance_band",
+        l=3,
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+def oracle_l_diversity() -> str:
+    from ..operators.profiling import l_diversity_audit_sql
+
+    inner = l_diversity_audit_sql(
+        "(SELECT c_nationkey, c_mktsegment, "
+        "cast(floor(c_acctbal / 1000) AS BIGINT) AS balance_band "
+        "FROM customer)",
+        ["c_nationkey", "c_mktsegment"],
+        "balance_band",
+        l=3,
+    )
+    return inner + " ORDER BY c_nationkey, c_mktsegment"
+
+
 def q_classifier_auc(spark, sf):
     """Exact ROC-AUC (operators/evaluation.binary_auc) of the hashed
     linear quality scorer against the lang=='en' label: the
@@ -7393,6 +7432,61 @@ def oracle_bfs_levels() -> str:
     return bfs_levels_sql(cte, seed=BFS_SEED, rounds=BFS_ROUNDS)
 
 
+def q_mutual_nn(spark, sf):
+    """Mutual nearest-neighbour pairs (operators/linkage.
+    mutual_best_match) on the ε-similarity graph: a pair survives
+    only if each vector is the other's single closest ε-neighbour —
+    the conservative 1:1 merge decision that never chains A-B-C the
+    way a plain threshold does. Two id-keyed row_number windows over
+    the candidate edges; ties on distance break by neighbour id.
+    Output canonicalized to l<r with the distance half-away
+    quantized."""
+    from ..operators.linkage import mutual_best_match
+
+    emb = load(spark, sf, "embeddings")
+    edges = C.brute_force_pairs(
+        emb, emb, KCORE_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=False, with_dist=True,
+    )
+    kept = mutual_best_match(
+        edges, l_col="l_id", r_col="r_id", score_col="dist",
+        ascending=True,
+    )
+    return (
+        kept.where(F.col("l_id") < F.col("r_id"))
+        .select(
+            "l_id",
+            "r_id",
+            F.floor(F.col("dist") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("dist_q"),
+        )
+        .orderBy("l_id", "r_id")
+    )
+
+
+def oracle_mutual_nn() -> str:
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT a.vec_id AS l_id, b.vec_id AS r_id, {dist} AS dist
+  FROM embeddings a JOIN embeddings b
+  ON a.vec_id <> b.vec_id AND {dist} <= {KCORE_EPS}
+),
+ranked AS (
+  SELECT l_id, r_id, dist,
+         row_number() OVER (PARTITION BY l_id ORDER BY dist, r_id) AS rl,
+         row_number() OVER (PARTITION BY r_id ORDER BY dist, l_id) AS rr
+  FROM e
+)
+SELECT l_id, r_id,
+       floor(dist * 1e6 + 0.5)::BIGINT AS dist_q
+FROM ranked
+WHERE rl = 1 AND rr = 1 AND l_id < r_id
+ORDER BY l_id, r_id
+"""
+
+
 def q_sssp(spark, sf):
     """Weighted single-source shortest paths (operators/graph.sssp)
     from vec_id 0 on the ε-similarity graph, edge weight = quantized
@@ -8931,6 +9025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "hard_negatives": q_hard_negatives,
     "k_anonymity": q_k_anonymity,
+    "l_diversity": q_l_diversity,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -8981,6 +9076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_coeff": q_clustering_coeff,
     "bfs_levels": q_bfs_levels,
     "sssp": q_sssp,
+    "mutual_nn": q_mutual_nn,
     "link_predict": q_link_predict,
     "skyline": q_skyline,
     "fuzzy_join": q_fuzzy_join,
@@ -9074,6 +9170,7 @@ ORACLES: dict[str, str] = {
     "dsir_select": oracle_dsir_select(),
     "hard_negatives": oracle_hard_negatives(),
     "k_anonymity": ORACLE_K_ANONYMITY,
+    "l_diversity": oracle_l_diversity(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),
@@ -9123,6 +9220,7 @@ ORACLES: dict[str, str] = {
     "clustering_coeff": oracle_clustering_coeff(),
     "bfs_levels": oracle_bfs_levels(),
     "sssp": oracle_sssp(),
+    "mutual_nn": oracle_mutual_nn(),
     "link_predict": oracle_link_predict(),
     "skyline": oracle_skyline(),
     "fuzzy_join": oracle_fuzzy_join(),

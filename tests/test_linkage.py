@@ -109,3 +109,44 @@ def test_fuzzy_join_lev1_hand_cases(spark):
         for r in fuzzy_join_lev1(df2, "rid", "name").collect()
     }
     assert got2 == {(1, 2): 1, (2, 3): 1}
+
+
+def test_mutual_best_match_reciprocal_only(spark):
+    """A-B reciprocal best survives; C prefers B but B prefers A, so
+    no pair with C survives; ties on score break by the other id."""
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    pairs = [
+        # (l, r, dist) — ascending=True, smaller is better
+        ("A", "B", 1), ("B", "A", 1),
+        ("C", "B", 2), ("B", "C", 2),
+        ("C", "D", 3), ("D", "C", 3),
+    ]
+    df = spark.createDataFrame(pairs, ["l_id", "r_id", "score"])
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in mutual_best_match(df, ascending=True).collect()
+    )
+    # A<->B mutual; C's best (B) is taken, so C falls through to D,
+    # but D's best IS C -> C<->D also mutual? No: mutual_best_match
+    # is single-pass — C's rank-1 is B, not D, so (C,D) has _rl=2.
+    assert got == [("A", "B"), ("B", "A")]
+
+
+def test_mutual_best_match_tie_breaks_by_other_id(spark):
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    pairs = [
+        (1, 10, 5), (1, 11, 5),   # tie: 10 wins (asc id)
+        (10, 1, 5), (11, 1, 5),
+    ]
+    df = spark.createDataFrame(pairs, ["l_id", "r_id", "score"])
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in mutual_best_match(df, ascending=True).collect()
+    )
+    assert got == [(1, 10), (10, 1)]

@@ -375,3 +375,56 @@ def test_hhi_index_extremes(spark):
     assert sorted(
         tuple(r) for r in hhi_index(df, "g", "m", "v").collect()
     ) == want
+
+
+def test_l_diversity_hand_case(spark):
+    """Class (1): 4 rows all sensitive=A -> distinct 1, entropy 0,
+    at_risk. Class (2): uniform over 3 values -> entropy = ln 3,
+    not at risk at l=3."""
+    import math
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        l_diversity_audit,
+    )
+
+    rows = [(1, "A")] * 4 + [(2, "A"), (2, "B"), (2, "C")]
+    df = spark.createDataFrame(rows, ["qid", "sv"])
+    got = {
+        r["qid"]: r
+        for r in l_diversity_audit(df, ["qid"], "sv", l=3).collect()
+    }
+    assert got[1]["class_size"] == 4
+    assert got[1]["distinct_sensitive"] == 1
+    assert got[1]["entropy_q"] == 0 and got[1]["at_risk"]
+    assert got[2]["distinct_sensitive"] == 3 and not got[2]["at_risk"]
+    assert abs(got[2]["entropy_q"] - math.log(3) * 1e9) < 10
+
+
+def test_l_diversity_sql_twin(spark):
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        l_diversity_audit,
+        l_diversity_audit_sql,
+    )
+
+    import hashlib
+
+    rows = []
+    for i in range(200):
+        h = hashlib.md5(f"ld|{i}".encode()).hexdigest()
+        rows.append((int(h[:2], 16) % 6, f"v{int(h[2:4], 16) % 5}"))
+    df = spark.createDataFrame(rows, ["qid", "sv"])
+    got = sorted(
+        tuple(r) for r in l_diversity_audit(df, ["qid"], "sv", l=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (qid BIGINT, sv VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            l_diversity_audit_sql("t", ["qid"], "sv", l=4)
+        ).fetchall()
+    )
+    assert got == want
