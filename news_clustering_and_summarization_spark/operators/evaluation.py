@@ -749,3 +749,142 @@ SELECT {k}::BIGINT AS k, dcg_q, idcg_q,
          AS ndcg_q
 FROM dcg, ideal
 """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    shard_width: int = 1024,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over an integer-grid
+    value column — the standard distribution-drift test ("did this
+    batch's metric distribution shift?") next to [[binary_auc]], and
+    like it computed WITHOUT a global row sort:
+
+        D = max_v |F_a(v) − F_b(v)|
+          = max_v |cumA(v)·n_b − cumB(v)·n_a| / (n_a·n_b)
+
+    over DISTINCT grid values v. Per-value counts are one map-side-
+    combined shuffle; the inclusive cumulative counts use
+    binary_auc's TWO-PHASE prefix sum (in-shard window per
+    ``floor(v / shard_width)`` shard, single-partition window over
+    the #shards-row shard-total table only). The numerator is exact
+    int64 — safe while n_a·n_b < 2^63 (~3e9 rows per side); past
+    that, widen the products to DECIMAL(38,0), the corr_matrix
+    pattern — so both engines agree bit-for-bit up to the single
+    final division, half-away quantized.
+
+    ``value_col`` must already be an integer grid (quantize doubles
+    upstream: the statistic is then the exact KS of the quantized
+    distributions). Returns ONE row: (n_a, n_b, d_num, d_q)."""
+    g = F.col(group_col)
+    per_v = (
+        df.where(g.isin([group_a, group_b]))
+        .select(
+            F.col(value_col).cast("long").alias("v"),
+            (g == F.lit(group_a)).cast("long").alias("ia"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ia").alias("a_c"),
+            F.sum(F.lit(1) - F.col("ia")).alias("b_c"),
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("v") / F.lit(shard_width)).cast("long"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    shard_tot = per_v.groupBy("shard").agg(
+        F.sum("a_c").alias("sa"), F.sum("b_c").alias("sb")
+    )
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("sa").over(w_shard), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("sb").over(w_shard), F.lit(0)).alias("off_b"),
+    )
+    totals = per_v.agg(
+        F.sum("a_c").cast("long").alias("n_a"),
+        F.sum("b_c").cast("long").alias("n_b"),
+    )
+    cum = (
+        per_v.join(offs, "shard")
+        .select(
+            "v",
+            (F.sum("a_c").over(w_in) + F.col("off_a")).alias("ca"),
+            (F.sum("b_c").over(w_in) + F.col("off_b")).alias("cb"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("_d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_d").cast("long").alias("d_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.floor(
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("d_q"),
+        )
+    )
+
+
+def ks_two_sample_sql(
+    table: str,
+    value_expr: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin of ks_two_sample (single window over the
+    distinct-value table — the oracle needs semantics, not the
+    two-phase scale shape)."""
+    return f"""
+WITH per_v AS MATERIALIZED (
+  SELECT ({value_expr})::BIGINT AS v,
+         sum(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END)::BIGINT AS a_c,
+         sum(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END)::BIGINT AS b_c
+  FROM {table}
+  WHERE {group_col} IN ('{group_a}', '{group_b}')
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(a_c)::BIGINT AS n_a, sum(b_c)::BIGINT AS n_b FROM per_v
+),
+cum AS (
+  SELECT sum(a_c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(b_c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM per_v
+)
+SELECT t.n_a, t.n_b,
+       max(abs(c.ca * t.n_b - c.cb * t.n_a))::BIGINT AS d_num,
+       floor(max(abs(c.ca * t.n_b - c.cb * t.n_a))::DOUBLE
+             / (t.n_a::DOUBLE * t.n_b::DOUBLE) * 1e6 + 0.5)::BIGINT AS d_q
+FROM cum c, tot t
+GROUP BY t.n_a, t.n_b
+"""

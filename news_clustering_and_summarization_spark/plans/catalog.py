@@ -4700,6 +4700,38 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift test (operators/
+    evaluation.ks_two_sample): does the purchase value distribution
+    differ from the click value distribution? Values land on a
+    cent-precision integer grid; the statistic is computed without
+    a global row sort (per-value counts + the classifier_auc
+    two-phase prefix sum), numerator exact int64."""
+    from ..operators.evaluation import ks_two_sample
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_c"),
+    )
+    return ks_two_sample(
+        ev, "value_c", "event_type", "purchase", "click"
+    )
+
+
+def oracle_ks_drift() -> str:
+    from ..operators.evaluation import ks_two_sample_sql
+
+    return ks_two_sample_sql(
+        "events",
+        "floor(value * 100.0 + 0.5)",
+        "event_type",
+        "purchase",
+        "click",
+    )
+
+
 def q_l_diversity(spark, sf):
     """l-diversity audit (operators/profiling.l_diversity_audit):
     the gate k-anonymity misses — a (nation, segment) class whose
@@ -9026,6 +9058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
+    "ks_drift": q_ks_drift,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9171,6 +9204,7 @@ ORACLES: dict[str, str] = {
     "hard_negatives": oracle_hard_negatives(),
     "k_anonymity": ORACLE_K_ANONYMITY,
     "l_diversity": oracle_l_diversity(),
+    "ks_drift": oracle_ks_drift(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

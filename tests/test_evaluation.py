@@ -249,3 +249,67 @@ def test_ndcg_perfect_and_inverted_ranking(spark):
     )
     want = tuple(duckdb.sql(sql).fetchall()[0])
     assert got == want
+
+
+def test_ks_two_sample_hand_case(spark):
+    """Disjoint supports -> D = 1; identical samples -> D = 0; a
+    known textbook split -> exact rational numerator."""
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        ks_two_sample,
+    )
+
+    disjoint = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (10, "b"), (11, "b")], ["v", "g"]
+    )
+    r = ks_two_sample(disjoint, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_num"], r["d_q"]) == (2, 2, 4, 1_000_000)
+
+    same = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1, "b"), (2, "b")], ["v", "g"]
+    )
+    r = ks_two_sample(same, "v", "g", "a", "b").collect()[0]
+    assert r["d_num"] == 0 and r["d_q"] == 0
+
+    # a={1,2,3}, b={2,3,4}: D = 1/3 (at v=1 and v=3)
+    mixed = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b")],
+        ["v", "g"],
+    )
+    r = ks_two_sample(mixed, "v", "g", "a", "b").collect()[0]
+    assert r["d_num"] == 3 and r["d_q"] == 333_333
+
+
+def test_ks_two_sample_shard_boundary_and_sql_twin(spark):
+    """Values spanning shard boundaries (width 4) agree with the
+    single-window DuckDB twin bit-for-bit, including negatives."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        ks_two_sample,
+        ks_two_sample_sql,
+    )
+
+    rows = []
+    for i in range(400):
+        h = hashlib.md5(f"ks|{i}".encode()).hexdigest()
+        v = int(h[:4], 16) % 37 - 11  # negatives cross shard 0
+        g = "a" if int(h[4:6], 16) % 3 else "b"
+        rows.append((v, g))
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = [
+        tuple(r)
+        for r in ks_two_sample(
+            df, "v", "g", "a", "b", shard_width=4
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            ks_two_sample_sql("t", "v", "g", "a", "b")
+        ).fetchall()
+    ]
+    assert got == want

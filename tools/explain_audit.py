@@ -195,6 +195,9 @@ GLOBAL_WIN_OK = {
     # over the shard-TOTAL table (N/shard_width rows, same shape as
     # classifier_auc); per-row cumsums partition by shard
     "pack_global",
+    # same two-phase prefix-sum shape as classifier_auc: the only
+    # single-partition window is over the shard-TOTAL table
+    "ks_drift",
     # SinglePartition here is the LM path's ONE-ROW vocab aggregate
     # (not a window input); the tercile ntile windows partition by
     # lang
