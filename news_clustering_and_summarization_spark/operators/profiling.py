@@ -872,7 +872,7 @@ SELECT grp AS {group_col}, n::BIGINT AS n, lo_c, hi_c,
        floor(cs::DOUBLE / n::DOUBLE * 1e6 + 0.5)::BIGINT
          AS clipped_mean_q,
        n_clipped
-FROM agg ORDER BY {group_col}
+FROM js_agg ORDER BY {group_col}
 """
 
 
@@ -1173,4 +1173,132 @@ SELECT grp AS {group_col}, n_members, s::BIGINT AS total,
 FROM stats
 WHERE s > 0
 ORDER BY {group_col}
+"""
+
+
+# floor(ln(2)*1e9 + 0.5), precomputed so both engines share the exact
+# integer literal rather than each calling ln(2)
+LN2_Q = 693_147_181
+
+
+def group_js_divergence(
+    tokens_df: DataFrame,
+    group_col: str = "source",
+    token_col: str = "token",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's token distribution
+    from the whole-corpus distribution — the distribution-drift
+    ranking ("which source/crawl is most unusual?") that decides
+    which slices need a closer curation look. Bounded in [0, ln 2],
+    symmetric, defined even where a token is missing on one side —
+    why it beats raw KL for corpus QA.
+
+    Absent-token closed form keeps the work ON the group's own
+    token set: for tokens the group lacks, the JS term reduces to
+    q·ln 2, so
+
+        2·JS = Σ_{t∈g} p·ln(2p/(p+q)) + Σ_{t∈g} q·ln(2q/(p+q))
+               + ln 2 · (1 − Q_g),   Q_g = corpus mass of g's tokens
+
+    — never a vocab × groups expansion. Shape: one (group, token)
+    count shuffle (map-side combined), a token-keyed re-group for
+    corpus counts, one token-keyed join back; group totals broadcast,
+    the corpus total a ONE-ROW crossJoin. Every ln argument is an
+    exact int64 product ratio (2·c·T vs c·T + C·T_g — widen to
+    DECIMAL(38,0) past ~3e9-token groups, the corr_matrix pattern),
+    per-term half-away-quantized ×1e9 and weighted by the integer
+    count, so both sums are order-free; ln 2 enters as the shared
+    integer literal LN2_Q.
+
+    Output: (group_col, n_tokens, vocab, js_q) — js_q in nano-nats."""
+    counts = tokens_df.groupBy(
+        F.col(group_col).alias("g"), F.col(token_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    corpus = counts.groupBy("t").agg(F.sum("c").alias("cc"))
+    g_tot = counts.groupBy("g").agg(F.sum("c").alias("tg"))
+    tot = counts.agg(F.sum("c").alias("tt"))
+    j = (
+        counts.join(corpus, "t")
+        .join(F.broadcast(g_tot), "g")
+        .crossJoin(F.broadcast(tot))
+    )
+    den = (F.col("c") * F.col("tt") + F.col("cc") * F.col("tg")).cast(
+        "double"
+    )
+    lnq1 = F.floor(
+        F.log((F.lit(2) * F.col("c") * F.col("tt")).cast("double") / den)
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    lnq2 = F.floor(
+        F.log((F.lit(2) * F.col("cc") * F.col("tg")).cast("double") / den)
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy("g").agg(
+        F.max("tg").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(lnq1 * F.col("c")).alias("_a"),
+        F.sum(lnq2 * F.col("cc")).alias("_b"),
+        F.sum("cc").alias("_sc"),
+        F.max("tt").alias("_tt"),
+    )
+    two_js = (
+        F.col("_a").cast("double") / F.col("n_tokens").cast("double")
+        + F.col("_b").cast("double") / F.col("_tt").cast("double")
+        + F.lit(LN2_Q).cast("double")
+        * (
+            (F.col("_tt") - F.col("_sc")).cast("double")
+            / F.col("_tt").cast("double")
+        )
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.floor(two_js / F.lit(2.0) + F.lit(0.5))
+        .cast("long")
+        .alias("js_q"),
+    ).orderBy(group_col)
+
+
+def group_js_divergence_sql(
+    tokens_cte: str,
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of group_js_divergence. ``tokens_cte`` must yield
+    (g, t) one row per token instance."""
+    return f"""
+WITH js_tk AS MATERIALIZED ({tokens_cte}),
+js_counts AS MATERIALIZED (
+  SELECT g, t, count(*)::BIGINT AS c FROM js_tk GROUP BY 1, 2
+),
+js_corpus AS (SELECT t, sum(c)::BIGINT AS cc FROM js_counts GROUP BY t),
+js_g_tot AS (SELECT g, sum(c)::BIGINT AS tg FROM js_counts GROUP BY g),
+js_tot AS (SELECT sum(c)::BIGINT AS tt FROM js_counts),
+js_j AS (
+  SELECT n.g, n.c, o.cc, gt.tg, js_tot.tt,
+         (n.c * js_tot.tt + o.cc * gt.tg)::DOUBLE AS den
+  FROM js_counts n
+  JOIN js_corpus o ON o.t = n.t
+  JOIN js_g_tot gt ON gt.g = n.g, js_tot
+),
+js_agg AS (
+  SELECT g,
+         max(tg)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS vocab,
+         sum(floor(ln((2 * c * tt)::DOUBLE / den) * 1e9 + 0.5)::BIGINT
+             * c)::BIGINT AS a,
+         sum(floor(ln((2 * cc * tg)::DOUBLE / den) * 1e9 + 0.5)::BIGINT
+             * cc)::BIGINT AS b,
+         sum(cc)::BIGINT AS sc,
+         max(tt)::BIGINT AS tt
+  FROM js_j GROUP BY g
+)
+SELECT g AS {group_col}, n_tokens, vocab,
+       floor((a::DOUBLE / n_tokens::DOUBLE
+              + b::DOUBLE / tt::DOUBLE
+              + {LN2_Q}::DOUBLE * ((tt - sc)::DOUBLE / tt::DOUBLE))
+             / 2.0 + 0.5)::BIGINT AS js_q
+FROM js_agg ORDER BY {group_col}
 """

@@ -4700,6 +4700,31 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_source_js_drift(spark, sf):
+    """Per-source Jensen-Shannon divergence from the corpus token
+    distribution (operators/profiling.group_js_divergence): the
+    drift ranking that flags which crawl/source needs curation
+    attention. Absent-token closed form keeps all work on each
+    source's own token set — never vocab × sources."""
+    from ..operators.profiling import group_js_divergence
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(H.tokens("text")).alias("token")
+    )
+    return group_js_divergence(toks, group_col="source", token_col="token")
+
+
+def oracle_source_js_drift() -> str:
+    from ..operators.profiling import group_js_divergence_sql
+
+    tok = H.tokens_sql("text")
+    cte = (
+        f"SELECT source AS g, unnest({tok}) AS t FROM documents"
+    )
+    return group_js_divergence_sql(cte, group_col="source")
+
+
 def q_ks_drift(spark, sf):
     """Two-sample Kolmogorov-Smirnov drift test (operators/
     evaluation.ks_two_sample): does the purchase value distribution
@@ -9059,6 +9084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
     "ks_drift": q_ks_drift,
+    "source_js_drift": q_source_js_drift,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9205,6 +9231,7 @@ ORACLES: dict[str, str] = {
     "k_anonymity": ORACLE_K_ANONYMITY,
     "l_diversity": oracle_l_diversity(),
     "ks_drift": oracle_ks_drift(),
+    "source_js_drift": oracle_source_js_drift(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

@@ -428,3 +428,71 @@ def test_l_diversity_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_group_js_divergence_bounds(spark):
+    """A group identical to the corpus mix scores ~0; a group fully
+    disjoint from the rest scores near ln 2 (it IS half the corpus,
+    so exactly the two-point JS of disjoint halves)."""
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        group_js_divergence,
+    )
+
+    # two groups with IDENTICAL token multisets -> each group's dist
+    # == corpus dist -> JS = 0 exactly
+    same = [("g1", t) for t in ["a", "a", "b"]] + [
+        ("g2", t) for t in ["a", "a", "b"]
+    ]
+    df = spark.createDataFrame(same, ["source", "token"])
+    got = {r["source"]: r for r in group_js_divergence(df).collect()}
+    assert got["g1"]["js_q"] == 0 and got["g2"]["js_q"] == 0
+    assert got["g1"]["n_tokens"] == 3 and got["g1"]["vocab"] == 2
+
+    # disjoint halves: p=2q on own tokens, q terms vanish on the
+    # other half -> JS = ln 2 - 0.5 ln(3/2)... compute exactly
+    import math
+
+    disj = [("g1", "a"), ("g1", "b"), ("g2", "c"), ("g2", "d")]
+    df = spark.createDataFrame(disj, ["source", "token"])
+    got = {r["source"]: r["js_q"] for r in group_js_divergence(df).collect()}
+    # closed form: 0.5[ln(4/3)] + 0.5[0.5·ln(2/3)·... ] — just check
+    # symmetry and the known two-distribution value JS(P, M) where
+    # M = (P+Q)/2 with disjoint P,Q relative to corpus mix:
+    # p=1/2 per own token, q=1/4; term1 = 2·(1/2)ln(2·(1/2)/(3/4))
+    # term2 = 2·(1/4)ln(2·(1/4)/(3/4)); missing mass = 1/2 -> +ln2/2
+    t1 = math.log((2 * 0.5) / 0.75)
+    t2 = 0.5 * math.log((2 * 0.25) / 0.75)
+    expect = 0.5 * (t1 + t2 + math.log(2) * 0.5)
+    for g in ("g1", "g2"):
+        assert abs(got[g] / 1e9 - expect) < 1e-6
+    assert got["g1"] == got["g2"]
+
+
+def test_group_js_divergence_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        group_js_divergence,
+        group_js_divergence_sql,
+    )
+
+    words = ["sun", "moon", "star", "rain", "wind"]
+    rows = []
+    for i in range(300):
+        h = hashlib.md5(f"js|{i}".encode()).hexdigest()
+        rows.append(
+            (f"s{int(h[:2], 16) % 3}", words[int(h[2:4], 16) % 5])
+        )
+    df = spark.createDataFrame(rows, ["source", "token"])
+    got = sorted(tuple(r) for r in group_js_divergence(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tk (g VARCHAR, t VARCHAR)")
+    con.executemany("INSERT INTO tk VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            group_js_divergence_sql("SELECT g, t FROM tk")
+        ).fetchall()
+    )
+    assert got == want

@@ -113,6 +113,12 @@ CARTESIAN_OK = {
     # corpus scale; every corpus-scale pass is an equi-keyed
     # distinct/groupBy upstream of it
     "source_jaccard_kmv",
+    # ONE-ROW broadcast (n_a, n_b) totals aggregate crossJoined onto
+    # the distinct-value cum table before the max — O(1)-row side
+    "ks_drift",
+    # ONE-ROW broadcast corpus-token-total aggregate crossJoined onto
+    # the (group, token) count table — O(1)-row side by construction
+    "source_js_drift",
     # power iteration: ONE-ROW broadcast max|u| renormalizer and sign
     # pivot crossJoined onto the 64-row iterate/component tables
     "embedding_pca",
