@@ -1054,3 +1054,156 @@ SELECT grp AS {group_col}, n_tokens, vocab,
               ELSE 0.0 END) * 1e6 + 0.5)::BIGINT AS evenness_q
 FROM derived ORDER BY {group_col}
 """
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 30,
+    max_phrase_len: int = 4,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    the degree/frequency keyphrase ranker next to [[keyword_textrank]]
+    (no graph iteration: one pass of aggregations, which is why RAKE
+    is the scale-default and TextRank the quality upgrade).
+
+    Candidate phrases are maximal stopword-free token runs, found
+    with gaps-and-islands (per-doc window on token position — the
+    dup_spans pattern), capped at ``max_phrase_len`` words. Word
+    score = degree/frequency where degree sums the lengths of every
+    phrase containing the word; phrase score sums its member word
+    scores. Determinism: degree and frequency are exact ints, the
+    word score is ONE integer division (×1e6, Spark DIV / DuckDB //)
+    and phrase scores are sums of those integers — order-free.
+
+    Shape: tokenize+posexplode (corpus-scale, zero shuffle), one
+    doc-keyed window, one phrase groupBy, one word groupBy, one
+    word-keyed join back, TakeOrdered top-k. Nothing global except
+    the final k-row limit.
+
+    Output: (phrase, n_words, n_occurrences, score_q) top-k by
+    score desc, ties broken by phrase text."""
+    sw = F.array(
+        *[F.lit(w) for w in (stopwords or _STOPWORDS_EN)]
+    )
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(H.tokens(text_col)).alias("pos", "w"),
+    ).where(~F.array_contains(sw, F.col("w")))
+    w_doc = Window.partitionBy("_id").orderBy("pos")
+    islands = tok.withColumn(
+        "_isl", F.col("pos") - F.row_number().over(w_doc)
+    )
+    phrases = (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                ),
+                lambda x: x["w"],
+            ).alias("_ws")
+        )
+        .where(F.size("_ws") <= max_phrase_len)
+        .select(
+            F.array_join("_ws", " ").alias("phrase"),
+            F.size("_ws").alias("n_words"),
+            F.explode("_ws").alias("w"),
+        )
+    )
+    word_stats = phrases.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    word_score = word_stats.select(
+        "w", F.expr("deg * 1000000 DIV freq").cast("long").alias("wscore")
+    )
+    scored = (
+        phrases.join(word_score, "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.sum("wscore").alias("_tot"),
+            F.count(F.lit(1)).alias("_wrows"),
+        )
+    )
+    # _wrows counts (occurrence, word) rows, so occurrences =
+    # _wrows / n_words exactly, and _tot summed the phrase's word
+    # scores once PER occurrence — divide it back out
+    return (
+        scored.select(
+            "phrase",
+            "n_words",
+            F.expr("_wrows DIV n_words").cast("long").alias(
+                "n_occurrences"
+            ),
+            F.expr("_tot DIV (_wrows DIV n_words)")
+            .cast("long")
+            .alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(top_k)
+    )
+
+
+def rake_keywords_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 30,
+    max_phrase_len: int = 4,
+    stopwords: list[str] | None = None,
+) -> str:
+    """DuckDB twin of rake_keywords."""
+    tok = H.tokens_sql(text_col)
+    sw = "[" + ", ".join(
+        f"'{w}'" for w in (stopwords or _STOPWORDS_EN)
+    ) + "]"
+    return f"""
+WITH rk_tok AS MATERIALIZED (
+  SELECT id, i - 1 AS pos, w FROM (
+    SELECT {id_col} AS id,
+           generate_subscripts({tok}, 1) AS i,
+           unnest({tok}) AS w
+    FROM {table}
+  ) WHERE NOT list_contains({sw}, w)
+),
+rk_isl AS MATERIALIZED (
+  SELECT id, pos, w,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS isl
+  FROM rk_tok
+),
+rk_ph AS MATERIALIZED (
+  SELECT string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS n_words,
+         list(w ORDER BY pos) AS ws
+  FROM rk_isl GROUP BY id, isl
+  HAVING count(*) <= {max_phrase_len}
+),
+rk_pw AS MATERIALIZED (
+  SELECT phrase, n_words, unnest(ws) AS w FROM rk_ph
+),
+rk_wstats AS (
+  SELECT w, count(*)::BIGINT AS freq, sum(n_words)::BIGINT AS deg
+  FROM rk_pw GROUP BY w
+),
+rk_wscore AS (
+  SELECT w, (deg * 1000000 // freq)::BIGINT AS wscore FROM rk_wstats
+),
+rk_scored AS (
+  SELECT p.phrase,
+         max(p.n_words)::BIGINT AS n_words,
+         sum(s.wscore)::BIGINT AS tot,
+         count(*)::BIGINT AS wrows
+  FROM rk_pw p JOIN rk_wscore s ON s.w = p.w
+  GROUP BY p.phrase
+)
+SELECT phrase, n_words,
+       (wrows // n_words)::BIGINT AS n_occurrences,
+       (tot // (wrows // n_words))::BIGINT AS score_q
+FROM rk_scored
+ORDER BY score_q DESC, phrase
+LIMIT {top_k}
+"""

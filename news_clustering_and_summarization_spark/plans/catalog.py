@@ -4700,6 +4700,23 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_rake_keywords(spark, sf):
+    """RAKE keyphrases over the documents corpus (operators/
+    text_analysis.rake_keywords): stopword-free token runs scored by
+    summed word degree/frequency — the one-pass keyphrase ranker
+    next to keyword_textrank's iterative graph. Gaps-and-islands
+    phrase detection, integer-division scores, TakeOrdered top-30."""
+    from ..operators.text_analysis import rake_keywords
+
+    return rake_keywords(load(spark, sf, "documents"), top_k=30)
+
+
+def oracle_rake_keywords() -> str:
+    from ..operators.text_analysis import rake_keywords_sql
+
+    return rake_keywords_sql("documents", top_k=30)
+
+
 def q_source_js_drift(spark, sf):
     """Per-source Jensen-Shannon divergence from the corpus token
     distribution (operators/profiling.group_js_divergence): the
@@ -9085,6 +9102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l_diversity": q_l_diversity,
     "ks_drift": q_ks_drift,
     "source_js_drift": q_source_js_drift,
+    "rake_keywords": q_rake_keywords,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9232,6 +9250,7 @@ ORACLES: dict[str, str] = {
     "l_diversity": oracle_l_diversity(),
     "ks_drift": oracle_ks_drift(),
     "source_js_drift": oracle_source_js_drift(),
+    "rake_keywords": oracle_rake_keywords(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

@@ -454,3 +454,68 @@ def test_robust_outliers_flags_only_the_planted_spike(spark):
     assert out["s"]["outlier_rate_q"] == 100000
     assert out["c"]["n_outliers"] == 0
     assert abs(out["s"]["med"] - 10.125) < 1e-9
+
+
+def test_rake_keywords_hand_case(spark):
+    """'deep learning' (2-word phrase, repeated) outranks singleton
+    words; degree/frequency math checks against the Rose et al.
+    worked definition; stopword runs break phrases."""
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        rake_keywords,
+    )
+
+    rows = [
+        (1, "deep learning and deep learning for vision"),
+        (2, "the deep learning"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["phrase"]: r for r in rake_keywords(df, top_k=10).collect()
+    }
+    # phrases: 'deep learning' x3, 'vision' x1 ('and'/'for'/'the'
+    # are stopwords). deep: freq 3, deg 6; learning: freq 3, deg 6;
+    # vision: freq 1, deg 1.
+    dl = got["deep learning"]
+    assert dl["n_words"] == 2 and dl["n_occurrences"] == 3
+    assert dl["score_q"] == 4_000_000  # 2.0 + 2.0
+    v = got["vision"]
+    assert v["score_q"] == 1_000_000 and v["n_occurrences"] == 1
+    # ranking: multiword phrase first
+    assert dl["score_q"] > v["score_q"]
+
+
+def test_rake_keywords_sql_twin_and_phrase_cap(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        rake_keywords,
+        rake_keywords_sql,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "the", "of", "zed"]
+    rows = []
+    for i in range(150):
+        h = hashlib.md5(f"rk|{i}".encode()).hexdigest()
+        txt = " ".join(
+            words[int(h[j * 2 : j * 2 + 2], 16) % len(words)]
+            for j in range(8)
+        )
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        tuple(r)
+        for r in rake_keywords(df, top_k=15, max_phrase_len=3).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            rake_keywords_sql("documents", top_k=15, max_phrase_len=3)
+        ).fetchall()
+    ]
+    assert got == want
+    # cap respected
+    assert all(r[1] <= 3 for r in got)
