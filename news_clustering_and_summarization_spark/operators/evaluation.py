@@ -888,3 +888,202 @@ SELECT t.n_a, t.n_b,
 FROM cum c, tot t
 GROUP BY t.n_a, t.n_b
 """
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    ref_col: str,
+    n_buckets: int = 10,
+    shard_width: int = 1024,
+) -> DataFrame:
+    """Population Stability Index — the ML-ops drift score between a
+    REFERENCE slice and a CURRENT slice of an integer-grid metric
+    ([[ks_two_sample]] ranks "did it shift"; PSI is the industry
+    score with the 0.1/0.25 action thresholds). Buckets are the
+    reference distribution's exact ``n_buckets``-quantile ORDER
+    STATISTICS (edge_j = smallest grid value whose reference
+    cumulative count reaches ceil(j·n/k)) — computed from per-value
+    counts with the classifier_auc two-phase prefix sum, collapsed
+    to ONE 9-edge row by conditional mins, and broadcast back. No
+    interpolation, no collect, no global row sort.
+
+        PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i)
+
+    with add-one smoothing on both counts so empty buckets stay
+    finite and deterministic. The ln argument is an exact integer
+    product ratio; the term is quantized half-away ×1e9 in ONE
+    identical double expression per bucket, so the 10-term sum is
+    engine-exact.
+
+    ``ref_col`` must be boolean (true = reference row).
+    Output: (bucket, ref_n, cur_n, term_q, psi_q) — psi_q repeated
+    per row is the total in nano-nats."""
+    per_v = (
+        df.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.col(ref_col).cast("long").alias("ir"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ir").alias("a_c"),
+            F.sum(F.lit(1) - F.col("ir")).alias("b_c"),
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("v") / F.lit(shard_width)).cast("long"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        per_v.groupBy("shard")
+        .agg(F.sum("a_c").alias("sa"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("sa").over(w_shard), F.lit(0)).alias(
+                "off_a"
+            ),
+        )
+    )
+    totals = per_v.agg(
+        F.sum("a_c").cast("long").alias("n_a"),
+        F.sum("b_c").cast("long").alias("n_b"),
+    )
+    cum = (
+        per_v.join(offs, "shard")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "a_c",
+            "b_c",
+            "n_a",
+            "n_b",
+            (F.sum("a_c").over(w_in) + F.col("off_a")).alias("ca"),
+        )
+    )
+    # edge_j = min v with ca >= ceil(j*n_a/k); ceil via (j*n_a + k-1) DIV k
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("ca")
+                >= F.expr(
+                    f"CAST(({j} * n_a + {n_buckets - 1}) DIV {n_buckets} AS LONG)"
+                ),
+                F.col("v"),
+            )
+        ).alias(f"e{j}")
+        for j in range(1, n_buckets)
+    ]
+    edges = cum.groupBy().agg(*edge_aggs)
+    bucket = F.lit(1)
+    for j in range(1, n_buckets):
+        bucket = bucket + (F.col("v") > F.col(f"e{j}")).cast("int")
+    per_bucket = (
+        cum.crossJoin(F.broadcast(edges))
+        .select(
+            bucket.cast("long").alias("bucket"),
+            "a_c",
+            "b_c",
+            "n_a",
+            "n_b",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("a_c").cast("long").alias("ref_n"),
+            F.sum("b_c").cast("long").alias("cur_n"),
+            F.max("n_a").alias("_na"),
+            F.max("n_b").alias("_nb"),
+        )
+    )
+    # add-one smoothing: p=(ref_n+1)/(na+k), q=(cur_n+1)/(nb+k)
+    sa = F.col("ref_n") + F.lit(1)
+    sb = F.col("cur_n") + F.lit(1)
+    ta = F.col("_na") + F.lit(n_buckets)
+    tb = F.col("_nb") + F.lit(n_buckets)
+    lnq = F.floor(
+        F.log((sa * tb).cast("double") / (sb * ta).cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    term = F.floor(
+        (
+            sa.cast("double") / ta.cast("double")
+            - sb.cast("double") / tb.cast("double")
+        )
+        * lnq.cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_bucket.select(
+            "bucket", "ref_n", "cur_n", term.alias("term_q")
+        )
+        .withColumn("psi_q", F.sum("term_q").over(wt))
+        .orderBy("bucket")
+    )
+
+
+def psi_drift_sql(
+    table: str,
+    value_expr: str,
+    ref_pred: str,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin of psi_drift (single-window cumulative — the
+    oracle needs semantics, not the two-phase shape)."""
+    edge_cols = ", ".join(
+        f"min(CASE WHEN ca >= ({j} * n_a + {n_buckets - 1}) // {n_buckets} "
+        f"THEN v END) AS e{j}"
+        for j in range(1, n_buckets)
+    )
+    bucket_expr = "1" + "".join(
+        f" + CASE WHEN c.v > e.e{j} THEN 1 ELSE 0 END"
+        for j in range(1, n_buckets)
+    )
+    return f"""
+WITH psi_v AS MATERIALIZED (
+  SELECT ({value_expr})::BIGINT AS v,
+         sum(CASE WHEN {ref_pred} THEN 1 ELSE 0 END)::BIGINT AS a_c,
+         sum(CASE WHEN {ref_pred} THEN 0 ELSE 1 END)::BIGINT AS b_c
+  FROM {table} GROUP BY 1
+),
+psi_tot AS (
+  SELECT sum(a_c)::BIGINT AS n_a, sum(b_c)::BIGINT AS n_b FROM psi_v
+),
+psi_cum AS (
+  SELECT v, a_c, b_c, t.n_a, t.n_b,
+         sum(a_c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+  FROM psi_v, psi_tot t
+),
+psi_edges AS (SELECT {edge_cols} FROM psi_cum),
+psi_b AS (
+  SELECT ({bucket_expr})::BIGINT AS bucket,
+         sum(c.a_c)::BIGINT AS ref_n, sum(c.b_c)::BIGINT AS cur_n,
+         max(c.n_a)::BIGINT AS na, max(c.n_b)::BIGINT AS nb
+  FROM psi_cum c, psi_edges e
+  GROUP BY 1
+),
+psi_t AS (
+  SELECT bucket, ref_n, cur_n,
+         floor(((ref_n + 1)::DOUBLE / (na + {n_buckets})::DOUBLE
+                - (cur_n + 1)::DOUBLE / (nb + {n_buckets})::DOUBLE)
+               * floor(ln(((ref_n + 1) * (nb + {n_buckets}))::DOUBLE
+                          / ((cur_n + 1) * (na + {n_buckets}))::DOUBLE)
+                       * 1e9 + 0.5)::BIGINT::DOUBLE
+               + 0.5)::BIGINT AS term_q
+  FROM psi_b
+)
+SELECT bucket, ref_n, cur_n, term_q,
+       sum(term_q) OVER ()::BIGINT AS psi_q
+FROM psi_t ORDER BY bucket
+"""

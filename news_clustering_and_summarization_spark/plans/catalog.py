@@ -4700,6 +4700,34 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_psi_drift(spark, sf):
+    """Population Stability Index (operators/evaluation.psi_drift):
+    price distribution drift of late-period shipments against the
+    <=1997 reference period, on the reference's exact decile order
+    statistics — the scored companion to ks_drift with the industry
+    0.1/0.25 action thresholds. Cent-grid values, add-one smoothing,
+    one quantized double expression per bucket."""
+    from ..operators.evaluation import psi_drift
+
+    li = load(spark, sf, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        (F.year("l_shipdate") <= F.lit(1997)).alias("is_ref"),
+    )
+    return psi_drift(li, "price_c", "is_ref")
+
+
+def oracle_psi_drift() -> str:
+    from ..operators.evaluation import psi_drift_sql
+
+    return psi_drift_sql(
+        "lineitem",
+        "floor(l_extendedprice * 100.0 + 0.5)",
+        "year(l_shipdate) <= 1997",
+    )
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrases over the documents corpus (operators/
     text_analysis.rake_keywords): stopword-free token runs scored by
@@ -9103,6 +9131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "source_js_drift": q_source_js_drift,
     "rake_keywords": q_rake_keywords,
+    "psi_drift": q_psi_drift,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9251,6 +9280,7 @@ ORACLES: dict[str, str] = {
     "ks_drift": oracle_ks_drift(),
     "source_js_drift": oracle_source_js_drift(),
     "rake_keywords": oracle_rake_keywords(),
+    "psi_drift": oracle_psi_drift(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

@@ -313,3 +313,61 @@ def test_ks_two_sample_shard_boundary_and_sql_twin(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """Identical slices -> every term 0 (smoothing included since
+    counts match); a hard right-shift -> large positive PSI."""
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        psi_drift,
+    )
+
+    vals = list(range(100))
+    same = [(v, True) for v in vals] + [(v, False) for v in vals]
+    df = spark.createDataFrame(same, ["v", "is_ref"])
+    rows = psi_drift(df, "v", "is_ref", n_buckets=5).collect()
+    assert len(rows) == 5
+    assert all(r["term_q"] == 0 for r in rows)
+    assert rows[0]["psi_q"] == 0
+    # every reference bucket holds exactly n/k values
+    assert all(r["ref_n"] == 20 for r in rows)
+
+    shifted = [(v, True) for v in vals] + [
+        (v + 80, False) for v in vals
+    ]
+    df = spark.createDataFrame(shifted, ["v", "is_ref"])
+    rows = psi_drift(df, "v", "is_ref", n_buckets=5).collect()
+    psi = rows[0]["psi_q"] / 1e9
+    assert psi > 0.25  # far past the industry action threshold
+
+
+def test_psi_drift_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        psi_drift,
+        psi_drift_sql,
+    )
+
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(f"psi|{i}".encode()).hexdigest()
+        v = int(h[:4], 16) % 200
+        is_ref = int(h[4:6], 16) % 2 == 0
+        if not is_ref:
+            v += int(h[6:8], 16) % 60  # mild drift
+        rows.append((v, is_ref))
+    df = spark.createDataFrame(rows, ["v", "is_ref"])
+    got = [
+        tuple(r)
+        for r in psi_drift(df, "v", "is_ref", shard_width=16).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT, is_ref BOOLEAN)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(psi_drift_sql("t", "v", "is_ref")).fetchall()
+    ]
+    assert got == want and len(got) == 10

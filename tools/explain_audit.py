@@ -116,6 +116,10 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast (n_a, n_b) totals aggregate crossJoined onto
     # the distinct-value cum table before the max — O(1)-row side
     "ks_drift",
+    # ONE-ROW broadcast totals and ONE-ROW 9-edge order-statistics
+    # aggregates crossJoined onto the distinct-value table — both
+    # O(1)-row sides by construction
+    "psi_drift",
     # ONE-ROW broadcast corpus-token-total aggregate crossJoined onto
     # the (group, token) count table — O(1)-row side by construction
     "source_js_drift",
@@ -204,6 +208,9 @@ GLOBAL_WIN_OK = {
     # same two-phase prefix-sum shape as classifier_auc: the only
     # single-partition window is over the shard-TOTAL table
     "ks_drift",
+    # two-phase shard-total window for the reference cum counts plus
+    # the psi total window over the TEN bucket rows
+    "psi_drift",
     # SinglePartition here is the LM path's ONE-ROW vocab aggregate
     # (not a window input); the tercile ntile windows partition by
     # lang
