@@ -1302,3 +1302,106 @@ SELECT g AS {group_col}, n_tokens, vocab,
              / 2.0 + 0.5)::BIGINT AS js_q
 FROM js_agg ORDER BY {group_col}
 """
+
+
+def chi2_independence(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between a (small-domain)
+    group assignment and a categorical outcome — the A/B-test
+    guardrail ("did the arms see the same event mix?") and the
+    categorical member of the drift trio next to [[ks_two_sample]]
+    (numeric) and [[psi_drift]] (binned). Expected cell counts come
+    from the margins; the statistic is
+
+        chi2 = Σ_cells (o·N − r·c)² / (N·r·c)
+
+    with o·N − r·c an EXACT integer carried in a double (magnitudes
+    < 2^53 up to ~9e7 rows per margin product; widen to
+    DECIMAL(38,0) past that, the corr_matrix pattern), one IEEE
+    division per cell, half-away ×1e6 quantized — order-free sums,
+    engine-identical. ONE (group, category) groupBy is the only
+    corpus-scale pass; margins ride broadcast joins over the
+    category/group domains.
+
+    Output: one row per (group, category) cell — (g, cat, o,
+    term_q) — with chi2_q and dof repeated on every row; zero cells
+    are materialized from the margin frame so their expected-count
+    contribution is never silently dropped."""
+    cells = df.groupBy(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowm = cells.groupBy("g").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("cat").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("_nc"))
+    full = (
+        # zero cells matter: build the full g x cat frame from the
+        # margins (both domain-bounded) so absent combinations
+        # contribute their expected-count term
+        rowm.crossJoin(F.broadcast(colm))
+        .join(cells, ["g", "cat"], "left")
+        .select(
+            "g",
+            "cat",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    x = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = F.floor(
+        x * x / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_cell = full.select("g", "cat", "o", term.alias("term_q"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ng = F.size(F.collect_set("g").over(w_all))
+    ncat = F.size(F.collect_set("cat").over(w_all))
+    return (
+        per_cell.withColumn("chi2_q", F.sum("term_q").over(w_all))
+        .withColumn(
+            "dof", ((ng - 1) * (ncat - 1)).cast("long")
+        )
+        .orderBy("cat", "g")
+    )
+
+
+def chi2_independence_sql(
+    table: str,
+    group_col: str,
+    cat_col: str,
+) -> str:
+    """DuckDB twin of chi2_independence."""
+    return f"""
+WITH x2_cells AS MATERIALIZED (
+  SELECT {group_col} AS g, {cat_col} AS cat, count(*)::BIGINT AS o
+  FROM {table} GROUP BY 1, 2
+),
+x2_rowm AS (SELECT g, sum(o)::BIGINT AS r FROM x2_cells GROUP BY g),
+x2_colm AS (SELECT cat, sum(o)::BIGINT AS c FROM x2_cells GROUP BY cat),
+x2_tot AS (SELECT sum(o)::BIGINT AS n FROM x2_cells),
+x2_full AS (
+  SELECT rm.g, cm.cat, rm.r, cm.c, coalesce(ce.o, 0)::BIGINT AS o, t.n
+  FROM x2_rowm rm
+  CROSS JOIN x2_colm cm
+  LEFT JOIN x2_cells ce ON ce.g = rm.g AND ce.cat = cm.cat
+  CROSS JOIN x2_tot t
+),
+x2_t AS (
+  SELECT g, cat, o,
+         floor((o * n - r * c)::DOUBLE * (o * n - r * c)::DOUBLE
+               / (n * r * c)::DOUBLE * 1e6 + 0.5)::BIGINT AS term_q
+  FROM x2_full
+)
+SELECT g, cat, o, term_q,
+       sum(term_q) OVER ()::BIGINT AS chi2_q,
+       ((count(DISTINCT g) OVER () - 1)
+        * (count(DISTINCT cat) OVER () - 1))::BIGINT AS dof
+FROM x2_t ORDER BY cat, g
+"""

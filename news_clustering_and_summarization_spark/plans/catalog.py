@@ -4700,6 +4700,43 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_chi2_abtest(spark, sf):
+    """Chi-square independence guardrail (operators/profiling.
+    chi2_independence): hash-parity A/B arms vs event-type mix —
+    "did both arms see the same behavior distribution?". The
+    categorical member of the drift trio (ks_drift numeric,
+    psi_drift binned). Zero cells materialized from the margin
+    frame; exact-integer numerators in doubles, one division per
+    cell."""
+    from ..operators.profiling import chi2_independence
+
+    ev = load(spark, sf, "events").select(
+        F.when(
+            H.hash64(F.col("user_id").cast("string")) % 2 == 0,
+            F.lit("arm_a"),
+        )
+        .otherwise(F.lit("arm_b"))
+        .alias("arm"),
+        "event_type",
+    )
+    return chi2_independence(ev, "arm", "event_type")
+
+
+def oracle_chi2_abtest() -> str:
+    from ..operators.profiling import chi2_independence_sql
+
+    arm = (
+        "CASE WHEN "
+        + H.hash64_sql("user_id::VARCHAR")
+        + " % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END"
+    )
+    return chi2_independence_sql(
+        f"(SELECT {arm} AS arm, event_type FROM events)",
+        "arm",
+        "event_type",
+    )
+
+
 def q_psi_drift(spark, sf):
     """Population Stability Index (operators/evaluation.psi_drift):
     price distribution drift of late-period shipments against the
@@ -9132,6 +9169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_js_drift": q_source_js_drift,
     "rake_keywords": q_rake_keywords,
     "psi_drift": q_psi_drift,
+    "chi2_abtest": q_chi2_abtest,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9281,6 +9319,7 @@ ORACLES: dict[str, str] = {
     "source_js_drift": oracle_source_js_drift(),
     "rake_keywords": oracle_rake_keywords(),
     "psi_drift": oracle_psi_drift(),
+    "chi2_abtest": oracle_chi2_abtest(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

@@ -496,3 +496,59 @@ def test_group_js_divergence_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_chi2_independence_hand_case(spark):
+    """Perfectly proportional margins -> chi2 = 0; a fully
+    group-determined outcome on a 2x2 -> chi2 = N exactly; dof and
+    zero-cell materialization check out."""
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        chi2_independence,
+    )
+
+    prop = (
+        [("a", "x")] * 6 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 1
+    )
+    df = spark.createDataFrame(prop, ["g", "cat"])
+    rows = chi2_independence(df, "g", "cat").collect()
+    assert rows[0]["chi2_q"] == 0 and rows[0]["dof"] == 1
+
+    det = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(det, ["g", "cat"])
+    rows = chi2_independence(df, "g", "cat").collect()
+    # 2x2 fully determined: chi2 = N = 10 -> 10e6 quantized; the two
+    # zero cells must be present
+    assert len(rows) == 4
+    assert rows[0]["chi2_q"] == 10_000_000
+    zero_cells = [(r["g"], r["cat"]) for r in rows if r["o"] == 0]
+    assert sorted(zero_cells) == [("a", "y"), ("b", "x")]
+
+
+def test_chi2_independence_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        chi2_independence,
+        chi2_independence_sql,
+    )
+
+    rows = []
+    for i in range(400):
+        h = hashlib.md5(f"x2|{i}".encode()).hexdigest()
+        g = f"g{int(h[:2], 16) % 3}"
+        cat = f"c{int(h[2:4], 16) % 4}"
+        rows.append((g, cat))
+    df = spark.createDataFrame(rows, ["g", "cat"])
+    got = sorted(tuple(r) for r in chi2_independence(df, "g", "cat").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, cat VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            chi2_independence_sql("t", "g", "cat")
+        ).fetchall()
+    )
+    assert got == want

@@ -120,6 +120,10 @@ CARTESIAN_OK = {
     # aggregates crossJoined onto the distinct-value table — both
     # O(1)-row sides by construction
     "psi_drift",
+    # #groups x #categories margin frame (both domain-bounded,
+    # kilobytes) plus the ONE-ROW grand-total broadcast — the zero-
+    # cell materialization the statistic requires
+    "chi2_abtest",
     # ONE-ROW broadcast corpus-token-total aggregate crossJoined onto
     # the (group, token) count table — O(1)-row side by construction
     "source_js_drift",
@@ -211,6 +215,9 @@ GLOBAL_WIN_OK = {
     # two-phase shard-total window for the reference cum counts plus
     # the psi total window over the TEN bucket rows
     "psi_drift",
+    # chi2/dof totals windowed over the #groups x #categories cell
+    # table — domain-bounded (10 rows here), never the input
+    "chi2_abtest",
     # SinglePartition here is the LM path's ONE-ROW vocab aggregate
     # (not a window input); the tercile ntile windows partition by
     # lang
