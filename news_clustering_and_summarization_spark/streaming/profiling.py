@@ -1,0 +1,135 @@
+"""Streaming grid-histogram with quantile readout: cumulative value
+distribution monitoring over a stream, exactly-once under
+foreachBatch crash replay — the percentile companion to the CUSUM
+stream (same r07 streaming-parity push).
+
+Bin counts are ADDITIVE, so replay protection is the established
+epoch layout (CMSStream / CusumStream): each micro-batch writes its
+OWN (bin, count) delta to ``bins/epoch=<id>/`` with overwrite
+semantics, the queryable histogram is the bin-wise SUM across epoch
+directories, and ``compact()`` folds finished epochs. State is the
+GRID (value range / bin width), never the data: a quantile read is a
+window over the bin table.
+
+``quantiles()`` returns exact order statistics OF THE GRID: the
+returned value is the lower edge of the bin holding the ceil(p·n)-th
+sample, so the error is bounded by one bin width by construction —
+the same contract a fixed-width monitoring histogram gives at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BINS_SCHEMA = "bin long, cnt long"
+
+
+class HistogramStream:
+    """foreachBatch sink accumulating fixed-width value bins and
+    serving rank-exact grid quantiles over the cumulative state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        value_col: str,
+        lo: float = 0.0,
+        width: float = 1.0,
+        n_bins: int = 1024,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.value_col = value_col
+        self.lo = lo
+        self.width = width
+        self.n_bins = n_bins
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def bins_path(self) -> str:
+        return os.path.join(self.state_dir, "bins")
+
+    def _bin(self):
+        return F.least(
+            F.lit(self.n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(self.value_col) - F.lit(self.lo))
+                    / F.lit(self.width)
+                ).cast("long"),
+            ),
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(self._bin().alias("bin")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.bins_path, f"epoch={int(epoch_id)}")
+        )
+
+    def histogram(self) -> DataFrame:
+        """Cumulative histogram: bin-wise sum across epochs."""
+        if not os.path.exists(self.bins_path):
+            return self.spark.createDataFrame([], BINS_SCHEMA)
+        return (
+            self.spark.read.option("basePath", self.bins_path)
+            .parquet(self.bins_path)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    def quantiles(self, ps: list[float]) -> DataFrame:
+        """Grid quantiles: for each p, the lower edge of the bin
+        holding the ceil(p·n)-th sample — rank-exact, value error
+        bounded by one bin width. The cumulative window runs over
+        the BIN table (n_bins rows), never the data."""
+        hist = self.histogram()
+        w = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+            F.broadcast(hist.agg(F.sum("cnt").alias("n")))
+        )
+        rows = []
+        for p in ps:
+            thresh = F.ceil(F.lit(float(p)) * F.col("n")).cast("long")
+            rows.append(
+                cum.where(F.col("cum") >= thresh)
+                .orderBy("bin")
+                .limit(1)
+                .select(
+                    F.lit(float(p)).alias("p"),
+                    (
+                        F.lit(self.lo) + F.col("bin") * F.lit(self.width)
+                    ).alias("value"),
+                    F.col("n").alias("n"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        return out
+
+    def compact(self) -> None:
+        """Fold all epoch directories into a single base epoch (-1) —
+        maintenance cadence, not crash-atomic against a live stream."""
+        merged = self.histogram().localCheckpoint(eager=True)
+        import shutil
+
+        shutil.rmtree(self.bins_path, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.bins_path, "epoch=-1")
+        )
+
+    def start(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
