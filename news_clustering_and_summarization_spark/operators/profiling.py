@@ -872,7 +872,7 @@ SELECT grp AS {group_col}, n::BIGINT AS n, lo_c, hi_c,
        floor(cs::DOUBLE / n::DOUBLE * 1e6 + 0.5)::BIGINT
          AS clipped_mean_q,
        n_clipped
-FROM js_agg ORDER BY {group_col}
+FROM agg ORDER BY {group_col}
 """
 
 
