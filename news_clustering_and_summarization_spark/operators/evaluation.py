@@ -840,14 +840,21 @@ def ks_two_sample(
             "n_a",
             "n_b",
             "d_num",
-            F.floor(
-                F.col("d_num").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("d_q"),
+            # an empty group makes D undefined (0/0): emit NULL on
+            # BOTH engines rather than Spark NaN vs a DuckDB cast
+            # error (r07 review finding)
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.floor(
+                    F.col("d_num").cast("double")
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("d_q"),
         )
     )
 
@@ -883,8 +890,10 @@ cum AS (
 )
 SELECT t.n_a, t.n_b,
        max(abs(c.ca * t.n_b - c.cb * t.n_a))::BIGINT AS d_num,
-       floor(max(abs(c.ca * t.n_b - c.cb * t.n_a))::DOUBLE
-             / (t.n_a::DOUBLE * t.n_b::DOUBLE) * 1e6 + 0.5)::BIGINT AS d_q
+       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+         floor(max(abs(c.ca * t.n_b - c.cb * t.n_a))::DOUBLE
+               / (t.n_a::DOUBLE * t.n_b::DOUBLE) * 1e6 + 0.5)::BIGINT
+       END AS d_q
 FROM cum c, tot t
 GROUP BY t.n_a, t.n_b
 """
@@ -917,8 +926,13 @@ def psi_drift(
     engine-exact.
 
     ``ref_col`` must be boolean (true = reference row).
-    Output: (bucket, ref_n, cur_n, term_q, psi_q) — psi_q repeated
-    per row is the total in nano-nats."""
+    Output: exactly ``n_buckets`` rows (a bucket spine left-joins the
+    counts, so a bucket holding no distinct values still contributes
+    its smoothing term) of (bucket, ref_n, cur_n, term_q, psi_q) —
+    psi_q repeated per row is the total in nano-nats. An empty
+    reference slice degenerates deterministically: every edge is
+    NULL, treated as +inf on both engines, so all mass lands in
+    bucket 1."""
     per_v = (
         df.select(
             F.col(value_col).cast("long").alias("v"),
@@ -984,22 +998,46 @@ def psi_drift(
     edges = cum.groupBy().agg(*edge_aggs)
     bucket = F.lit(1)
     for j in range(1, n_buckets):
-        bucket = bucket + (F.col("v") > F.col(f"e{j}")).cast("int")
-    per_bucket = (
+        # coalesce: an empty reference slice leaves every edge NULL;
+        # treat a NULL edge as +inf so both engines land in bucket 1
+        # (DuckDB's CASE ... ELSE 0 already does) — r07 review finding
+        bucket = bucket + (
+            F.col("v") > F.coalesce(F.col(f"e{j}"), F.lit(1 << 62))
+        ).cast("int")
+    per_bucket_raw = (
         cum.crossJoin(F.broadcast(edges))
         .select(
             bucket.cast("long").alias("bucket"),
             "a_c",
             "b_c",
-            "n_a",
-            "n_b",
         )
         .groupBy("bucket")
         .agg(
             F.sum("a_c").cast("long").alias("ref_n"),
             F.sum("b_c").cast("long").alias("cur_n"),
-            F.max("n_a").alias("_na"),
-            F.max("n_b").alias("_nb"),
+        )
+    )
+    # bucket spine: a bucket holding NO distinct values still owes
+    # its add-one smoothing term, and callers get exactly n_buckets
+    # rows (r07 review finding)
+    spine = df.sparkSession.range(1, n_buckets + 1).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    per_bucket = (
+        spine.join(per_bucket_raw, "bucket", "left")
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("n_a").alias("_na"), F.col("n_b").alias("_nb")
+                )
+            )
+        )
+        .select(
+            "bucket",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
+            "_na",
+            "_nb",
         )
     )
     # add-one smoothing: p=(ref_n+1)/(na+k), q=(cur_n+1)/(nb+k)
@@ -1066,12 +1104,21 @@ psi_cum AS (
   FROM psi_v, psi_tot t
 ),
 psi_edges AS (SELECT {edge_cols} FROM psi_cum),
-psi_b AS (
+psi_b_raw AS (
   SELECT ({bucket_expr})::BIGINT AS bucket,
-         sum(c.a_c)::BIGINT AS ref_n, sum(c.b_c)::BIGINT AS cur_n,
-         max(c.n_a)::BIGINT AS na, max(c.n_b)::BIGINT AS nb
+         sum(c.a_c)::BIGINT AS ref_n, sum(c.b_c)::BIGINT AS cur_n
   FROM psi_cum c, psi_edges e
   GROUP BY 1
+),
+psi_b AS (
+  SELECT s.bucket,
+         coalesce(r.ref_n, 0)::BIGINT AS ref_n,
+         coalesce(r.cur_n, 0)::BIGINT AS cur_n,
+         t.n_a AS na, t.n_b AS nb
+  FROM (SELECT unnest(generate_series(1, {n_buckets}))::BIGINT
+          AS bucket) s
+  LEFT JOIN psi_b_raw r ON r.bucket = s.bucket
+  CROSS JOIN psi_tot t
 ),
 psi_t AS (
   SELECT bucket, ref_n, cur_n,

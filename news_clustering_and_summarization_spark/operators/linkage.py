@@ -173,14 +173,30 @@ def mutual_best_match(
     r_col: str = "r_id",
     score_col: str = "score",
     ascending: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
-    """Symmetric best-match selection over a scored candidate-pair
+    """Mutual best-match selection over a scored candidate-pair
     relation — the MERGE DECISION that follows blocking + scoring
     ([[link_records]], [[fuzzy_join_lev1]]): a pair survives only if
     each side is the other's single best candidate. The standard
     conservative 1:1 entity-resolution rule (reciprocal / mutual
     nearest neighbour), it never chains A-B-C merges the way a
     threshold does.
+
+    Default mode is BIPARTITE (left/right are different entity
+    spaces, e.g. link_records' two tables): partitioning by each
+    side sees that entity's full candidate list because every
+    candidate pair appears exactly once. For a MONOPARTITE relation
+    (self-join candidates, one entity space) pass
+    ``symmetric=True``: the input — canonical l<r lists like
+    fuzzy_join_lev1's output, both-orientation lists, or a mix —
+    is canonicalized, deduplicated and mirrored internally so each
+    entity's window sees ALL its candidates, and survivors return
+    once in canonical l<r orientation. Feeding a canonical
+    monopartite list through the bipartite default would silently
+    violate the 1:1 rule (each window would see only half an
+    entity's candidates — r07 review finding), hence the explicit
+    switch. The score must be orientation-symmetric.
 
     Shape: two row_number windows, each partitioned by one side and
     ordered by (score, other-id) — both shuffles are keyed on an id
@@ -190,12 +206,28 @@ def mutual_best_match(
     distance (smaller is better).
 
     Output: the surviving (l, r, score) rows."""
+    if symmetric:
+        canon = pairs.select(
+            F.least(F.col(l_col), F.col(r_col)).alias(l_col),
+            F.greatest(F.col(l_col), F.col(r_col)).alias(r_col),
+            F.col(score_col),
+        ).distinct()
+        pairs = canon.unionAll(
+            canon.select(
+                F.col(r_col).alias(l_col),
+                F.col(l_col).alias(r_col),
+                F.col(score_col),
+            )
+        )
     sc = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     wl = Window.partitionBy(l_col).orderBy(sc, F.col(r_col).asc())
     wr = Window.partitionBy(r_col).orderBy(sc, F.col(l_col).asc())
-    return (
+    out = (
         pairs.withColumn("_rl", F.row_number().over(wl))
         .withColumn("_rr", F.row_number().over(wr))
         .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
         .drop("_rl", "_rr")
     )
+    if symmetric:
+        out = out.where(F.col(l_col) < F.col(r_col))
+    return out

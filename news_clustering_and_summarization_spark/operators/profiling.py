@@ -1335,7 +1335,7 @@ def chi2_independence(
     ).agg(F.count(F.lit(1)).cast("long").alias("o"))
     rowm = cells.groupBy("g").agg(F.sum("o").alias("r"))
     colm = cells.groupBy("cat").agg(F.sum("o").alias("c"))
-    tot = cells.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("_nc"))
+    tot = cells.agg(F.sum("o").alias("n"))
     full = (
         # zero cells matter: build the full g x cat frame from the
         # margins (both domain-bounded) so absent combinations

@@ -80,17 +80,25 @@ class CMSStream:
         )
 
     def compact(self) -> None:
-        """Fold all epoch directories into a single base epoch (-1).
-        Not crash-atomic against a concurrently-running stream — run
-        between batches or from a maintenance job, like parquet
-        compaction."""
-        merged = self.sketch().localCheckpoint(eager=True)
-        import shutil
+        """Fold every FINISHED epoch directory into the base epoch
+        (-1) via streaming/epoch_state.py: the newest epoch is left
+        in place (it may not be checkpoint-committed yet; folding it
+        would double-count on post-crash replay), and the merged base
+        is staged with a manifest BEFORE any source directory is
+        removed, so a crash at any point is recovered — never lost,
+        never double-counted — by the next compact() call. Run from
+        a maintenance job between batches."""
+        from . import epoch_state
 
-        shutil.rmtree(self.cells_path, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.cells_path, "epoch=-1")
+        fold = epoch_state.fold_sources(self.cells_path)
+        if fold is None:
+            return
+        merged = (
+            self.spark.read.parquet(*fold)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
         )
+        epoch_state.compact_epochs(self.cells_path, merged)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

@@ -86,45 +86,66 @@ class HistogramStream:
     def quantiles(self, ps: list[float]) -> DataFrame:
         """Grid quantiles: for each p, the lower edge of the bin
         holding the ceil(p·n)-th sample — rank-exact, value error
-        bounded by one bin width. The cumulative window runs over
-        the BIN table (n_bins rows), never the data."""
-        hist = self.histogram()
+        bounded by one bin width. The epoch directories are read
+        ONCE (the n_bins-row histogram is localCheckpointed), and
+        all requested ps resolve in a single conditional-min
+        aggregate over it — not one pass per p (r07 review
+        finding). The cumulative window runs over the bin table,
+        never the data."""
+        hist = self.histogram().localCheckpoint(eager=True)
         w = Window.orderBy("bin").rowsBetween(
             Window.unboundedPreceding, 0
         )
         cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
             F.broadcast(hist.agg(F.sum("cnt").alias("n")))
         )
-        rows = []
-        for p in ps:
-            thresh = F.ceil(F.lit(float(p)) * F.col("n")).cast("long")
-            rows.append(
-                cum.where(F.col("cum") >= thresh)
-                .orderBy("bin")
-                .limit(1)
-                .select(
-                    F.lit(float(p)).alias("p"),
-                    (
-                        F.lit(self.lo) + F.col("bin") * F.lit(self.width)
-                    ).alias("value"),
-                    F.col("n").alias("n"),
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(float(p)) * F.col("n")).cast("long"),
+                    F.col("bin"),
                 )
+            ).alias(f"_b{i}")
+            for i, p in enumerate(ps)
+        ]
+        one = cum.agg(*aggs, F.max("n").alias("n"))
+        qs = [
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                (
+                    F.lit(self.lo) + F.col(f"_b{i}") * F.lit(self.width)
+                ).alias("value"),
+                F.col("n").alias("n"),
             )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionAll(r)
-        return out
+            for i, p in enumerate(ps)
+        ]
+        return (
+            one.select(F.explode(F.array(*qs)).alias("q"))
+            .select("q.*")
+            .where(F.col("n").isNotNull())  # empty store -> no rows
+        )
 
     def compact(self) -> None:
-        """Fold all epoch directories into a single base epoch (-1) —
-        maintenance cadence, not crash-atomic against a live stream."""
-        merged = self.histogram().localCheckpoint(eager=True)
-        import shutil
+        """Fold every FINISHED epoch directory into the base epoch
+        (-1) via streaming/epoch_state.py: the newest epoch is left
+        in place (it may not be checkpoint-committed yet; folding it
+        would double-count on post-crash replay), and the merged base
+        is staged with a manifest BEFORE any source directory is
+        removed, so a crash at any point is recovered — never lost,
+        never double-counted — by the next compact() call. Run from
+        a maintenance job between batches."""
+        from . import epoch_state
 
-        shutil.rmtree(self.bins_path, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.bins_path, "epoch=-1")
+        fold = epoch_state.fold_sources(self.bins_path)
+        if fold is None:
+            return
+        merged = (
+            self.spark.read.parquet(*fold)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
+        epoch_state.compact_epochs(self.bins_path, merged)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

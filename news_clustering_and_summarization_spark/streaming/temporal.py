@@ -84,16 +84,25 @@ class CusumStream:
         )
 
     def compact(self) -> None:
-        """Fold all epoch directories into a single base epoch (-1).
-        Not crash-atomic against a running stream — maintenance
-        cadence, like parquet compaction."""
-        merged = self.daily().localCheckpoint(eager=True)
-        import shutil
+        """Fold every FINISHED epoch directory into the base epoch
+        (-1) via streaming/epoch_state.py: the newest epoch is left
+        in place (it may not be checkpoint-committed yet; folding it
+        would double-count on post-crash replay), and the merged base
+        is staged with a manifest BEFORE any source directory is
+        removed, so a crash at any point is recovered — never lost,
+        never double-counted — by the next compact() call. Run from
+        a maintenance job between batches."""
+        from . import epoch_state
 
-        shutil.rmtree(self.daily_path, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.daily_path, "epoch=-1")
+        fold = epoch_state.fold_sources(self.daily_path)
+        if fold is None:
+            return
+        merged = (
+            self.spark.read.parquet(*fold)
+            .groupBy("g", "d")
+            .agg(F.sum("x").cast("long").alias("x"))
         )
+        epoch_state.compact_epochs(self.daily_path, merged)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

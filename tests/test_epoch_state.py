@@ -1,0 +1,89 @@
+"""Epoch-state compaction protocol (streaming/epoch_state.py):
+newest-epoch exclusion, write-then-swap staging, and crash recovery
+from both failure windows (incomplete write, interrupted swap)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from news_clustering_and_summarization_spark.streaming import epoch_state
+
+
+def _write_epoch(spark, path, n, rows):
+    df = spark.createDataFrame(rows, "bin long, cnt long")
+    df.write.mode("overwrite").parquet(os.path.join(path, f"epoch={n}"))
+
+
+def _totals(spark, path):
+    return {
+        r["bin"]: r["cnt"]
+        for r in spark.read.option("basePath", path)
+        .parquet(path)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+
+
+def test_fold_excludes_newest_epoch(spark, tmp_path):
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    fold = epoch_state.fold_sources(path)
+    assert [os.path.basename(d) for d in fold] == ["epoch=0", "epoch=1"]
+    merged = spark.read.parquet(*fold).groupBy("bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    assert epoch_state.compact_epochs(path, merged)
+    assert sorted(os.listdir(path)) == ["epoch=-1", "epoch=2"]
+    assert _totals(spark, path) == {1: 30}
+
+
+def test_two_epochs_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "bins")
+    for e in range(2):
+        _write_epoch(spark, path, e, [(1, 10)])
+    assert epoch_state.fold_sources(path) is None
+    assert sorted(os.listdir(path)) == ["epoch=0", "epoch=1"]
+
+
+def test_recovery_from_incomplete_write(spark, tmp_path):
+    """Staging without a manifest = the merged write never finished:
+    it holds nothing authoritative and is discarded; all source
+    epochs are intact."""
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    staging = os.path.join(path, epoch_state.STAGING)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-000.parquet"), "w") as f:
+        f.write("garbage-partial-write")
+    epoch_state.recover_staging(path)
+    assert not os.path.exists(staging)
+    assert _totals(spark, path) == {1: 30}
+
+
+def test_recovery_from_interrupted_swap(spark, tmp_path):
+    """Staging WITH a manifest = the merge is complete and
+    authoritative for the listed sources: recovery removes whatever
+    sources remain (here one was already deleted, one was not) and
+    installs the base — totals identical, nothing double-counted."""
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    fold = epoch_state.fold_sources(path)
+    staging = os.path.join(path, epoch_state.STAGING)
+    merged = spark.read.parquet(*fold).groupBy("bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, epoch_state.MANIFEST), "w") as f:
+        f.write("epoch=0\nepoch=1\n")
+    # simulate a crash halfway through source removal
+    shutil.rmtree(os.path.join(path, "epoch=0"))
+    epoch_state.recover_staging(path)
+    assert sorted(os.listdir(path)) == ["epoch=-1", "epoch=2"]
+    assert _totals(spark, path) == {1: 30}

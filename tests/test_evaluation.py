@@ -371,3 +371,72 @@ def test_psi_drift_sql_twin(spark):
         for r in con.execute(psi_drift_sql("t", "v", "is_ref")).fetchall()
     ]
     assert got == want and len(got) == 10
+
+
+def test_psi_and_ks_degenerate_inputs_match_twin(spark):
+    """Empty reference slice (psi) and empty group (ks): both engines
+    must agree structurally instead of NULL-vs-0 bucket divergence /
+    NaN-vs-cast-error (r07 review findings). Also: concentrated
+    reference mass still yields exactly n_buckets rows with the
+    empty buckets' smoothing terms present."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        ks_two_sample,
+        ks_two_sample_sql,
+        psi_drift,
+        psi_drift_sql,
+    )
+
+    con = duckdb.connect()
+
+    # psi: no reference rows at all
+    rows = [(v, False) for v in range(50)]
+    df = spark.createDataFrame(rows, ["v", "is_ref"])
+    got = [tuple(r) for r in psi_drift(df, "v", "is_ref").collect()]
+    con.execute("CREATE TABLE t1 (v BIGINT, is_ref BOOLEAN)")
+    con.executemany("INSERT INTO t1 VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(psi_drift_sql("t1", "v", "is_ref")).fetchall()
+    ]
+    assert got == want and len(got) == 10
+    # empty reference: thresholds collapse to 0, every edge = min(v),
+    # so bucket 1 holds min(v) and the top bucket everything else —
+    # degenerate but IDENTICAL on both engines
+    assert got[0][1] == 0 and got[0][2] == 1
+    assert got[-1][2] == 49
+
+    # psi: 90% of the reference on one value -> empty middle buckets
+    # still materialized with their smoothing terms
+    conc = [(100, True)] * 90 + [(v, True) for v in range(10)] + [
+        (v, False) for v in range(200)
+    ]
+    df = spark.createDataFrame(conc, ["v", "is_ref"])
+    got = [tuple(r) for r in psi_drift(df, "v", "is_ref").collect()]
+    con.execute("CREATE TABLE t2 (v BIGINT, is_ref BOOLEAN)")
+    con.executemany("INSERT INTO t2 VALUES (?, ?)", conc)
+    want = [
+        tuple(r)
+        for r in con.execute(psi_drift_sql("t2", "v", "is_ref")).fetchall()
+    ]
+    assert got == want and len(got) == 10
+    empty = [r for r in got if r[1] == 0 and r[2] == 0]
+    # the empty buckets exist AND carry their NONZERO smoothing term
+    # (n_a != n_b here) — the term the old plan silently dropped
+    assert empty and all(r[3] != 0 for r in empty)
+
+    # ks: one group empty -> d_q NULL on both engines, no error
+    rows = [(v, "b") for v in range(20)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = [tuple(r) for r in ks_two_sample(df, "v", "g", "a", "b").collect()]
+    con.execute("CREATE TABLE t3 (v BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO t3 VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            ks_two_sample_sql("t3", "v", "g", "a", "b")
+        ).fetchall()
+    ]
+    assert got == want
+    assert got[0][0] == 0 and got[0][3] is None

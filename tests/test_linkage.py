@@ -150,3 +150,36 @@ def test_mutual_best_match_tie_breaks_by_other_id(spark):
         for r in mutual_best_match(df, ascending=True).collect()
     )
     assert got == [(1, 10), (10, 1)]
+
+
+def test_mutual_best_match_symmetric_canonical_input(spark):
+    """The r07 review case: a CANONICAL monopartite list fed through
+    symmetric=True enforces true 1:1 — entity 2 cannot match both 1
+    and 3; also equals the both-orientations run, and a mixed-
+    orientation/duplicated input canonicalizes first."""
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    canon = [(1, 2, 9), (2, 3, 95)]  # higher = better
+    df = spark.createDataFrame(canon, ["l_id", "r_id", "score"])
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in mutual_best_match(df, symmetric=True).collect()
+    )
+    # entity 2's best is 3 -> only (2,3) survives; WITHOUT symmetric
+    # the bipartite windows would (wrongly) keep both pairs
+    assert got == [(2, 3)]
+    wrong = sorted(
+        (r["l_id"], r["r_id"]) for r in mutual_best_match(df).collect()
+    )
+    assert wrong == [(1, 2), (2, 3)]  # the documented failure mode
+
+    # mixed orientations + duplicates canonicalize to the same answer
+    messy = canon + [(2, 1, 9), (3, 2, 95), (2, 3, 95)]
+    df = spark.createDataFrame(messy, ["l_id", "r_id", "score"])
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in mutual_best_match(df, symmetric=True).collect()
+    )
+    assert got == [(2, 3)]

@@ -78,6 +78,7 @@ def test_compaction_preserves_registers_and_estimate(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(src, "b0", [f"a{i}" for i in range(100)])
     _write_batch(src, "b1", [f"b{i}" for i in range(100)])
+    _write_batch(src, "b2", [f"c{i}" for i in range(50)])
     hll = HLLStream(spark, str(tmp_path / "state"), "val", m=M)
     q = hll.start(_mk_stream(spark, src), str(tmp_path / "ckpt"))
     q.processAllAvailable()
@@ -85,8 +86,10 @@ def test_compaction_preserves_registers_and_estimate(spark, tmp_path):
     before = sorted(map(tuple, hll.registers().collect()))
     est_before = hll.estimate()
     hll.compact()
-    dirs = os.listdir(hll.regs_path)
-    assert dirs == ["epoch=-1"], dirs
+    dirs = sorted(
+        d for d in os.listdir(hll.regs_path) if d.startswith("epoch=")
+    )
+    assert dirs == ["epoch=-1", "epoch=2"], dirs
     assert sorted(map(tuple, hll.registers().collect())) == before
     assert hll.estimate() == est_before
 

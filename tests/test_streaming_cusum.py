@@ -90,6 +90,8 @@ def test_compact_preserves_detection(spark, tmp_path):
         cs.process_batch(_df(spark, b), epoch_id=i)
     before = sorted(map(tuple, cs.detect().collect()))
     cs.compact()
-    dirs = os.listdir(cs.daily_path)
-    assert dirs == ["epoch=-1"]
+    dirs = sorted(
+        d for d in os.listdir(cs.daily_path) if d.startswith("epoch=")
+    )
+    assert dirs == ["epoch=-1", "epoch=2"]
     assert sorted(map(tuple, cs.detect().collect())) == before

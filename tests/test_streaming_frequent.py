@@ -86,9 +86,17 @@ def test_compact_preserves_counts(spark, tmp_path):
     before = sorted(map(tuple, cms.sketch().collect()))
     cms.compact()
     assert sorted(map(tuple, cms.sketch().collect())) == before
-    # single epoch dir remains
-    dirs = [d for d in os.listdir(cms.cells_path) if d.startswith("epoch=")]
-    assert dirs == ["epoch=-1"]
+    # finished epochs folded; the NEWEST stays (it may not be
+    # checkpoint-committed — folding it would double-count a replay)
+    dirs = sorted(
+        d for d in os.listdir(cms.cells_path) if d.startswith("epoch=")
+    )
+    assert dirs == ["epoch=-1", "epoch=2"]
+    # a replay of the newest epoch after compaction is STILL a no-op
+    cms.process_batch(
+        spark.createDataFrame([("t",), ("u",)], "token string"), 2
+    )
+    assert sorted(map(tuple, cms.sketch().collect())) == before
 
 
 def test_empty_state_estimates_zero(spark, tmp_path):

@@ -79,8 +79,13 @@ def test_histogram_replay_and_compact(spark, tmp_path):
     hs.process_batch(batch, epoch_id=6)  # genuinely new epoch adds
     doubled = {b: c for b, c in map(tuple, hs.histogram().collect())}
     assert all(c == 2 * dict(before)[b] for b, c in doubled.items())
+    hs.process_batch(batch, epoch_id=7)  # third epoch enables a fold
+    tripled = {b: c for b, c in map(tuple, hs.histogram().collect())}
     hs.compact()
-    assert os.listdir(hs.bins_path) == ["epoch=-1"]
+    dirs = sorted(
+        d for d in os.listdir(hs.bins_path) if d.startswith("epoch=")
+    )
+    assert dirs == ["epoch=-1", "epoch=7"]
     assert {
         b: c for b, c in map(tuple, hs.histogram().collect())
-    } == doubled
+    } == tripled
