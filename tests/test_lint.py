@@ -60,15 +60,15 @@ ROOT = PKG.parent
 
 
 def _operator_orphans(
-    operators_dir: pathlib.Path, repo_root: pathlib.Path
+    scan_dir: pathlib.Path, repo_root: pathlib.Path
 ) -> list[str]:
-    """Public top-level functions in ``operators_dir`` that no other
-    code references — not the catalog, not a test, not another module,
-    not even code elsewhere in their own file. This is the exact
-    failure mode of r06's ``bfs_levels`` (written in a snapshot
+    """Public top-level functions/classes under ``scan_dir`` that no
+    other code references — not the catalog, not a test, not another
+    module, not even code elsewhere in their own file. This is the
+    exact failure mode of r06's ``bfs_levels`` (written in a snapshot
     commit, wired to nothing): code with zero evidence behind it.
     Word-boundary text match is deliberately loose — any mention
-    outside the function's own def-block counts, so the rule only
+    outside the definition's own block counts, so the rule only
     fires on genuinely dead surface."""
     import re
 
@@ -78,12 +78,12 @@ def _operator_orphans(
         if ".git" not in p.parts and "spark-warehouse" not in p.parts
     }
     orphans = []
-    for path in sorted(operators_dir.glob("*.py")):
+    for path in sorted(scan_dir.rglob("*.py")):
         tree = ast.parse(texts[path], filename=str(path))
         lines = texts[path].splitlines()
         for node in tree.body:
             if not isinstance(
-                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
             ) or node.name.startswith("_"):
                 continue
             pat = re.compile(r"\b" + re.escape(node.name) + r"\b")
@@ -98,13 +98,14 @@ def _operator_orphans(
 
 
 def test_no_orphan_operator_functions():
-    """Round-7 verdict item 1b: every public function in operators/*
+    """Round-7 verdict item 1b, widened package-wide in the same
+    round: every public function OR class anywhere in the package
     must be referenced by the catalog, a test, or other live code —
     an unwired operator fails the suite immediately instead of
     surviving to a snapshot commit."""
-    orphans = _operator_orphans(PKG / "operators", ROOT)
+    orphans = _operator_orphans(PKG, ROOT)
     assert not orphans, (
-        "unreferenced public operator functions (wire a catalog query "
+        "unreferenced public functions/classes (wire a catalog query "
         f"or a test, or delete them): {orphans}"
     )
 
