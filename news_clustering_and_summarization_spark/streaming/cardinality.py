@@ -90,7 +90,7 @@ class HLLStream:
             .groupBy("bucket")
             .agg(F.max("r").alias("r"))
         )
-        epoch_state.compact_epochs(self.regs_path, merged)
+        epoch_state.compact_epochs(self.regs_path, merged, fold)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

@@ -65,13 +65,16 @@ def recover_staging(path: str) -> None:
     os.rename(staging, os.path.join(path, "epoch=-1"))
 
 
-def compact_epochs(path: str, merged: DataFrame) -> bool:
-    """Fold every committed epoch directory EXCEPT the newest into
-    ``epoch=-1``. ``merged`` must be the caller's aggregate over
-    ``fold_sources(path)`` (the store-specific groupBy). Returns
-    False when there is nothing to fold."""
-    fold = fold_sources(path)
-    if fold is None:
+def compact_epochs(
+    path: str, merged: DataFrame, fold: list[str]
+) -> bool:
+    """Fold the ``fold`` epoch directories (the caller's
+    ``fold_sources(path)`` result — passed through verbatim so the
+    manifest always names exactly the directories ``merged``
+    aggregated, never a re-derived list that a concurrent write
+    could skew) into ``epoch=-1``. Returns False when there is
+    nothing to fold."""
+    if not fold:
         return False
     staging = os.path.join(path, STAGING)
     shutil.rmtree(staging, ignore_errors=True)

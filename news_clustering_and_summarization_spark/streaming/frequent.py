@@ -98,7 +98,7 @@ class CMSStream:
             .groupBy("row", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        epoch_state.compact_epochs(self.cells_path, merged)
+        epoch_state.compact_epochs(self.cells_path, merged, fold)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

@@ -145,7 +145,7 @@ class HistogramStream:
             .groupBy("bin")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-        epoch_state.compact_epochs(self.bins_path, merged)
+        epoch_state.compact_epochs(self.bins_path, merged, fold)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

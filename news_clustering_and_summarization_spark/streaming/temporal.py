@@ -102,7 +102,7 @@ class CusumStream:
             .groupBy("g", "d")
             .agg(F.sum("x").cast("long").alias("x"))
         )
-        epoch_state.compact_epochs(self.daily_path, merged)
+        epoch_state.compact_epochs(self.daily_path, merged, fold)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

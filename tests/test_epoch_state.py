@@ -37,7 +37,7 @@ def test_fold_excludes_newest_epoch(spark, tmp_path):
     merged = spark.read.parquet(*fold).groupBy("bin").agg(
         F.sum("cnt").alias("cnt")
     )
-    assert epoch_state.compact_epochs(path, merged)
+    assert epoch_state.compact_epochs(path, merged, fold)
     assert sorted(os.listdir(path)) == ["epoch=-1", "epoch=2"]
     assert _totals(spark, path) == {1: 30}
 
