@@ -930,9 +930,10 @@ def psi_drift(
     counts, so a bucket holding no distinct values still contributes
     its smoothing term) of (bucket, ref_n, cur_n, term_q, psi_q) —
     psi_q repeated per row is the total in nano-nats. An empty
-    reference slice degenerates deterministically: every edge is
-    NULL, treated as +inf on both engines, so all mass lands in
-    bucket 1."""
+    reference slice degenerates deterministically on both engines:
+    all rank thresholds collapse to 0, every edge becomes min(v),
+    so bucket 1 holds min(v) and the top bucket everything else
+    (pinned by test_psi_and_ks_degenerate_inputs_match_twin)."""
     per_v = (
         df.select(
             F.col(value_col).cast("long").alias("v"),
@@ -998,12 +999,11 @@ def psi_drift(
     edges = cum.groupBy().agg(*edge_aggs)
     bucket = F.lit(1)
     for j in range(1, n_buckets):
-        # coalesce: an empty reference slice leaves every edge NULL;
-        # treat a NULL edge as +inf so both engines land in bucket 1
-        # (DuckDB's CASE ... ELSE 0 already does) — r07 review finding
-        bucket = bucket + (
-            F.col("v") > F.coalesce(F.col(f"e{j}"), F.lit(1 << 62))
-        ).cast("int")
+        # edges are never NULL while any data row exists: the rank
+        # threshold is 0 when n_a = 0 (every row satisfies ca >= 0,
+        # so e_j = min v) and <= n_a = max(ca) otherwise — no
+        # NULL-sentinel handling needed (r07 review)
+        bucket = bucket + (F.col("v") > F.col(f"e{j}")).cast("int")
     per_bucket_raw = (
         cum.crossJoin(F.broadcast(edges))
         .select(

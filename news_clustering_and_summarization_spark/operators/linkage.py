@@ -207,11 +207,17 @@ def mutual_best_match(
 
     Output: the surviving (l, r, score) rows."""
     if symmetric:
-        canon = pairs.select(
-            F.least(F.col(l_col), F.col(r_col)).alias(l_col),
-            F.greatest(F.col(l_col), F.col(r_col)).alias(r_col),
-            F.col(score_col),
-        ).distinct()
+        canon = (
+            pairs.where(F.col(l_col) != F.col(r_col))  # self-pairs
+            # would mirror into duplicate rank-1 rows and block the
+            # entity's real mutual match (r07 review)
+            .select(
+                F.least(F.col(l_col), F.col(r_col)).alias(l_col),
+                F.greatest(F.col(l_col), F.col(r_col)).alias(r_col),
+                F.col(score_col),
+            )
+            .distinct()
+        )
         pairs = canon.unionAll(
             canon.select(
                 F.col(r_col).alias(l_col),

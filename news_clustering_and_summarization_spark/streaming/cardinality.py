@@ -57,6 +57,12 @@ class HLLStream:
 
     def registers(self) -> DataFrame:
         """Cumulative registers: bucket-wise max across epochs."""
+        from . import epoch_state
+
+        # self-heal an interrupted compaction before reading —
+        # otherwise answers silently miss already-folded epochs
+        # until a maintenance compact() runs (r07 review)
+        epoch_state.recover_staging(self.regs_path)
         if not os.path.exists(self.regs_path):
             return self.spark.createDataFrame([], REGS_SCHEMA)
         return (
@@ -72,25 +78,18 @@ class HLLStream:
         return 0.0 if row is None else float(row["hll_estimate"])
 
     def compact(self) -> None:
-        """Fold every FINISHED epoch directory into the base epoch
-        (-1) via streaming/epoch_state.py: the newest epoch is left
-        in place (it may not be checkpoint-committed yet; folding it
-        would double-count on post-crash replay), and the merged base
-        is staged with a manifest BEFORE any source directory is
-        removed, so a crash at any point is recovered — never lost,
-        never double-counted — by the next compact() call. Run from
-        a maintenance job between batches."""
+        """Fold finished epochs into the base epoch via the shared
+        crash-safe protocol — newest epoch excluded, write-then-swap
+        with an atomic recovery manifest (streaming/epoch_state.py
+        documents the full decision table)."""
         from . import epoch_state
 
-        fold = epoch_state.fold_sources(self.regs_path)
-        if fold is None:
-            return
-        merged = (
-            self.spark.read.parquet(*fold)
-            .groupBy("bucket")
-            .agg(F.max("r").alias("r"))
+        epoch_state.compact_store(
+            self.spark,
+            self.regs_path,
+            lambda df: df.groupBy("bucket")
+            .agg(F.max("r").alias("r")),
         )
-        epoch_state.compact_epochs(self.regs_path, merged, fold)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

@@ -1,33 +1,45 @@
-"""Shared epoch-state compaction for the overwrite-per-epoch stream
-stores (CMS / HLL / CUSUM / histogram).
+"""Shared epoch-state layout for the overwrite-per-epoch stream
+stores (CMS / HLL / CUSUM / histogram): crash-safe compaction and the
+read-side recovery hook.
 
-Two r07 review findings drove this out of the per-class copies:
+Two r07 review findings drove this out of the per-class copies, and a
+second review pass hardened the protocol:
 
 1. **Never fold the newest epoch.** The highest numeric epoch may not
    be committed to the stream checkpoint yet; if it were folded into
    the base and then replayed after a crash, its counts would land
    twice. Compaction folds every OTHER committed epoch into
    ``epoch=-1`` and leaves the newest directory untouched.
-2. **Write-then-swap with a recovery marker.** The old copies did
-   ``rmtree(state); write(merged)`` — a driver crash or failed write
-   in between lost the entire accumulated state (the localCheckpoint
-   backing the merged frame dies with the session). Now the merged
+2. **Write-then-swap with an atomic recovery marker.** The merged
    base is written to a staging directory INSIDE the store (prefixed
-   ``_`` so Spark's partition discovery ignores it) together with a
-   ``_FOLDED`` manifest naming the source directories; only then are
-   the sources removed and the staging renamed to ``epoch=-1``. A
-   crash at any point is recovered by the next ``compact()`` call:
-   the manifest says exactly which directories are already merged
-   into staging, so recovery removes the stragglers and completes
-   the rename — state is never lost and never double-counted.
+   ``_`` so Spark's partition discovery ignores it); the ``_FOLDED``
+   manifest naming the source directories is written to a temp name
+   and **renamed into place** (atomic — a crash mid-write can never
+   leave a short/empty manifest that recovery would trust); only then
+   are the sources removed (``ignore_errors=False`` — a failed delete
+   must raise here, where the manifest protocol makes it recoverable,
+   rather than silently double-count) and the staging renamed to
+   ``epoch=-1``.
+3. **Reads self-heal.** Every store's read path calls
+   ``recover_staging`` first (a no-op stat in the normal case), so an
+   interrupted swap is completed by the NEXT READ — answers are never
+   served from a store missing already-folded epochs until some
+   future maintenance call happens by.
+
+Recovery decision table for a staging directory found on disk:
+no manifest (or empty) → the merge never committed; sources are all
+intact; discard staging. Manifest present → the merge is
+authoritative for exactly the listed sources; remove whichever still
+exist and install the base.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 STAGING = "_compact_staging"
 MANIFEST = "_FOLDED"
@@ -44,25 +56,46 @@ def _epoch_dirs(path: str) -> list[int]:
 
 
 def recover_staging(path: str) -> None:
-    """Finish (or discard) an interrupted compaction. Safe to call
-    when no staging exists."""
+    """Finish (or discard) an interrupted compaction. Safe and cheap
+    to call from every read — a no-op when no staging exists."""
     staging = os.path.join(path, STAGING)
     manifest = os.path.join(staging, MANIFEST)
     if not os.path.isdir(staging):
         return
-    if not os.path.exists(manifest):
-        # write never completed — staging holds nothing authoritative
+    folded: list[str] = []
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            folded = [line.strip() for line in f if line.strip()]
+    if not folded:
+        # no manifest, or an empty one: the merge never committed
+        # (the manifest is renamed into place atomically AFTER a full
+        # write, so a trusted manifest is never empty) — staging holds
+        # nothing authoritative and every source is intact
         shutil.rmtree(staging, ignore_errors=True)
         return
-    with open(manifest) as f:
-        folded = [line.strip() for line in f if line.strip()]
     for d in folded:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        src = os.path.join(path, d)
+        if os.path.exists(src):
+            shutil.rmtree(src)  # raise on failure: see module doc
     # the manifest stays inside the directory across the rename —
     # removing it first would make a crash-before-rename look like an
     # incomplete write and discard real state; Spark ignores
     # underscore-prefixed files, so it rides along harmlessly
     os.rename(staging, os.path.join(path, "epoch=-1"))
+
+
+def fold_sources(path: str) -> list[str] | None:
+    """The epoch directories a compaction would fold: all but the
+    newest numeric epoch. None when fewer than two would fold."""
+    recover_staging(path)
+    nums = _epoch_dirs(path)
+    if not nums:
+        return None
+    newest = nums[-1] if nums[-1] >= 0 else None
+    fold = [n for n in nums if n != newest]
+    if len(fold) < 2:
+        return None
+    return [os.path.join(path, f"epoch={n}") for n in fold]
 
 
 def compact_epochs(
@@ -79,25 +112,32 @@ def compact_epochs(
     staging = os.path.join(path, STAGING)
     shutil.rmtree(staging, ignore_errors=True)
     merged.write.mode("overwrite").parquet(staging)
-    # the manifest commits the fold set; everything before this line
-    # is discardable, everything after is completable (recover_staging)
-    with open(os.path.join(staging, MANIFEST), "w") as f:
+    # the manifest commits the fold set; it is written to a temp name
+    # and renamed into place so it is ATOMICALLY all-or-nothing —
+    # everything before it lands is discardable, everything after is
+    # completable (recover_staging)
+    tmp = os.path.join(staging, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
         f.write("\n".join(os.path.basename(d) for d in fold) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(staging, MANIFEST))
     for d in fold:
-        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d)  # raise on failure: see module doc
     os.rename(staging, os.path.join(path, "epoch=-1"))
     return True
 
 
-def fold_sources(path: str) -> list[str] | None:
-    """The epoch directories a compaction would fold: all but the
-    newest numeric epoch. None when fewer than two would fold."""
-    recover_staging(path)
-    nums = _epoch_dirs(path)
-    if not nums:
-        return None
-    newest = nums[-1] if nums[-1] >= 0 else None
-    fold = [n for n in nums if n != newest]
-    if len(fold) < 2:
-        return None
-    return [os.path.join(path, f"epoch={n}") for n in fold]
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    merge: Callable[[DataFrame], DataFrame],
+) -> bool:
+    """The whole maintenance step the four stores share: recover,
+    pick the fold set, apply the store's merge aggregate over exactly
+    those directories, and swap. ``merge`` receives the raw union of
+    the fold directories' rows."""
+    fold = fold_sources(path)
+    if fold is None:
+        return False
+    return compact_epochs(path, merge(spark.read.parquet(*fold)), fold)

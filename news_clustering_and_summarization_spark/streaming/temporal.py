@@ -66,6 +66,12 @@ class CusumStream:
 
     def daily(self) -> DataFrame:
         """Cumulative daily counts: cell-wise sum across epochs."""
+        from . import epoch_state
+
+        # self-heal an interrupted compaction before reading —
+        # otherwise answers silently miss already-folded epochs
+        # until a maintenance compact() runs (r07 review)
+        epoch_state.recover_staging(self.daily_path)
         if not os.path.exists(self.daily_path):
             return self.spark.createDataFrame([], DAILY_SCHEMA)
         return (
@@ -84,25 +90,18 @@ class CusumStream:
         )
 
     def compact(self) -> None:
-        """Fold every FINISHED epoch directory into the base epoch
-        (-1) via streaming/epoch_state.py: the newest epoch is left
-        in place (it may not be checkpoint-committed yet; folding it
-        would double-count on post-crash replay), and the merged base
-        is staged with a manifest BEFORE any source directory is
-        removed, so a crash at any point is recovered — never lost,
-        never double-counted — by the next compact() call. Run from
-        a maintenance job between batches."""
+        """Fold finished epochs into the base epoch via the shared
+        crash-safe protocol — newest epoch excluded, write-then-swap
+        with an atomic recovery manifest (streaming/epoch_state.py
+        documents the full decision table)."""
         from . import epoch_state
 
-        fold = epoch_state.fold_sources(self.daily_path)
-        if fold is None:
-            return
-        merged = (
-            self.spark.read.parquet(*fold)
-            .groupBy("g", "d")
-            .agg(F.sum("x").cast("long").alias("x"))
+        epoch_state.compact_store(
+            self.spark,
+            self.daily_path,
+            lambda df: df.groupBy("g", "d")
+            .agg(F.sum("x").cast("long").alias("x")),
         )
-        epoch_state.compact_epochs(self.daily_path, merged, fold)
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

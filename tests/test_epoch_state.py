@@ -87,3 +87,53 @@ def test_recovery_from_interrupted_swap(spark, tmp_path):
     epoch_state.recover_staging(path)
     assert sorted(os.listdir(path)) == ["epoch=-1", "epoch=2"]
     assert _totals(spark, path) == {1: 30}
+
+
+def test_recovery_discards_empty_manifest(spark, tmp_path):
+    """An empty _FOLDED (the crash window the atomic temp-name rename
+    closes; simulated here directly) must read as 'merge never
+    committed' — discard staging, keep every source intact, never
+    double-count."""
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    staging = os.path.join(path, epoch_state.STAGING)
+    os.makedirs(staging)
+    open(os.path.join(staging, epoch_state.MANIFEST), "w").close()
+    epoch_state.recover_staging(path)
+    assert not os.path.exists(staging)
+    assert _totals(spark, path) == {1: 30}
+
+
+def test_reads_self_heal_interrupted_swap(spark, tmp_path):
+    """A store read completes an interrupted swap instead of serving
+    undercounted state until maintenance runs."""
+    from pyspark.sql import functions as SF
+
+    from news_clustering_and_summarization_spark.streaming.profiling import (
+        HistogramStream,
+    )
+
+    hs = HistogramStream(
+        spark, str(tmp_path / "state"), "v", lo=0.0, width=1.0, n_bins=8
+    )
+    batch = spark.createDataFrame([(float(i % 8),) for i in range(16)], "v double")
+    for e in range(3):
+        hs.process_batch(batch, epoch_id=e)
+    expect = sorted(map(tuple, hs.histogram().collect()))
+    # simulate the interrupted swap: merged epochs 0+1 staged with a
+    # manifest, epoch=0 already removed, rename never happened
+    fold = epoch_state.fold_sources(hs.bins_path)
+    staging = os.path.join(hs.bins_path, epoch_state.STAGING)
+    merged = spark.read.parquet(*fold).groupBy("bin").agg(
+        SF.sum("cnt").alias("cnt")
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, epoch_state.MANIFEST), "w") as f:
+        f.write("epoch=0\nepoch=1\n")
+    shutil.rmtree(os.path.join(hs.bins_path, "epoch=0"))
+    # a plain READ self-heals and returns the full counts
+    assert sorted(map(tuple, hs.histogram().collect())) == expect
+    assert sorted(
+        d for d in os.listdir(hs.bins_path) if d.startswith("epoch=")
+    ) == ["epoch=-1", "epoch=2"]

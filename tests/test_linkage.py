@@ -183,3 +183,21 @@ def test_mutual_best_match_symmetric_canonical_input(spark):
         for r in mutual_best_match(df, symmetric=True).collect()
     )
     assert got == [(2, 3)]
+
+
+def test_mutual_best_match_symmetric_ignores_self_pairs(spark):
+    """A self-pair with the best score must not block the entity's
+    real mutual match (r07 second-pass review)."""
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        mutual_best_match,
+    )
+
+    pairs = [(1, 1, 0), (1, 2, 5)]
+    df = spark.createDataFrame(pairs, ["l_id", "r_id", "score"])
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in mutual_best_match(
+            df, ascending=True, symmetric=True
+        ).collect()
+    )
+    assert got == [(1, 2)]
