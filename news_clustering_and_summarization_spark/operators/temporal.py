@@ -1312,3 +1312,142 @@ SELECT g AS event_type, dw AS dow, n_obs,
              / expected * 1e6 + 0.5)::BIGINT AS chi2_q
 FROM j ORDER BY event_type, dow
 """
+
+
+# SAX breakpoints for alphabet size 4: the standard-normal quartile
+# boundaries (Lin & Keogh 2003, table 3), quantized once as integer
+# micro-units so both engines compare against the SAME literals.
+SAX_BREAKPOINTS_Q4 = (-674_490, 0, 674_490)  # ±0.67449 * 1e6
+
+
+def sax_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SAX symbolization (Lin & Keogh 2003) of zero-filled daily
+    event counts, per series: z-normalize the series, map each day
+    to an alphabet-4 symbol a<b<c<d by the standard-normal quartile
+    breakpoints, and emit the per-series symbol string — the
+    representation behind time-series motif mining, anomaly grammars
+    and whole-series similarity at symbol (not float) cost.
+
+    Determinism: per-series mean/variance come from exact integer
+    sufficient statistics (Σx, Σx², n); the z-score is computed in
+    integer micro-units — z_q = floor((n·x − S)·1e6 / (n·sd) + 0.5)
+    with n·sd = sqrt(n·Σx² − S²) per series, sqrt being IEEE-
+    correctly-rounded and the single division quantized half-away —
+    then compared against integer breakpoint literals, so the symbol
+    assignment cannot float-flip between engines. Zero-variance
+    series emit all-'c' (z = 0 falls in the [0, 0.6745) region —
+    the standard half-open breakpoint convention). The symbol string aggregates in
+    day order (array_sort on (day, symbol) structs ↔ string_agg
+    ORDER BY), never a global sort.
+
+    Output: (event_type, n_days, sax) one row per series."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    stats = full.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    j = full.join(F.broadcast(stats), "g")
+    # sd = sqrt((n·Σx² − S²))/n, so n·sd = sqrt(n·Σx² − S²) —
+    # all-integer radicand
+    n_sd = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+    )
+    z_q = F.when(n_sd > 0, F.floor(
+        (F.col("n") * F.col("x") - F.col("s")).cast("double")
+        * F.lit(1e6)
+        / n_sd
+        + F.lit(0.5)
+    ).cast("long")).otherwise(F.lit(0))
+    b1, b2, b3 = SAX_BREAKPOINTS_Q4
+    sym = (
+        F.when(z_q < F.lit(b1), F.lit("a"))
+        .when(z_q < F.lit(b2), F.lit("b"))
+        .when(z_q < F.lit(b3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    per_day = j.select("g", "d", sym.alias("sym"))
+    return (
+        per_day.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("d"), F.col("sym")))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax"),
+        )
+        .select(F.col("g").alias(type_col), "n_days", "sax")
+        .orderBy(type_col)
+    )
+
+
+def sax_daily_sql(events_table: str = "events") -> str:
+    """DuckDB twin of sax_daily."""
+    b1, b2, b3 = SAX_BREAKPOINTS_Q4
+    return f"""
+WITH sax_daily AS MATERIALIZED (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+sax_spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM sax_daily GROUP BY g
+),
+sax_full AS (
+  SELECT s.g, s.d, coalesce(dl.x, 0)::BIGINT AS x
+  FROM sax_spine s LEFT JOIN sax_daily dl ON dl.g = s.g AND dl.d = s.d
+),
+sax_stats AS (
+  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS s2
+  FROM sax_full GROUP BY g
+),
+sax_z AS (
+  SELECT f.g, f.d,
+         CASE WHEN (t.n * t.s2 - t.s * t.s) > 0 THEN
+           floor((t.n * f.x - t.s)::DOUBLE * 1e6
+                 / sqrt((t.n * t.s2 - t.s * t.s)::DOUBLE)
+                 + 0.5)::BIGINT
+         ELSE 0 END AS z_q
+  FROM sax_full f JOIN sax_stats t ON t.g = f.g
+),
+sax_sym AS (
+  SELECT g, d,
+         CASE WHEN z_q < {b1} THEN 'a'
+              WHEN z_q < {b2} THEN 'b'
+              WHEN z_q < {b3} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM sax_z
+)
+SELECT g AS event_type, count(*)::BIGINT AS n_days,
+       string_agg(sym, '' ORDER BY d) AS sax
+FROM sax_sym GROUP BY g
+ORDER BY event_type
+"""

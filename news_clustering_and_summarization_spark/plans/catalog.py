@@ -4700,6 +4700,24 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_sax_symbols(spark, sf):
+    """SAX symbolization (operators/temporal.sax_daily) of each
+    event-type's zero-filled daily count series: z-normalize via
+    exact integer sufficient statistics, map days onto the
+    alphabet-4 standard-normal quartile symbols, emit the per-series
+    symbol string — the representation behind time-series motif
+    mining and symbol-cost whole-series similarity."""
+    from ..operators.temporal import sax_daily
+
+    return sax_daily(load(spark, sf, "events"))
+
+
+def oracle_sax_symbols() -> str:
+    from ..operators.temporal import sax_daily_sql
+
+    return sax_daily_sql("events")
+
+
 def q_chi2_abtest(spark, sf):
     """Chi-square independence guardrail (operators/profiling.
     chi2_independence): hash-parity A/B arms vs event-type mix —
@@ -9170,6 +9188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "psi_drift": q_psi_drift,
     "chi2_abtest": q_chi2_abtest,
+    "sax_symbols": q_sax_symbols,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9320,6 +9339,7 @@ ORACLES: dict[str, str] = {
     "rake_keywords": oracle_rake_keywords(),
     "psi_drift": oracle_psi_drift(),
     "chi2_abtest": oracle_chi2_abtest(),
+    "sax_symbols": oracle_sax_symbols(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

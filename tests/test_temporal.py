@@ -694,3 +694,61 @@ def test_weekday_profile_partial_week_expectation(spark):
     assert sorted(
         tuple(r) for r in weekday_profile(df).collect()
     ) == want
+
+
+def test_sax_daily_hand_case(spark):
+    """A symmetric low-high series maps to the expected quartile
+    symbols; a constant series (zero variance) is all-'b'; a gap day
+    zero-fills into the alphabet."""
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        sax_daily,
+    )
+
+    rows = []
+    # series A: counts 1,1,5,5 over 4 days -> z = ±1 -> a,a,d,d
+    for day, n in [(1, 1), (2, 1), (3, 5), (4, 5)]:
+        rows += [("A", f"2024-02-0{day}T00:00:00")] * n
+    # series B: constant 2/day -> z=0 -> all 'c' (half-open regions)
+    for day in (1, 2, 3):
+        rows += [("B", f"2024-02-0{day}T00:00:00")] * 2
+    # series C: day 2 missing entirely -> zero-filled into the string
+    rows += [("C", "2024-02-01T00:00:00")] * 4
+    rows += [("C", "2024-02-03T00:00:00")] * 4
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string"
+    ).selectExpr("event_type", "cast(ts as timestamp) AS ts")
+    got = {r["event_type"]: r for r in sax_daily(df).collect()}
+    assert got["A"]["sax"] == "aadd" and got["A"]["n_days"] == 4
+    assert got["B"]["sax"] == "ccc"
+    assert got["C"]["sax"] == "dad"  # 4,0,4 -> high,low,high
+
+
+def test_sax_daily_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        sax_daily,
+        sax_daily_sql,
+    )
+
+    rows = []
+    for i in range(600):
+        h = hashlib.md5(f"sax|{i}".encode()).hexdigest()
+        day = int(h[:2], 16) % 20 + 1
+        g = f"t{int(h[2:4], 16) % 3}"
+        rows.append((g, f"2024-03-{day:02d}T12:00:00"))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string"
+    ).selectExpr("event_type", "cast(ts as timestamp) AS ts")
+    got = sorted(tuple(r) for r in sax_daily(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, t.replace("T", " ")) for g, t in rows],
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(sax_daily_sql("events")).fetchall()
+    )
+    assert got == want
