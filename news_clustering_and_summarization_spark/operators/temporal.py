@@ -1451,3 +1451,144 @@ SELECT g AS event_type, count(*)::BIGINT AS n_days,
 FROM sax_sym GROUP BY g
 ORDER BY event_type
 """
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series over zero-filled
+    daily event counts — the nonparametric "is this metric actually
+    trending" answer ([[cusum_daily]] finds level SHIFTS; this ranks
+    sustained drift without assuming linearity or normality).
+
+        S = Σ_{i<j} sign(x_j − x_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+        z = (S − sign(S)) / sqrt(Var(S))   (continuity-corrected)
+
+    Exactness: S and 18·Var(S) are pure int64 (the tie term comes
+    from one extra groupBy over the per-value counts); the only
+    float ops are one IEEE sqrt of an exact integer and one division,
+    half-away-quantized ×1e6. The i<j pair join is keyed on the
+    series and bounded by CALENDAR days² per series, never corpus
+    rows — at any corpus scale this is a constant-size kernel per
+    series.
+
+    Output: (event_type, n_days, s_stat, var_s_x18, z_q) ordered by
+    series."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    a = full.select("g", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = full.select("g", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    s_stat = (
+        a.join(b, "g")
+        .where(F.col("di") < F.col("dj"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        full.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").cast("long").alias("n_days"),
+        )
+    )
+    j = s_stat.join(ties, "g")
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    # z = (S - sign(S)) / sqrt(var18/18) = (S - sign(S))*sqrt(18)/sqrt(var18)
+    # keep ONE sqrt of an exact integer: multiply the numerator by
+    # sqrt(18) via sqrt(18*(S-sign)^2) would lose the sign — instead
+    # compute with two IEEE-exact steps written identically both
+    # engines: num/sqrt(var18) * sqrt(18.0)
+    num = (F.col("s_stat") - F.signum(F.col("s_stat")).cast("long")).cast(
+        "double"
+    )
+    z_q = F.when(
+        var18 > 0,
+        F.floor(
+            num / F.sqrt(var18.cast("double")) * F.sqrt(F.lit(18.0))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return j.select(
+        F.col("g").alias(type_col),
+        "n_days",
+        "s_stat",
+        var18.cast("long").alias("var_s_x18"),
+        z_q.alias("z_q"),
+    ).orderBy(type_col)
+
+
+def mann_kendall_daily_sql(events_table: str = "events") -> str:
+    """DuckDB twin of mann_kendall_daily."""
+    return f"""
+WITH mk_daily AS MATERIALIZED (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+mk_spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM mk_daily GROUP BY g
+),
+mk_full AS MATERIALIZED (
+  SELECT s.g, s.d, coalesce(dl.x, 0)::BIGINT AS x
+  FROM mk_spine s LEFT JOIN mk_daily dl ON dl.g = s.g AND dl.d = s.d
+),
+mk_s AS (
+  SELECT a.g, sum(sign(b.x - a.x))::BIGINT AS s_stat
+  FROM mk_full a JOIN mk_full b ON a.g = b.g AND a.d < b.d
+  GROUP BY a.g
+),
+mk_ties AS (
+  SELECT g,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term,
+         sum(t)::BIGINT AS n_days
+  FROM (SELECT g, x, count(*)::BIGINT AS t FROM mk_full GROUP BY g, x)
+  GROUP BY g
+),
+mk_j AS (
+  SELECT s.g, t.n_days, s.s_stat,
+         (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+          - t.tie_term)::BIGINT AS var18
+  FROM mk_s s JOIN mk_ties t ON t.g = s.g
+)
+SELECT g AS event_type, n_days, s_stat,
+       var18 AS var_s_x18,
+       CASE WHEN var18 > 0 THEN
+         floor((s_stat - sign(s_stat))::DOUBLE / sqrt(var18::DOUBLE)
+               * sqrt(18.0) * 1e6 + 0.5)::BIGINT
+       ELSE 0 END AS z_q
+FROM mk_j ORDER BY event_type
+"""

@@ -4700,6 +4700,24 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_mann_kendall(spark, sf):
+    """Mann-Kendall monotonic-trend test (operators/temporal.
+    mann_kendall_daily) per event-type daily series — the
+    nonparametric "is it actually trending" ranking next to
+    cusum_detect's level shifts. S and 18·Var(S) exact int64 (tie
+    correction from one per-value groupBy); the i<j pair kernel is
+    bounded by calendar days² per series, never corpus rows."""
+    from ..operators.temporal import mann_kendall_daily
+
+    return mann_kendall_daily(load(spark, sf, "events"))
+
+
+def oracle_mann_kendall() -> str:
+    from ..operators.temporal import mann_kendall_daily_sql
+
+    return mann_kendall_daily_sql("events")
+
+
 def q_sax_symbols(spark, sf):
     """SAX symbolization (operators/temporal.sax_daily) of each
     event-type's zero-filled daily count series: z-normalize via
@@ -9189,6 +9207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     "chi2_abtest": q_chi2_abtest,
     "sax_symbols": q_sax_symbols,
+    "mann_kendall": q_mann_kendall,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9340,6 +9359,7 @@ ORACLES: dict[str, str] = {
     "psi_drift": oracle_psi_drift(),
     "chi2_abtest": oracle_chi2_abtest(),
     "sax_symbols": oracle_sax_symbols(),
+    "mann_kendall": oracle_mann_kendall(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

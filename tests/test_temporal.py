@@ -752,3 +752,70 @@ def test_sax_daily_sql_twin(spark):
         tuple(r) for r in con.execute(sax_daily_sql("events")).fetchall()
     )
     assert got == want
+
+
+def test_mann_kendall_hand_cases(spark):
+    """Strictly increasing series: S = C(n,2), large positive z;
+    constant series: S = 0 and Var degenerates to 0 via the tie
+    term (all days one tie group); textbook S check on a mixed
+    series."""
+    import math
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        mann_kendall_daily,
+    )
+
+    rows = []
+    # U: 1,2,3,4,5 per day -> strictly up
+    for day in range(1, 6):
+        rows += [("U", f"2024-04-0{day}T00:00:00")] * day
+    # K: constant 3/day
+    for day in range(1, 6):
+        rows += [("K", f"2024-04-0{day}T00:00:00")] * 3
+    # M: 2,1,2 -> pairs (2,1):-1 (2,2):0 (1,2):+1 -> S=0
+    for day, n in [(1, 2), (2, 1), (3, 2)]:
+        rows += [("M", f"2024-04-0{day}T00:00:00")] * n
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string"
+    ).selectExpr("event_type", "cast(ts as timestamp) AS ts")
+    got = {r["event_type"]: r for r in mann_kendall_daily(df).collect()}
+    u = got["U"]
+    assert u["s_stat"] == 10  # C(5,2), no ties
+    assert u["var_s_x18"] == 5 * 4 * 15  # no tie correction
+    expect_z = (10 - 1) / math.sqrt(5 * 4 * 15 / 18)
+    assert abs(u["z_q"] / 1e6 - expect_z) < 1e-5
+    k = got["K"]
+    assert k["s_stat"] == 0 and k["var_s_x18"] == 0 and k["z_q"] == 0
+    assert got["M"]["s_stat"] == 0
+
+
+def test_mann_kendall_sql_twin(spark):
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        mann_kendall_daily,
+        mann_kendall_daily_sql,
+    )
+
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(f"mk|{i}".encode()).hexdigest()
+        day = int(h[:2], 16) % 25 + 1
+        g = f"t{int(h[2:4], 16) % 3}"
+        rows.append((g, f"2024-05-{day:02d}T12:00:00"))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string"
+    ).selectExpr("event_type", "cast(ts as timestamp) AS ts")
+    got = sorted(tuple(r) for r in mann_kendall_daily(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, t.replace("T", " ")) for g, t in rows],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(mann_kendall_daily_sql("events")).fetchall()
+    )
+    assert got == want
