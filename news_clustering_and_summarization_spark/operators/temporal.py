@@ -1592,3 +1592,126 @@ SELECT g AS event_type, n_days, s_stat,
        ELSE 0 END AS z_q
 FROM mk_j ORDER BY event_type
 """
+
+
+def theil_sen_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust trend slope per series over zero-filled daily
+    event counts — the MAGNITUDE companion to [[mann_kendall_daily]]
+    (MK says whether a drift is significant; this says how many
+    events/day it gains), robust to 29% outliers where OLS's
+    breakdown point is zero.
+
+    slope = lower median over all i<j pairs of (x_j − x_i)/(d_j − d_i),
+    each pair slope quantized ONCE as the exact integer
+    trunc(dy·1e6 / dx) — dy is SIGNED, and Spark DIV and DuckDB //
+    both truncate toward zero, so the quantized slopes agree on both
+    signs and no float slope ever exists — then the lower median
+    via the per-value-count cumulative window
+    (the weighted_median pattern: 2·cum >= n_pairs), partitioned by
+    series. Pair kernel bounded by calendar days² per series, like
+    MK.
+
+    Output: (event_type, n_pairs, slope_q) ordered by series —
+    slope_q in micro-events/day."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    a = full.select("g", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = full.select("g", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    slopes = (
+        a.join(b, "g")
+        .where(F.col("di") < F.col("dj"))
+        .select(
+            "g",
+            # dy is SIGNED (falling series) — safe because Spark DIV
+            # and DuckDB // BOTH truncate toward zero (verified:
+            # -1000000 // 7 = -142857 in this container's DuckDB)
+            F.expr(
+                "CAST((xj - xi) * 1000000 DIV datediff(dj, di) AS LONG)"
+            ).alias("s_q"),
+        )
+    )
+    per_val = slopes.groupBy("g", "s_q").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("s_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("g")
+    ranked = per_val.select(
+        "g",
+        "s_q",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(tot).alias("n_pairs"),
+    )
+    return (
+        ranked.where(2 * F.col("cum") >= F.col("n_pairs"))
+        .groupBy("g", "n_pairs")
+        .agg(F.min("s_q").alias("slope_q"))
+        .select(
+            F.col("g").alias(type_col),
+            F.col("n_pairs"),
+            "slope_q",
+        )
+        .orderBy(type_col)
+    )
+
+
+def theil_sen_daily_sql(events_table: str = "events") -> str:
+    """DuckDB twin of theil_sen_daily."""
+    return f"""
+WITH ts_daily AS MATERIALIZED (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+ts_spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM ts_daily GROUP BY g
+),
+ts_full AS MATERIALIZED (
+  SELECT s.g, s.d, coalesce(dl.x, 0)::BIGINT AS x
+  FROM ts_spine s LEFT JOIN ts_daily dl ON dl.g = s.g AND dl.d = s.d
+),
+ts_slopes AS (
+  SELECT a.g,
+         ((b.x - a.x) * 1000000 // date_diff('day', a.d, b.d))::BIGINT
+           AS s_q
+  FROM ts_full a JOIN ts_full b ON a.g = b.g AND a.d < b.d
+),
+ts_pv AS (
+  SELECT g, s_q, count(*)::BIGINT AS c FROM ts_slopes GROUP BY g, s_q
+),
+ts_rk AS (
+  SELECT g, s_q,
+         sum(c) OVER (PARTITION BY g ORDER BY s_q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY g) AS n_pairs
+  FROM ts_pv
+)
+SELECT g AS event_type, n_pairs::BIGINT AS n_pairs,
+       min(s_q)::BIGINT AS slope_q
+FROM ts_rk WHERE 2 * cum >= n_pairs
+GROUP BY g, n_pairs
+ORDER BY event_type
+"""

@@ -4700,6 +4700,25 @@ ORDER BY c_nationkey, c_mktsegment, balance_band
 """
 
 
+def q_theil_sen(spark, sf):
+    """Theil-Sen robust trend slope (operators/temporal.
+    theil_sen_daily) per event-type daily series — the magnitude
+    companion to mann_kendall (direction/significance): lower median
+    of all pairwise day slopes, each quantized once as an exact
+    integer division (signed dy is safe: Spark DIV and DuckDB //
+    both truncate toward zero). Pair kernel bounded by calendar
+    days² per series."""
+    from ..operators.temporal import theil_sen_daily
+
+    return theil_sen_daily(load(spark, sf, "events"))
+
+
+def oracle_theil_sen() -> str:
+    from ..operators.temporal import theil_sen_daily_sql
+
+    return theil_sen_daily_sql("events")
+
+
 def q_mann_kendall(spark, sf):
     """Mann-Kendall monotonic-trend test (operators/temporal.
     mann_kendall_daily) per event-type daily series — the
@@ -9208,6 +9227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_abtest": q_chi2_abtest,
     "sax_symbols": q_sax_symbols,
     "mann_kendall": q_mann_kendall,
+    "theil_sen": q_theil_sen,
     "classifier_auc": q_classifier_auc,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity": q_lm_perplexity,
@@ -9360,6 +9380,7 @@ ORACLES: dict[str, str] = {
     "chi2_abtest": oracle_chi2_abtest(),
     "sax_symbols": oracle_sax_symbols(),
     "mann_kendall": oracle_mann_kendall(),
+    "theil_sen": oracle_theil_sen(),
     "classifier_auc": oracle_classifier_auc(),
     "bpe_merges": oracle_bpe_merges(),
     "lm_perplexity": oracle_lm_perplexity(),

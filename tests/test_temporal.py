@@ -819,3 +819,53 @@ def test_mann_kendall_sql_twin(spark):
         for r in con.execute(mann_kendall_daily_sql("events")).fetchall()
     )
     assert got == want
+
+
+def test_theil_sen_hand_cases_and_twin(spark):
+    """Clean +2/day slope recovered exactly; a falling series yields
+    the negative quantized slope (signed integer division truncates
+    identically on both engines); random twin bit-match."""
+    import duckdb
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        theil_sen_daily,
+        theil_sen_daily_sql,
+    )
+
+    rows = []
+    # U: 1,3,5,7 -> every pair slope exactly +2/day
+    for day, n in [(1, 1), (2, 3), (3, 5), (4, 7)]:
+        rows += [("U", f"2024-06-0{day}T00:00:00")] * n
+    # D: 7,1 over 3 days (gap zero-fills day 2) -> slopes
+    # (0-7)/1=-7, (1-0)/1=+1, (1-7)/2=-3 -> lower median -3
+    rows += [("D", "2024-06-01T00:00:00")] * 7
+    rows += [("D", "2024-06-03T00:00:00")] * 1
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string"
+    ).selectExpr("event_type", "cast(ts as timestamp) AS ts")
+    got = {r["event_type"]: r for r in theil_sen_daily(df).collect()}
+    assert got["U"]["slope_q"] == 2_000_000 and got["U"]["n_pairs"] == 6
+    assert got["D"]["slope_q"] == -3_000_000 and got["D"]["n_pairs"] == 3
+
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(f"tsn|{i}".encode()).hexdigest()
+        day = int(h[:2], 16) % 25 + 1
+        g = f"t{int(h[2:4], 16) % 3}"
+        rows.append((g, f"2024-07-{day:02d}T12:00:00"))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string"
+    ).selectExpr("event_type", "cast(ts as timestamp) AS ts")
+    got = sorted(tuple(r) for r in theil_sen_daily(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, t.replace("T", " ")) for g, t in rows],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(theil_sen_daily_sql("events")).fetchall()
+    )
+    assert got == want
