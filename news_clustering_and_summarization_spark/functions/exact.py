@@ -21,7 +21,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["half_away_div", "half_away_div_sql"]
+__all__ = ["half_away_div", "half_away_div_sql", "sql_str_lit"]
+
+
+def sql_str_lit(s: str) -> str:
+    """Quote ``s`` as a single-quoted SQL string literal, doubling
+    embedded single quotes (identical escaping rule in Spark SQL and
+    DuckDB). Every oracle builder that interpolates a runtime string
+    (group names, stopword lists) must route through this — an
+    apostrophe in a data-derived value must not break or inject into
+    the generated query (r08 advisor finding)."""
+    return "'" + s.replace("'", "''") + "'"
 
 
 def half_away_div(num_expr: str, den_expr: str) -> Column:

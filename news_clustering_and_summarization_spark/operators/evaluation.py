@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import half_away_div
+from ..functions.exact import half_away_div, sql_str_lit
 
 
 def clustering_quality(
@@ -775,7 +775,8 @@ def ks_two_sample(
     int64 — safe while n_a·n_b < 2^63 (~3e9 rows per side); past
     that, widen the products to DECIMAL(38,0), the corr_matrix
     pattern — so both engines agree bit-for-bit up to the single
-    final division, half-away quantized.
+    final division, half-up quantized (floor(x·1e6 + 0.5):
+    ties toward +inf; identical expression both engines).
 
     ``value_col`` must already be an integer grid (quantize doubles
     upstream: the statistic is then the exact KS of the quantized
@@ -868,14 +869,17 @@ def ks_two_sample_sql(
 ) -> str:
     """DuckDB twin of ks_two_sample (single window over the
     distinct-value table — the oracle needs semantics, not the
-    two-phase scale shape)."""
+    two-phase scale shape). Group names are escaped as SQL string
+    literals (sql_str_lit) — apostrophes in data-derived group
+    values must not break the generated query."""
+    ga, gb = sql_str_lit(group_a), sql_str_lit(group_b)
     return f"""
 WITH per_v AS MATERIALIZED (
   SELECT ({value_expr})::BIGINT AS v,
-         sum(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END)::BIGINT AS a_c,
-         sum(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END)::BIGINT AS b_c
+         sum(CASE WHEN {group_col} = {ga} THEN 1 ELSE 0 END)::BIGINT AS a_c,
+         sum(CASE WHEN {group_col} = {gb} THEN 1 ELSE 0 END)::BIGINT AS b_c
   FROM {table}
-  WHERE {group_col} IN ('{group_a}', '{group_b}')
+  WHERE {group_col} IN ({ga}, {gb})
   GROUP BY 1
 ),
 tot AS (

@@ -131,7 +131,8 @@ def l_diversity_audit(
     corpus-scale pass — then a class-keyed groupBy over the
     (classes × values) table; bounded by the attribute domains, not
     rows. Entropy terms use the established runtime-ln per-term
-    quantization (×1e9, half-away) over exact integer count ratios,
+    quantization (×1e9, half-up: floor(x + 0.5), ties toward +inf)
+    over exact integer count ratios,
     so the sum is order-free and engine-identical.
 
     Output: (quasi_cols..., class_size, distinct_sensitive,
@@ -1206,7 +1207,7 @@ def group_js_divergence(
     the corpus total a ONE-ROW crossJoin. Every ln argument is an
     exact int64 product ratio (2·c·T vs c·T + C·T_g — widen to
     DECIMAL(38,0) past ~3e9-token groups, the corr_matrix pattern),
-    per-term half-away-quantized ×1e9 and weighted by the integer
+    per-term half-up-quantized ×1e9 (floor(x + 0.5)) and weighted by the integer
     count, so both sums are order-free; ln 2 enters as the shared
     integer literal LN2_Q.
 

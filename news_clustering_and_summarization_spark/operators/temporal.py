@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import half_away_div
+from ..functions.exact import half_away_div, sql_str_lit
 
 
 def asof_join(
@@ -563,7 +563,7 @@ def last_touch_attribution_sql(
     lookback_us: int = 3_600_000_000,
 ) -> str:
     """DuckDB twin of last_touch_attribution."""
-    touches = ", ".join(f"'{t}'" for t in touch_types)
+    touches = ", ".join(sql_str_lit(t) for t in touch_types)
     return f"""
 WITH base AS (
   SELECT user_id AS usr, event_id AS eid, event_type AS etype,
@@ -590,7 +590,7 @@ SELECT eid AS conv_id, usr AS user_id, ts_us AS conv_ts_us,
        CASE WHEN ts_us - t_ts <= {lookback_us} THEN ts_us - t_ts END
          ::BIGINT AS gap_us
 FROM carried
-WHERE etype = '{conversion_type}'
+WHERE etype = {sql_str_lit(conversion_type)}
 ORDER BY conv_id
 """
 
@@ -1336,7 +1336,8 @@ def sax_daily(
     sufficient statistics (Σx, Σx², n); the z-score is computed in
     integer micro-units — z_q = floor((n·x − S)·1e6 / (n·sd) + 0.5)
     with n·sd = sqrt(n·Σx² − S²) per series, sqrt being IEEE-
-    correctly-rounded and the single division quantized half-away —
+    correctly-rounded and the single division quantized half-up
+    (floor(x + 0.5): ties toward +inf) —
     then compared against integer breakpoint literals, so the symbol
     assignment cannot float-flip between engines. Zero-variance
     series emit all-'c' (z = 0 falls in the [0, 0.6745) region —
@@ -1470,7 +1471,8 @@ def mann_kendall_daily(
     Exactness: S and 18·Var(S) are pure int64 (the tie term comes
     from one extra groupBy over the per-value counts); the only
     float ops are one IEEE sqrt of an exact integer and one division,
-    half-away-quantized ×1e6. The i<j pair join is keyed on the
+    half-up-quantized ×1e6 (floor(x·1e6 + 0.5): ties toward +inf,
+    identical expression both engines). The i<j pair join is keyed on the
     series and bounded by CALENDAR days² per series, never corpus
     rows — at any corpus scale this is a constant-size kernel per
     series.

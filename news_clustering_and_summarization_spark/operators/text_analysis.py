@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.exact import sql_str_lit
 
 # --- language ID (stopword-hit heuristic) ----------------------------
 # Tiny per-language function-word lists; score = fraction of tokens
@@ -46,7 +47,7 @@ def language_id_sql(expr: str) -> str:
     tok = H.tokens_sql(expr)
     parts_score = []
     for lang, ws in sorted(LANG_MARKERS.items()):
-        arr = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        arr = "[" + ", ".join(sql_str_lit(w) for w in ws) + "]"
         parts_score.append(
             (
                 lang,
@@ -127,7 +128,7 @@ QUALITY_SQL_FRAGMENTS = {
 def quality_score_sql(text_expr: str) -> str:
     tok = H.tokens_sql(text_expr)
     t = f"coalesce({text_expr}, '')"
-    arr = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS_EN) + "]"
+    arr = "[" + ", ".join(sql_str_lit(w) for w in _STOPWORDS_EN) + "]"
     n_chars = f"length({t})"
     n_tokens = f"len({tok})"
     stop_ratio = (
@@ -1159,7 +1160,7 @@ def rake_keywords_sql(
     """DuckDB twin of rake_keywords."""
     tok = H.tokens_sql(text_col)
     sw = "[" + ", ".join(
-        f"'{w}'" for w in (stopwords or _STOPWORDS_EN)
+        sql_str_lit(w) for w in (stopwords or _STOPWORDS_EN)
     ) + "]"
     return f"""
 WITH rk_tok AS MATERIALIZED (

@@ -28,21 +28,60 @@ second review pass hardened the protocol:
 
 Recovery decision table for a staging directory found on disk:
 no manifest (or empty) → the merge never committed; sources are all
-intact; discard staging. Manifest present → the merge is
-authoritative for exactly the listed sources; remove whichever still
-exist and install the base.
+intact; discard staging — UNLESS a fresh ``_BEGIN`` marker names a
+live writer process, in which case the merge is in progress and the
+reader must leave the staging alone (reaping it under the writer
+could let the writer commit a manifest over a half-deleted base —
+silent data loss; r08 advisor finding). Manifest present → the merge
+is authoritative for exactly the listed sources; remove whichever
+still exist and install the base.
+
+Concurrency contract: compaction is SINGLE-WRITER (one maintenance
+process per store path — the Structured Streaming driver). Readers
+in other processes are safe at any time: the ``_BEGIN`` liveness
+marker keeps them from reaping an in-progress merge, and the
+manifest rename keeps them from completing a half-written one.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 STAGING = "_compact_staging"
 MANIFEST = "_FOLDED"
+BEGIN = "_BEGIN"
+# A no-manifest staging younger than this whose writer pid is alive is
+# treated as an in-progress merge. Past it, a wedged writer is assumed
+# dead (its commit would still be safe: the manifest rename is atomic
+# and recovery re-checks for it before reaping).
+BEGIN_STALE_SECONDS = 900.0
+
+
+def _writer_in_progress(staging: str) -> bool:
+    """True when ``staging`` carries a fresh ``_BEGIN`` marker naming
+    a live process other than ours — i.e. a concurrent compaction is
+    mid-write and the staging must not be reaped."""
+    marker = os.path.join(staging, BEGIN)
+    try:
+        with open(marker) as f:
+            pid = int(f.read().strip() or "0")
+        age = time.time() - os.path.getmtime(marker)
+    except (OSError, ValueError):
+        return False  # no/unreadable marker: old layout or pre-marker crash
+    if age >= BEGIN_STALE_SECONDS or pid == os.getpid():
+        # our own pid can't be mid-write concurrently (compaction is
+        # synchronous in-process) — it's a crashed prior attempt
+        return False
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False  # writer process is gone
+    return True
 
 
 def _epoch_dirs(path: str) -> list[int]:
@@ -70,7 +109,11 @@ def recover_staging(path: str) -> None:
         # no manifest, or an empty one: the merge never committed
         # (the manifest is renamed into place atomically AFTER a full
         # write, so a trusted manifest is never empty) — staging holds
-        # nothing authoritative and every source is intact
+        # nothing authoritative and every source is intact. BUT if a
+        # live writer's fresh _BEGIN marker is present, the merge is
+        # in progress in another process: leave it alone.
+        if _writer_in_progress(staging):
+            return
         shutil.rmtree(staging, ignore_errors=True)
         return
     for d in folded:
@@ -111,7 +154,16 @@ def compact_epochs(
         return False
     staging = os.path.join(path, STAGING)
     shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(staging)
+    # _BEGIN liveness marker FIRST, then the (long) parquet write in
+    # append mode so the marker survives it — concurrent readers'
+    # recover_staging sees a live writer and leaves the staging alone.
+    # Underscore-prefixed, so Spark reads ignore it wherever it rides.
+    os.makedirs(staging)
+    with open(os.path.join(staging, BEGIN), "w") as f:
+        f.write(str(os.getpid()))
+        f.flush()
+        os.fsync(f.fileno())
+    merged.write.mode("append").parquet(staging)
     # the manifest commits the fold set; it is written to a temp name
     # and renamed into place so it is ATOMICALLY all-or-nothing —
     # everything before it lands is discardable, everything after is

@@ -97,7 +97,16 @@ class HistogramStream:
         all requested ps resolve in a single conditional-min
         aggregate over it — not one pass per p (r07 review
         finding). The cumulative window runs over the bin table,
-        never the data."""
+        never the data.
+
+        Every p must satisfy 0 < p <= 1: p <= 0 would silently
+        return the minimum bin and p > 1 NULL-valued rows (r08
+        advisor finding) — both caller typos, so raise instead."""
+        bad = [p for p in ps if not 0.0 < float(p) <= 1.0]
+        if bad:
+            raise ValueError(
+                f"percentiles must be in (0, 1], got {bad!r}"
+            )
         hist = self.histogram().localCheckpoint(eager=True)
         w = Window.orderBy("bin").rowsBetween(
             Window.unboundedPreceding, 0

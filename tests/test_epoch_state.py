@@ -137,3 +137,75 @@ def test_reads_self_heal_interrupted_swap(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(hs.bins_path) if d.startswith("epoch=")
     ) == ["epoch=-1", "epoch=2"]
+
+
+def test_reader_leaves_live_writers_staging_alone(spark, tmp_path):
+    """The r08 advisor race: a reader's recover_staging must NOT reap
+    a manifest-less staging while another live process is mid-merge.
+    The _BEGIN marker (fresh mtime + live pid) is the signal; a
+    subprocess stands in for the concurrent writer."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    staging = os.path.join(path, epoch_state.STAGING)
+    os.makedirs(staging)
+    writer = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        with open(os.path.join(staging, epoch_state.BEGIN), "w") as f:
+            f.write(str(writer.pid))
+        with open(os.path.join(staging, "part-000.parquet"), "w") as f:
+            f.write("writer-still-writing")
+        epoch_state.recover_staging(path)
+        assert os.path.isdir(staging)  # left for the live writer
+    finally:
+        writer.kill()
+        writer.wait()
+    # writer died without committing: now reapable
+    epoch_state.recover_staging(path)
+    assert not os.path.exists(staging)
+    assert _totals(spark, path) == {1: 30}
+
+
+def test_stale_begin_marker_is_reaped(spark, tmp_path):
+    """A _BEGIN marker older than BEGIN_STALE_SECONDS (wedged/dead
+    writer from a past run) no longer protects the staging."""
+    path = str(tmp_path / "bins")
+    for e in range(2):
+        _write_epoch(spark, path, e, [(1, 10)])
+    staging = os.path.join(path, epoch_state.STAGING)
+    os.makedirs(staging)
+    marker = os.path.join(staging, epoch_state.BEGIN)
+    with open(marker, "w") as f:
+        f.write(str(os.getpid() + 1))
+    old = os.path.getmtime(marker) - epoch_state.BEGIN_STALE_SECONDS - 10
+    os.utime(marker, (old, old))
+    epoch_state.recover_staging(path)
+    assert not os.path.exists(staging)
+
+
+def test_compact_store_end_to_end_with_marker(spark, tmp_path):
+    """compact_store under the new protocol: the _BEGIN marker is
+    written before the parquet write (append mode preserves it),
+    rides along into epoch=-1, and Spark reads ignore it — totals
+    exact, nothing double-counted."""
+    from pyspark.sql import functions as SF
+
+    path = str(tmp_path / "bins")
+    for e in range(4):
+        _write_epoch(spark, path, e, [(1, 10), (2, 5)])
+
+    def merge(df):
+        return df.groupBy("bin").agg(SF.sum("cnt").alias("cnt"))
+
+    assert epoch_state.compact_store(spark, path, merge)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("epoch=")
+    ) == ["epoch=-1", "epoch=3"]
+    assert os.path.exists(
+        os.path.join(path, "epoch=-1", epoch_state.BEGIN)
+    )
+    assert _totals(spark, path) == {1: 40, 2: 20}
+    assert epoch_state.fold_sources(path) is None
