@@ -113,16 +113,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    warmup: dict[str, float] = {}
     # Round-robin across reps (q1 q2 ... qN, q1 q2 ...) rather than
     # back-to-back per query, so a transient load spike degrades one
     # rep of many queries instead of every rep of one query — the
-    # median then discards it everywhere.
-    for rep in range(reps):
+    # median then discards it everywhere. Rep -1 is a DISCARDED
+    # warmup sweep: first-execution JIT/codegen-cache cost (2-6s on
+    # the heavy queries) otherwise pollutes the recorded medians
+    # (r07 verdict item 2); it is kept separately as warmup_runs so
+    # the JIT cost stays visible without skewing the statistics.
+    for rep in range(-1, reps):
         for name in BENCH_QUERIES:
             fn = catalog.QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
-            runs.setdefault(name, []).append(time.time() - t0)
+            dt = time.time() - t0
+            if rep < 0:
+                warmup[name] = dt
+            else:
+                runs.setdefault(name, []).append(dt)
     for name, xs in runs.items():
         timings[name] = round(_median(xs), 3)
 
@@ -143,6 +152,7 @@ def main() -> None:
             "all_runs": {
                 k: [round(x, 3) for x in v] for k, v in runs.items()
             },
+            "warmup_runs": {k: round(v, 3) for k, v in warmup.items()},
         }
     )
     # The driver keeps only the LAST 2000 chars of stdout (BENCH_r04/

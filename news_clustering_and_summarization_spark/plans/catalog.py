@@ -75,6 +75,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen(spark: SparkSession, df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Scan-width floor for queries whose FIRST stage does heavy
+    per-row compute (tokenize / shingle / md5 / explode). At real
+    scale a table arrives as thousands of file splits and this is a
+    no-op; a small single-row-group parquet file (the bench inputs)
+    arrives as ONE unsplittable task, serializing the whole compute
+    stage on one core while 31 idle. One cheap round-robin exchange
+    of the raw rows buys cores-wide parallelism — gated on the
+    actual scan partitioning so a wide source is never reshuffled
+    (the 100 TB case must not pay a corpus shuffle for this).
+    Predicate pushdown and column pruning pass through the exchange
+    (verified: PushedFilters reaches the scan under repartition —
+    r08 plan audit)."""
+    parts = parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
+
+
 def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,4)")
 
@@ -1128,7 +1147,7 @@ FROM base
 
 def q_dedup_minhash(spark, sf):
     """Full LSH path: banded candidates verified with exact Jaccard."""
-    docs = load(spark, sf, "documents")
+    docs = widen(spark, load(spark, sf, "documents"))
     return D.minhash_near_duplicates(
         docs, n=3, threshold=0.5, k=16, bands=4
     ).withColumn("jaccard", F.round("jaccard", 6))
@@ -2129,7 +2148,7 @@ def q_record_linkage(spark, sf):
     perturbations, blocking, agreements, and scores."""
     from ..operators.linkage import FieldRule, link_records
 
-    cust = load(spark, sf, "customer").select(
+    cust = widen(spark, load(spark, sf, "customer")).select(
         "c_custkey",
         "c_nationkey",
         "c_name",
@@ -2380,7 +2399,7 @@ def q_corpus_build(spark, sf):
     certify the composition, not just the parts."""
     from ..operators.sampling import select_token_budget
 
-    docs = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    docs = widen(spark, load(spark, sf, "documents")).where(F.col("text").isNotNull())
     scored = TA.token_counts(
         TA.quality_score(docs).withColumn(
             "lang_pred", TA.language_id("text")
@@ -4361,7 +4380,7 @@ def q_kmeans_assign(spark, sf):
     each boundary so unordered-mean ulp drift cannot flip an argmin."""
     from ..operators.kmeans import lloyd_kmeans
 
-    emb = load(spark, sf, "embeddings").select(
+    emb = widen(spark, load(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -4447,7 +4466,7 @@ def q_semdedup(spark, sf):
     assignments and drops."""
     from ..operators.dedup import semantic_dedup
 
-    emb = load(spark, sf, "embeddings").select(
+    emb = widen(spark, load(spark, sf, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -4549,7 +4568,7 @@ def q_dsir_select(spark, sf):
         dsir_importance_weights,
     )
 
-    docs = load(spark, sf, "documents")
+    docs = widen(spark, load(spark, sf, "documents"))
     target = docs.where(F.col("lang") == "en")
     w = dsir_importance_weights(docs, target, "doc_id", "text", 1024)
     return (
@@ -4996,7 +5015,7 @@ def q_bpe_merges(spark, sf):
     training loop."""
     from ..operators.bpe import learn_bpe_merges, word_frequencies
 
-    docs = load(spark, sf, "documents")
+    docs = widen(spark, load(spark, sf, "documents"))
     merges, _ = learn_bpe_merges(word_frequencies(docs, "text"), 3)
     return merges.orderBy("step")
 
@@ -5353,7 +5372,7 @@ def q_winnow_candidates(spark, sf):
     equals the (hash, pos) struct order Spark minimizes."""
     from ..operators.text_analysis import winnow_fingerprints
 
-    docs = load(spark, sf, "documents")
+    docs = widen(spark, load(spark, sf, "documents"))
     fps = winnow_fingerprints(docs, k=4, w=5).select(
         "doc_id", "fp_hash"
     ).distinct()
@@ -5826,7 +5845,7 @@ def q_pagerank(spark, sf):
     AQE; only the dst aggregation exchanges)."""
     from ..operators.graph import SCALE, pagerank_fixed_point
 
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    li = widen(spark, load(spark, sf, "lineitem")).select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -6697,7 +6716,7 @@ def q_bpe_encode(spark, sf):
         word_frequencies,
     )
 
-    docs = load(spark, sf, "documents")
+    docs = widen(spark, load(spark, sf, "documents"))
     merges_df, _ = learn_bpe_merges(word_frequencies(docs, "text"), 3)
     merges = [
         (r["left"], r["right"])
@@ -6780,7 +6799,7 @@ def q_keyword_textrank(spark, sf):
         textrank_edges,
     )
 
-    docs = load(spark, sf, "documents")
+    docs = widen(spark, load(spark, sf, "documents"))
     edges = textrank_edges(docs, "text", min_len=4)
     ranks = pagerank_fixed_point(edges, iterations=3)
     return (
@@ -8088,10 +8107,13 @@ def q_source_jaccard_kmv(spark, sf):
     sketches — ONE corpus-scale distinct, no shingle self-join; all
     pair math on the #sources·k sketch table (kilobytes at any
     corpus size). The planning-grade replacement for the exact
-    variant's hot-shingle #sources² fanout; exact kept for audits."""
+    variant's hot-shingle #sources² fanout; exact kept for audits.
+    r08: τ-prefiltered (only bottom-k candidates reach the distinct
+    shuffle) over a widened scan (the shingle+md5 stage was a single
+    task on the one-file bench input)."""
     from ..operators.dedup import source_jaccard_kmv
 
-    return source_jaccard_kmv(load(spark, sf, "documents"))
+    return source_jaccard_kmv(widen(spark, load(spark, sf, "documents")))
 
 
 def oracle_source_jaccard_kmv() -> str:

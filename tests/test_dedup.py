@@ -689,6 +689,44 @@ def test_source_jaccard_kmv_tracks_exact(spark):
     assert got == want
 
 
+def test_source_jaccard_kmv_prefilter_lossless(spark):
+    """The r08 τ-prefilter must be invisible in the output: the
+    prefiltered path equals the direct path row-for-row, both at a
+    comfortable margin (no fallback) and at margin=1 with a tiny k
+    (τ cuts to ~k survivors, so the short-source fallback
+    recompute path is actually exercised)."""
+    import hashlib
+
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        source_jaccard_kmv,
+    )
+
+    words = ["red", "blue", "green", "gold", "iron", "clay", "moss"]
+    rows = []
+    for i in range(120):
+        h = hashlib.md5(f"sjp|{i}".encode()).hexdigest()
+        txt = " ".join(
+            words[int(h[j * 2 : j * 2 + 2], 16) % len(words)]
+            for j in range(6)
+        )
+        rows.append((i, txt, f"s{int(h[:2], 16) % 4}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    for k, margin in [(64, 4), (8, 1)]:
+        direct = sorted(
+            tuple(r)
+            for r in source_jaccard_kmv(
+                df, k=k, prefilter_margin=None
+            ).collect()
+        )
+        pref = sorted(
+            tuple(r)
+            for r in source_jaccard_kmv(
+                df, k=k, prefilter_margin=margin
+            ).collect()
+        )
+        assert pref == direct, (k, margin)
+
+
 def test_setsim_join_prefix_filter_lossless(spark):
     """Hand case: two near-identical docs pass threshold, an
     unrelated doc never pairs; the independent quadratic oracle
