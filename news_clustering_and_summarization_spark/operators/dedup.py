@@ -489,6 +489,47 @@ def simhash_fingerprints(
     )
 
 
+def _block_candidates(fp: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """Pigeonhole candidate join shared by simhash_duplicates and
+    multimodal.phash_duplicates: split the 60-bit fingerprint into
+    4 x 15-bit blocks; hamming <= 3 ⇒ at least one block identical,
+    so an equi-join per block finds every qualifying pair (lossless
+    at that threshold). block b = (fp % 2^((b+1)*15)) -
+    (fp % 2^(b*15)) — exact integer ops on longs only.
+
+    Input: (id, fp). Output: (l_id, l_fp, r_id, r_fp), l_id < r_id,
+    deduplicated across blocks."""
+    blocks = 4
+    bits_per = H.SIMHASH_BITS // blocks  # 15
+    keyed = fp.select(
+        "id",
+        fp_col,
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        (F.col(fp_col) % F.lit(1 << ((b + 1) * bits_per)))
+                        - (F.col(fp_col) % F.lit(1 << (b * bits_per)))
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    return (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["block", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("l_id"),
+            F.col(f"a.{fp_col}").alias("l_fp"),
+            F.col("b.id").alias("r_id"),
+            F.col(f"b.{fp_col}").alias("r_fp"),
+        )
+        .distinct()
+    )
+
+
 def simhash_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -499,42 +540,10 @@ def simhash_duplicates(
     the fingerprint (pigeonhole: hamming <= 3 over 4 blocks ⇒ at least
     one block identical), then verified by exact hamming distance.
     Output: (l_id, r_id, hamming), l_id < r_id."""
-    blocks = 4
-    bits_per = H.SIMHASH_BITS // blocks  # 15
     fp = simhash_fingerprints(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), "simhash"
+        F.col(id_col).alias("id"), F.col("simhash").alias("fp")
     )
-    # block b = (simhash % 2^((b+1)*15)) // 2^(b*15), done with exact
-    # integer ops (modulo then subtract-shift via division by power of
-    # two AFTER the modulo keeps everything < 2^15 — exact in double,
-    # but use decimal-safe floor on longs instead)
-    keyed = fp.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        (F.col("simhash") % F.lit(1 << ((b + 1) * bits_per)))
-                        - (F.col("simhash") % F.lit(1 << (b * bits_per)))
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("block", "key"),
-    )
-    cands = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), ["block", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("l_id"),
-            F.col("a.simhash").alias("l_fp"),
-            F.col("b.id").alias("r_id"),
-            F.col("b.simhash").alias("r_fp"),
-        )
-        .distinct()
-    )
+    cands = _block_candidates(fp)
     return (
         cands.withColumn(
             "hamming", H.hamming_distance(F.col("l_fp"), F.col("r_fp"))

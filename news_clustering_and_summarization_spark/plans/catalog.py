@@ -3971,6 +3971,90 @@ GROUP BY 1
 """
 
 
+def q_phash_dedup(spark, sf):
+    """Perceptual-hash image near-dup detection (multimodal.
+    phash_duplicates, r08 verdict item 4): aHash 60-bit fingerprints
+    over the fake-codec pixel grid, candidates via the shared
+    4x15-bit pigeonhole banding (lossless at hamming <= 3), exact
+    hamming verify. Near-duplicate images are PLANTED — every 5th
+    image asset reappears under asset_id+1000000 with a two-char
+    payload suffix (a sub-threshold perturbation of the fake luma
+    grid) — so the query must pair each replica with its original.
+    The oracle replays fingerprints bit-for-bit and uses the same
+    pigeonhole blocks (equivalence with all-pairs is the pigeonhole
+    THEOREM, not an implementation coincidence)."""
+    from ..operators.multimodal import phash_duplicates
+
+    imgs = _media_frame(spark, sf).where(F.col("media_type") == "image")
+    planted = (
+        imgs.where(F.col("asset_id").cast("long") % 5 == 0)
+        .select(
+            (F.col("asset_id").cast("long") + F.lit(1000000))
+            .cast("string")
+            .alias("asset_id"),
+            F.concat(
+                F.col("payload"), F.encode(F.lit(" zz"), "utf-8")
+            ).alias("payload"),
+        )
+    )
+    return phash_duplicates(
+        imgs.select("asset_id", "payload").unionByName(planted),
+        max_hamming=3,
+    ).orderBy("l_id", "r_id")
+
+
+def oracle_phash_dedup() -> str:
+    from ..operators.multimodal import PHASH_CELLS
+
+    tok = H.tokens_sql("text")
+    blocks = ", ".join(
+        f"(phash % {1 << ((b + 1) * 15)}) - (phash % {1 << (b * 15)})"
+        for b in range(4)
+    )
+    return f"""
+WITH img AS MATERIALIZED (
+  SELECT doc_id::VARCHAR AS asset_id, text FROM documents
+  WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT (doc_id + 1000000)::VARCHAR, text || ' zz' FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+),
+px AS (
+  SELECT asset_id, {H.hash64_sql('t')} % {PHASH_CELLS} AS cell,
+         count(*)::BIGINT AS value
+  FROM (SELECT asset_id, unnest({tok}) AS t FROM img)
+  GROUP BY 1, 2
+),
+fp AS MATERIALIZED (
+  SELECT asset_id,
+         sum(CASE WHEN value * {PHASH_CELLS} > total
+                  THEN (1::BIGINT << cell) ELSE 0 END)::BIGINT AS phash
+  FROM (SELECT *, sum(value) OVER (PARTITION BY asset_id) AS total
+        FROM px)
+  GROUP BY 1
+),
+keyed AS MATERIALIZED (
+  -- no block ordinal (DuckDB lacks WITH ORDINALITY): block values
+  -- keep their original bit positions, so cross-block key
+  -- collisions are possible only at key=0 — spurious CANDIDATES
+  -- the hamming verify below discards, never missed pairs
+  SELECT asset_id, phash, u.k AS key
+  FROM fp, unnest([{blocks}]) AS u(k)
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS l_id, a.phash AS l_fp,
+                  b.asset_id AS r_id, b.phash AS r_fp
+  FROM keyed a JOIN keyed b
+    ON a.key = b.key AND a.asset_id < b.asset_id
+)
+SELECT l_id, r_id,
+       {H.hamming_distance_sql('l_fp', 'r_fp')} AS hamming
+FROM cand
+WHERE {H.hamming_distance_sql('l_fp', 'r_fp')} <= 3
+ORDER BY l_id, r_id
+"""
+
+
 def q_multimodal_decode(spark, sf):
     """Decode -> frame-sample over mapInPandas with the deterministic
     fake codec (real codecs absent in this container — the Spark-side
@@ -9191,6 +9275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_measures": q_unpivot_measures,
     "media_stats": q_media_stats,
     "multimodal_decode": q_multimodal_decode,
+    "phash_dedup": q_phash_dedup,
     "regional_revenue": q_regional_revenue,
     "sql_shipping_priority": q_sql_shipping_priority,
     "stable_ids": q_stable_ids,
@@ -9514,6 +9599,7 @@ ORACLES: dict[str, str] = {
     "skew_join": ORACLE_SKEW_JOIN,
     "unpivot_measures": ORACLE_UNPIVOT,
     "media_stats": ORACLE_MEDIA_STATS,
+    "phash_dedup": oracle_phash_dedup(),
     "regional_revenue": ORACLE_REGIONAL_REVENUE,
     "sql_shipping_priority": ORACLE_SQL_SHIPPING,
     "stable_ids": ORACLE_STABLE_IDS,

@@ -71,3 +71,44 @@ def test_media_stats(media):
     got = {r["media_type"]: r for r in MM.media_stats(media).collect()}
     assert got["image"]["n_assets"] == 2
     assert got["video"]["total_bytes"] == len(b"\x00mp4-fake")
+
+
+def test_phash_planted_near_duplicates(spark):
+    """aHash fingerprints pair an exact payload copy (hamming 0) and
+    a lightly-perturbed copy (sub-threshold cell change), never the
+    unrelated asset; l_id < r_id and the pigeonhole banding finds
+    every pair an all-pairs scan would (verified by brute force)."""
+    base = (
+        b"the quick brown fox jumps over the lazy dog and keeps "
+        b"running far beyond the old stone bridge by the river"
+    )
+    rows = [
+        ("a1", base),
+        ("a2", base),                       # exact duplicate
+        ("a3", base + b" zz"),              # near duplicate
+        ("b1", b"volcanic ash clouds ground flights across europe "
+               b"as the eruption intensifies near the glacier"),
+    ]
+    df = spark.createDataFrame(rows, ["asset_id", "payload"])
+    got = {
+        (r["l_id"], r["r_id"]): r["hamming"]
+        for r in MM.phash_duplicates(df, max_hamming=3).collect()
+    }
+    assert ("a1", "a2") in got and got[("a1", "a2")] == 0
+    assert ("a1", "a3") in got and got[("a1", "a3")] <= 3
+    assert not any("b1" in pair for pair in got)
+    # banding == all-pairs at this threshold (pigeonhole)
+    from news_clustering_and_summarization_spark.functions import hashing as H
+    from pyspark.sql import functions as F
+
+    fp = MM.ahash_fingerprints(MM.fake_pixels(df))
+    a = fp.select(F.col("asset_id").alias("l_id"), F.col("phash").alias("l_fp"))
+    b = fp.select(F.col("asset_id").alias("r_id"), F.col("phash").alias("r_fp"))
+    brute = {
+        (r["l_id"], r["r_id"]): r["hamming"]
+        for r in a.join(b, F.col("l_id") < F.col("r_id"))
+        .withColumn("hamming", H.hamming_distance(F.col("l_fp"), F.col("r_fp")))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
