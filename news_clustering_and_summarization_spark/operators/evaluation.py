@@ -1021,27 +1021,40 @@ def psi_drift(
             F.sum("b_c").cast("long").alias("cur_n"),
         )
     )
-    # bucket spine: a bucket holding NO distinct values still owes
-    # its add-one smoothing term, and callers get exactly n_buckets
-    # rows (r07 review finding)
-    spine = df.sparkSession.range(1, n_buckets + 1).select(
+    return psi_from_bucket_counts(
+        df.sparkSession, per_bucket_raw, n_buckets
+    )
+
+
+def psi_from_bucket_counts(
+    spark, per_bucket_raw: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """PSI tail shared by the batch operator above and
+    streaming/drift.PsiStream (r08 verdict item 5): given raw
+    per-bucket (bucket, ref_n, cur_n) counts, emit the full
+    n_buckets-row PSI table. Totals are the bucket sums (every row
+    lands in exactly one bucket, so these equal the pre-bucketing
+    slice totals); the spine left-join guarantees a bucket holding
+    no values still contributes its add-one smoothing term (r07
+    review finding). Because the STREAM's detect() calls this very
+    function over its accumulated bucket counts, stream == batch is
+    true by construction — same expressions, same quantization."""
+    totals = per_bucket_raw.agg(
+        F.sum("ref_n").cast("long").alias("_na"),
+        F.sum("cur_n").cast("long").alias("_nb"),
+    )
+    spine = spark.range(1, n_buckets + 1).select(
         F.col("id").cast("long").alias("bucket")
     )
     per_bucket = (
         spine.join(per_bucket_raw, "bucket", "left")
-        .crossJoin(
-            F.broadcast(
-                totals.select(
-                    F.col("n_a").alias("_na"), F.col("n_b").alias("_nb")
-                )
-            )
-        )
+        .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
             F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
-            "_na",
-            "_nb",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
     )
     # add-one smoothing: p=(ref_n+1)/(na+k), q=(cur_n+1)/(nb+k)
