@@ -1,0 +1,580 @@
+"""Clustering (the flagship family): ε-graph, LSH scale path, serving, e2e.
+
+Split out of the former plans/catalog.py monolith (r08 verdict item
+6) — function bodies unchanged; plans.catalog re-exports every name,
+so the driver contract, tests and tools are untouched."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from ..functions import hashing as H
+from ..functions import vectors as V
+from ..operators import cluster as C
+from .catalog_shared import (  # noqa: F401
+    load,
+)
+
+# ---------------------------------------------------------------------
+# Clustering (the flagship)
+# ---------------------------------------------------------------------
+
+CLUSTER_EPS = 0.8  # synthetic vectors are near-orthogonal; see tests
+
+
+def q_cluster_assign(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return C.cluster_batch(
+        emb, id_col="vec_id", vec_col="embedding", eps=CLUSTER_EPS,
+        strategy="cross",
+    )
+
+
+def oracle_cluster_assign(eps: float = CLUSTER_EPS) -> str:
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND {dist} <= {eps}
+),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT c.id AS vec_id, c.component AS cluster_rep, (cnt.n >= 2) AS is_cluster
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) cnt
+  USING (component)
+"""
+
+
+def q_cluster_lsh(spark, sf):
+    """Forces the sign-LSH similarity path at >LSH_THRESHOLD scale
+    (cluster.py:LSH_THRESHOLD): the embeddings table is
+    deterministically inflated 25x (50k vectors at sf0.1) and ε-edges
+    come from lsh_candidate_pairs — bucket equi-join on hyperplane
+    signs with multiprobe, never O(n²). Now fully oracled
+    (oracle_cluster_lsh): md5-derived inflation noise, md5-Rademacher
+    hyperplanes and fold-dot buckets replay the whole path — inflate,
+    bucket, probe, exact-verify, sample-recall — in DuckDB. Two
+    contracts additionally asserted in-plan: (1) zero false positives
+    — the max edge distance must be <= eps (structural: candidates
+    are exact-verified); (2) recall >= 0.5 against a brute-forced ~2%
+    sample of the corpus."""
+    from ..testing import inflate_vectors
+
+    eps = 0.10
+    emb = load(spark, sf, "embeddings")
+    inflated = (
+        inflate_vectors(emb, 25)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    # nbits=18 over the auto default: this corpus's true pairs sit
+    # well inside eps (family dist ~0.05 « 0.10), so extra selectivity
+    # costs ~4% sampled recall (0.74 vs 0.79 measured at 50k) while
+    # cutting the candidate join ~3x in wall time
+    # n_rows (metadata-only count * inflate factor) engages the
+    # broadcast vector-attach inside lsh_candidate_pairs: 50k x 64
+    # doubles = 25 MB, under the 64 MiB gate
+    edges = C.lsh_candidate_pairs(
+        inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
+        nbits=18, dim=64, n_rows=emb.count() * 25, symmetric=True,
+    ).localCheckpoint(eager=True)
+    sample = inflated.where(
+        H.hash64(F.col("vec_id").cast("string")) % 50 == 0
+    )
+    # checkpoint: exact feeds both the recall semi-join and the
+    # n_sample_pairs aggregate — without the cut the O(sample^2)
+    # verification kernel runs once per consumer
+    exact = C.brute_force_pairs(
+        sample, sample, eps, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    ).localCheckpoint(eager=True)
+    lsh_pairs = edges.where(F.col("l_id") < F.col("r_id")).select(
+        "l_id", "r_id"
+    )
+    hits = exact.join(lsh_pairs, ["l_id", "r_id"], "left_semi").agg(
+        F.count("*").alias("_n_hits")
+    )
+    return (
+        inflated.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(
+            edges.agg(
+                F.count("*").alias("n_edges"),
+                F.round(F.max("dist"), 6).alias("max_edge_dist"),
+            )
+        )
+        .crossJoin(exact.agg(F.count("*").alias("n_sample_pairs")))
+        .crossJoin(hits)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_sample_pairs",
+            F.round(
+                F.when(F.col("n_sample_pairs") > 0,
+                       F.col("_n_hits") / F.col("n_sample_pairs"))
+                .otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall_vs_exact_sample"),
+            "max_edge_dist",
+        )
+        .withColumn(
+            "no_false_positives",
+            F.assert_true(
+                F.col("max_edge_dist") <= F.lit(eps + 1e-9),
+                F.concat(F.lit("LSH edge beyond eps: "),
+                         F.col("max_edge_dist").cast("string")),
+            ).isNull(),
+        )
+        .withColumn(
+            "recall_floor_ok",
+            F.assert_true(
+                F.col("recall_vs_exact_sample") >= F.lit(0.5),
+                F.concat(F.lit("LSH recall below floor 0.5: "),
+                         F.col("recall_vs_exact_sample").cast("string")),
+            ).isNull(),
+        )
+    )
+
+
+def oracle_cluster_lsh(
+    eps: float = 0.10, nbits: int = 18, factor: int = 25
+) -> str:
+    """DuckDB replay of the entire cluster_lsh path: md5 inflation,
+    sign-LSH buckets over md5-Rademacher planes, multiprobe candidate
+    join, exact-cosine edge verification, and the sampled-recall
+    aggregate. MATERIALIZED CTEs pin each stage to one evaluation."""
+    from ..operators.similarity import probe_masks
+    from ..testing import inflate_vectors_sql
+
+    signs = V.rademacher_signs(64, nbits, seed=42)
+    masks = ", ".join(str(m) for m in probe_masks(nbits, 2))
+    cosd = V.cosine_distance_sql("li.embedding", "ri.embedding")
+    cosd_s = V.cosine_distance_sql("s1.embedding", "s2.embedding")
+    inf = inflate_vectors_sql("embeddings", factor, dim=64)
+    samp_pred = H.hash64_sql("vec_id::VARCHAR") + " % 50 = 0"
+    return f"""
+WITH inf AS MATERIALIZED ({inf}),
+{V.sign_bucket_cte_sql("inf", signs, "b")},
+cand AS (
+  SELECT DISTINCT l.vec_id AS l_id, r.vec_id AS r_id
+  FROM b l CROSS JOIN (SELECT unnest([{masks}]) AS m) mm
+  JOIN b r ON r.b = xor(l.b, mm.m)
+  WHERE l.vec_id <> r.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT l_id, r_id, dist FROM (
+    SELECT c.l_id, c.r_id, {cosd} AS dist
+    FROM cand c JOIN inf li ON li.vec_id = c.l_id
+                JOIN inf ri ON ri.vec_id = c.r_id)
+  WHERE dist <= {eps}
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM inf WHERE {samp_pred}
+),
+exact AS MATERIALIZED (
+  SELECT s1.vec_id AS l_id, s2.vec_id AS r_id
+  FROM samp s1 JOIN samp s2 ON s1.vec_id < s2.vec_id
+  WHERE {cosd_s} <= {eps}
+),
+agg AS (
+  SELECT (SELECT count(*) FROM inf) AS n_nodes,
+         (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT count(*) FROM exact) AS n_sample_pairs,
+         (SELECT count(*) FROM exact x WHERE EXISTS (
+            SELECT 1 FROM edges e2
+            WHERE e2.l_id = x.l_id AND e2.r_id = x.r_id)) AS n_hits,
+         (SELECT round(max(dist), 6) FROM edges) AS max_edge_dist
+)
+SELECT n_nodes, n_edges, n_sample_pairs,
+       round(CASE WHEN n_sample_pairs > 0
+                  THEN n_hits::DOUBLE / n_sample_pairs
+                  ELSE 1.0 END, 6) AS recall_vs_exact_sample,
+       max_edge_dist,
+       true AS no_false_positives, true AS recall_floor_ok
+FROM agg
+"""
+
+
+def q_clustering_quality(spark, sf):
+    """External cluster-evaluation metrics over the ε-graph assignment
+    vs the ground-truth label column — the eval capability the
+    reference's missing `test/` folder promised (README.md:258-262).
+    Entirely aggregation-shaped (contingency groupBy + marginals);
+    oracle recomputes clustering AND metrics in SQL."""
+    from ..operators.evaluation import clustering_quality
+
+    emb = load(spark, sf, "embeddings")
+    # tighter eps than CLUSTER_EPS: the synthetic vectors' pairwise
+    # distances start ~0.52, so 0.56 yields a mix of clusters and
+    # singletons — non-degenerate metrics (0.8 merges everything)
+    assigned = C.cluster_batch(
+        emb, id_col="vec_id", vec_col="embedding", eps=0.56,
+        strategy="cross",
+    )
+    joined = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return clustering_quality(joined, pred_col="cluster_rep", truth_col="label")
+
+
+def q_clustering_eps_sweep(spark, sf):
+    """Quality-vs-eps sweep: the reference's offline epsilon
+    comparison (summarization notebook cell 3 compares cluster files
+    at eps=0.05/0.10/0.15) as one query — one (homogeneity,
+    completeness, v_measure) row per eps. The grid is calibrated to
+    this corpus: synthetic pairwise distances start ~0.62, so the
+    notebook's absolute values would be all-singleton degenerate rows;
+    {0.56, 0.60, 0.64} spans none→some→more merging, which is the
+    sweep's point. Each arm is an independent ε-graph clustering +
+    contingency aggregation; the union is a plan-level UNION ALL so
+    the three arms run as parallel stages, not sequentially."""
+    from functools import reduce
+
+    from ..operators.evaluation import clustering_quality
+
+    emb = load(spark, sf, "embeddings")
+    arms = []
+    for eps in EPS_SWEEP_GRID:
+        assigned = C.cluster_batch(
+            emb, id_col="vec_id", vec_col="embedding", eps=eps,
+            strategy="cross",
+        )
+        joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+        arms.append(
+            clustering_quality(
+                joined, pred_col="cluster_rep", truth_col="label"
+            ).select(
+                F.lit(eps).alias("eps"),
+                "n",
+                "homogeneity",
+                "completeness",
+                "v_measure",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+EPS_SWEEP_GRID = (0.56, 0.60, 0.64)
+
+
+def oracle_clustering_eps_sweep() -> str:
+    arms = [
+        f"SELECT CAST({eps} AS DOUBLE) AS eps, * FROM "
+        f"({_oracle_quality_block(eps)})"
+        for eps in EPS_SWEEP_GRID
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
+def oracle_clustering_quality() -> str:
+    return _oracle_quality_block(0.56)
+
+
+def _oracle_quality_block(eps: float) -> str:
+    assign = oracle_cluster_assign(eps=eps).strip().rstrip(";")
+    return f"""
+WITH assigned AS ({assign}),
+joined AS (
+  SELECT a.cluster_rep AS _k, e.label AS _c
+  FROM assigned a JOIN embeddings e USING (vec_id)
+),
+cont AS (SELECT _k, _c, count(*) AS n_ck FROM joined GROUP BY _k, _c),
+tot AS (SELECT sum(n_ck)::DOUBLE AS n FROM cont),
+km AS (SELECT _k, sum(n_ck) AS n_k FROM cont GROUP BY _k),
+cm AS (SELECT _c, sum(n_ck) AS n_c FROM cont GROUP BY _c),
+cond AS (
+  SELECT -sum((n_ck / n) * ln(n_ck / n_k)) AS h_c_given_k,
+         -sum((n_ck / n) * ln(n_ck / n_c)) AS h_k_given_c
+  FROM cont JOIN km USING (_k) JOIN cm USING (_c), tot
+),
+ents AS (
+  SELECT (SELECT -sum((n_c / n) * ln(n_c / n)) FROM cm, tot) AS h_c,
+         (SELECT -sum((n_k / n) * ln(n_k / n)) FROM km, tot) AS h_k
+),
+hv AS (
+  SELECT CASE WHEN h_c = 0 THEN 1.0 ELSE 1.0 - h_c_given_k / h_c END AS h,
+         CASE WHEN h_k = 0 THEN 1.0 ELSE 1.0 - h_k_given_c / h_k END AS c
+  FROM cond, ents
+)
+SELECT (SELECT n::BIGINT FROM tot) AS n,
+       round(h, 6) AS homogeneity,
+       round(c, 6) AS completeness,
+       round(CASE WHEN h + c = 0 THEN 0.0 ELSE 2 * h * c / (h + c) END, 6)
+         AS v_measure
+FROM hv
+"""
+
+
+def q_cluster_serving(spark, sf):
+    """Serving view over the clustering: cluster sizes > 2, top-10 by
+    size (UI query shape, P10/A6/A7/O2)."""
+    assigned = q_cluster_assign(spark, sf)
+    return (
+        assigned.where("is_cluster")
+        .groupBy("cluster_rep")
+        .agg(F.count("*").alias("n_members"))
+        .where("n_members > 2")
+        .orderBy(F.desc("n_members"), F.asc("cluster_rep"))
+        .limit(10)
+    )
+
+
+def oracle_cluster_serving() -> str:
+    return f"""
+WITH assigned AS ({oracle_cluster_assign()})
+SELECT cluster_rep, count(*) AS n_members
+FROM assigned WHERE is_cluster
+GROUP BY cluster_rep
+HAVING count(*) > 2
+ORDER BY n_members DESC, cluster_rep ASC
+LIMIT 10
+"""
+
+
+def q_pool_metrics(spark, sf):
+    """A5 (process_records.py:313-316, 428-434): pool telemetry over
+    the clustering assignment — cluster count, singleton count, total
+    tracked stories."""
+    assigned = q_cluster_assign(spark, sf)
+    return assigned.agg(
+        F.count_distinct(
+            F.when(F.col("is_cluster"), F.col("cluster_rep"))
+        ).alias("n_clusters"),
+        F.sum(F.when(~F.col("is_cluster"), 1).otherwise(0)).alias(
+            "n_singletons"
+        ),
+        F.count("*").alias("total_members"),
+    )
+
+
+def oracle_pool_metrics() -> str:
+    return f"""
+WITH assigned AS ({oracle_cluster_assign()})
+SELECT count(DISTINCT CASE WHEN is_cluster THEN cluster_rep END)
+         AS n_clusters,
+       sum(CASE WHEN NOT is_cluster THEN 1 ELSE 0 END)::BIGINT
+         AS n_singletons,
+       count(*) AS total_members
+FROM assigned
+"""
+
+
+def q_incremental_cluster(spark, sf):
+    """ST2/M3 stateful path in the gate: two micro-batches through
+    incremental_cluster_update (centroid collapse, representative =
+    lowest pool position, absorbed singletons purged). The DuckDB
+    oracle replays the identical batch sequence in SQL — arrival-order
+    row ids, per-batch fresh-edge ε-graph closure (recursive CTE),
+    centroid means, rep/absorbed/kept-cluster bookkeeping — so this
+    stateful path is hash-gated, not rows-only. Semantics are also
+    golden-tested in tests/test_cluster.py."""
+    from ..schemas import CLUSTER_STATE_SCHEMA
+
+    emb = load(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        (F.col("vec_id") % 2).alias("_half"),
+    )
+    state = spark.createDataFrame([], CLUSTER_STATE_SCHEMA)
+    # eps=0.56 (not CLUSTER_EPS): non-degenerate pool — a mix of
+    # multi-member clusters and singletons exercises the rep/absorbed/
+    # kept-cluster paths, and the sparse ε-graph keeps the oracle's
+    # recursive closure tractable (0.8 merges all 500 rows into one
+    # dense component).
+    for half in (0, 1):
+        res = C.incremental_cluster_update(
+            state,
+            emb.where(F.col("_half") == half).drop("_half"),
+            eps=0.56,
+            strategy="cross",
+        )
+        state = res["state"].localCheckpoint(eager=True)
+    return (
+        state.groupBy("is_cluster")
+        .agg(
+            F.count("*").alias("n_pool_rows"),
+            F.sum(F.size("article_ids")).alias("n_articles"),
+        )
+        .orderBy("is_cluster")
+    )
+
+
+def oracle_incremental_cluster(eps: float = 0.56) -> str:
+    """SQL replay of q_incremental_cluster's two-batch run of
+    incremental_cluster_update (cluster.py:450-597): batch row ids are
+    assigned in arrival (string) order after the surviving pool's max
+    row id; fresh edges are new×pool only; components close over the
+    whole pool; the lowest-row_id member represents a multi component,
+    absorbed singletons are purged into it (article lists ordered by
+    row_id), already-cluster non-reps persist unchanged, and the rep's
+    centroid is the element-wise mean of member pool-row vectors —
+    which is what batch 2's distance tests run against."""
+    # distances test normalized-then-dotted vectors — the same shape as
+    # the Spark kernel (brute_force_pairs normalizes rows, then
+    # matmuls). Native list_dot_product instead of the index-ordered
+    # dot_sql lambda: these distances only GATE edges (they are never
+    # emitted), the nearest pair sits ~0.04 from the 0.56 threshold,
+    # and the native kernel is ~5x faster on the two n_batch x n_pool
+    # joins that dominate this oracle.
+    d_ab = "greatest(0.0, least(1.0, 1.0 - list_dot_product(a.nv, b.nv)))"
+    d_ap = "greatest(0.0, least(1.0, 1.0 - list_dot_product(a.nv, p.nv)))"
+    return f"""
+WITH RECURSIVE
+emb0 AS (
+  SELECT vec_id::VARCHAR AS id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         vec_id % 2 AS half
+  FROM embeddings
+),
+emb1 AS (
+  SELECT id, v, half, {V.norm_sql("v")} AS nrm FROM emb0
+),
+emb AS MATERIALIZED (
+  SELECT id, v, half, list_transform(v, x -> x / nrm) AS nv FROM emb1
+),
+b1 AS MATERIALIZED (
+  SELECT id, v, nv, row_number() OVER (ORDER BY id) AS row_id
+  FROM emb WHERE half = 0
+),
+e1 AS MATERIALIZED (
+  SELECT a.row_id AS src, b.row_id AS dst
+  FROM b1 a JOIN b1 b ON a.row_id <> b.row_id AND {d_ab} <= {eps}
+),
+r1 AS (
+  SELECT row_id AS id, row_id AS comp FROM b1
+  UNION
+  SELECT e.dst AS id, r.comp FROM r1 r JOIN e1 e ON e.src = r.id
+),
+c1 AS MATERIALIZED (SELECT id AS row_id, min(comp) AS component FROM r1 GROUP BY id),
+s1 AS MATERIALIZED (SELECT component, count(*) AS n FROM c1 GROUP BY component),
+m1 AS MATERIALIZED (
+  SELECT c1.row_id, c1.component, b1.id, b1.v
+  FROM c1 JOIN b1 USING (row_id) JOIN s1 USING (component)
+  WHERE s1.n >= 2
+),
+cent1 AS MATERIALIZED (
+  SELECT component, list(avg_val ORDER BY pos) AS centroid
+  FROM (
+    SELECT component, pos, avg(val) AS avg_val
+    FROM (
+      SELECT component,
+             unnest(v) AS val,
+             unnest(range(1, len(v) + 1)) AS pos
+      FROM m1
+    )
+    GROUP BY component, pos
+  )
+  GROUP BY component
+),
+rep1 AS MATERIALIZED (
+  SELECT component, min(row_id) AS row_id,
+         list(id ORDER BY row_id) AS article_ids
+  FROM m1 GROUP BY component
+),
+cent1n AS MATERIALIZED (
+  SELECT component, centroid,
+         list_transform(centroid, x -> x / {V.norm_sql("centroid")})
+           AS ncentroid
+  FROM cent1
+),
+pool1 AS MATERIALIZED (
+  SELECT rep1.row_id, rep1.article_ids, TRUE AS is_cluster,
+         cent1n.ncentroid AS nv
+  FROM rep1 JOIN cent1n USING (component)
+  UNION ALL
+  SELECT c1.row_id, [b1.id] AS article_ids, FALSE AS is_cluster, b1.nv
+  FROM c1 JOIN b1 USING (row_id) JOIN s1 USING (component)
+  WHERE s1.n < 2
+),
+b2 AS MATERIALIZED (
+  SELECT id, nv,
+         row_number() OVER (ORDER BY id)
+           + (SELECT coalesce(max(row_id), 0) FROM pool1) AS row_id
+  FROM emb WHERE half = 1
+),
+pool2 AS MATERIALIZED (
+  SELECT row_id, article_ids, is_cluster, nv FROM pool1
+  UNION ALL
+  SELECT row_id, [id] AS article_ids, FALSE AS is_cluster, nv FROM b2
+),
+e2 AS MATERIALIZED (
+  SELECT a.row_id AS src, p.row_id AS dst
+  FROM b2 a JOIN pool2 p ON a.row_id <> p.row_id AND {d_ap} <= {eps}
+),
+e2s AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst AS src, src AS dst FROM e2),
+r2 AS (
+  SELECT row_id AS id, row_id AS comp FROM pool2
+  UNION
+  SELECT e.dst AS id, r.comp FROM r2 r JOIN e2s e ON e.src = r.id
+),
+c2 AS MATERIALIZED (SELECT id AS row_id, min(comp) AS component FROM r2 GROUP BY id),
+s2 AS MATERIALIZED (SELECT component, count(*) AS n FROM c2 GROUP BY component),
+lab2 AS MATERIALIZED (
+  SELECT c2.row_id, c2.component, s2.n, p.article_ids, p.is_cluster,
+         row_number() OVER (
+           PARTITION BY c2.component ORDER BY c2.row_id) AS rk
+  FROM c2 JOIN pool2 p USING (row_id) JOIN s2 USING (component)
+),
+final AS (
+  SELECT is_cluster, len(article_ids)::BIGINT AS n_arts
+  FROM lab2 WHERE n < 2
+  UNION ALL
+  SELECT TRUE AS is_cluster, len(article_ids)::BIGINT AS n_arts
+  FROM lab2 WHERE n >= 2 AND rk > 1 AND is_cluster
+  UNION ALL
+  SELECT TRUE AS is_cluster,
+         sum(CASE WHEN rk = 1 OR NOT is_cluster
+                  THEN len(article_ids) ELSE 0 END)::BIGINT AS n_arts
+  FROM lab2 WHERE n >= 2
+  GROUP BY component
+)
+SELECT is_cluster,
+       count(*)::BIGINT AS n_pool_rows,
+       sum(n_arts)::BIGINT AS n_articles
+FROM final
+GROUP BY is_cluster
+ORDER BY is_cluster
+"""
+
+
+def q_pipeline_e2e(spark, sf):
+    """Full document pipeline (preprocess -> deterministic embed ->
+    cluster -> cluster sizes). The hashing-trick embedder is
+    md5-derived, so the ENTIRE pipeline replays in SQL: the oracle
+    rebuilds embed_text, tokens, signed bucket histograms, the
+    float32 wire quantization (::REAL::DOUBLE — IEEE-identical to the
+    UDF's astype(float32)), unit vectors, the ε=0.2 edge set, and the
+    recursive-CTE closure. Per-row embedding semantics are also
+    golden-tested in tests/."""
+    from ..operators.embed import embed_articles, unwrap_embedding
+    from ..operators.preprocess import with_embed_text
+
+    docs = (
+        load(spark, sf, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("source").alias("title"),
+            F.col("text").alias("summary"),
+            "text",
+        )
+        # small parquet arrives as 1 partition; fan out so the embed
+        # UDF runs on all cores
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    emb = embed_articles(with_embed_text(docs)).withColumn(
+        "vec", unwrap_embedding("concat_embedding")
+    )
+    assigned = C.cluster_batch(
+        emb, id_col="id", vec_col="vec", eps=0.2, strategy="auto"
+    )
+    return (
+        assigned.groupBy("is_cluster")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("is_cluster")
+    )
+
+
