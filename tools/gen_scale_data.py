@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Generate an sf1 rehearsal dataset by deterministic 10x inflation
+of the driver's read-only sf0.1 tables (r08 verdict item 1: every
+100x scale claim was plan-shape-only; nothing had ever executed
+above sf0.1).
+
+NOT a replacement for driver testdata — correctness stays pinned to
+/root/testdata (TESTDATA.md forbids touching it, so the inflated set
+lands in /tmp). The inflation is hash-deterministic (no RNG):
+
+- documents  x10: doc_id += r*10_000_000; replicas r>0 append a
+  per-(r, doc_id) suffix token so the distinct-shingle universe
+  keeps growing ~linearly (otherwise KMV/dedup distincts collapse
+  to the sf0.1 universe and the rehearsal measures nothing).
+  n_chars recomputed from the perturbed text.
+- embeddings x10: vec_id += r*10_000_000, vector cyclically
+  shifted by r positions. Verbatim copies were the first
+  rehearsal's lesson: 10 identical replicas x 25 bench-side
+  inflations merged every near-dup family 10-fold, so the TRUE
+  ε-pair count grew ~100x at 10x data and cluster_lsh looked
+  super-linear when it was faithfully verifying a quadratically
+  denser answer. A cyclic shift keeps norms and the label
+  geometry while making replicas ~orthogonal — pair density then
+  scales linearly, which is what a real 10x corpus does.
+- lineitem   x10: l_orderkey += r*100_000_000 (order identity),
+  l_partkey += r*200_000 (pagerank's co-purchase graph grows to 10
+  disjoint copies: 10x nodes AND 10x edges, not 10x multiplicity
+  of the same edges).
+- orders     x10: o_orderkey += r*100_000_000.
+- events     x10: row identity via ts += r microseconds (keeps
+  windows/sessions structurally intact while making replicas
+  distinct rows).
+- region/nation/customer/supplier/part: copied as-is (dimension
+  tables; the rehearsal queries treat them as broadcast sides).
+
+Usage: python tools/gen_scale_data.py [out_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE reps AS SELECT unnest(range({factor})) AS r")
+
+    def emit(name: str, sql: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{name}.parquet' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')"
+        ).fetchone()[0]
+        print(f"{name:12s} {n:>10,} rows")
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+    emit(
+        "documents",
+        f"""
+        SELECT d.doc_id + r.r * 10000000 AS doc_id,
+               CASE WHEN r.r = 0 THEN d.text
+                    ELSE d.text || ' xr' || r.r || 'w' || (d.doc_id % 997)
+               END AS text,
+               d.lang, d.source,
+               CASE WHEN r.r = 0 THEN d.n_chars
+                    ELSE length(d.text || ' xr' || r.r || 'w'
+                                || (d.doc_id % 997))
+               END AS n_chars
+        FROM read_parquet('{SRC}/documents.parquet') d CROSS JOIN reps r
+        """,
+    )
+    emit(
+        "embeddings",
+        f"""
+        SELECT e.vec_id + r.r * 10000000 AS vec_id,
+               CASE WHEN r.r = 0 THEN e.embedding
+                    ELSE list_concat(e.embedding[r.r + 1:],
+                                     e.embedding[:r.r])
+               END AS embedding,
+               e.label
+        FROM read_parquet('{SRC}/embeddings.parquet') e CROSS JOIN reps r
+        """,
+    )
+    emit(
+        "lineitem",
+        f"""
+        SELECT l.* REPLACE (
+            l.l_orderkey + r.r * 100000000 AS l_orderkey,
+            l.l_partkey + r.r * 200000 AS l_partkey)
+        FROM read_parquet('{SRC}/lineitem.parquet') l CROSS JOIN reps r
+        """,
+    )
+    emit(
+        "orders",
+        f"""
+        SELECT o.* REPLACE (o.o_orderkey + r.r * 100000000 AS o_orderkey)
+        FROM read_parquet('{SRC}/orders.parquet') o CROSS JOIN reps r
+        """,
+    )
+    emit(
+        "events",
+        f"""
+        SELECT e.* REPLACE (
+            e.ts + to_microseconds(r.r::BIGINT) AS ts)
+        FROM read_parquet('{SRC}/events.parquet') e CROSS JOIN reps r
+        """,
+    )
+    print(f"-> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
