@@ -602,6 +602,104 @@ def cluster_batch(
     )
 
 
+def dbscan(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    eps: float = DEFAULT_EPS,
+    min_samples: int = 4,
+    strategy: str = "cross",
+) -> DataFrame:
+    """Full DBSCAN (Ester et al. 1996) at arbitrary ``min_samples`` —
+    the general form of the reference's min_samples=2 configuration
+    (business_logic/clustering/, where every ε-connected point is
+    core and [[cluster_batch]]'s component labeling is exact). At
+    min_samples > 2 the core/border/noise distinction appears:
+
+      core   — |N_eps(p)| >= min_samples, the point itself included
+               (so neighbor-degree >= min_samples − 1);
+      border — non-core with at least one core ε-neighbor; joins the
+               cluster of its MINIMUM-labeled core neighbor
+               (a deterministic pick where the textbook algorithm is
+               order-dependent — border points reachable from two
+               clusters are assigned by label order, not scan order);
+      noise  — everything else (cluster NULL).
+
+    Clusters are connected components over CORE-CORE ε-edges only
+    (textbook density-reachability restricted to cores), labeled by
+    the component's minimum core id. Shape: one ε-pair join (the
+    same brute-force/LSH machinery as cluster_batch), one degree
+    groupBy, CC on the core subgraph (geometrically contracting),
+    one border attach join. Output: (id_col, role, cluster).
+    """
+    nodes = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    if strategy == "cross":
+        edges = brute_force_pairs(
+            nodes, nodes, eps, id_col=id_col, vec_col=vec_col,
+            upper_only=True, with_dist=False,
+        )
+    else:
+        edges = similarity_pairs(
+            nodes, nodes, eps, id_col=id_col, vec_col=vec_col,
+            strategy=strategy,
+        ).where(F.col("l_id") < F.col("r_id")).select("l_id", "r_id")
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(
+            F.col("r_id").alias("l_id"), F.col("l_id").alias("r_id")
+        )
+    )
+    deg = sym.groupBy("l_id").agg(F.count(F.lit(1)).alias("_deg"))
+    roles = (
+        nodes.select(id_col)
+        .join(deg.withColumnRenamed("l_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            (
+                F.coalesce("_deg", F.lit(0)) >= F.lit(min_samples - 1)
+            ).alias("_core"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cores = roles.where("_core").select(id_col)
+    core_edges = (
+        edges.join(
+            cores.withColumnRenamed(id_col, "l_id"), "l_id", "left_semi"
+        )
+        .join(
+            cores.withColumnRenamed(id_col, "r_id"), "r_id", "left_semi"
+        )
+    )
+    comp = connected_components(cores, core_edges, id_col=id_col)
+    core_lbl = comp.select(
+        F.col(id_col).alias("_cid"), F.col("component").alias("_cluster")
+    ).localCheckpoint(eager=True)
+    # border attach: min core-neighbor CLUSTER LABEL per non-core id
+    border = (
+        sym.join(
+            core_lbl, sym.r_id == core_lbl._cid
+        )
+        .groupBy("l_id")
+        .agg(F.min("_cluster").alias("_bcluster"))
+    )
+    return (
+        roles.join(
+            core_lbl.withColumnRenamed("_cid", id_col), id_col, "left"
+        )
+        .join(border.withColumnRenamed("l_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_core"), F.lit("core"))
+            .when(F.col("_bcluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.when(F.col("_core"), F.col("_cluster"))
+            .otherwise(F.col("_bcluster"))
+            .alias("cluster"),
+        )
+    )
+
+
 def centroids(
     df: DataFrame,
     member_col: str = "cluster_rep",

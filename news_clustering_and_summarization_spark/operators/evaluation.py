@@ -1151,3 +1151,66 @@ SELECT bucket, ref_n, cur_n, term_q,
        sum(term_q) OVER ()::BIGINT AS psi_q
 FROM psi_t ORDER BY bucket
 """
+
+
+def cohen_kappa(
+    df: DataFrame, rater_a, rater_b, quant: int = 1_000_000
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (r08) between two label
+    columns/expressions — the standard check that two automated
+    labelers (quality classifiers, language filters, dedup verdicts)
+    agree beyond chance before one replaces the other in a pipeline.
+
+        kappa = (p_o − p_e) / (1 − p_e)
+              = (A·N − S) / (N² − S)
+
+    with A = #agreements, S = Σ_k rowcount_k · colcount_k — the whole
+    statistic reduces to EXACT int64 sufficient statistics (N ≤ ~3e9
+    before N² needs DECIMAL widening, the corr_matrix pattern), and
+    the single final division is quantized half-up ×quant, so both
+    engines agree bit-for-bit. Works for any label domain, not just
+    booleans. Shape: one pass for A and N, one label-keyed groupBy
+    pair for the margins (domain-bounded), one-row output
+    (n, agree, s_cross, kappa_q)."""
+    labeled = df.select(
+        F.col(rater_a).cast("string").alias("ra") if isinstance(rater_a, str)
+        else rater_a.cast("string").alias("ra"),
+        F.col(rater_b).cast("string").alias("rb") if isinstance(rater_b, str)
+        else rater_b.cast("string").alias("rb"),
+    ).localCheckpoint(eager=True)
+    head = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("ra") == F.col("rb")).cast("long"))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = labeled.groupBy(F.col("ra").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    mb = labeled.groupBy(F.col("rb").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    s = (
+        ma.join(mb, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("s_cross"))
+    )
+    return (
+        head.crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            "agree",
+            F.coalesce("s_cross", F.lit(0)).alias("s_cross"),
+            F.floor(
+                (F.col("agree") * F.col("n") - F.col("s_cross")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("s_cross")).cast(
+                    "double"
+                )
+                * F.lit(float(quant))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("kappa_q"),
+        )
+    )

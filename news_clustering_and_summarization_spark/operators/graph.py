@@ -162,6 +162,123 @@ def pagerank_sql(
     return ",\n".join(parts), prev
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank (r08): the random walk teleports back to
+    a SEED SET instead of the uniform distribution — the similarity /
+    recommendation form ("rank every node by proximity to these
+    seeds"). Exact scaled-integer fixed point like
+    [[pagerank_fixed_point]]:
+
+      s(v)        = SCALE div |S|          for v in S, else 0
+      rank_0      = s
+      rank_{i+1}(v) = (s(v)·(den−num)) div den
+                    + (num · Σ_{u→v} rank_i(u) div outdeg(u)) div den
+
+    so both engines agree bit-for-bit with no rounding discipline.
+    Same shuffle shape as the uniform variant: one groupBy per
+    iteration keyed on dst; seeds broadcast. ``seeds`` is one column
+    ``node``; seeds absent from the graph still receive teleport
+    mass (they are rankable isolated vertices)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .unionAll(seeds.select(F.col("node")))
+        .distinct()
+    )
+    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seed_mark = seeds.select("node", F.lit(1).alias("_is_seed"))
+    base = nodes.join(F.broadcast(seed_mark), "node", "left").crossJoin(
+        F.broadcast(n_seeds)
+    ).select(
+        "node",
+        F.when(
+            F.col("_is_seed").isNotNull(),
+            F.expr(f"{SCALE} div n_seeds"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s"),
+    ).localCheckpoint(eager=True)
+    ranks = base.select("node", F.col("s").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select("src", F.expr("rank div outdeg").alias("contrib"))
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"(s * {damping_den - damping_num})"
+                        f" div {damping_den}"
+                    )
+                    + F.expr(
+                        f"({damping_num} * coalesce(inflow, 0))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def personalized_pagerank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> tuple[str, str]:
+    """DuckDB replay of personalized_pagerank — unrolled CTEs,
+    bit-identical integer arithmetic. Returns (cte_fragment,
+    final_relation); caller splices into its WITH list."""
+    parts = [
+        f"ppr_nodes AS (SELECT DISTINCT node FROM ("
+        f"SELECT src AS node FROM {edges_cte}"
+        f" UNION ALL SELECT dst FROM {edges_cte}"
+        f" UNION ALL SELECT node FROM {seeds_cte}))",
+        f"ppr_ns AS (SELECT count(*) AS n FROM {seeds_cte})",
+        f"ppr_deg AS (SELECT src, count(*) AS outdeg FROM {edges_cte}"
+        " GROUP BY src)",
+        f"ppr_base AS (SELECT n.node, CASE WHEN s.node IS NOT NULL"
+        f" THEN {SCALE} // (SELECT n FROM ppr_ns) ELSE 0 END AS s"
+        f" FROM ppr_nodes n LEFT JOIN {seeds_cte} s ON n.node = s.node)",
+        "ppr_r0 AS (SELECT node, s AS rank FROM ppr_base)",
+    ]
+    prev = "ppr_r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ppr_r{i} AS (
+  SELECT b.node,
+         CAST((b.s * {damping_den - damping_num}) // {damping_den}
+              + ({damping_num} * coalesce(inf.inflow, 0))
+                // {damping_den} AS BIGINT) AS rank
+  FROM ppr_base b LEFT JOIN (
+    SELECT e.dst, sum(c.contrib) AS inflow
+    FROM (SELECT {prev}.node AS src, {prev}.rank // d.outdeg AS contrib
+          FROM {prev} JOIN ppr_deg d ON {prev}.node = d.src) c
+    JOIN {edges_cte} e ON e.src = c.src
+    GROUP BY e.dst
+  ) inf ON b.node = inf.dst
+)"""
+        )
+        prev = f"ppr_r{i}"
+    return ",\n".join(parts), prev
+
+
 # --- TextRank keyword extraction -------------------------------------
 
 

@@ -371,3 +371,74 @@ SELECT c.k AS {key_col}, r.node, c.vpos
 FROM chosen c JOIN ring r ON r.vpos = c.vpos
 ORDER BY {key_col}
 """
+
+
+def partition_skew_audit(
+    df: DataFrame,
+    key_cols: list[str],
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Shuffle-key skew audit (r08): "will this key distribute evenly
+    across ``n_partitions`` reducers?" — the question to ask BEFORE
+    keying a 100 TB shuffle. Each candidate key is hashed with the
+    engine-portable md5 hash (deterministic stand-in for the
+    engine's partitioner — skew is a property of the KEY DISTRIBUTION,
+    not of murmur vs md5) and every (key, partition) gets its row
+    count, distinct-key count, and an exact integer load factor
+    load_ppm = rows·P·1e6 div total (1e6 = perfectly balanced).
+    Empty partitions appear with zeros via a partition spine, so a
+    low-cardinality key's pathology (e.g. event_type: 5 values → at
+    most 5 busy reducers, 27 idle) is visible as rows, not absence.
+
+    One scan + one (key_name, partition)-keyed groupBy per audited
+    key — map-side combinable; output is key_cols·P rows at any
+    input size."""
+    from ..functions import hashing as H
+
+    spark = df.sparkSession
+    parts = []
+    for c in key_cols:
+        parts.append(
+            df.select(
+                F.lit(c).alias("key_name"),
+                (
+                    H.hash64(F.col(c).cast("string"))
+                    % F.lit(n_partitions)
+                ).alias("partition"),
+                F.col(c).cast("string").alias("_k"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    counts = u.groupBy("key_name", "partition").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("_k").cast("long").alias("n_keys"),
+    )
+    spine = (
+        spark.range(n_partitions)
+        .select(F.col("id").cast("long").alias("partition"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(c,) for c in key_cols], "key_name string"
+            )
+        )
+    )
+    totals = counts.groupBy("key_name").agg(
+        F.sum("n_rows").alias("_total")
+    )
+    return (
+        spine.join(counts, ["key_name", "partition"], "left")
+        .join(F.broadcast(totals), "key_name")
+        .select(
+            "key_name",
+            "partition",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("n_keys", F.lit(0)).cast("long").alias("n_keys"),
+            F.expr(
+                f"CAST(coalesce(n_rows, 0) * {n_partitions} * 1000000"
+                " div _total AS LONG)"
+            ).alias("load_ppm"),
+        )
+        .orderBy("key_name", "partition")
+    )

@@ -237,3 +237,77 @@ def mutual_best_match(
     if symmetric:
         out = out.where(F.col(l_col) < F.col(r_col))
     return out
+
+
+def golden_record(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "rec_id",
+    longest_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    mode_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Survivorship merge — the MDM "golden record" step that follows
+    record linkage (r08): duplicate groups are the connected
+    components of the match-pair graph (chains A-B-C collapse into
+    one entity, singletons survive as themselves), and each group's
+    canonical record is assembled field-by-field by rule:
+
+      longest_cols — longest value wins (ties: lexicographically
+                     smallest value, then smallest record id);
+      max_cols     — maximum value wins;
+      mode_cols    — most frequent value wins (ties: smallest value).
+
+    Every rule is a deterministic total order, so the golden record
+    is engine-replayable — no scan-order dependence, unlike naive
+    "first record wins" survivorship.
+
+    Shape: one CC over match pairs (geometrically contracting, like
+    dedup components), then per-rule windows/groupBys PARTITIONED BY
+    COMPONENT — high-cardinality keys, never a global window. Output:
+    (golden_id, n_members, <field columns>) — golden_id is the
+    group's minimum record id.
+
+    ``pairs`` needs columns l_id / r_id (direction-free)."""
+    from .cluster import connected_components
+
+    comp = connected_components(
+        records.select(id_col), pairs.select("l_id", "r_id"), id_col=id_col
+    )
+    base = (
+        records.join(comp, id_col)
+        .localCheckpoint(eager=True)  # CC output feeds every rule pass
+    )
+    out = base.groupBy("component").agg(
+        F.min(id_col).alias("golden_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    for c in longest_cols:
+        w = Window.partitionBy("component").orderBy(
+            F.length(c).desc(), F.col(c).asc(), F.col(id_col).asc()
+        )
+        pick = (
+            base.select("component", c, id_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("component", c)
+        )
+        out = out.join(pick, "component")
+    for c in max_cols:
+        out = out.join(
+            base.groupBy("component").agg(F.max(c).alias(c)), "component"
+        )
+    for c in mode_cols:
+        counts = base.groupBy("component", c).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("_n").desc(), F.col(c).asc()
+        )
+        pick = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("component", c)
+        )
+        out = out.join(pick, "component")
+    return out.drop("component")

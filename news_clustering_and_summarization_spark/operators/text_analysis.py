@@ -1208,3 +1208,117 @@ FROM rk_scored
 ORDER BY score_q DESC, phrase
 LIMIT {top_k}
 """
+
+
+def heaps_vocab_growth(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth fit (r08): V = K·N^β across
+    corpus slices — log-log OLS of per-slice vocabulary size on
+    per-slice token count. The corpus-health companion to
+    [[zipf_slope]]: natural text grows vocabulary at β ≈ 0.4–0.6;
+    β near 0 means the slices are re-treading one vocabulary
+    (template/boilerplate corpora), β near 1 means near-random
+    token streams — both red flags before a tokenizer or dedup run.
+
+    One (slice, token) distinct + one count pair per slice, then the
+    zipf_slope OLS discipline: each (ln N, ln V) quantized to an
+    integer ONCE, sufficient statistics in DECIMAL(38,0), single
+    quantized divisions at the edge. Output: ONE row
+    (n_slices, beta_q, lnk_q, r2_q), _q at 1e6.
+    """
+    lq = float(ZIPF_LOG_QUANT)
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(H.tokens(text_col)).alias("t"),
+    )
+    per_slice = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("t").cast("long").alias("vocab"),
+    )
+    pts = per_slice.select(
+        F.round(F.log(F.col("n_tok").cast("double")) * F.lit(lq))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")) * F.lit(lq))
+        .cast("long")
+        .alias("y"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("y") * d19("y")).alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n38 * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    beta = num / den
+    lnk = (
+        F.col("sy").cast("double") / F.lit(lq)
+        - beta * F.col("sx").cast("double") / F.lit(lq)
+    ) / F.col("n").cast("double")
+    r2 = (num * num) / (den * deny)
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return stats.select(
+        F.col("n").alias("n_slices"),
+        q(beta).alias("beta_q"),
+        q(lnk).alias("lnk_q"),
+        q(r2).alias("r2_q"),
+    )
+
+
+def heaps_vocab_growth_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of heaps_vocab_growth."""
+    tok = H.tokens_sql(text_col)
+    lq = float(ZIPF_LOG_QUANT)
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp, unnest({tok}) AS t FROM {table}
+),
+per_slice AS (
+  SELECT grp, count(*)::BIGINT AS n_tok,
+         count(DISTINCT t)::BIGINT AS vocab
+  FROM toks GROUP BY grp
+),
+pts AS (
+  SELECT round(ln(n_tok::DOUBLE) * {lq!r})::BIGINT AS x,
+         round(ln(vocab::DOUBLE) * {lq!r})::BIGINT AS y
+  FROM per_slice
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         sum(y::HUGEINT * y::HUGEINT) AS syy
+  FROM pts
+),
+derived AS (
+  SELECT n,
+         (n::HUGEINT * sxy - sx * sy)::DOUBLE AS num,
+         (n::HUGEINT * sxx - sx * sx)::DOUBLE AS den,
+         (n::HUGEINT * syy - sy * sy)::DOUBLE AS deny,
+         sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+  FROM stats
+)
+SELECT n AS n_slices,
+       floor(num / den * 1e6 + 0.5)::BIGINT AS beta_q,
+       floor((syd / {lq!r} - (num / den) * sxd / {lq!r}) / nd
+             * 1e6 + 0.5)::BIGINT AS lnk_q,
+       floor((num * num) / (den * deny) * 1e6 + 0.5)::BIGINT AS r2_q
+FROM derived
+"""

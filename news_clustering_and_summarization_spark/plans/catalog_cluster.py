@@ -578,3 +578,70 @@ def q_pipeline_e2e(spark, sf):
     )
 
 
+
+
+DBSCAN_EPS = 0.65
+DBSCAN_MIN_SAMPLES = 4
+
+
+def q_dbscan_full(spark, sf):
+    """General-min_samples DBSCAN (operators/cluster.dbscan, r08):
+    the reference runs DBSCAN(min_samples=2), where every ε-connected
+    point is core and cluster_batch's component labeling is exact;
+    this query exercises the FULL algorithm — core points by
+    neighbor degree, clusters as components of the core-core
+    subgraph, border points attached to their minimum-labeled core
+    neighbor (a deterministic pick where the textbook algorithm is
+    scan-order-dependent), noise left unlabeled. The oracle replays
+    the whole path with a recursive-CTE closure over core-core
+    edges."""
+    emb = load(spark, sf, "embeddings")
+    return C.dbscan(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        eps=DBSCAN_EPS,
+        min_samples=DBSCAN_MIN_SAMPLES,
+        strategy="cross",
+    ).orderBy("vec_id")
+
+
+def oracle_dbscan_full() -> str:
+    dist = V.cosine_distance_sql("a.embedding", "b.embedding")
+    k = DBSCAN_MIN_SAMPLES
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND {dist} <= {DBSCAN_EPS}
+),
+deg AS (SELECT src AS id, count(*) AS d FROM pairs GROUP BY 1),
+core AS MATERIALIZED (
+  SELECT id FROM deg WHERE d >= {k} - 1
+),
+cedges AS MATERIALIZED (
+  SELECT p.src, p.dst FROM pairs p
+  JOIN core a ON p.src = a.id JOIN core b ON p.dst = b.id
+),
+reach AS (
+  SELECT id, id AS comp FROM core
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN cedges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+border AS (
+  SELECT p.src AS id, min(c.cluster) AS bcluster
+  FROM pairs p JOIN comp c ON p.dst = c.id
+  WHERE p.src NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT v.vec_id,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN border.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(comp.cluster, border.bcluster) AS cluster
+FROM embeddings v
+LEFT JOIN comp ON v.vec_id = comp.id
+LEFT JOIN border ON v.vec_id = border.id
+ORDER BY v.vec_id
+"""

@@ -1544,3 +1544,68 @@ FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     )
 
 
+
+
+def q_personalized_pagerank(spark, sf):
+    """Personalized PageRank (operators/graph.personalized_pagerank,
+    r08): proximity ranking to a seed set over the part co-purchase
+    graph — the recommendation form of q_pagerank (teleport mass goes
+    to the 5 smallest part keys instead of the uniform vector). Same
+    exact scaled-integer fixed point, one dst-keyed shuffle per
+    iteration; the oracle replays all three iterations unrolled."""
+    from ..operators.graph import SCALE, personalized_pagerank
+
+    li = widen(spark, load(spark, sf, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=3)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            "rank",
+            F.round(F.col("rank") / F.lit(float(SCALE)), 6).alias(
+                "rank_norm"
+            ),
+        )
+        .orderBy(F.col("rank").desc(), "part_key")
+        .limit(20)
+    )
+
+
+def oracle_personalized_pagerank() -> str:
+    from ..operators.graph import SCALE, personalized_pagerank_sql
+
+    frag, final = personalized_pagerank_sql("edges", "seeds", iterations=3)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+seeds AS (
+  SELECT DISTINCT l_partkey AS node FROM lineitem ORDER BY 1 LIMIT 5
+),
+{frag}
+SELECT node AS part_key, rank,
+       round(rank / {float(SCALE)}, 6) AS rank_norm
+FROM {final}
+ORDER BY rank DESC, part_key
+LIMIT 20
+"""

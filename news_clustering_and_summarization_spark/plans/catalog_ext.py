@@ -2489,3 +2489,116 @@ def oracle_triangle_count() -> str:
     return triangle_counts_sql(cte)
 
 
+
+
+SKEW_AUDIT_PARTS = 32
+
+
+def q_partition_skew_audit(spark, sf):
+    """Shuffle-key skew audit (operators/layout.partition_skew_audit,
+    r08): per-reducer load profile for two candidate shuffle keys of
+    the event stream — user_id (high-cardinality, expected ~uniform)
+    and event_type (5 values: at most 5 busy reducers of 32, the
+    classic pre-shuffle pathology this audit exists to catch before
+    a 100 TB job keys on it). Exact integer load factors; empty
+    partitions materialized via a spine."""
+    from ..operators.layout import partition_skew_audit
+
+    ev = load(spark, sf, "events")
+    return partition_skew_audit(
+        ev, ["user_id", "event_type"], n_partitions=SKEW_AUDIT_PARTS
+    )
+
+
+def oracle_partition_skew_audit() -> str:
+    p = SKEW_AUDIT_PARTS
+    h = H.hash64_sql("k")
+    return f"""
+WITH keyed AS (
+  SELECT 'user_id' AS key_name, user_id::VARCHAR AS k FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+),
+counts AS (
+  SELECT key_name, {h} % {p} AS partition,
+         count(*)::BIGINT AS n_rows,
+         count(DISTINCT k)::BIGINT AS n_keys
+  FROM keyed GROUP BY 1, 2
+),
+totals AS (
+  SELECT key_name, sum(n_rows)::BIGINT AS total FROM counts GROUP BY 1
+),
+spine AS (
+  SELECT kn.key_name, r.i AS partition
+  FROM (SELECT DISTINCT key_name FROM keyed) kn
+  CROSS JOIN range(0, {p}) r(i)
+)
+SELECT s.key_name, s.partition,
+       coalesce(c.n_rows, 0)::BIGINT AS n_rows,
+       coalesce(c.n_keys, 0)::BIGINT AS n_keys,
+       (coalesce(c.n_rows, 0) * {p} * 1000000 // t.total)::BIGINT
+         AS load_ppm
+FROM spine s
+LEFT JOIN counts c ON s.key_name = c.key_name AND s.partition = c.partition
+JOIN totals t ON s.key_name = t.key_name
+ORDER BY s.key_name, s.partition
+"""
+
+
+def q_cohen_kappa(spark, sf):
+    """Inter-rater agreement (operators/evaluation.cohen_kappa, r08)
+    between two automated document-quality raters — a length rule
+    (n_chars >= 400) and a whitespace-token rule (>= 60 spaces).
+    Kappa reduces to exact int64 sufficient statistics
+    (A·N − S) / (N² − S); single quantized division at the edge."""
+    from ..operators.evaluation import cohen_kappa
+
+    docs = load(spark, sf, "documents")
+    r1 = (F.col("n_chars") >= 400).alias("ra")
+    r2 = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        >= 60
+    ).alias("rb")
+    return cohen_kappa(docs, r1, r2)
+
+
+ORACLE_COHEN_KAPPA = """
+WITH labeled AS (
+  SELECT (n_chars >= 400)::VARCHAR AS ra,
+         ((length(text) - length(replace(text, ' ', ''))) >= 60)
+           ::VARCHAR AS rb
+  FROM documents
+),
+head AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)::BIGINT AS agree
+  FROM labeled
+),
+ma AS (SELECT ra AS k, count(*)::BIGINT AS ca FROM labeled GROUP BY 1),
+mb AS (SELECT rb AS k, count(*)::BIGINT AS cb FROM labeled GROUP BY 1),
+s AS (
+  SELECT coalesce(sum(ca * cb), 0)::BIGINT AS s_cross
+  FROM ma JOIN mb USING (k)
+)
+SELECT n, agree, s_cross,
+       floor((agree * n - s_cross)::DOUBLE
+             / (n * n - s_cross)::DOUBLE * 1000000 + 0.5)::BIGINT
+         AS kappa_q
+FROM head CROSS JOIN s
+"""
+
+
+def q_heaps_law(spark, sf):
+    """Heaps'-law vocabulary growth fit (text_analysis.
+    heaps_vocab_growth, r08): log-log OLS of per-source vocabulary
+    on per-source token count — the corpus-health companion to
+    zipf_slope (β collapsing toward 0 flags boilerplate slices
+    before a tokenizer/dedup run). Sufficient-statistics OLS with
+    the one-quantized-ln-per-point discipline."""
+    docs = widen(spark, load(spark, sf, "documents"))
+    return TA.heaps_vocab_growth(docs)
+
+
+def oracle_heaps_law() -> str:
+    return TA.heaps_vocab_growth_sql("documents")

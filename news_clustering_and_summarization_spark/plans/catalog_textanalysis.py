@@ -758,3 +758,145 @@ FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
 """
 
 
+
+
+def q_golden_record(spark, sf):
+    """Survivorship merge after linkage (operators/linkage.
+    golden_record, r08): the planted dirty customer copies from
+    q_record_linkage are linked (same blocking + Fellegi-Sunter
+    scores, threshold 30), duplicate groups are the match-pair
+    components, and each group's golden record is assembled by rule —
+    longest name, max balance band, modal segment, min record id.
+    Pairs whose perturbations drove the score below threshold stay
+    unlinked, so their two records each survive as singleton goldens
+    (the recall cost of the weights, visible here as extra rows).
+    The oracle replays linkage, a recursive-CTE closure, and every
+    survivorship window."""
+    from ..operators.linkage import FieldRule, golden_record, link_records
+
+    cust = widen(spark, load(spark, sf, "customer")).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("band"),
+    )
+    a = cust.select(
+        F.concat(F.lit("a"), F.col("c_custkey")).alias("rec_id"),
+        "c_nationkey",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        "band",
+    )
+    b = cust.select(
+        F.concat(F.lit("b"), F.col("c_custkey")).alias("rec_id"),
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring(F.col("c_name"), 1, 2),
+                F.substring(F.col("c_name"), 4, 1000),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 2 == 0, F.col("band") + 1)
+        .otherwise(F.col("band"))
+        .alias("band"),
+    )
+    rules = [
+        FieldRule("name", 40, -15),
+        FieldRule("segment", 10, -10),
+        FieldRule("band", 15, -10),
+    ]
+    linked = link_records(a, b, ["c_nationkey"], rules, threshold=30)
+    pairs = linked.where("is_match").select(
+        F.col("left_id").alias("l_id"), F.col("right_id").alias("r_id")
+    )
+    records = a.unionByName(b).select("rec_id", "name", "segment", "band")
+    return golden_record(
+        records,
+        pairs,
+        id_col="rec_id",
+        longest_cols=("name",),
+        max_cols=("band",),
+        mode_cols=("segment",),
+    ).orderBy("golden_id")
+
+
+ORACLE_GOLDEN_RECORD = """
+WITH RECURSIVE cust AS (
+  SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+         cast(floor(c_acctbal / 100) AS BIGINT) AS band
+  FROM customer
+),
+a AS (
+  SELECT 'a' || c_custkey AS rec_id, c_nationkey, c_name AS name,
+         c_mktsegment AS segment, band
+  FROM cust
+),
+b AS (
+  SELECT 'b' || c_custkey AS rec_id, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, 2) || substr(c_name, 4)
+              ELSE c_name END AS name,
+         c_mktsegment AS segment,
+         CASE WHEN c_custkey % 2 = 0 THEN band + 1 ELSE band
+         END AS band
+  FROM cust
+),
+recs AS MATERIALIZED (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+),
+matched AS MATERIALIZED (
+  SELECT a.rec_id AS l_id, b.rec_id AS r_id
+  FROM a JOIN b ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+  WHERE (CASE WHEN a.name IS NOT DISTINCT FROM b.name
+              THEN 40 ELSE -15 END
+         + CASE WHEN a.segment IS NOT DISTINCT FROM b.segment
+                THEN 10 ELSE -10 END
+         + CASE WHEN a.band IS NOT DISTINCT FROM b.band
+                THEN 15 ELSE -10 END) >= 30
+),
+sym AS (
+  SELECT l_id AS src, r_id AS dst FROM matched
+  UNION ALL SELECT r_id, l_id FROM matched
+),
+reach AS (
+  SELECT rec_id AS id, rec_id AS comp FROM recs
+  UNION
+  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+base AS MATERIALIZED (
+  SELECT c.component, r.* FROM recs r JOIN comp c ON r.rec_id = c.id
+),
+heads AS (
+  SELECT component, min(rec_id) AS golden_id,
+         count(*)::BIGINT AS n_members, max(band) AS band
+  FROM base GROUP BY component
+),
+name_pick AS (
+  SELECT component, name FROM (
+    SELECT component, name,
+           row_number() OVER (
+             PARTITION BY component
+             ORDER BY length(name) DESC, name ASC, rec_id ASC) AS rn
+    FROM base) WHERE rn = 1
+),
+seg_pick AS (
+  SELECT component, segment FROM (
+    SELECT component, segment,
+           row_number() OVER (
+             PARTITION BY component
+             ORDER BY n DESC, segment ASC) AS rn
+    FROM (SELECT component, segment, count(*) AS n
+          FROM base GROUP BY 1, 2)) WHERE rn = 1
+)
+SELECT h.golden_id, h.n_members, np.name, h.band, sp.segment
+FROM heads h
+JOIN name_pick np USING (component)
+JOIN seg_pick sp USING (component)
+ORDER BY h.golden_id
+"""

@@ -222,3 +222,40 @@ def test_incremental_update_keeps_linked_clusters_separate(spark):
     assert rows["cl-a"]["article_ids"] == ["a1", "a2", "n1"]
     assert rows["cl-b"]["article_ids"] == ["b1", "b2"]  # kept, unmerged
     assert len(rows) == 2
+
+
+def test_dbscan_full_hand_case(spark):
+    """2-D unit vectors on a 30°-spaced arc, eps=0.3 (Δθ <= ~45.6°):
+    the three middle points have two ε-neighbors each (core at
+    min_samples=3), the arc ends have one (border, attached to the
+    min-labeled core), and the far point has none (noise). One
+    cluster, labeled by the minimum core id."""
+    import math
+
+    from news_clustering_and_summarization_spark.operators.cluster import (
+        dbscan,
+    )
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (1, v(0)), (2, v(30)), (3, v(60)), (4, v(90)), (5, v(120)),
+        (6, v(178)),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan(
+            df, id_col="id", vec_col="embedding", eps=0.3, min_samples=3
+        ).collect()
+    }
+    assert got == {
+        1: ("border", 2),
+        2: ("core", 2),
+        3: ("core", 2),
+        4: ("core", 2),
+        5: ("border", 2),
+        6: ("noise", None),
+    }

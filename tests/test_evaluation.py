@@ -440,3 +440,39 @@ def test_psi_and_ks_degenerate_inputs_match_twin(spark):
     ]
     assert got == want
     assert got[0][0] == 0 and got[0][3] is None
+
+
+def test_cohen_kappa_textbook(spark):
+    """Classic 2x2 example: raters agree on 20+15 of 50 with margins
+    (25,25)x(30,20) -> pe=0.5, po=0.7, kappa=0.4 exactly."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohen_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert (got["n"], got["agree"]) == (50, 35)
+    # S = 25*30 + 25*20 = 1250; kappa = (35*50-1250)/(2500-1250) = 0.4
+    assert got["s_cross"] == 1250
+    assert got["kappa_q"] == 400_000
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    same = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    assert cohen_kappa(same, F.col("a"), F.col("b")).collect()[0][
+        "kappa_q"
+    ] == 1_000_000

@@ -162,3 +162,26 @@ def test_hash_ring_properties(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_partition_skew_audit_shapes(spark):
+    """Low-cardinality key concentrates load in <= n_distinct
+    partitions (the rest appear with zero rows via the spine); a
+    near-unique key spreads out; load_ppm sums to ~P*1e6 per key."""
+    from news_clustering_and_summarization_spark.operators.layout import (
+        partition_skew_audit,
+    )
+
+    rows = [(i, "t%d" % (i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "uid long, etype string")
+    out = partition_skew_audit(df, ["uid", "etype"], n_partitions=8)
+    rowsd = [r.asDict() for r in out.collect()]
+    assert len(rowsd) == 16  # 2 keys x 8 partitions, spine-complete
+    et = [r for r in rowsd if r["key_name"] == "etype"]
+    assert sum(1 for r in et if r["n_rows"] > 0) <= 2
+    assert sum(r["n_rows"] for r in et) == 400
+    uid = [r for r in rowsd if r["key_name"] == "uid"]
+    assert sum(1 for r in uid if r["n_rows"] > 0) >= 6
+    for key_rows in (et, uid):
+        total_ppm = sum(r["load_ppm"] for r in key_rows)
+        assert abs(total_ppm - 8_000_000) <= 8  # div truncation slack

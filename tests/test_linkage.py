@@ -201,3 +201,43 @@ def test_mutual_best_match_symmetric_ignores_self_pairs(spark):
         ).collect()
     )
     assert got == [(1, 2)]
+
+
+def test_golden_record_chain_and_rules(spark):
+    """A-B-C chain collapses into ONE golden record; survivorship
+    picks longest name (tie -> lexicographically smaller), max
+    balance, modal segment (tie -> smaller value); the unlinked
+    record survives as its own golden."""
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        golden_record,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("r1", "ANNA", "AUTO", 10),
+            ("r2", "ANNABEL", "HOME", 30),
+            ("r3", "ANNABEL", "HOME", 20),
+            ("r9", "ZED", "AUTO", 5),
+        ],
+        "rec_id string, name string, segment string, band long",
+    )
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r2", "r3")], "l_id string, r_id string"
+    )
+    got = {
+        r["golden_id"]: r
+        for r in golden_record(
+            records,
+            pairs,
+            id_col="rec_id",
+            longest_cols=("name",),
+            max_cols=("band",),
+            mode_cols=("segment",),
+        ).collect()
+    }
+    assert set(got) == {"r1", "r9"}
+    g = got["r1"]
+    assert (g["n_members"], g["name"], g["band"], g["segment"]) == (
+        3, "ANNABEL", 30, "HOME",
+    )
+    assert got["r9"]["n_members"] == 1 and got["r9"]["name"] == "ZED"

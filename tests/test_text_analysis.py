@@ -519,3 +519,25 @@ def test_rake_keywords_sql_twin_and_phrase_cap(spark):
     assert got == want
     # cap respected
     assert all(r[1] <= 3 for r in got)
+
+
+def test_heaps_vocab_growth_known_exponent(spark):
+    """Synthetic slices built with V = N^0.5 exactly (vocab = sqrt of
+    token count, each type repeated sqrt-N times) recover beta ~ 0.5
+    with r2 ~ 1."""
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        heaps_vocab_growth,
+    )
+
+    rows = []
+    for si, v in enumerate([10, 20, 40, 80]):
+        # slice si: v distinct types, each repeated v times -> N = v^2
+        words = " ".join(
+            f"w{si}x{t}" for t in range(v) for _ in range(v)
+        )
+        rows.append((f"s{si}", words))
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = heaps_vocab_growth(df).collect()[0]
+    assert got["n_slices"] == 4
+    assert abs(got["beta_q"] - 500_000) < 2_000
+    assert got["r2_q"] > 999_000

@@ -53,6 +53,12 @@ CARTESIAN_OK = {
     # crossJoins the broadcast ONE-ROW corpus-total aggregate onto the
     # bigram table (text_analysis.collocations) — O(1)-row side
     "collocations",
+    # spine construction: range(P) crossJoin the 2-row key-name frame
+    # (both O(1) dimension tables), plus the broadcast per-key totals
+    "partition_skew_audit",
+    # ONE-ROW head aggregate crossJoin ONE-ROW margin-product
+    # aggregate — both sides O(1) by construction
+    "cohen_kappa",
     # same pattern: ONE-ROW source-count aggregate broadcast onto the
     # tf table
     "distinctive_terms",
