@@ -987,27 +987,8 @@ def psi_drift(
             (F.sum("a_c").over(w_in) + F.col("off_a")).alias("ca"),
         )
     )
-    # edge_j = min v with ca >= ceil(j*n_a/k); ceil via (j*n_a + k-1) DIV k
-    edge_aggs = [
-        F.min(
-            F.when(
-                F.col("ca")
-                >= F.expr(
-                    f"CAST(({j} * n_a + {n_buckets - 1}) DIV {n_buckets} AS LONG)"
-                ),
-                F.col("v"),
-            )
-        ).alias(f"e{j}")
-        for j in range(1, n_buckets)
-    ]
-    edges = cum.groupBy().agg(*edge_aggs)
-    bucket = F.lit(1)
-    for j in range(1, n_buckets):
-        # edges are never NULL while any data row exists: the rank
-        # threshold is 0 when n_a = 0 (every row satisfies ca >= 0,
-        # so e_j = min v) and <= n_a = max(ca) otherwise — no
-        # NULL-sentinel handling needed (r07 review)
-        bucket = bucket + (F.col("v") > F.col(f"e{j}")).cast("int")
+    edges = cum.groupBy().agg(*psi_edge_aggs(n_buckets))
+    bucket = psi_bucket_col(n_buckets)
     per_bucket_raw = (
         cum.crossJoin(F.broadcast(edges))
         .select(
@@ -1024,6 +1005,40 @@ def psi_drift(
     return psi_from_bucket_counts(
         df.sparkSession, per_bucket_raw, n_buckets
     )
+
+
+def psi_edge_aggs(n_buckets: int) -> list:
+    """The PSI decile-edge aggregate expressions, shared by batch
+    psi_drift and streaming/drift.PsiStream so the binning is
+    identical BY CONSTRUCTION, not by parallel maintenance (r08
+    review finding): edge_j = min v with ca >= ceil(j·n_a/k), ceil
+    via (j·n_a + k−1) DIV k. Expects columns v, ca, n_a."""
+    return [
+        F.min(
+            F.when(
+                F.col("ca")
+                >= F.expr(
+                    f"CAST(({j} * n_a + {n_buckets - 1})"
+                    f" DIV {n_buckets} AS LONG)"
+                ),
+                F.col("v"),
+            )
+        ).alias(f"e{j}")
+        for j in range(1, n_buckets)
+    ]
+
+
+def psi_bucket_col(n_buckets: int):
+    """The PSI bucket-assignment fold shared by batch and stream
+    (r08 review finding — see psi_edge_aggs). Expects column v and
+    broadcast edge columns e1..e{k-1}. Edges are never NULL while
+    any data row exists: the rank threshold is 0 when n_a = 0 (every
+    row satisfies ca >= 0, so e_j = min v) and <= n_a = max(ca)
+    otherwise — no NULL-sentinel handling needed (r07 review)."""
+    bucket = F.lit(1)
+    for j in range(1, n_buckets):
+        bucket = bucket + (F.col("v") > F.col(f"e{j}")).cast("int")
+    return bucket
 
 
 def psi_from_bucket_counts(
@@ -1171,7 +1186,15 @@ def cohen_kappa(
     engines agree bit-for-bit. Works for any label domain, not just
     booleans. Shape: one pass for A and N, one label-keyed groupBy
     pair for the margins (domain-bounded), one-row output
-    (n, agree, s_cross, kappa_q)."""
+    (n, agree, s_cross, kappa_q).
+
+    Degenerate pin (r08 review): when both raters emit the SAME
+    single constant label, S = N² and the textbook ratio is 0/0 —
+    pinned to +quant (perfect agreement, the statistic's limit).
+    Constant-but-different raters are NOT degenerate (their margin
+    join is empty, S = 0, kappa = 0 falls out of the formula —
+    provided the empty-join NULL is coalesced BEFORE entering the
+    arithmetic, the actual bug this note accompanies)."""
     labeled = df.select(
         F.col(rater_a).cast("string").alias("ra") if isinstance(rater_a, str)
         else rater_a.cast("string").alias("ra"),
@@ -1200,15 +1223,24 @@ def cohen_kappa(
             "n",
             "agree",
             F.coalesce("s_cross", F.lit(0)).alias("s_cross"),
-            F.floor(
-                (F.col("agree") * F.col("n") - F.col("s_cross")).cast(
-                    "double"
+            F.when(
+                F.col("n") * F.col("n")
+                == F.coalesce(F.col("s_cross"), F.lit(0)),
+                F.lit(quant),
+            )
+            .otherwise(
+                F.floor(
+                    (
+                        F.col("agree") * F.col("n")
+                        - F.coalesce(F.col("s_cross"), F.lit(0))
+                    ).cast("double")
+                    / (
+                        F.col("n") * F.col("n")
+                        - F.coalesce(F.col("s_cross"), F.lit(0))
+                    ).cast("double")
+                    * F.lit(float(quant))
+                    + F.lit(0.5)
                 )
-                / (F.col("n") * F.col("n") - F.col("s_cross")).cast(
-                    "double"
-                )
-                * F.lit(float(quant))
-                + F.lit(0.5)
             )
             .cast("long")
             .alias("kappa_q"),

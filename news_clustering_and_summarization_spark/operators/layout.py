@@ -435,9 +435,14 @@ def partition_skew_audit(
             "partition",
             F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
             F.coalesce("n_keys", F.lit(0)).cast("long").alias("n_keys"),
+            # DECIMAL(38,0) product: n_rows·P·1e6 overflows int64
+            # past ~2.9e11 rows/partition — exactly the low-
+            # cardinality pathology this audit exists to flag (r08
+            # review; corr_matrix widening pattern). Result <= P·1e6.
             F.expr(
-                f"CAST(coalesce(n_rows, 0) * {n_partitions} * 1000000"
-                " div _total AS LONG)"
+                f"CAST(CAST(coalesce(n_rows, 0) AS DECIMAL(38,0))"
+                f" * {n_partitions} * 1000000"
+                " div CAST(_total AS DECIMAL(38,0)) AS LONG)"
             ).alias("load_ppm"),
         )
         .orderBy("key_name", "partition")

@@ -1267,13 +1267,23 @@ def heaps_vocab_growth(
     r2 = (num * num) / (den * deny)
 
     def q(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+        # den = 0 (single slice, or zero x-variance) has no defined
+        # fit: emit NULL in both engines instead of a NaN that casts
+        # divergently (r08 review)
+        return F.when(
+            den != F.lit(0.0),
+            F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
 
     return stats.select(
         F.col("n").alias("n_slices"),
         q(beta).alias("beta_q"),
         q(lnk).alias("lnk_q"),
-        q(r2).alias("r2_q"),
+        # r2 additionally divides by the y-variance: identical-vocab
+        # slices (deny = 0) are NULL too
+        F.when(
+            deny != F.lit(0.0), q(r2)
+        ).alias("r2_q"),
     )
 
 
@@ -1316,9 +1326,13 @@ derived AS (
   FROM stats
 )
 SELECT n AS n_slices,
-       floor(num / den * 1e6 + 0.5)::BIGINT AS beta_q,
-       floor((syd / {lq!r} - (num / den) * sxd / {lq!r}) / nd
-             * 1e6 + 0.5)::BIGINT AS lnk_q,
-       floor((num * num) / (den * deny) * 1e6 + 0.5)::BIGINT AS r2_q
+       CASE WHEN den <> 0 THEN
+         floor(num / den * 1e6 + 0.5)::BIGINT END AS beta_q,
+       CASE WHEN den <> 0 THEN
+         floor((syd / {lq!r} - (num / den) * sxd / {lq!r}) / nd
+               * 1e6 + 0.5)::BIGINT END AS lnk_q,
+       CASE WHEN den <> 0 AND deny <> 0 THEN
+         floor((num * num) / (den * deny) * 1e6 + 0.5)::BIGINT
+       END AS r2_q
 FROM derived
 """

@@ -2536,8 +2536,8 @@ spine AS (
 SELECT s.key_name, s.partition,
        coalesce(c.n_rows, 0)::BIGINT AS n_rows,
        coalesce(c.n_keys, 0)::BIGINT AS n_keys,
-       (coalesce(c.n_rows, 0) * {p} * 1000000 // t.total)::BIGINT
-         AS load_ppm
+       (coalesce(c.n_rows, 0)::HUGEINT * {p} * 1000000
+        // t.total::HUGEINT)::BIGINT AS load_ppm
 FROM spine s
 LEFT JOIN counts c ON s.key_name = c.key_name AND s.partition = c.partition
 JOIN totals t ON s.key_name = t.key_name
@@ -2582,9 +2582,11 @@ s AS (
   FROM ma JOIN mb USING (k)
 )
 SELECT n, agree, s_cross,
-       floor((agree * n - s_cross)::DOUBLE
-             / (n * n - s_cross)::DOUBLE * 1000000 + 0.5)::BIGINT
-         AS kappa_q
+       CASE WHEN n * n = s_cross THEN 1000000
+            ELSE floor((agree * n - s_cross)::DOUBLE
+                       / (n * n - s_cross)::DOUBLE * 1000000
+                       + 0.5)::BIGINT
+       END AS kappa_q
 FROM head CROSS JOIN s
 """
 

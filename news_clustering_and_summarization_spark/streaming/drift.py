@@ -63,7 +63,11 @@ class PsiStream:
         self.value_col = value_col
         self.n_buckets = n_buckets
         os.makedirs(state_dir, exist_ok=True)
-        if not os.path.exists(self._edges_path):
+        # completeness is judged by the LAST artifact _init_reference
+        # writes (ref_counts), not the first — a crash between the
+        # edges write and the counts write must re-init on the next
+        # construction, not brick detect() forever (r08 review)
+        if not os.path.exists(self._ref_counts_path):
             self._init_reference(reference)
 
     @property
@@ -108,19 +112,9 @@ class PsiStream:
         ).crossJoin(
             F.broadcast(per_v.agg(F.sum("c").cast("long").alias("n_a")))
         )
-        edge_aggs = [
-            F.min(
-                F.when(
-                    F.col("ca")
-                    >= F.expr(
-                        f"CAST(({j} * n_a + {k - 1}) DIV {k} AS LONG)"
-                    ),
-                    F.col("v"),
-                )
-            ).alias(f"e{j}")
-            for j in range(1, k)
-        ]
-        edges = cum.groupBy().agg(*edge_aggs)
+        from ..operators.evaluation import psi_edge_aggs
+
+        edges = cum.groupBy().agg(*psi_edge_aggs(k))
         edges.coalesce(1).write.mode("overwrite").parquet(
             self._edges_path
         )
@@ -134,12 +128,10 @@ class PsiStream:
     def _bin(self, df: DataFrame) -> DataFrame:
         """(bucket, cur_n) counts of ``df`` under the frozen edges —
         the batch operator's exact bucket expression."""
+        from ..operators.evaluation import psi_bucket_col
+
         edges = self.spark.read.parquet(self._edges_path)
-        bucket = F.lit(1)
-        for j in range(1, self.n_buckets):
-            bucket = bucket + (
-                F.col("v") > F.col(f"e{j}")
-            ).cast("int")
+        bucket = psi_bucket_col(self.n_buckets)
         return (
             df.select(F.col(self.value_col).cast("long").alias("v"))
             .crossJoin(F.broadcast(edges))

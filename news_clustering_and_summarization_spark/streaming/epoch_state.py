@@ -55,30 +55,54 @@ from pyspark.sql import DataFrame, SparkSession
 STAGING = "_compact_staging"
 MANIFEST = "_FOLDED"
 BEGIN = "_BEGIN"
-# A no-manifest staging younger than this whose writer pid is alive is
-# treated as an in-progress merge. Past it, a wedged writer is assumed
-# dead (its commit would still be safe: the manifest rename is atomic
-# and recovery re-checks for it before reaping).
+# Grace window for an UNREADABLE _BEGIN marker only (writer caught
+# between marker create and flush). A readable marker is judged by
+# writer LIVENESS, never age — a long parquet write must not be
+# reaped at an arbitrary cutoff (r08 review finding).
 BEGIN_STALE_SECONDS = 900.0
 
 
+# staging paths with a compaction ACTIVE in this very process —
+# lets a reader THREAD in the writer's own process distinguish "our
+# pid, merge running on a sibling thread" (leave it) from "our pid,
+# crashed prior run of this same pid" (reapable). Set mutations are
+# GIL-atomic. (r08 review finding: the old pid==getpid() → reap rule
+# ignored threads, so a monitoring thread could reap a live merge.)
+_ACTIVE: set[str] = set()
+
+
 def _writer_in_progress(staging: str) -> bool:
-    """True when ``staging`` carries a fresh ``_BEGIN`` marker naming
-    a live process other than ours — i.e. a concurrent compaction is
-    mid-write and the staging must not be reaped."""
+    """True when ``staging``'s ``_BEGIN`` marker names a writer that
+    is plausibly still mid-merge: a LIVE process (liveness, not
+    marker age, is the primary signal — a long parquet write must
+    not get reaped at an arbitrary age cutoff; r08 review finding),
+    or our own process with the compaction registered on another
+    thread. ``BEGIN_STALE_SECONDS`` only bounds the UNREADABLE-marker
+    grace window; a dead writer's staging is reaped immediately, and
+    a recycled pid merely defers the reap to the next compact_epochs
+    (which clears staging itself as the writer)."""
     marker = os.path.join(staging, BEGIN)
     try:
         with open(marker) as f:
             pid = int(f.read().strip() or "0")
-        age = time.time() - os.path.getmtime(marker)
-    except (OSError, ValueError):
-        return False  # no/unreadable marker: old layout or pre-marker crash
-    if age >= BEGIN_STALE_SECONDS or pid == os.getpid():
-        # our own pid can't be mid-write concurrently (compaction is
-        # synchronous in-process) — it's a crashed prior attempt
-        return False
+    except ValueError:
+        # unreadable content: give a fresh marker the benefit of the
+        # doubt (writer between marker create and flush), reap old
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except OSError:
+            return False
+        return age < BEGIN_STALE_SECONDS
+    except OSError:
+        return False  # no marker: old layout or pre-marker crash
+    if pid == os.getpid():
+        return staging in _ACTIVE
     try:
         os.kill(pid, 0)
+    except PermissionError:
+        # EPERM: the process EXISTS but belongs to another uid —
+        # that is a live writer, not a dead one (r08 review finding)
+        return True
     except OSError:
         return False  # writer process is gone
     return True
@@ -110,9 +134,24 @@ def recover_staging(path: str) -> None:
         # (the manifest is renamed into place atomically AFTER a full
         # write, so a trusted manifest is never empty) — staging holds
         # nothing authoritative and every source is intact. BUT if a
-        # live writer's fresh _BEGIN marker is present, the merge is
-        # in progress in another process: leave it alone.
+        # live writer's _BEGIN marker is present, the merge is in
+        # progress in another process: leave it alone.
         if _writer_in_progress(staging):
+            return
+        # TOCTOU guard (r08 review finding): the writer may have
+        # renamed the manifest in between our manifest check and this
+        # point — re-check RIGHT BEFORE the destructive step, and if
+        # a NON-EMPTY manifest appeared, take the manifest path
+        # instead of reaping a just-committed merge out from under
+        # the writer. (A still-empty manifest was empty on the first
+        # read too — no recursion, discard as before.)
+        try:
+            with open(manifest) as f:
+                reread = [line.strip() for line in f if line.strip()]
+        except OSError:
+            reread = []
+        if reread:
+            recover_staging(path)
             return
         shutil.rmtree(staging, ignore_errors=True)
         return
@@ -163,20 +202,24 @@ def compact_epochs(
         f.write(str(os.getpid()))
         f.flush()
         os.fsync(f.fileno())
-    merged.write.mode("append").parquet(staging)
-    # the manifest commits the fold set; it is written to a temp name
-    # and renamed into place so it is ATOMICALLY all-or-nothing —
-    # everything before it lands is discardable, everything after is
-    # completable (recover_staging)
-    tmp = os.path.join(staging, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        f.write("\n".join(os.path.basename(d) for d in fold) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(staging, MANIFEST))
-    for d in fold:
-        shutil.rmtree(d)  # raise on failure: see module doc
-    os.rename(staging, os.path.join(path, "epoch=-1"))
+    _ACTIVE.add(staging)  # same-process reader threads: merge is live
+    try:
+        merged.write.mode("append").parquet(staging)
+        # the manifest commits the fold set; it is written to a temp
+        # name and renamed into place so it is ATOMICALLY
+        # all-or-nothing — everything before it lands is discardable,
+        # everything after is completable (recover_staging)
+        tmp = os.path.join(staging, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(os.path.basename(d) for d in fold) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(staging, MANIFEST))
+        for d in fold:
+            shutil.rmtree(d)  # raise on failure: see module doc
+        os.rename(staging, os.path.join(path, "epoch=-1"))
+    finally:
+        _ACTIVE.discard(staging)
     return True
 
 

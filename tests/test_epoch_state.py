@@ -170,8 +170,10 @@ def test_reader_leaves_live_writers_staging_alone(spark, tmp_path):
 
 
 def test_stale_begin_marker_is_reaped(spark, tmp_path):
-    """A _BEGIN marker older than BEGIN_STALE_SECONDS (wedged/dead
-    writer from a past run) no longer protects the staging."""
+    """A _BEGIN marker naming a DEAD pid no longer protects the
+    staging, whatever its age (r08 review: liveness, not marker age,
+    is the signal — the mtime is set once and a long merge must not
+    be reaped at an arbitrary cutoff)."""
     path = str(tmp_path / "bins")
     for e in range(2):
         _write_epoch(spark, path, e, [(1, 10)])
@@ -209,3 +211,46 @@ def test_compact_store_end_to_end_with_marker(spark, tmp_path):
     )
     assert _totals(spark, path) == {1: 40, 2: 20}
     assert epoch_state.fold_sources(path) is None
+
+
+def test_same_process_thread_does_not_reap_active_merge(spark, tmp_path):
+    """r08 review: a reader THREAD in the writer's own process must
+    not reap a registered in-progress merge (the old pid==getpid() →
+    'crashed prior attempt' rule ignored threads); once deregistered,
+    the same marker IS a crashed prior attempt and gets reaped."""
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    staging = os.path.join(path, epoch_state.STAGING)
+    os.makedirs(staging)
+    with open(os.path.join(staging, epoch_state.BEGIN), "w") as f:
+        f.write(str(os.getpid()))
+    epoch_state._ACTIVE.add(staging)
+    try:
+        epoch_state.recover_staging(path)
+        assert os.path.isdir(staging)  # live sibling-thread merge
+    finally:
+        epoch_state._ACTIVE.discard(staging)
+    epoch_state.recover_staging(path)
+    assert not os.path.exists(staging)  # crashed prior attempt
+
+
+def test_toctou_manifest_recheck_completes_commit(spark, tmp_path):
+    """r08 review: if a non-empty manifest lands after the first
+    manifest check (simulated by planting it with a dead-pid marker),
+    recovery must COMPLETE the merge, not reap it."""
+    path = str(tmp_path / "bins")
+    for e in range(3):
+        _write_epoch(spark, path, e, [(1, 10)])
+    # build a committed staging: real parquet + manifest, dead pid
+    staging = os.path.join(path, epoch_state.STAGING)
+    spark.createDataFrame([(1, 20)], "bin long, cnt long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, epoch_state.MANIFEST), "w") as f:
+        f.write("epoch=0\nepoch=1\n")
+    epoch_state.recover_staging(path)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("epoch=")
+    ) == ["epoch=-1", "epoch=2"]
+    assert _totals(spark, path) == {1: 30}

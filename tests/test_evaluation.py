@@ -476,3 +476,23 @@ def test_cohen_kappa_perfect_and_chance(spark):
     assert cohen_kappa(same, F.col("a"), F.col("b")).collect()[0][
         "kappa_q"
     ] == 1_000_000
+
+
+def test_cohen_kappa_constant_raters_pinned(spark):
+    """r08 review: same constant label on both raters -> S = N^2,
+    textbook 0/0, pinned to +1e6. Different constant labels are NOT
+    degenerate: the margin join is empty, S = 0, kappa = 0 — which
+    also regression-tests the empty-join NULL coalesce."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    same = spark.createDataFrame([("x", "x")] * 7, "a string, b string")
+    assert cohen_kappa(same, F.col("a"), F.col("b")).collect()[0][
+        "kappa_q"
+    ] == 1_000_000
+    diff = spark.createDataFrame([("x", "y")] * 7, "a string, b string")
+    got = cohen_kappa(diff, F.col("a"), F.col("b")).collect()[0]
+    assert (got["s_cross"], got["kappa_q"]) == (0, 0)

@@ -113,3 +113,18 @@ def test_empty_reference_refused(spark, tmp_path):
         PsiStream(
             spark, str(tmp_path / "state"), _cur_df(spark, []), "v"
         )
+
+
+def test_crash_between_init_writes_reinitializes(spark, tmp_path):
+    """r08 review: a crash after ref_edges but before ref_counts must
+    re-run init on the next construction (completeness judged by the
+    LAST artifact), not brick detect() forever."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    ps = PsiStream(spark, state, _ref_df(spark), "v")
+    want = sorted(map(tuple, ps.detect().collect()))
+    # simulate the crash window: counts gone, edges still present
+    shutil.rmtree(ps._ref_counts_path)
+    ps2 = PsiStream(spark, state, _ref_df(spark), "v")
+    assert sorted(map(tuple, ps2.detect().collect())) == want

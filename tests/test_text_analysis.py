@@ -541,3 +541,20 @@ def test_heaps_vocab_growth_known_exponent(spark):
     assert got["n_slices"] == 4
     assert abs(got["beta_q"] - 500_000) < 2_000
     assert got["r2_q"] > 999_000
+
+
+def test_heaps_single_slice_is_null(spark):
+    """r08 review: one slice -> OLS denominator 0 -> all fit fields
+    NULL (not NaN-cast garbage), n_slices still reported."""
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        heaps_vocab_growth,
+    )
+
+    df = spark.createDataFrame(
+        [("s0", "a b c a b c d e")], "source string, text string"
+    )
+    got = heaps_vocab_growth(df).collect()[0]
+    assert got["n_slices"] == 1
+    assert got["beta_q"] is None
+    assert got["lnk_q"] is None
+    assert got["r2_q"] is None
