@@ -793,10 +793,21 @@ def ks_two_sample(
             F.sum("ia").alias("a_c"),
             F.sum(F.lit(1) - F.col("ia")).alias("b_c"),
         )
-        .withColumn(
-            "shard",
-            F.floor(F.col("v") / F.lit(shard_width)).cast("long"),
-        )
+    )
+    return ks_from_value_counts(per_v, shard_width)
+
+
+def ks_from_value_counts(
+    per_v: DataFrame, shard_width: int = 1024
+) -> DataFrame:
+    '''The KS statistic tail over a (v, a_c, b_c) per-value count
+    table — factored out of [[ks_two_sample]] (r08) so
+    streaming/drift.KsStream runs the IDENTICAL two-phase prefix-sum
+    plan over its accumulated counts: stream == batch by shared code,
+    the psi_from_bucket_counts pattern.'''
+    per_v = per_v.withColumn(
+        "shard",
+        F.floor(F.col("v") / F.lit(shard_width)).cast("long"),
     )
     w_in = (
         Window.partitionBy("shard")

@@ -32,6 +32,12 @@ reproduce a current-dependent edge without re-binning history —
 so PsiStream refuses the degenerate setup instead.
 
 State never grows with data volume: n_buckets rows per epoch.
+
+``KsStream`` (below) is the rank-based companion on the same layout:
+frozen reference per-VALUE counts, per-epoch current value-count
+deltas (bounded by the integer value grid, not stream volume), and a
+detect() that runs the batch operator's factored
+ks_from_value_counts tail — the same shared-code equality guarantee.
 """
 
 from __future__ import annotations
@@ -185,6 +191,115 @@ class PsiStream:
             self.bins_path,
             lambda df: df.groupBy("bucket").agg(
                 F.sum("cur_n").cast("long").alias("cur_n")
+            ),
+        )
+
+    def start(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
+
+
+KS_SCHEMA = "v long, b_c long"
+
+
+class KsStream:
+    """Streaming two-sample Kolmogorov-Smirnov drift (r08): the
+    rank-based companion of PsiStream on the same crash-safe layout.
+    The REFERENCE side's per-value counts are computed once and
+    frozen; each micro-batch writes its own per-value count delta
+    (overwrite-per-epoch, replay-idempotent); ``detect()`` feeds the
+    accumulated (v, a_c, b_c) table to operators/evaluation.
+    ks_from_value_counts — the IDENTICAL two-phase prefix-sum tail
+    the batch operator runs, so stream == batch by shared code.
+
+    State is bounded by the VALUE GRID's cardinality (``value_col``
+    must be an integer grid, the batch operator's contract), not by
+    stream volume — quantize continuous metrics upstream exactly as
+    for batch KS."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        reference: DataFrame,
+        value_col: str,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.value_col = value_col
+        os.makedirs(state_dir, exist_ok=True)
+        if not os.path.exists(self._ref_counts_path):
+            (
+                reference.select(
+                    F.col(value_col).cast("long").alias("v")
+                )
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("long").alias("a_c"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(self._ref_counts_path)
+            )
+
+    @property
+    def _ref_counts_path(self) -> str:
+        return os.path.join(self.state_dir, "ref_value_counts")
+
+    @property
+    def bins_path(self) -> str:
+        return os.path.join(self.state_dir, "value_counts")
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(self.value_col).cast("long").alias("v")
+            )
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("b_c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.bins_path, f"epoch={int(epoch_id)}"))
+        )
+
+    def current_counts(self) -> DataFrame:
+        from . import epoch_state
+
+        epoch_state.recover_staging(self.bins_path)
+        if not os.path.exists(self.bins_path):
+            return self.spark.createDataFrame([], KS_SCHEMA)
+        return (
+            self.spark.read.option("basePath", self.bins_path)
+            .parquet(self.bins_path)
+            .groupBy("v")
+            .agg(F.sum("b_c").cast("long").alias("b_c"))
+        )
+
+    def detect(self) -> DataFrame:
+        """One row (n_a, n_b, d_num, d_q) — the batch ks_two_sample
+        output contract over reference vs everything streamed."""
+        from ..operators.evaluation import ks_from_value_counts
+
+        ref = self.spark.read.parquet(self._ref_counts_path)
+        per_v = (
+            ref.join(self.current_counts(), "v", "full")
+            .select(
+                "v",
+                F.coalesce("a_c", F.lit(0)).cast("long").alias("a_c"),
+                F.coalesce("b_c", F.lit(0)).cast("long").alias("b_c"),
+            )
+        )
+        return ks_from_value_counts(per_v)
+
+    def compact(self) -> None:
+        from . import epoch_state
+
+        epoch_state.compact_store(
+            self.spark,
+            self.bins_path,
+            lambda df: df.groupBy("v").agg(
+                F.sum("b_c").cast("long").alias("b_c")
             ),
         )
 

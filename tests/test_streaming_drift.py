@@ -128,3 +128,41 @@ def test_crash_between_init_writes_reinitializes(spark, tmp_path):
     shutil.rmtree(ps._ref_counts_path)
     ps2 = PsiStream(spark, state, _ref_df(spark), "v")
     assert sorted(map(tuple, ps2.detect().collect())) == want
+
+
+def _batch_ks(spark, cur_vals):
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        ks_two_sample,
+    )
+
+    union = _ref_df(spark).withColumn("g", F.lit("ref")).unionByName(
+        _cur_df(spark, cur_vals).withColumn("g", F.lit("cur"))
+    )
+    return sorted(
+        map(tuple, ks_two_sample(union, "v", "g", "ref", "cur").collect())
+    )
+
+
+def test_ks_stream_matches_batch(spark, tmp_path):
+    from news_clustering_and_summarization_spark.streaming.drift import (
+        KsStream,
+    )
+
+    ks = KsStream(spark, str(tmp_path / "state"), _ref_df(spark), "v")
+    for e, b in enumerate([B0, B1, B2]):
+        ks.process_batch(_cur_df(spark, b), epoch_id=e)
+    got = sorted(map(tuple, ks.detect().collect()))
+    assert got == _batch_ks(spark, B0 + B1 + B2)
+    # replay idempotence + compaction preserve the statistic
+    ks.process_batch(_cur_df(spark, B2), epoch_id=2)
+    assert sorted(map(tuple, ks.detect().collect())) == got
+    ks.compact()
+    assert sorted(map(tuple, ks.detect().collect())) == got
+    import os as _os
+
+    dirs = sorted(
+        d for d in _os.listdir(ks.bins_path) if d.startswith("epoch=")
+    )
+    assert dirs == ["epoch=-1", "epoch=2"]
