@@ -1336,3 +1336,118 @@ SELECT n AS n_slices,
        END AS r2_q
 FROM derived
 """
+
+
+def ctfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF cluster labeling (r08; Grootendorst's
+    BERTopic c-TF-IDF, 2022): the terms that CHARACTERIZE each
+    group — term count within the group weighted by how few groups
+    contain the term at all. This is the label-generation step a
+    news-clustering UI runs on every cluster ("what is this cluster
+    about?"), applied per corpus slice.
+
+        score(t, g) = tf(t, g) · ln(N_groups / df_groups(t))
+
+    Exactness: tf and df are exact integer counts; the idf log is
+    quantized ONCE per term (×1e6, the zipf/shannon discipline) and
+    multiplied by the integer tf, so scores and the (score desc,
+    term asc) top-k order are engine-identical. Terms present in
+    every group score exactly 0 (ln 1) and still rank — ties broken
+    by term.
+
+    Shape: one (group, term) count groupBy, one term-keyed df
+    groupBy (both map-side combinable), a ONE-ROW group-count
+    broadcast, and a rank window PARTITIONED BY GROUP. Work is
+    bounded by groups × vocabulary, never corpus rows, after the
+    first count pass. Output: (group, term, tf, df_groups, score_q,
+    rank), rank <= k."""
+    lq = 1e6
+    tf = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(H.tokens(text_col)).alias("t"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df_groups")
+    )
+    n_groups = tf.select("grp").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    )
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp",
+            "t",
+            "tf",
+            "df_groups",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        F.col("n_groups").cast("double")
+                        / F.col("df_groups").cast("double")
+                    )
+                    * F.lit(lq)
+                ).cast("long")
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_q").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("t").alias("term"),
+            "tf",
+            "df_groups",
+            "score_q",
+            "rank",
+        )
+    )
+
+
+def ctfidf_top_terms_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """DuckDB twin of ctfidf_top_terms."""
+    tok = H.tokens_sql(text_col)
+    return f"""
+WITH tf AS MATERIALIZED (
+  SELECT {group_col} AS grp, t, count(*)::BIGINT AS tf
+  FROM (SELECT {group_col}, unnest({tok}) AS t FROM {table})
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT t, count(*)::BIGINT AS df_groups FROM tf GROUP BY 1
+),
+ng AS (SELECT count(DISTINCT grp)::BIGINT AS n_groups FROM tf),
+scored AS (
+  SELECT tf.grp, tf.t, tf.tf, dfreq.df_groups,
+         tf.tf * round(ln(ng.n_groups::DOUBLE / dfreq.df_groups::DOUBLE)
+                       * 1000000.0)::BIGINT AS score_q
+  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ng
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY score_q DESC, t ASC) AS rank
+  FROM scored
+)
+SELECT grp AS {group_col}, t AS term, tf, df_groups, score_q,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

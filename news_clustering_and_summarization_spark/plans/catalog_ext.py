@@ -2604,3 +2604,18 @@ def q_heaps_law(spark, sf):
 
 def oracle_heaps_law() -> str:
     return TA.heaps_vocab_growth_sql("documents")
+
+
+def q_ctfidf_labels(spark, sf):
+    """c-TF-IDF cluster labeling (text_analysis.ctfidf_top_terms,
+    r08, BERTopic-style): the top-5 characterizing terms per source
+    slice — the "what is this cluster about?" label generation a
+    news-clustering UI needs, scored tf·ln(N/df) with one quantized
+    log per term. Bounded by groups × vocabulary after the first
+    count pass."""
+    docs = widen(spark, load(spark, sf, "documents"))
+    return TA.ctfidf_top_terms(docs, "source", "text", k=5)
+
+
+def oracle_ctfidf_labels() -> str:
+    return TA.ctfidf_top_terms_sql("documents", "source", "text", k=5)

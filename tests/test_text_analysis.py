@@ -558,3 +558,29 @@ def test_heaps_single_slice_is_null(spark):
     assert got["beta_q"] is None
     assert got["lnk_q"] is None
     assert got["r2_q"] is None
+
+
+def test_ctfidf_top_terms_hand_case(spark):
+    """Two slices sharing a common word: the shared word scores
+    exactly 0 (ln 1) for both, each slice's exclusive word leads its
+    ranking with score tf*ln(2)*1e6."""
+    from news_clustering_and_summarization_spark.operators.text_analysis import (
+        ctfidf_top_terms,
+    )
+
+    rows = [
+        ("g1", "alpha alpha shared"),
+        ("g2", "beta shared shared"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source"], r["rank"]): r
+        for r in ctfidf_top_terms(df, "source", "text", k=2).collect()
+    }
+    ln2q = 693147  # round(ln(2) * 1e6)
+    g1 = got[("g1", 1)]
+    assert (g1["term"], g1["tf"], g1["score_q"]) == ("alpha", 2, 2 * ln2q)
+    g2 = got[("g2", 1)]
+    assert (g2["term"], g2["tf"], g2["score_q"]) == ("beta", 1, ln2q)
+    assert got[("g1", 2)]["term"] == "shared"
+    assert got[("g1", 2)]["score_q"] == 0

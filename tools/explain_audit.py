@@ -59,6 +59,9 @@ CARTESIAN_OK = {
     # ONE-ROW head aggregate crossJoin ONE-ROW margin-product
     # aggregate — both sides O(1) by construction
     "cohen_kappa",
+    # ONE-ROW group-count aggregate broadcast onto the (group, term)
+    # table — O(1)-row side
+    "ctfidf_labels",
     # same pattern: ONE-ROW source-count aggregate broadcast onto the
     # tf table
     "distinctive_terms",
@@ -221,6 +224,10 @@ GLOBAL_WIN_OK = {
     # two-phase shard-total window for the reference cum counts plus
     # the psi total window over the TEN bucket rows
     "psi_drift",
+    # the rank window is PARTITIONED BY GROUP; the SinglePartition in
+    # the plan is the one-row n_groups aggregate exchange feeding the
+    # broadcast — heuristic co-occurrence, not a global window
+    "ctfidf_labels",
     # chi2/dof totals windowed over the #groups x #categories cell
     # table — domain-bounded (10 rows here), never the input
     "chi2_abtest",
