@@ -52,6 +52,46 @@ from ..operators.evaluation import psi_from_bucket_counts
 BINS_SCHEMA = "bucket long, cur_n long"
 
 
+def _parquet_committed(path: str) -> bool:
+    """True iff ``path`` holds a COMMITTED parquet write: Spark drops
+    a _SUCCESS marker on job commit, so a directory that exists
+    without one is a crashed half-write that must be rebuilt, not
+    trusted (r08 second-review finding — bare existence checks brick
+    the store after an init crash)."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _read_summed(spark, path: str, key_col: str, cnt_col: str, schema: str):
+    """Shared read side of the per-epoch additive stores: self-heal
+    an interrupted compaction, then cell-wise sum across epoch
+    directories (empty store → empty frame)."""
+    from . import epoch_state
+
+    epoch_state.recover_staging(path)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .groupBy(key_col)
+        .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
+    )
+
+
+def _compact_summed(spark, path: str, key_col: str, cnt_col: str) -> None:
+    """Shared maintenance side: fold finished epochs with the same
+    cell-wise sum, via the crash-safe epoch_state protocol."""
+    from . import epoch_state
+
+    epoch_state.compact_store(
+        spark,
+        path,
+        lambda df: df.groupBy(key_col).agg(
+            F.sum(cnt_col).cast("long").alias(cnt_col)
+        ),
+    )
+
+
 class PsiStream:
     """foreachBatch sink accumulating per-bucket counts of a value
     stream against fixed reference decile edges."""
@@ -72,8 +112,10 @@ class PsiStream:
         # completeness is judged by the LAST artifact _init_reference
         # writes (ref_counts), not the first — a crash between the
         # edges write and the counts write must re-init on the next
-        # construction, not brick detect() forever (r08 review)
-        if not os.path.exists(self._ref_counts_path):
+        # construction, not brick detect() forever (r08 review) —
+        # and by its COMMIT marker, not bare directory existence
+        # (a crash mid-write leaves a dir without _SUCCESS)
+        if not _parquet_committed(self._ref_counts_path):
             self._init_reference(reference)
 
     @property
@@ -154,16 +196,8 @@ class PsiStream:
         )
 
     def current_counts(self) -> DataFrame:
-        from . import epoch_state
-
-        epoch_state.recover_staging(self.bins_path)
-        if not os.path.exists(self.bins_path):
-            return self.spark.createDataFrame([], BINS_SCHEMA)
-        return (
-            self.spark.read.option("basePath", self.bins_path)
-            .parquet(self.bins_path)
-            .groupBy("bucket")
-            .agg(F.sum("cur_n").cast("long").alias("cur_n"))
+        return _read_summed(
+            self.spark, self.bins_path, "bucket", "cur_n", BINS_SCHEMA
         )
 
     def detect(self) -> DataFrame:
@@ -184,15 +218,7 @@ class PsiStream:
         )
 
     def compact(self) -> None:
-        from . import epoch_state
-
-        epoch_state.compact_store(
-            self.spark,
-            self.bins_path,
-            lambda df: df.groupBy("bucket").agg(
-                F.sum("cur_n").cast("long").alias("cur_n")
-            ),
-        )
+        _compact_summed(self.spark, self.bins_path, "bucket", "cur_n")
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (
@@ -232,7 +258,11 @@ class KsStream:
         self.state_dir = state_dir
         self.value_col = value_col
         os.makedirs(state_dir, exist_ok=True)
-        if not os.path.exists(self._ref_counts_path):
+        # commit-marker check, not bare existence — see PsiStream
+        # (r08 second-review finding). An EMPTY reference is allowed
+        # here, unlike PSI: batch KS pins d_q = NULL for a one-sided
+        # sample, and the frozen empty side reproduces exactly that.
+        if not _parquet_committed(self._ref_counts_path):
             (
                 reference.select(
                     F.col(value_col).cast("long").alias("v")
@@ -264,16 +294,8 @@ class KsStream:
         )
 
     def current_counts(self) -> DataFrame:
-        from . import epoch_state
-
-        epoch_state.recover_staging(self.bins_path)
-        if not os.path.exists(self.bins_path):
-            return self.spark.createDataFrame([], KS_SCHEMA)
-        return (
-            self.spark.read.option("basePath", self.bins_path)
-            .parquet(self.bins_path)
-            .groupBy("v")
-            .agg(F.sum("b_c").cast("long").alias("b_c"))
+        return _read_summed(
+            self.spark, self.bins_path, "v", "b_c", KS_SCHEMA
         )
 
     def detect(self) -> DataFrame:
@@ -281,27 +303,30 @@ class KsStream:
         output contract over reference vs everything streamed."""
         from ..operators.evaluation import ks_from_value_counts
 
+        # union-then-groupBy, NOT a full outer join on v: the batch
+        # operator's groupBy merges NULL values into ONE per_v row,
+        # while a join on v would split them (NULL keys never match)
+        # into two tying rows whose window order — and therefore the
+        # running cumulative and d_num — is nondeterministic (r08
+        # second-review finding)
         ref = self.spark.read.parquet(self._ref_counts_path)
         per_v = (
-            ref.join(self.current_counts(), "v", "full")
-            .select(
-                "v",
-                F.coalesce("a_c", F.lit(0)).cast("long").alias("a_c"),
-                F.coalesce("b_c", F.lit(0)).cast("long").alias("b_c"),
+            ref.select("v", "a_c", F.lit(0).cast("long").alias("b_c"))
+            .unionByName(
+                self.current_counts().select(
+                    "v", F.lit(0).cast("long").alias("a_c"), "b_c"
+                )
+            )
+            .groupBy("v")
+            .agg(
+                F.sum("a_c").cast("long").alias("a_c"),
+                F.sum("b_c").cast("long").alias("b_c"),
             )
         )
         return ks_from_value_counts(per_v)
 
     def compact(self) -> None:
-        from . import epoch_state
-
-        epoch_state.compact_store(
-            self.spark,
-            self.bins_path,
-            lambda df: df.groupBy("v").agg(
-                F.sum("b_c").cast("long").alias("b_c")
-            ),
-        )
+        _compact_summed(self.spark, self.bins_path, "v", "b_c")
 
     def start(self, stream_df: DataFrame, checkpoint: str):
         return (

@@ -166,3 +166,70 @@ def test_ks_stream_matches_batch(spark, tmp_path):
         d for d in _os.listdir(ks.bins_path) if d.startswith("epoch=")
     )
     assert dirs == ["epoch=-1", "epoch=2"]
+
+
+def test_ks_stream_live_writestream_and_nulls(spark, tmp_path):
+    """r08 second review: drive KsStream through the REAL
+    readStream -> foreachBatch path (not process_batch by hand), with
+    NULL values on both sides — the union-then-groupBy detect() must
+    merge NULLs into one per_v row exactly like batch ks_two_sample."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        ks_two_sample,
+    )
+    from news_clustering_and_summarization_spark.streaming.drift import (
+        KsStream,
+    )
+
+    ref_vals = [3, 4, 5, None, None, 6]
+    cur_vals = [14, None, 15, 16]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v long")
+    src = str(tmp_path / "src")
+    _write_batch(src, "b0", cur_vals)
+    ks = KsStream(spark, str(tmp_path / "state"), ref, "v")
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = ks.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, ks.detect().collect()))
+    union = ref.withColumn("g", F.lit("ref")).unionByName(
+        spark.createDataFrame(
+            [(v,) for v in cur_vals], "v long"
+        ).withColumn("g", F.lit("cur"))
+    )
+    want = sorted(
+        map(tuple, ks_two_sample(union, "v", "g", "ref", "cur").collect())
+    )
+    assert got == want
+
+
+def test_ks_stream_init_crash_reinitializes(spark, tmp_path):
+    """r08 second review: a half-written reference directory (no
+    _SUCCESS commit marker) must be rebuilt on the next construction,
+    and a committed one must be REUSED (frozen reference)."""
+    import os as _os
+    import shutil
+
+    from news_clustering_and_summarization_spark.streaming.drift import (
+        KsStream,
+    )
+
+    state = str(tmp_path / "state")
+    ks = KsStream(spark, state, _ref_df(spark), "v")
+    ks.process_batch(_cur_df(spark, B0), epoch_id=0)
+    want = sorted(map(tuple, ks.detect().collect()))
+    # committed reference is frozen: a new instance ignores its arg
+    ks2 = KsStream(spark, state, _cur_df(spark, [999]), "v")
+    assert sorted(map(tuple, ks2.detect().collect())) == want
+    # simulate the init crash: directory present, no _SUCCESS
+    _os.remove(_os.path.join(ks.ref_counts_path, "_SUCCESS")) if hasattr(
+        ks, "ref_counts_path"
+    ) else _os.remove(_os.path.join(ks._ref_counts_path, "_SUCCESS"))
+    ks3 = KsStream(spark, state, _ref_df(spark), "v")
+    assert sorted(map(tuple, ks3.detect().collect())) == want
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
