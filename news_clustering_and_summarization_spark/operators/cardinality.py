@@ -205,7 +205,7 @@ def kmv_distinct(
     Determinism: hashes are md5-derived exact integers; the only
     float op is one division of exactly-representable doubles
     (255·2^60 has 60 trailing zero bits, well inside the 53-bit
-    mantissa rule), half-away-quantized. The true count rides along
+    mantissa rule), half-up-quantized. The true count rides along
     for a self-certifying relative error.
 
     Output: ONE row (k_used, kth_hash, est, exact, rel_err_q)."""

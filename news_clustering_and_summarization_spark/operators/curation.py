@@ -517,7 +517,7 @@ def rrf_fuse(
     RRF(d) = Σ_legs 1/(k + rank_leg(d)).
 
     Each term quantizes 1e9/(k+rank) — ONE division of exact ints,
-    half-away rounded — and the fused score is an integer sum, so
+    half-up rounded — and the fused score is an integer sum, so
     the hash-compared output is exact. Full-outer join on the doc
     id over two ≤top-k lists: driver-scale inputs by construction.
 

@@ -1275,7 +1275,7 @@ def source_jaccard(
     self-join ON THE SHINGLE KEY (rows per shingle = #sources
     containing it, so the blowup is sources-per-shingle², bounded
     by the source count — never documents²); set sizes broadcast
-    back. jaccard_q = one IEEE division of exact ints, half-away
+    back. jaccard_q = one IEEE division of exact ints, half-up
     quantized.
 
     Output: (src_a, src_b, inter, size_a, size_b, jaccard_q)."""
@@ -1333,6 +1333,32 @@ def source_jaccard(
     ).orderBy("src_a", "src_b")
 
 
+def _kmv_short_sources(taus: DataFrame, filtered: DataFrame, k: int) -> DataFrame:
+    """Lossless-ness audit for the KMV τ-prefilter: a source whose
+    threshold actually cut (τ < 2^60) must retain ≥ k distinct
+    survivors, else its true bottom-k may have been clipped — those
+    sources get recomputed unfiltered (expected never; #sources-row
+    action). Driven from ``taus`` (EVERY source), not from
+    ``filtered``: a source whose τ cut ALL its hashes has zero
+    survivor rows and would be invisible to a survivors-only scan
+    (r08 advisor finding) — the left join + coalesce(0) catches it.
+
+    ``taus``: (src, _tau); ``filtered``: (src, h, _tau) survivors.
+    Returns a one-column (src) frame of sources needing recompute."""
+    maxh = 1 << 60
+    survivors = filtered.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        taus.join(survivors, "src", "left")
+        .select(
+            "src",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+            "_tau",
+        )
+        .where((F.col("_n") < k) & (F.col("_tau") < F.lit(maxh)))
+        .select("src")
+    )
+
+
 def source_jaccard_kmv(
     df: DataFrame,
     source_col: str = "source",
@@ -1360,7 +1386,7 @@ def source_jaccard_kmv(
     EXACT whenever the true union fits in k).
 
     Determinism: md5-derived 60-bit hashes; divisions are single
-    IEEE ops on exact integers, half-away quantized — the
+    IEEE ops on exact integers, half-up quantized — the
     kmv_distinct pattern.
 
     ``prefilter_margin`` (r08 verdict item 3) removes the one
@@ -1426,17 +1452,7 @@ def source_jaccard_kmv(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # lossless-ness audit: a source whose threshold actually cut
-        # (τ < 2^60) must retain ≥ k distinct survivors, else its
-        # true bottom-k may have been clipped — recompute just those
-        # sources unfiltered (expected never; #sources-row action)
-        short = (
-            filtered.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_n"), F.min("_tau").alias("_tau"))
-            .where((F.col("_n") < k) & (F.col("_tau") < F.lit(MAXH)))
-            .select("src")
-        )
-        bad = [r.src for r in short.collect()]
+        bad = [r.src for r in _kmv_short_sources(taus, filtered, k).collect()]
         sh = filtered.select("src", "h")
         if bad:
             redo = (

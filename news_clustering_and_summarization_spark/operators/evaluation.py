@@ -477,7 +477,7 @@ def gini_stump(
 
     Determinism: counts are exact int64; products are computed as
     doubles (same single IEEE multiply both engines — deterministic
-    even past the 2^53 exactness line), quantized half-away at 1e9
+    even past the 2^53 exactness line), quantized half-up at 1e9
     for the argmin so ties break identically.
 
     Output per feature: (feature, threshold, n, pos,
@@ -936,7 +936,7 @@ def psi_drift(
 
     with add-one smoothing on both counts so empty buckets stay
     finite and deterministic. The ln argument is an exact integer
-    product ratio; the term is quantized half-away ×1e9 in ONE
+    product ratio; the term is quantized half-up ×1e9 in ONE
     identical double expression per bucket, so the 10-term sum is
     engine-exact.
 
@@ -1205,7 +1205,10 @@ def cohen_kappa(
     Constant-but-different raters are NOT degenerate (their margin
     join is empty, S = 0, kappa = 0 falls out of the formula —
     provided the empty-join NULL is coalesced BEFORE entering the
-    arithmetic, the actual bug this note accompanies)."""
+    arithmetic, the actual bug this note accompanies). An EMPTY
+    input also hits S == N² (0 == 0) but means "zero rated items",
+    not "perfect agreement" — kappa_q is NULL there (r08 advisor
+    finding), matching the repo's degenerate-input discipline."""
     labeled = df.select(
         F.col(rater_a).cast("string").alias("ra") if isinstance(rater_a, str)
         else rater_a.cast("string").alias("ra"),
@@ -1234,7 +1237,8 @@ def cohen_kappa(
             "n",
             "agree",
             F.coalesce("s_cross", F.lit(0)).alias("s_cross"),
-            F.when(
+            F.when(F.col("n") == 0, F.lit(None).cast("long"))
+            .when(
                 F.col("n") * F.col("n")
                 == F.coalesce(F.col("s_cross"), F.lit(0)),
                 F.lit(quant),

@@ -184,7 +184,12 @@ def personalized_pagerank(
     Same shuffle shape as the uniform variant: one groupBy per
     iteration keyed on dst; seeds broadcast. ``seeds`` is one column
     ``node``; seeds absent from the graph still receive teleport
-    mass (they are rankable isolated vertices)."""
+    mass (they are rankable isolated vertices). Seeds are
+    de-duplicated here (r08 advisor finding: duplicate seed rows
+    would multiply `base` rows through the left join AND inflate
+    n_seeds, double-counting teleport mass identically in both
+    engines — invisible to the oracle hash-compare)."""
+    seeds = seeds.select("node").distinct()
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -770,7 +775,7 @@ def clustering_coefficient(
 
     Determinism: tri and deg are exact integers; the coefficient is
     ONE IEEE division of exact ints (2*tri*1e6 / denom) then
-    arithmetic half-away rounding — bit-identical across engines
+    arithmetic half-up rounding — bit-identical across engines
     (see functions/exact.py rationale).
 
     Output: (id, deg, n_tri, lcc_q) with lcc_q = round(lcc * 1e6).
@@ -858,7 +863,7 @@ def link_predict(
     contributes deg^2 wedges and ~zero RA weight: 1/deg each).
 
     Determinism: cn is an exact count; each RA term is ONE IEEE
-    division of exact ints (1e9/deg) half-away-rounded to an
+    division of exact ints (1e9/deg) half-up-rounded to an
     integer, then summed as integers (order-free). Ranking ties
     break on (u, w).
 

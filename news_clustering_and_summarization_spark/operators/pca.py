@@ -12,7 +12,7 @@ is a cross-row float sum per dimension — exactly the unordered
 aggregation the engine's determinism rules forbid. Instead every
 quantity is an integer:
 
-* embeddings quantized once, half-away, at 1e6 (bit-identical on
+* embeddings quantized once, half-up, at 1e6 (bit-identical on
   both engines for identical input doubles);
 * per-dimension mean subtracted in integer space (exact
   half-away division by N — proper centered PCA);
@@ -69,7 +69,7 @@ def top_component(
 
     Output: (dim, mu_q, v_q) — per-dimension integer mean (1e6) and
     component coordinate (1e9, sign-normalized)."""
-    # quantize once: arithmetic half-away (identical on identical
+    # quantize once: arithmetic half-up (identical on identical
     # input doubles; see memory note on round() tie divergence)
     # CAST to DOUBLE before the scale: float32 inputs would otherwise
     # multiply in float32 (both engines promote float*int to float),
@@ -102,7 +102,7 @@ def top_component(
         .localCheckpoint(eager=True)  # consumed once per iteration
     )
     # v_0 = uniform unit vector: 1/sqrt(dim) — exact at 1e9 only for
-    # power-of-4 dims; half-away otherwise (both engines replay it)
+    # power-of-4 dims; half-up otherwise (both engines replay it)
     import math
 
     v0 = int(math.floor(VQ / math.sqrt(dim) + 0.5))
@@ -257,7 +257,7 @@ def gram_matrix(
     triangle only (G is symmetric).
 
     Determinism: elements are quantized to integers ONCE
-    (arithmetic half-away floor(v·1e6 + 0.5) — engine round()
+    (arithmetic half-up floor(v·1e6 + 0.5) — engine round()
     rounding modes differ, the repo-standard quantizer does not);
     cell sums are then exact integer sums in
     DECIMAL(38,0)/HUGEINT (q² ≈ 1e12 per term — int64 dies at ~9e6

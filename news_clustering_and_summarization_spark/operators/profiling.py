@@ -411,7 +411,7 @@ def corr_matrix(df: DataFrame) -> DataFrame:
     cross-products are accumulated in DECIMAL(38,0) — at 100 TB the
     cent-squared sums pass int64 (~9.2e18) long before the row
     count does. The only irrational op is IEEE-correctly-rounded
-    sqrt; r quantizes half-away at 1e6 identically cross-engine.
+    sqrt; r quantizes half-up at 1e6 identically cross-engine.
 
     Output: (var_a, var_b, n, r_q) for the 6 unordered pairs."""
     cols = {}
@@ -695,7 +695,7 @@ def gini_concentration(
     x are equal — and the window still carries a deterministic
     tiebreak on value). Integer values in, rank·value products
     accumulate in DECIMAL(38,0)/HUGEINT (rank·cents passes int64
-    around 1e9 members), ONE double division out, half-away
+    around 1e9 members), ONE double division out, half-up
     quantized at 1e6.
 
     Output: (group, n, total, gini_q)."""
@@ -1001,7 +1001,7 @@ def welch_z_test(
     aggregation of exact integer sufficient statistics (values
     pre-quantized to cents by the caller); the rest-side stats are
     total − group, so no second scan and no self-join. sqrt is IEEE
-    correctly-rounded; z quantizes half-away at 1e6.
+    correctly-rounded; z quantizes half-up at 1e6.
 
     Output: (group, n, mean_q, z_q) ordered by group."""
     base = df.select(
@@ -1322,7 +1322,7 @@ def chi2_independence(
     with o·N − r·c an EXACT integer carried in a double (magnitudes
     < 2^53 up to ~9e7 rows per margin product; widen to
     DECIMAL(38,0) past that, the corr_matrix pattern), one IEEE
-    division per cell, half-away ×1e6 quantized — order-free sums,
+    division per cell, half-up ×1e6 quantized — order-free sums,
     engine-identical. ONE (group, category) groupBy is the only
     corpus-scale pass; margins ride broadcast joins over the
     category/group domains.

@@ -14,7 +14,7 @@ arithmetic on the aggregate row:
 
 Determinism: the sums are exact BIGINTs; the derived values are a
 fixed dag of IEEE double ops on identical inputs (cast, multiply,
-divide), quantized half-away at 1e6 — bit-identical across engines.
+divide), quantized half-up at 1e6 — bit-identical across engines.
 
 Scale note: integer products like n·Σxy overflow int64 near
 n·x·y ≈ 9.2e18 (e.g. a trillion rows of x,y ≈ 10³) — at that scale

@@ -299,7 +299,7 @@ def ewma(
 
     α = alpha_pct/100 built via explicit double casts (bare decimal
     literals parse as DECIMAL in both engines). The fold result
-    quantizes through floor(x*1e6 + 0.5) — arithmetic half-away on
+    quantizes through floor(x*1e6 + 0.5) — arithmetic half-up on
     the bit-identical fold double — NOT round(x, 6), whose
     BigDecimal-vs-libm tie behavior diverges one ulp from the grid
     (the functions/exact.py failure shape, here on a raw double).
@@ -852,7 +852,7 @@ def fano_factor(
     sample variance = (n·Σx² − S²)/(n·(n−1)) and mean = S/n, so
     F = (n·Σx² − S²)/((n−1)·S) — ONE double division of exact
     int64s (daily-count squares pass int64 until a single key sees
-    ~3e9 events/day), half-away quantized at 1e6.
+    ~3e9 events/day), half-up quantized at 1e6.
 
     Output: (event_type, n_days, mean_q, fano_q)."""
     daily = events.groupBy(
@@ -945,7 +945,7 @@ def period_over_period(
     empty month reads as 0 rather than silently comparing against
     the wrong period, and two lag windows per key (nothing global).
 
-    Percent changes are ONE division of exact ints each, half-away
+    Percent changes are ONE division of exact ints each, half-up
     quantized; NULL until the lag exists or when the base is 0.
 
     Output: (key, month 'yyyy-MM', v_cents, mom_pct_q, yoy_pct_q)."""

@@ -961,7 +961,7 @@ def q_clustering_coeff(spark, sf):
     """Local clustering coefficient (operators/graph.
     clustering_coefficient) over the ε-similarity graph: Watts-
     Strogatz neighborhood density per node, exact integer tri/deg
-    plus one IEEE division quantized half-away — the community-
+    plus one IEEE division quantized half-up — the community-
     tightness profile next to kcore's global fixpoint."""
     from ..operators.graph import clustering_coefficient
 
@@ -1027,7 +1027,7 @@ def q_mutual_nn(spark, sf):
     the conservative 1:1 merge decision that never chains A-B-C the
     way a plain threshold does. Two id-keyed row_number windows over
     the candidate edges; ties on distance break by neighbour id.
-    Output canonicalized to l<r with the distance half-away
+    Output canonicalized to l<r with the distance half-up
     quantized."""
     from ..operators.linkage import mutual_best_match
 
@@ -2582,7 +2582,8 @@ s AS (
   FROM ma JOIN mb USING (k)
 )
 SELECT n, agree, s_cross,
-       CASE WHEN n * n = s_cross THEN 1000000
+       CASE WHEN n = 0 THEN NULL
+            WHEN n * n = s_cross THEN 1000000
             ELSE floor((agree * n - s_cross)::DOUBLE
                        / (n * n - s_cross)::DOUBLE * 1000000
                        + 0.5)::BIGINT

@@ -38,9 +38,16 @@ still exist and install the base.
 
 Concurrency contract: compaction is SINGLE-WRITER (one maintenance
 process per store path — the Structured Streaming driver). Readers
-in other processes are safe at any time: the ``_BEGIN`` liveness
-marker keeps them from reaping an in-progress merge, and the
-manifest rename keeps them from completing a half-written one.
+in other processes never corrupt or lose state: the ``_BEGIN``
+liveness marker keeps them from reaping an in-progress merge, and
+the manifest rename keeps them from completing a half-written one.
+One transient read window remains (r08 advisor note): between the
+writer's fold-dir deletions and the staging rename, a reader whose
+Spark job lists files in that instant can momentarily see folded
+epochs gone with epoch=-1 not yet installed — a transient
+undercount or FileNotFound, never a permanent loss; such a reader
+should retry once on missing-file errors if it needs a consistent
+point-in-time count.
 """
 
 from __future__ import annotations
@@ -84,17 +91,23 @@ def _writer_in_progress(staging: str) -> bool:
     marker = os.path.join(staging, BEGIN)
     try:
         with open(marker) as f:
-            pid = int(f.read().strip() or "0")
-    except ValueError:
-        # unreadable content: give a fresh marker the benefit of the
-        # doubt (writer between marker create and flush), reap old
+            pid = int(f.read().strip())
+    except (ValueError, OverflowError):
+        # unreadable content (empty = writer caught between marker
+        # create and flush, or garbage): give a FRESH marker the
+        # benefit of the doubt, reap an old one. pid <= 0 lands here
+        # too (below) — os.kill(0, 0) signals our own process group
+        # and always succeeds, which would pin the staging as a live
+        # writer's forever (r08 advisor finding).
+        pid = None
+    except OSError:
+        return False  # no marker: old layout or pre-marker crash
+    if pid is None or pid <= 0:
         try:
             age = time.time() - os.path.getmtime(marker)
         except OSError:
             return False
         return age < BEGIN_STALE_SECONDS
-    except OSError:
-        return False  # no marker: old layout or pre-marker crash
     if pid == os.getpid():
         return staging in _ACTIVE
     try:

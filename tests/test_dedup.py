@@ -804,3 +804,27 @@ def test_setsim_join_threshold_boundary(spark):
     assert (1, 2) in got and got[(1, 2)] == (3, 5)
     assert (1, 3) not in got
     assert (1, 5) in got and got[(1, 5)] == (4, 8)  # boundary >= 
+
+
+def test_kmv_short_sources_catches_zero_survivor_source(spark):
+    """r08 advisor: the τ-prefilter audit must flag a source whose
+    threshold cut ALL its hashes (zero survivor rows) — invisible to
+    a survivors-only groupBy, caught by driving the audit from
+    `taus` with a left join + coalesce(0)."""
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        _kmv_short_sources,
+    )
+
+    maxh = 1 << 60
+    taus = spark.createDataFrame(
+        [("full", maxh), ("clipped", 100), ("wiped", 10)],
+        "src string, _tau long",
+    )
+    filtered = spark.createDataFrame(
+        # "full" kept everything (tau = MAXH, never short); "clipped"
+        # kept one row (< k); "wiped" kept NOTHING (the advisor case)
+        [("full", 1, maxh), ("full", 2, maxh), ("clipped", 5, 100)],
+        "src string, h long, _tau long",
+    )
+    got = sorted(r.src for r in _kmv_short_sources(taus, filtered, k=2).collect())
+    assert got == ["clipped", "wiped"]

@@ -180,8 +180,16 @@ def test_stale_begin_marker_is_reaped(spark, tmp_path):
     staging = os.path.join(path, epoch_state.STAGING)
     os.makedirs(staging)
     marker = os.path.join(staging, epoch_state.BEGIN)
+    # a GUARANTEED-dead pid: spawn-and-reap a child (os.getpid()+1
+    # was flaky — when this file runs alone, +1 is the fixture's
+    # freshly-spawned JVM, a very live writer)
+    import subprocess
+    import sys
+
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
     with open(marker, "w") as f:
-        f.write(str(os.getpid() + 1))
+        f.write(str(child.pid))
     old = os.path.getmtime(marker) - epoch_state.BEGIN_STALE_SECONDS - 10
     os.utime(marker, (old, old))
     epoch_state.recover_staging(path)
@@ -254,3 +262,27 @@ def test_toctou_manifest_recheck_completes_commit(spark, tmp_path):
         d for d in os.listdir(path) if d.startswith("epoch=")
     ) == ["epoch=-1", "epoch=2"]
     assert _totals(spark, path) == {1: 30}
+
+
+def test_zero_pid_marker_treated_as_unreadable(spark, tmp_path):
+    """r08 advisor: a _BEGIN marker whose content parses to pid <= 0
+    (empty file rounds to 0 via the old `or "0"`; os.kill(0, 0)
+    signals our own process group and always succeeds) must fall to
+    the mtime grace window, not pin the staging forever: fresh ->
+    protected, stale -> reaped."""
+    path = str(tmp_path / "bins")
+    for e in range(2):
+        _write_epoch(spark, path, e, [(1, 10)])
+    staging = os.path.join(path, epoch_state.STAGING)
+    marker = os.path.join(staging, epoch_state.BEGIN)
+    for content in ("0", "-7", ""):
+        os.makedirs(staging, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(content)
+        epoch_state.recover_staging(path)
+        assert os.path.isdir(staging), content  # fresh: protected
+        old = os.path.getmtime(marker) - epoch_state.BEGIN_STALE_SECONDS - 5
+        os.utime(marker, (old, old))
+        epoch_state.recover_staging(path)
+        assert not os.path.exists(staging), content  # stale: reaped
+    assert _totals(spark, path) == {1: 20}

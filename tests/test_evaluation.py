@@ -496,3 +496,18 @@ def test_cohen_kappa_constant_raters_pinned(spark):
     diff = spark.createDataFrame([("x", "y")] * 7, "a string, b string")
     got = cohen_kappa(diff, F.col("a"), F.col("b")).collect()[0]
     assert (got["s_cross"], got["kappa_q"]) == (0, 0)
+
+
+def test_cohen_kappa_empty_is_null(spark):
+    """r08 advisor: an EMPTY input hits the S == N^2 branch (0 == 0)
+    but means "zero rated items", not "perfect agreement" — kappa_q
+    must be NULL, never +1e6, or the statistic lies as a gate."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    empty = spark.createDataFrame([], "a string, b string")
+    got = cohen_kappa(empty, F.col("a"), F.col("b")).collect()[0]
+    assert got["n"] == 0 and got["kappa_q"] is None

@@ -285,7 +285,7 @@ def test_clustering_coefficient_hand_cases(spark):
     assert set(out) == {1, 2, 3}
     assert out[1]["lcc_q"] == 1_000_000
     assert out[2]["lcc_q"] == 1_000_000
-    assert out[3]["lcc_q"] == 333_333  # 1/3 half-away at 6dp
+    assert out[3]["lcc_q"] == 333_333  # 1/3 half-up at 6dp
     assert out[3]["deg"] == 3 and out[3]["n_tri"] == 1
 
     k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
@@ -507,3 +507,27 @@ def test_sssp_sql_matches_spark_on_random_graph(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_personalized_pagerank_duplicate_seeds_deduped(spark):
+    """r08 advisor: duplicate rows in `seeds` must not multiply base
+    rows through the left join or inflate n_seeds — the operator
+    de-duplicates, so dup-seed input is bit-identical to distinct."""
+    from news_clustering_and_summarization_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    dup_seeds = spark.createDataFrame([(1,), (1,), (1,)], ["node"])
+    want = sorted(
+        tuple(r) for r in personalized_pagerank(edges, seeds).collect()
+    )
+    got = sorted(
+        tuple(r) for r in personalized_pagerank(edges, dup_seeds).collect()
+    )
+    assert got == want
+    # one row per node, not one per (node, seed-dup)
+    assert len(got) == 3
