@@ -1261,3 +1261,419 @@ def cohen_kappa(
             .alias("kappa_q"),
         )
     )
+
+
+def bleu_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lead_k: int = 15,
+    max_n: int = 4,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) of the LEAD-k
+    extractive summary against the document remainder — the
+    precision-side companion to [[rouge_scores]] for the reference's
+    summarization stage (business_logic/summarization/ has no
+    deterministic surface, so the catalog scores the LEAD baseline).
+
+    Sufficient statistics are EXACT int64: per n in 1..max_n, the
+    corpus clipped-match total m_n = Σ_docs Σ_g min(c_C(g), c_R(g))
+    and the candidate gram total c_n = n_docs·(lead_k − n + 1);
+    corpus candidate/reference lengths for the brevity penalty.
+
+    The score leaves the engine in LOG space with the repo's
+    one-quantized-ln-per-point discipline (heaps_law / survival_curve
+    precedent): q(x) = floor(x·quant + 0.5), and
+
+      log_bleu4_q = Σ_n (q(ln m_n) − q(ln c_n))  +  max_n · bp_q
+      bp_q        = least(0, q(1 − ref_len/cand_len))
+
+    i.e. max_n × the conventional log-BLEU, ×quant — exact integer
+    arithmetic after each individually-quantized ln, so both engines
+    agree bit-for-bit (exp would add a second uncontrolled float op;
+    callers exponentiate outside the comparison surface if they want
+    the 0..1 value). NULL when any m_n = 0 (the textbook score is 0
+    = log −∞; the standard smoothings are a policy choice left to
+    the caller) or when no document survives the length gate.
+
+    Shape: per n, two map-side-combined (id, gram) counts and one
+    equi-join — a TF computation's shuffle budget; the final frame
+    is a broadcast cross of five one-row aggregates. Docs shorter
+    than lead_k + max_n + 1 tokens (empty max_n-gram reference) are
+    excluded up front."""
+    from ..functions import hashing as H
+
+    parts = (
+        df.select(
+            F.col(id_col).alias("id"), H.tokens(F.col(text_col)).alias("_tok")
+        )
+        .where(F.size("_tok") >= lead_k + max_n + 1)
+        .select(
+            "id",
+            F.size("_tok").cast("long").alias("n_tok"),
+            F.slice("_tok", 1, lead_k).alias("_cand"),
+            F.expr(f"slice(_tok, {lead_k + 1}, size(_tok) - {lead_k})").alias(
+                "_ref"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds 2·max_n explodes + head
+    )
+    head = parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.lit(lead_k)).cast("long").alias("cand_len"),
+        F.sum(F.col("n_tok") - F.lit(lead_k)).cast("long").alias("ref_len"),
+    )
+    out = head
+    for n in range(1, max_n + 1):
+        cand = (
+            parts.select(
+                "id", F.explode(H.word_shingles(F.col("_cand"), n)).alias("g")
+            )
+            .groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("c_c"))
+        )
+        ref = (
+            parts.select(
+                "id", F.explode(H.word_shingles(F.col("_ref"), n)).alias("g")
+            )
+            .groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("c_r"))
+        )
+        m = (
+            cand.join(ref, ["id", "g"])
+            .agg(
+                F.coalesce(F.sum(F.least("c_c", "c_r")), F.lit(0))
+                .cast("long")
+                .alias(f"m{n}")
+            )
+        )
+        out = out.crossJoin(F.broadcast(m)).withColumn(
+            f"c{n}",
+            (F.col("n_docs") * F.lit(lead_k - n + 1)).cast("long"),
+        )
+    qln = lambda c: F.floor(  # noqa: E731 — q(ln x), the per-point quantizer
+        F.log(c.cast("double")) * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    bp = F.least(
+        F.lit(0).cast("long"),
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.col("ref_len").cast("double")
+                / F.col("cand_len").cast("double")
+            )
+            * F.lit(float(quant))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    log_terms = None
+    any_zero = F.lit(False)
+    for n in range(1, max_n + 1):
+        t = qln(F.col(f"m{n}")) - qln(F.col(f"c{n}"))
+        log_terms = t if log_terms is None else log_terms + t
+        any_zero = any_zero | (F.col(f"m{n}") == 0)
+    return out.select(
+        "n_docs",
+        "cand_len",
+        "ref_len",
+        *[c for n in range(1, max_n + 1) for c in (f"m{n}", f"c{n}")],
+        F.when(
+            (F.col("n_docs") == 0) | any_zero, F.lit(None).cast("long")
+        )
+        .otherwise(log_terms + F.lit(max_n) * bp)
+        .alias("log_bleu4_q"),
+    )
+
+
+def bleu_corpus_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    lead_k: int = 15,
+    max_n: int = 4,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB twin of bleu_corpus (same clipped counts, same
+    per-point quantized lns, same integer log-space assembly)."""
+    from ..functions.hashing import tokens_sql, word_shingles_sql
+
+    def side(n: int, col: str, cname: str) -> str:
+        return f"""
+  SELECT id, g, count(*)::BIGINT AS {cname}
+  FROM (SELECT id, unnest({word_shingles_sql(col, n)}) AS g FROM parts)
+  GROUP BY id, g"""
+
+    m_ctes = []
+    for n in range(1, max_n + 1):
+        m_ctes.append(f"c{n} AS ({side(n, 'cand', 'c_c')})")
+        m_ctes.append(f"r{n} AS ({side(n, 'ref', 'c_r')})")
+        m_ctes.append(
+            f"m{n} AS (SELECT coalesce(sum(least(c_c, c_r)), 0)::BIGINT"
+            f" AS m FROM c{n} JOIN r{n} USING (id, g))"
+        )
+
+    def qln(e: str) -> str:
+        return f"floor(ln(({e})::DOUBLE) * {quant}.0 + 0.5)::BIGINT"
+
+    log_sum = " + ".join(
+        f"({qln(f'm{n}.m')} - {qln(f'h.n_docs * {lead_k - n + 1}')})"
+        for n in range(1, max_n + 1)
+    )
+    any_zero = " OR ".join(f"m{n}.m = 0" for n in range(1, max_n + 1))
+    m_cols = ", ".join(
+        f"m{n}.m AS m{n}, (h.n_docs * {lead_k - n + 1})::BIGINT AS c{n}"
+        for n in range(1, max_n + 1)
+    )
+    froms = " CROSS JOIN ".join(["h"] + [f"m{n}" for n in range(1, max_n + 1)])
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, {tokens_sql(text_expr)} AS t FROM {table}
+),
+parts AS (
+  SELECT id, len(t)::BIGINT AS n_tok,
+         list_slice(t, 1, {lead_k}) AS cand,
+         list_slice(t, {lead_k + 1}, len(t)) AS ref
+  FROM tok WHERE len(t) >= {lead_k + max_n + 1}
+),
+h AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (count(*) * {lead_k})::BIGINT AS cand_len,
+         coalesce(sum(n_tok - {lead_k}), 0)::BIGINT AS ref_len
+  FROM parts
+),
+{",".join(m_ctes)}
+SELECT h.n_docs, h.cand_len, h.ref_len, {m_cols},
+       CASE WHEN h.n_docs = 0 OR {any_zero} THEN NULL
+            ELSE ({log_sum})
+                 + {max_n} * least(0::BIGINT,
+                     floor((1.0 - h.ref_len::DOUBLE / h.cand_len::DOUBLE)
+                           * {quant}.0 + 0.5)::BIGINT)
+       END AS log_bleu4_q
+FROM {froms}
+"""
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    shard_width: int = 1024,
+    quant: int = 10**12,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall
+    curve, sklearn's step-wise AP definition) without a global row
+    sort — the class-imbalance companion to [[binary_auc]] (AUC is
+    blind to the positive rate; AP is the metric quality-classifier
+    gates actually use on 1%-positive corpora):
+
+        AP = Σ_s (p_s / P) · TP_s / (TP_s + FP_s)
+
+    summed over DISTINCT scores s descending, where p_s/n_s are the
+    pos/neg counts AT s and TP_s/FP_s are cumulative from the top
+    INCLUDING s (ties enter the threshold together — the sklearn
+    convention). Like binary_auc, per-score counts are one
+    map-side-combined shuffle and the cumulative runs as a TWO-PHASE
+    prefix sum over the distinct-score table (in-shard window + a
+    #shards-row offset table), so no window ever sees the full score
+    relation in one partition.
+
+    Each per-score term is quantized half-up at ``quant`` (=1e12; the
+    chi2_abtest per-cell precedent) and the terms sum exactly, so
+    both engines agree bit-for-bit. All int products stay < 2^53 for
+    corpora to ~3e7 rows per class; beyond that widen the term's
+    numerator to DECIMAL — documented, not silently wrong, because
+    the inputs are counts the caller can bound. One-class inputs
+    (P = 0) emit NULL (degenerate-input discipline).
+
+    Output: one row (ap_q, n_pos, n_neg)."""
+    lab = F.col(label_col).cast("long")
+    per_score = (
+        df.select(F.col(score_col).alias("score"), lab.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.sum("y").alias("p_s"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_s"),
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("score") / F.lit(shard_width)).cast("long"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_shard = (
+        Window.orderBy(F.col("shard").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_offsets = (
+        per_score.groupBy("shard")
+        .agg(F.sum("p_s").alias("sp"), F.sum("n_s").alias("sn"))
+        .withColumn(
+            "off_p", F.coalesce(F.sum("sp").over(w_shard), F.lit(0))
+        )
+        .withColumn(
+            "off_n", F.coalesce(F.sum("sn").over(w_shard), F.lit(0))
+        )
+        .select("shard", "off_p", "off_n")
+    )
+    contrib = (
+        per_score.join(F.broadcast(shard_offsets), "shard")
+        .withColumn("tp", F.sum("p_s").over(w_in) + F.col("off_p"))
+        .withColumn("fp", F.sum("n_s").over(w_in) + F.col("off_n"))
+    )
+    total = contrib.agg(
+        F.sum("p_s").alias("n_pos"), F.sum("n_s").alias("n_neg")
+    )
+    term = F.floor(
+        (F.col("p_s") * F.col("tp")).cast("double")
+        / (F.col("n_pos") * (F.col("tp") + F.col("fp"))).cast("double")
+        * F.lit(float(quant))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        contrib.where(F.col("p_s") > 0)
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.when(
+                F.max("n_pos") > 0, F.sum(term)
+            ).alias("ap_q"),
+            F.max("n_pos").cast("long").alias("n_pos"),
+            F.max("n_neg").cast("long").alias("n_neg"),
+        )
+    )
+
+
+def average_precision_sql(
+    table_or_cte: str,
+    score_expr: str,
+    label_expr: str,
+    quant: int = 10**12,
+) -> str:
+    """DuckDB twin of average_precision (single window — the oracle
+    replays the STATISTIC, the two-phase sharding is a Spark plan
+    choice invisible in the result)."""
+    return f"""
+WITH per_score AS (
+  SELECT {score_expr} AS score,
+         sum(({label_expr})::BIGINT)::BIGINT AS p_s,
+         sum(1 - ({label_expr})::BIGINT)::BIGINT AS n_s
+  FROM {table_or_cte}
+  GROUP BY 1
+),
+cum AS (
+  SELECT score, p_s, n_s,
+         sum(p_s) OVER (ORDER BY score DESC
+                        ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(n_s) OVER (ORDER BY score DESC
+                        ROWS UNBOUNDED PRECEDING) AS fp
+  FROM per_score
+),
+tot AS (
+  SELECT sum(p_s)::BIGINT AS n_pos, sum(n_s)::BIGINT AS n_neg
+  FROM per_score
+)
+SELECT CASE WHEN n_pos > 0 THEN
+         (SELECT sum(floor((p_s * tp)::DOUBLE
+                           / (tot.n_pos * (tp + fp))::DOUBLE
+                           * {quant}.0 + 0.5)::BIGINT)
+          FROM cum WHERE p_s > 0)
+       END::BIGINT AS ap_q,
+       n_pos, n_neg
+FROM tot
+"""
+
+
+def matthews_corr(
+    df: DataFrame, pred_col, label_col, quant: int = 1_000_000
+) -> DataFrame:
+    """Matthews correlation coefficient (phi coefficient) between a
+    binary prediction and a binary label — the single-number
+    confusion summary that, unlike accuracy or F1, stays honest
+    under class imbalance (the training-data classifier-gate
+    standard alongside [[cohen_kappa]]):
+
+        MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    TP/TN/FP/FN are exact int64 from ONE map-side-combined aggregate
+    (no shuffle beyond the 4-counter reduce). The numerator is an
+    exact int64 product-difference (< 2^53 up to ~9e7 rows per cell
+    — widen to DECIMAL beyond); the denominator pairs the four
+    margins into two < 2^53 products, one correctly-rounded double
+    multiply and one sqrt — identical expression text in both
+    engines — and the single final division quantizes half-up at
+    ``quant``. Any zero margin makes the textbook value 0/0: NULL
+    (degenerate-input discipline; sklearn pins 0 — callers wanting
+    that coalesce it).
+
+    Output: one row (tp, tn, fp, fn, mcc_q)."""
+    p = (
+        F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    ).cast("boolean")
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    counts = df.agg(
+        F.sum((p & y).cast("long")).cast("long").alias("tp"),
+        F.sum(((~p) & (~y)).cast("long")).cast("long").alias("tn"),
+        F.sum((p & (~y)).cast("long")).cast("long").alias("fp"),
+        F.sum(((~p) & y).cast("long")).cast("long").alias("fn"),
+    ).select(
+        *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in
+          ("tp", "tn", "fp", "fn")]
+    )
+    den_a = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+    den_b = (F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))
+    return counts.select(
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.when(
+            (den_a == 0) | (den_b == 0), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.floor(
+                (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+                .cast("double")
+                / F.sqrt(den_a.cast("double") * den_b.cast("double"))
+                * F.lit(float(quant))
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("mcc_q"),
+    )
+
+
+def matthews_corr_sql(
+    table_or_cte: str, pred_expr: str, label_expr: str,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB twin of matthews_corr."""
+    return f"""
+WITH c AS (
+  SELECT
+    coalesce(sum(CASE WHEN ({pred_expr}) AND ({label_expr})
+                 THEN 1 ELSE 0 END), 0)::BIGINT AS tp,
+    coalesce(sum(CASE WHEN NOT ({pred_expr}) AND NOT ({label_expr})
+                 THEN 1 ELSE 0 END), 0)::BIGINT AS tn,
+    coalesce(sum(CASE WHEN ({pred_expr}) AND NOT ({label_expr})
+                 THEN 1 ELSE 0 END), 0)::BIGINT AS fp,
+    coalesce(sum(CASE WHEN NOT ({pred_expr}) AND ({label_expr})
+                 THEN 1 ELSE 0 END), 0)::BIGINT AS fn
+  FROM {table_or_cte}
+)
+SELECT tp, tn, fp, fn,
+       CASE WHEN (tp + fp) * (tp + fn) = 0
+              OR (tn + fp) * (tn + fn) = 0 THEN NULL
+            ELSE floor((tp * tn - fp * fn)::DOUBLE
+                       / sqrt(((tp + fp) * (tp + fn))::DOUBLE
+                              * ((tn + fp) * (tn + fn))::DOUBLE)
+                       * {quant}.0 + 0.5)::BIGINT
+       END AS mcc_q
+FROM c
+"""

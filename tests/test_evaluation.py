@@ -511,3 +511,106 @@ def test_cohen_kappa_empty_is_null(spark):
     empty = spark.createDataFrame([], "a string, b string")
     got = cohen_kappa(empty, F.col("a"), F.col("b")).collect()[0]
     assert got["n"] == 0 and got["kappa_q"] is None
+
+
+def test_bleu_corpus_identical_lead(spark):
+    """A doc whose remainder repeats its lead verbatim has every
+    clipped n-gram matched: m_n = c_n, log precision terms cancel,
+    and log_bleu4_q reduces to 4x the brevity-penalty term."""
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        bleu_corpus,
+    )
+
+    lead = " ".join(f"w{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(1, lead + " " + lead + " tail1 tail2 tail3")],
+        ["doc_id", "text"],
+    )
+    got = bleu_corpus(df).collect()[0]
+    assert got["n_docs"] == 1 and got["cand_len"] == 15
+    assert all(got[f"m{n}"] == got[f"c{n}"] for n in (1, 2, 3, 4))
+    # ref_len=18, cand_len=15 -> bp = q(1 - 18/15) = q(-0.2) = -200000
+    assert got["ref_len"] == 18
+    assert got["log_bleu4_q"] == 4 * -200_000
+
+
+def test_bleu_corpus_zero_match_is_null_and_sql_twin(spark):
+    """Disjoint lead/remainder vocab -> m_1 = 0 -> NULL score; and
+    the DuckDB twin is bit-identical on a mixed corpus."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        bleu_corpus,
+        bleu_corpus_sql,
+    )
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(15))
+         + " " + " ".join(f"b{i}" for i in range(20))),
+        (2, " ".join(f"c{i % 7}" for i in range(40))),
+        (3, "short doc below the gate"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bleu_corpus(df).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(bleu_corpus_sql("documents")).fetchone()
+    assert tuple(got) == tuple(want)
+    only_disjoint = bleu_corpus(df.where("doc_id = 1")).collect()[0]
+    assert only_disjoint["log_bleu4_q"] is None  # m1 > 0 but m2 = 0? no:
+    # doc 1 has zero lead/remainder overlap -> m1 = 0 -> NULL
+
+
+def test_average_precision_textbook(spark):
+    """Ranked [P, N, P] by score: AP = 1/2·(1/1) + 1/2·(2/3)
+    = 0.8333...; ties collapse onto one threshold."""
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(30, 1), (20, 0), (10, 1)], ["score", "y"]
+    )
+    got = average_precision(df, "score", "y").collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (2, 1)
+    # terms: s=30 -> (1/2)(1/1)=0.5 ; s=10 -> (1/2)(2/3)
+    assert got["ap_q"] == 500_000_000_000 + round(1e12 / 3)
+    tied = spark.createDataFrame(
+        [(10, 1), (10, 0), (10, 1)], ["score", "y"]
+    )
+    t = average_precision(tied, "score", "y").collect()[0]
+    # one threshold: (2·2)/(2·3) = 1/3 per the term formula... no:
+    # p_s=2, tp=2, fp=1 -> (2·2)/(2·3)·1e12 = floor(2/3·1e12 + 0.5)
+    assert t["ap_q"] == 666_666_666_667
+    one_class = spark.createDataFrame([(5, 0)], ["score", "y"])
+    assert average_precision(one_class, "score", "y").collect()[0][
+        "ap_q"
+    ] is None
+
+
+def test_matthews_corr_textbook_and_degenerate(spark):
+    """Perfect prediction -> +1e6; inverted -> -1e6; a zero margin
+    (constant prediction) -> NULL; empty input -> NULL."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        matthews_corr,
+    )
+
+    perfect = spark.createDataFrame(
+        [(True, True), (False, False)] * 3, "p boolean, y boolean"
+    )
+    assert matthews_corr(perfect, "p", "y").collect()[0]["mcc_q"] == 1_000_000
+    inverted = perfect.select((~F.col("p")).alias("p"), "y")
+    assert matthews_corr(inverted, "p", "y").collect()[0][
+        "mcc_q"
+    ] == -1_000_000
+    const = spark.createDataFrame(
+        [(True, True), (True, False)], "p boolean, y boolean"
+    )
+    assert matthews_corr(const, "p", "y").collect()[0]["mcc_q"] is None
+    empty = spark.createDataFrame([], "p boolean, y boolean")
+    row = matthews_corr(empty, "p", "y").collect()[0]
+    assert (row["tp"], row["tn"], row["fp"], row["fn"]) == (0, 0, 0, 0)
+    assert row["mcc_q"] is None

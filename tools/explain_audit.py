@@ -44,6 +44,12 @@ CARTESIAN_OK = {
     "clustering_quality",  # wraps cluster_assign's gated kernel
     "clustering_eps_sweep",  # same kernel, once per swept eps
     "incremental_cluster",
+    # one-row broadcast crosses: the per-n clipped-match totals and
+    # the corpus head are five 1-row aggregates assembled crosswise
+    "bleu_eval",
+    # one-row broadcast cross of the (n_pos, n_neg) total onto the
+    # distinct-score contribution table
+    "pr_auc",
     "pipeline_e2e",
     # the in-plan contract checks crossJoin a broadcast 1-row
     # recall/false-positive stats aggregate onto the result — a
@@ -210,6 +216,9 @@ GLOBAL_WIN_OK = {
     "ann_lsh",
     "distinctive_terms",
     "classifier_auc",
+    # same two-phase prefix-sum shape as classifier_auc (descending):
+    # the only single-partition window is over the shard-TOTAL table
+    "pr_auc",
     "ann_ivf_pq",
     # rank + running-sum windows run over ONLY the top_k (≤100) head
     # rows after the limit — bounded single-partition input
