@@ -1219,3 +1219,154 @@ FROM {prev} d, extra e
 ORDER BY d.id
 """
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over directed
+    ``edges(src, dst)`` — the link-quality pair PageRank doesn't
+    give: hub = "points at good content", authority = "is good
+    content" (crawl-frontier prioritization and source-quality
+    weighting in web-corpus builds; the reference has no graph
+    operator, engine extension like [[pagerank_fixed_point]]).
+
+    Exact scaled-integer fixed point: h_0 = SCALE everywhere, then
+    per iteration a(v) = Σ_{u→v} h(u) followed by max-normalization
+    a ← a·SCALE div max(a) (max is exact on integers — the same
+    reason embedding_pca renormalizes by max|u|, an L2 norm's sqrt
+    would reintroduce a float), then h(u) = Σ_{u→v} a(v) and the
+    same normalization. Every step is integer sums + integer
+    division, associative and bit-identical across engines; the
+    DuckDB oracle replays the iterations unrolled.
+
+    Shape: two dst/src-keyed groupBy shuffles per iteration (the
+    Pregel-lite shape); the max enters as a broadcast one-row
+    aggregate, never a collected scalar. Nodes with no in-edges
+    keep authority 0; no out-edges → hub 0.
+
+    Returns (node, hub_q, auth_q), one row per node incident to any
+    edge."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(SCALE).cast("long").alias("hub"))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        # x·SCALE overflows int64 once raw inflow sums pass ~9e6·SCALE
+        # — widen the product through DECIMAL(38,0)/HUGEINT; the
+        # quotient is ≤ SCALE by construction (x ≤ mx), so the final
+        # BIGINT cast is safe (verified div/HUGEINT-// parity).
+        # The input is materialized FIRST: it feeds both the max
+        # aggregate and the main pass, and an unmaterialized double
+        # reference doubles the replayed lineage at every one of the
+        # 2·iterations normalizations — 2^6 re-executions of the edge
+        # joins by iteration 3 (observed: 60s for a 6k-row graph).
+        df = df.localCheckpoint(eager=True)
+        mx = df.agg(
+            F.greatest(F.max(col), F.lit(1)).cast("long").alias("_mx")
+        )
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {SCALE})"
+                f" div CAST(_mx AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias(col),
+        )
+
+    a = None
+    for _ in range(iterations):
+        a = _norm(
+            nodes.join(
+                e.join(
+                    h.withColumnRenamed("node", "src"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("auth"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            ).select(
+                "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+            ),
+            "auth",
+        )
+        h = _norm(
+            nodes.join(
+                e.join(
+                    a.withColumnRenamed("node", "dst"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.sum("auth").alias("hub"))
+                .withColumnRenamed("src", "node"),
+                "node",
+                "left",
+            ).select(
+                "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+            ),
+            "hub",
+        )
+    return (
+        h.withColumnRenamed("hub", "hub_q")
+        .join(a.withColumnRenamed("auth", "auth_q"), "node")
+        .select("node", "hub_q", "auth_q")
+    )
+
+
+def hits_sql(edges_cte: str, iterations: int = 3) -> tuple[str, str]:
+    """DuckDB replay of hits_scores: unrolled CTE chain over
+    ``edges_cte(src, dst)`` (pre-DISTINCT'd by the caller to match
+    the operator's edge dedup). Returns (cte_fragment,
+    final_relation) selecting (node, hub_q, auth_q)."""
+    parts = [
+        f"nodes AS (SELECT DISTINCT src AS node FROM {edges_cte}"
+        f" UNION SELECT DISTINCT dst FROM {edges_cte})",
+        f"h0 AS (SELECT node, {SCALE}::BIGINT AS hub FROM nodes)",
+    ]
+    prev_h = "h0"
+    a_rel = None
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i}_raw AS MATERIALIZED (
+  SELECT nodes.node, coalesce(inf.auth, 0)::BIGINT AS auth
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum({prev_h}.hub) AS auth
+    FROM {edges_cte} e JOIN {prev_h} ON e.src = {prev_h}.node
+    GROUP BY e.dst
+  ) inf USING (node)
+)"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, ((auth::HUGEINT * {SCALE})"
+            f" // greatest((SELECT max(auth) FROM a{i}_raw), 1))::BIGINT"
+            f" AS auth FROM a{i}_raw)"
+        )
+        parts.append(
+            f"""h{i}_raw AS MATERIALIZED (
+  SELECT nodes.node, coalesce(ouf.hub, 0)::BIGINT AS hub
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, sum(a{i}.auth) AS hub
+    FROM {edges_cte} e JOIN a{i} ON e.dst = a{i}.node
+    GROUP BY e.src
+  ) ouf USING (node)
+)"""
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node, ((hub::HUGEINT * {SCALE})"
+            f" // greatest((SELECT max(hub) FROM h{i}_raw), 1))::BIGINT"
+            f" AS hub FROM h{i}_raw)"
+        )
+        prev_h = f"h{i}"
+        a_rel = f"a{i}"
+    final = (
+        f"hits_out AS (SELECT {prev_h}.node, {prev_h}.hub AS hub_q,"
+        f" {a_rel}.auth AS auth_q FROM {prev_h}"
+        f" JOIN {a_rel} ON {prev_h}.node = {a_rel}.node)"
+    )
+    parts.append(final)
+    return ",\n".join(parts), "hits_out"

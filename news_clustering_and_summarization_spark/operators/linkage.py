@@ -311,3 +311,141 @@ def golden_record(
         )
         out = out.join(pick, "component")
     return out.drop("component")
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_d: int = 2,
+) -> DataFrame:
+    """Edit-distance ≤ d self-join by PassJoin segment blocking
+    (Li, Deng, Feng 2011) — the d ≥ 2 companion to
+    [[fuzzy_join_lev1]] (SymSpell deletion neighborhoods are lossless
+    only at d = 1; their size explodes combinatorially beyond it).
+
+    Pigeonhole: partition a string s into d+1 contiguous segments;
+    any t with ed(s, t) ≤ d must contain at least one segment as an
+    EXACT substring, at a position shifted by at most d (each edit
+    shifts alignment by ≤ 1). So blocking is an EQUI-join of
+    segments (d+1 per row) against candidate substrings (the other
+    side emits every substring whose length could be a partner's
+    segment length — a [⌊(L−d)/(d+1)⌋ .. ⌈(L+d)/(d+1)⌉] band, O(d·L)
+    rows), with the |Δpos| ≤ d and |ΔL| ≤ d residuals as
+    post-filters; the exact `levenshtein` runs only per DISTINCT
+    candidate pair. At 100 TB the quadratic term is bounded by
+    segment-bucket sizes exactly like LSH bands — low-entropy
+    segments (shared prefixes) are the hot-key case: cap bucket
+    frequency or pre-strip constant prefixes for adversarial
+    corpora.
+
+    Strings shorter than d+1 cannot be partitioned into non-empty
+    segments (an empty segment matches everywhere) and are EXCLUDED
+    — a documented precondition, not a silent wrong answer.
+
+    Output: (id_l, id_r, dist) with id_l < id_r, dist ≤ d."""
+    d = int(max_d)
+    base = df.select(
+        F.col(id_col).alias("rid"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= d + 1)
+    # d+1 segments of t: len_i = L div (d+1) + (i < L % (d+1)),
+    # start_i = i·(L div (d+1)) + least(i, L % (d+1))   (0-based)
+    segs = base.select(
+        "rid",
+        "t",
+        F.length("t").alias("len"),
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {d}), i -> struct(
+                  substring(t,
+                    i * (length(t) div {d + 1})
+                      + least(i, length(t) % {d + 1}) + 1,
+                    (length(t) div {d + 1})
+                      + CASE WHEN i < length(t) % {d + 1}
+                             THEN 1 ELSE 0 END) AS seg,
+                  i * (length(t) div {d + 1})
+                    + least(i, length(t) % {d + 1}) AS pos))"""
+            )
+        ).alias("s"),
+    ).select(
+        F.col("rid").alias("rid_a"),
+        F.col("t").alias("t_a"),
+        F.col("len").alias("len_a"),
+        F.col("s.seg").alias("seg"),
+        F.length("s.seg").alias("slen"),
+        F.col("s.pos").alias("pos"),
+    )
+    # candidate substrings: every position, every length in the
+    # partner-segment band [⌊(L−d)/(d+1)⌋ .. ⌈(L+d)/(d+1)⌉]
+    subs = base.select(
+        "rid",
+        "t",
+        F.length("t").alias("len"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(
+                  sequence(greatest((length(t) - {d}) div {d + 1}, 1),
+                           ((length(t) + {d}) div {d + 1}) + 1),
+                  l -> transform(sequence(0, length(t) - l),
+                       p -> struct(substring(t, p + 1, l) AS sub,
+                                   l AS slen, p AS pos))))"""
+            )
+        ).alias("s"),
+    ).select(
+        F.col("rid").alias("rid_b"),
+        F.col("t").alias("t_b"),
+        F.col("len").alias("len_b"),
+        F.col("s.sub").alias("seg"),
+        F.col("s.slen").alias("slen"),
+        F.col("s.pos").alias("spos"),
+    )
+    cand = (
+        segs.join(subs, ["seg", "slen"])
+        .where(
+            (F.col("rid_a") != F.col("rid_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= d)
+            & (F.abs(F.col("pos") - F.col("spos")) <= d)
+        )
+        .select(
+            F.least("rid_a", "rid_b").alias("id_l"),
+            F.greatest("rid_a", "rid_b").alias("id_r"),
+            F.when(F.col("rid_a") < F.col("rid_b"), F.col("t_a"))
+            .otherwise(F.col("t_b"))
+            .alias("t_l"),
+            F.when(F.col("rid_a") < F.col("rid_b"), F.col("t_b"))
+            .otherwise(F.col("t_a"))
+            .alias("t_r"),
+        )
+        .distinct()
+    )
+    return (
+        cand.where(F.levenshtein("t_l", "t_r") <= d)
+        .select(
+            "id_l",
+            "id_r",
+            F.levenshtein("t_l", "t_r").cast("long").alias("dist"),
+        )
+        .orderBy("id_l", "id_r")
+    )
+
+
+def edit_distance_join_sql(
+    table: str, id_col: str, text_col: str, max_d: int = 2
+) -> str:
+    """DuckDB twin of edit_distance_join — deliberately the
+    INDEPENDENT quadratic formulation (θ-join on levenshtein ≤ d
+    over the same length-≥ d+1 population), so a green hash
+    certifies the PassJoin segment blocking is LOSSLESS, not just
+    that both sides ran the same plan."""
+    d = int(max_d)
+    return f"""
+SELECT a.{id_col} AS id_l, b.{id_col} AS id_r,
+       levenshtein(a.{text_col}, b.{text_col})::BIGINT AS dist
+FROM {table} a JOIN {table} b
+  ON a.{id_col} < b.{id_col}
+ AND abs(length(a.{text_col}) - length(b.{text_col})) <= {d}
+ AND levenshtein(a.{text_col}, b.{text_col}) <= {d}
+WHERE length(a.{text_col}) >= {d + 1}
+  AND length(b.{text_col}) >= {d + 1}
+ORDER BY id_l, id_r
+"""

@@ -1406,3 +1406,148 @@ SELECT g, cat, o, term_q,
         * (count(DISTINCT cat) OVER () - 1))::BIGINT AS dof
 FROM x2_t ORDER BY cat, g
 """
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_q: int = 200_000,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third privacy gate after [[k_anonymity_audit]] and
+    [[l_diversity_audit]]: a class passes l-diversity yet still
+    leaks when its sensitive DISTRIBUTION diverges from the global
+    one (the skewness/similarity attacks). For a categorical
+    sensitive attribute the Earth-Mover's Distance reduces to total
+    variation:
+
+        t(g) = ½ Σ_s | n_gs/n_g − N_s/N |
+
+    computed entirely in exact integer space: per (class, value)
+    cell the term |n_gs·N − N_s·n_g| is an exact product-difference
+    (widened through DECIMAL(38,0)/HUGEINT — n·N products pass 2^63
+    long before a 100 TB corpus does), cells sum order-free per
+    class, and the single division by 2·n_g·N quantizes half-up at
+    ``quant``. Values ABSENT from a class still contribute (the
+    Σ over s runs on the full value domain): the class-level sum
+    adds Σ_{s absent} N_s·n_g, folded in exactly as
+    (N − Σ_{s present} N_s)·n_g — no zero-cell materialization
+    needed.
+
+    Shape: one (quasi, sensitive) groupBy — the corpus-scale pass —
+    then class-keyed aggregation over the (classes × values-present)
+    cell table, one broadcast one-row global total; all
+    domain-bounded. Output: (quasi_cols..., class_size, t_q_value,
+    at_risk) with at_risk = t_q_value > t_q."""
+    cells = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("n_gs"))
+        .localCheckpoint(eager=True)
+    )
+    glob = cells.groupBy(sensitive_col).agg(
+        F.sum("n_gs").cast("long").alias("n_s")
+    )
+    total = glob.agg(F.sum("n_s").cast("long").alias("n_tot"))
+    dec = "decimal(38,0)"
+    cls = cells.groupBy(*quasi_cols).agg(
+        F.sum("n_gs").cast("long").alias("class_size")
+    )
+    per_class = (
+        cells.join(F.broadcast(glob), sensitive_col)
+        .join(cls, quasi_cols)
+        .crossJoin(F.broadcast(total))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("class_size").cast("long").alias("class_size"),
+            F.sum(
+                F.abs(
+                    F.col("n_gs").cast(dec) * F.col("n_tot").cast(dec)
+                    - F.col("n_s").cast(dec)
+                    * F.col("class_size").cast(dec)
+                )
+            ).alias("_present"),
+            F.sum(F.col("n_s").cast(dec)).alias("_ns_present"),
+            F.max("n_tot").cast("long").alias("n_tot"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_tot",
+            (
+                F.col("_present")
+                + (
+                    F.col("n_tot").cast(dec) - F.col("_ns_present")
+                ) * F.col("class_size").cast(dec)
+            ).alias("_tv2"),
+        )
+    )
+    return per_class.select(
+        *quasi_cols,
+        "class_size",
+        F.floor(
+            F.col("_tv2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("class_size").cast("double")
+                * F.col("n_tot").cast("double")
+            )
+            * F.lit(float(quant))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t_q_value"),
+    ).withColumn("at_risk", F.col("t_q_value") > F.lit(t_q))
+
+
+def t_closeness_audit_sql(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_q: int = 200_000,
+    quant: int = 1_000_000,
+    order_by: str | None = None,
+) -> str:
+    """DuckDB twin of t_closeness_audit (HUGEINT widening mirrors
+    the DECIMAL(38,0) path). ``glob`` is a DuckDB table function, so
+    the global-margin CTE is named ``gmarg``."""
+    q = ", ".join(quasi_cols)
+    tail = f"ORDER BY {order_by}" if order_by else ""
+    return f"""
+WITH cells AS (
+  SELECT {q}, {sensitive_col} AS s, count(*)::BIGINT AS n_gs
+  FROM {table} GROUP BY {q}, {sensitive_col}
+),
+gmarg AS (
+  SELECT s, sum(n_gs)::BIGINT AS n_s FROM cells GROUP BY s
+),
+tot AS (SELECT sum(n_s)::BIGINT AS n_tot FROM gmarg),
+cls AS (
+  SELECT {q}, sum(n_gs)::BIGINT AS class_size FROM cells GROUP BY {q}
+),
+per_class AS (
+  SELECT {', '.join('cells.' + c for c in quasi_cols)},
+         any_value(cls.class_size) AS class_size,
+         any_value(tot.n_tot) AS n_tot,
+         sum(abs(n_gs::HUGEINT * n_tot::HUGEINT
+                 - n_s::HUGEINT * cls.class_size::HUGEINT)) AS present,
+         sum(n_s::HUGEINT) AS ns_present
+  FROM cells
+  JOIN gmarg USING (s)
+  JOIN cls USING ({q})
+  CROSS JOIN tot
+  GROUP BY {q}
+)
+SELECT {q}, class_size,
+       floor((present + (n_tot::HUGEINT - ns_present)
+                        * class_size::HUGEINT)::DOUBLE
+             / (2.0 * class_size::DOUBLE * n_tot::DOUBLE)
+             * {quant}.0 + 0.5)::BIGINT AS t_q_value,
+       floor((present + (n_tot::HUGEINT - ns_present)
+                        * class_size::HUGEINT)::DOUBLE
+             / (2.0 * class_size::DOUBLE * n_tot::DOUBLE)
+             * {quant}.0 + 0.5)::BIGINT > {t_q} AS at_risk
+FROM per_class
+{tail}
+"""

@@ -648,3 +648,93 @@ FROM {prev}, (SELECT count(*)::BIGINT AS k FROM {prev}) kk
 ORDER BY domain
 """
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int = 5,
+    seed: int = 0x5F0,
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment — the eval-split
+    primitive [[train_test_split]] doesn't give: every stratum
+    (language, source, quality tier) is spread across all k folds
+    with sizes differing by at most 1, so per-fold metrics aren't
+    confounded by stratum mix (sklearn StratifiedKFold semantics,
+    hash-ordered instead of input-ordered so it is reproducible
+    under any partitioning).
+
+        fold(row) = (row_number per stratum ordered by
+                     (hash64(id), id) − 1) mod k
+
+    The (hash, id) compound order makes the assignment a pure
+    function of the data — no RNG, no scan order. The per-stratum
+    row_number window partitions by stratum; at 100 TB a single
+    giant stratum serializes its own window, which is the standard
+    two-phase-prefix refactor if it ever dominates (documented — the
+    usual strata, language × source, are far below that).
+
+    Returns df plus a ``fold`` column."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        H.hash64(F.col(id_col).cast("string"), seed), F.col(id_col)
+    )
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("long")
+    )
+
+
+def stratified_kfold_summary(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int = 5,
+    seed: int = 0x5F0,
+) -> DataFrame:
+    """Per-(stratum, fold) audit of [[stratified_kfold]]: member
+    count plus an order-free id-hash checksum, so a hash-green
+    oracle certifies the exact ASSIGNMENT, not just the fold sizes.
+    Output: (stratum, fold, n, id_checksum)."""
+    folded = stratified_kfold(df, id_col, stratum_col, k, seed)
+    # 60-bit hashes sum past int64 within ~8 rows: accumulate through
+    # DECIMAL(38,0)/HUGEINT, then fold back into int64 by modulo
+    return (
+        folded.groupBy(F.col(stratum_col).alias("stratum"), "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(
+                    H.hash64(F.col(id_col).cast("string"), seed + 1).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                % F.lit(2**61).cast("decimal(38,0)")
+            ).cast("long").alias("id_checksum"),
+        )
+        .orderBy("stratum", "fold")
+    )
+
+
+def stratified_kfold_summary_sql(
+    table: str,
+    id_col: str,
+    stratum_col: str,
+    k: int = 5,
+    seed: int = 0x5F0,
+) -> str:
+    """DuckDB twin of stratified_kfold_summary."""
+    h_order = H.hash64_sql(f"({id_col})::VARCHAR", seed)
+    h_sum = H.hash64_sql(f"({id_col})::VARCHAR", seed + 1)
+    return f"""
+WITH folded AS (
+  SELECT {stratum_col} AS stratum, {id_col} AS id,
+         ((row_number() OVER (PARTITION BY {stratum_col}
+                              ORDER BY {h_order}, {id_col}) - 1)
+          % {k})::BIGINT AS fold,
+         {h_sum} AS h2
+  FROM {table}
+)
+SELECT stratum, fold, count(*)::BIGINT AS n,
+       (sum(h2::HUGEINT) % 2305843009213693952)::BIGINT AS id_checksum
+FROM folded GROUP BY stratum, fold ORDER BY stratum, fold
+"""

@@ -117,3 +117,114 @@ def oracle_davies_bouldin() -> str:
     from ..operators.cluster_metrics import davies_bouldin_sql
 
     return davies_bouldin_sql("embeddings")
+
+
+def q_t_closeness(spark, sf):
+    """t-closeness audit (operators/profiling.t_closeness_audit):
+    per quasi-identifier class, total-variation distance between the
+    class's sensitive-attribute distribution and the global one —
+    the third privacy gate after k_anonymity / l_diversity (skewness
+    attacks pass both). Exact HUGEINT/DECIMAL cross-products, one
+    half-up division per class."""
+    from ..operators.profiling import t_closeness_audit
+
+    cust = load(spark, sf, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "balance_band"
+        ),
+        "c_nationkey",
+    )
+    return t_closeness_audit(
+        cust, ["c_mktsegment", "balance_band"], "c_nationkey"
+    ).orderBy("c_mktsegment", "balance_band")
+
+
+def oracle_t_closeness() -> str:
+    from ..operators.profiling import t_closeness_audit_sql
+
+    return t_closeness_audit_sql(
+        "(SELECT c_mktsegment,"
+        " cast(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,"
+        " c_nationkey FROM customer)",
+        ["c_mktsegment", "balance_band"],
+        "c_nationkey",
+        order_by="c_mktsegment, balance_band",
+    )
+
+
+def q_hits(spark, sf):
+    """HITS hubs & authorities (operators/graph.hits_scores) over
+    the directed supplier→part bipartite graph from lineitem —
+    source-quality weighting for corpus builds (hub = supplier
+    covering good parts, authority = part carried by good
+    suppliers). Exact scaled-integer fixed point with per-iteration
+    max-normalization; oracle replays 3 iterations unrolled."""
+    from ..operators.graph import hits_scores
+
+    li = widen(spark, load(spark, sf, "lineitem")).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(1_000_000_000)).alias(
+            "dst"
+        ),
+    )
+    return (
+        hits_scores(li, iterations=3)
+        .orderBy(F.col("auth_q").desc(), F.col("hub_q").desc(), "node")
+        .limit(25)
+    )
+
+
+def oracle_hits() -> str:
+    from ..operators.graph import hits_sql
+
+    frag, final = hits_sql("edges", iterations=3)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey::BIGINT AS src,
+         (l_partkey::BIGINT + 1000000000) AS dst
+  FROM lineitem
+),
+{frag}
+SELECT node, hub_q, auth_q FROM {final}
+ORDER BY auth_q DESC, hub_q DESC, node
+LIMIT 25
+"""
+
+
+def q_edit_distance_join(spark, sf):
+    """PassJoin edit-distance ≤2 self-join (operators/linkage.
+    edit_distance_join) over part names — segment-blocked candidate
+    generation (d+1 segments equi-join candidate substrings, |Δpos|
+    and |Δlen| residual filters) + exact levenshtein verify; the
+    oracle is the INDEPENDENT quadratic θ-join, so green == the
+    blocking is lossless."""
+    from ..operators.linkage import edit_distance_join
+
+    return edit_distance_join(
+        widen(spark, load(spark, sf, "part")), "p_partkey", "p_name", 2
+    )
+
+
+def oracle_edit_distance_join() -> str:
+    from ..operators.linkage import edit_distance_join_sql
+
+    return edit_distance_join_sql("part", "p_partkey", "p_name", 2)
+
+
+def q_stratified_kfold(spark, sf):
+    """Deterministic stratified k-fold audit (operators/sampling.
+    stratified_kfold_summary): documents stratified by lang into 5
+    hash-ordered folds; the per-(stratum, fold) id checksum makes a
+    green hash certify the exact assignment."""
+    from ..operators.sampling import stratified_kfold_summary
+
+    return stratified_kfold_summary(
+        load(spark, sf, "documents"), "doc_id", "lang", k=5
+    )
+
+
+def oracle_stratified_kfold() -> str:
+    from ..operators.sampling import stratified_kfold_summary_sql
+
+    return stratified_kfold_summary_sql("documents", "doc_id", "lang", k=5)

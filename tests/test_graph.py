@@ -531,3 +531,42 @@ def test_personalized_pagerank_duplicate_seeds_deduped(spark):
     assert got == want
     # one row per node, not one per (node, seed-dup)
     assert len(got) == 3
+
+
+def test_hits_bipartite_star_and_sql_twin(spark):
+    """Star: hub u points at v1..v3, hub w points at v1 only. After
+    any iteration v1 is the top authority and u the top hub (strictly
+    above w/v2/v3); the DuckDB unrolled replay is bit-identical."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        hits_scores,
+        hits_sql,
+    )
+
+    edges = [(1, 11), (1, 12), (1, 13), (2, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(tuple(r) for r in hits_scores(df, iterations=3).collect())
+    by_node = {t[0]: t for t in got}
+    assert by_node[1][1] > by_node[2][1]  # u out-hubs w
+    assert by_node[11][2] > by_node[12][2]  # v1 out-auths v2
+    assert by_node[12][2] == by_node[13][2]  # symmetric leaves tie
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    frag, final = hits_sql("e", iterations=3)
+    want = sorted(
+        con.execute(
+            f"WITH {frag} SELECT node, hub_q, auth_q FROM {final}"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hits_no_edges_degenerate(spark):
+    from news_clustering_and_summarization_spark.operators.graph import (
+        hits_scores,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits_scores(empty, iterations=2).collect() == []

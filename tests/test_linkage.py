@@ -241,3 +241,47 @@ def test_golden_record_chain_and_rules(spark):
         3, "ANNABEL", 30, "HOME",
     )
     assert got["r9"]["n_members"] == 1 and got["r9"]["name"] == "ZED"
+
+
+def test_edit_distance_join_lossless_vs_bruteforce(spark):
+    """PassJoin blocking finds EXACTLY the brute-force <=2 pairs on a
+    typo-rich corpus (substitutions, inserts, deletes, transposed-ish
+    pairs, and far strings), and excludes the < d+1 shorts."""
+    from news_clustering_and_summarization_spark.operators.linkage import (
+        edit_distance_join,
+    )
+
+    rows = [
+        (1, "goldenrod lace"),
+        (2, "goldenrod lacy"),       # sub, d=1
+        (3, "goldenrod lacee"),      # insert, d=1 vs 1; d=2 vs 2
+        (4, "goldnrod lace"),        # delete, d=1 vs 1
+        (5, "silver bolt"),
+        (6, "silvery bolts"),        # d=2 vs 5
+        (7, "xx"),                   # len 2 < d+1: excluded
+        (8, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    got = sorted(
+        (r["id_l"], r["id_r"], r["dist"])
+        for r in edit_distance_join(df, "rid", "name", 2).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = sorted(
+        (a, b, lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if len(sa) >= 3 and len(sb) >= 3 and lev(sa, sb) <= 2
+    )
+    assert got == want
+    assert all(t[0] != 7 and t[1] != 7 for t in got)

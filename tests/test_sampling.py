@@ -361,3 +361,43 @@ def test_doremi_weights_uniform_corpus(spark):
     out = doremi_domain_weights(df, "source", "text").collect()
     assert all(r["excess_q"] == 0 for r in out)
     assert all(abs(r["w_q"] - 333_333) <= 1 for r in out)
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    """Every stratum spreads across all k folds with sizes differing
+    by <= 1; the assignment is identical under a different input
+    partitioning (pure function of the data)."""
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        stratified_kfold,
+        stratified_kfold_summary,
+        stratified_kfold_summary_sql,
+    )
+    import duckdb
+
+    rows = [(i, f"s{i % 3}") for i in range(101)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out = stratified_kfold(df, "id", "stratum", k=5).collect()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r["stratum"], {}).setdefault(r["fold"], 0)
+        sizes[r["stratum"]][r["fold"]] += 1
+    for strat, folds in sizes.items():
+        assert set(folds) == {0, 1, 2, 3, 4}, strat
+        assert max(folds.values()) - min(folds.values()) <= 1
+    again = stratified_kfold(
+        df.repartition(7, "id"), "id", "stratum", k=5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    got = sorted(
+        tuple(r)
+        for r in stratified_kfold_summary(df, "id", "stratum", 5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, stratum VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        con.execute(
+            stratified_kfold_summary_sql("t", "id", "stratum", 5)
+        ).fetchall()
+    )
+    assert got == want

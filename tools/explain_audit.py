@@ -50,6 +50,12 @@ CARTESIAN_OK = {
     # one-row broadcast cross of the (n_pos, n_neg) total onto the
     # distinct-score contribution table
     "pr_auc",
+    # ONE-ROW broadcast global-total aggregate crossJoined onto the
+    # domain-bounded (class x value) cell table
+    "t_closeness",
+    # per-normalization ONE-ROW broadcast max aggregate crossJoined
+    # onto the node table (2 per iteration, the pagerank n_nodes shape)
+    "hits",
     "pipeline_e2e",
     # the in-plan contract checks crossJoin a broadcast 1-row
     # recall/false-positive stats aggregate onto the result — a
