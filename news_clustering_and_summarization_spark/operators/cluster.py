@@ -299,9 +299,18 @@ def lsh_candidate_pairs(
     probes = F.array(
         *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )
-    rb = r_vecs.withColumn(
-        "_bucket", bucket(F.col("_rv").cast("array<double>"))
-    ).select("r_id", "_bucket")
+    if symmetric:
+        # left IS right: reuse the one Arrow matmul instead of
+        # bucketing the same vectors twice (r09: ~1.5s of the 50k
+        # bench query was the duplicate bucket pass)
+        lb = lb.localCheckpoint(eager=True)
+        rb = lb.select(
+            F.col("l_id").alias("r_id"), F.col("_b0").alias("_bucket")
+        )
+    else:
+        rb = r_vecs.withColumn(
+            "_bucket", bucket(F.col("_rv").cast("array<double>"))
+        ).select("r_id", "_bucket")
     if symmetric:
         # each unordered pair matches on exactly ONE bucket value
         # (the pair's mask m = b_l XOR b_r is unique), so probing
@@ -342,8 +351,14 @@ def lsh_candidate_pairs(
         .withColumn("dist", V.cosine_distance(F.col("_lv"), F.col("_rv")))
         .where(F.col("dist") <= eps)
         .select("l_id", "r_id", "dist")
-        .dropDuplicates(["l_id", "r_id"])
     )
+    if not symmetric:
+        # multiprobe can find an (l, r) pair once per mask whose XOR
+        # lands in the probe set — dedup. The SYMMETRIC fast path
+        # needs none: an unordered pair matches on exactly one bucket
+        # value (its unique mask m = b_l XOR b_r), generated from one
+        # side only, so the dedup would be a pure extra shuffle (r09)
+        verified = verified.dropDuplicates(["l_id", "r_id"])
     if symmetric:
         # restore the both-directions contract from the verified half
         verified = verified.unionAll(

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
-"""Scale rehearsal (r08 verdict item 1): execute the most expensive
-catalog queries at sf0.1 AND at the 10x inflated sf1 set
-(tools/gen_scale_data.py), recording wall-clock and total shuffle
-write bytes per query, and print the sf0.1 -> sf1 scaling ratios.
+"""Scale rehearsal (r08 verdict item 1, widened to 100x in r09):
+execute the most expensive catalog queries at sf0.1 AND at inflated
+sets from tools/gen_scale_data.py (default: the 10x sf1 set; pass
+more label=dir pairs for the 100x sf10 sweep), recording wall-clock
+and total shuffle write bytes per query, and printing scaling ratios
+vs the sf0.1 baseline.
 
 A plan that is linear in the input should land near 10x in shuffle
 bytes (or far below, for sketch/sufficient-statistics shapes whose
@@ -14,7 +16,10 @@ shuffleWriteBytes summed over the app, sampled before/after each
 query) — the same numbers the History Server shows, no listener
 plumbing needed.
 
-Usage: python tools/scale_rehearsal.py [sf1_dir] [out_json]
+Usage:
+  python tools/scale_rehearsal.py [sf1_dir] [out_json]
+  python tools/scale_rehearsal.py --scales sf1=DIR1:10 sf10=DIR2:100 \
+         [--out out.json] [--targets q1,q2,...]
 """
 
 from __future__ import annotations
@@ -56,11 +61,29 @@ def _shuffle_bytes(ui: str) -> int:
 
 
 def main() -> int:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
-    out_path = (
-        sys.argv[2] if len(sys.argv) > 2
-        else os.path.join(REPO, "SCALE_REHEARSAL.json")
-    )
+    args = sys.argv[1:]
+    targets = list(TARGETS)
+    if args and args[0] == "--scales":
+        scales = []
+        out_path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+        i = 1
+        while i < len(args):
+            if args[i] == "--out":
+                out_path = args[i + 1]; i += 2
+            elif args[i] == "--targets":
+                targets = args[i + 1].split(","); i += 2
+            else:
+                label, rest = args[i].split("=", 1)
+                d, factor = rest.rsplit(":", 1)
+                scales.append((label, d, int(factor)))
+                i += 1
+    else:
+        sf1 = args[0] if args else "/tmp/spark_graft_sf1"
+        out_path = (
+            args[1] if len(args) > 1
+            else os.path.join(REPO, "SCALE_REHEARSAL.json")
+        )
+        scales = [("sf1", sf1, 10)]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(
         "scale-rehearsal",
@@ -77,12 +100,15 @@ def main() -> int:
     ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
 
     results: dict[str, dict] = {}
-    # JIT/codegen warm at the small sf so neither scale pays the
+    # JIT/codegen warm at the small sf so no scale pays the
     # first-execution cost
-    for name in TARGETS:
+    for name in targets:
         catalog.QUERIES[name](spark, "/root/testdata/sf0.01").count()
-    for sf_label, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)]:
-        for name in TARGETS:
+    points = [("sf0.1", "/root/testdata/sf0.1")] + [
+        (label, d) for label, d, _f in scales
+    ]
+    for sf_label, sf_dir in points:
+        for name in targets:
             before = _shuffle_bytes(ui)
             t0 = time.time()
             n = catalog.QUERIES[name](spark, sf_dir).count()
@@ -100,17 +126,30 @@ def main() -> int:
             )
     spark.stop()
 
-    print(f"\n{'query':20s} {'wall x':>8s} {'shuffle x':>10s}")
-    for name, r in results.items():
-        a, b = r["sf0.1"], r["sf1"]
-        wx = b["wall_sec"] / max(a["wall_sec"], 1e-9)
-        sx = b["shuffle_mb"] / max(a["shuffle_mb"], 1e-9)
-        r["wall_ratio"] = round(wx, 2)
-        r["shuffle_ratio"] = round(sx, 2)
-        print(f"{name:20s} {wx:8.2f} {sx:10.2f}")
+    for label, _d, factor in scales:
+        print(f"\n[{label} = {factor}x] "
+              f"{'query':20s} {'wall x':>8s} {'shuffle x':>10s}")
+        for name, r in results.items():
+            if label not in r:
+                continue
+            a, b = r["sf0.1"], r[label]
+            wx = b["wall_sec"] / max(a["wall_sec"], 1e-9)
+            sx = b["shuffle_mb"] / max(a["shuffle_mb"], 1e-9)
+            r[f"wall_ratio_{label}"] = round(wx, 2)
+            r[f"shuffle_ratio_{label}"] = round(sx, 2)
+            if label == "sf1":  # legacy keys kept for SCALE.md refs
+                r["wall_ratio"] = round(wx, 2)
+                r["shuffle_ratio"] = round(sx, 2)
+            print(f"{name:20s} {wx:8.2f} {sx:10.2f}")
     with open(out_path, "w") as f:
         json.dump(
-            {"factor": 10, "cpus": cpus, "results": results}, f, indent=1
+            {
+                "factors": {label: f for label, _d, f in scales},
+                "cpus": cpus,
+                "results": results,
+            },
+            f,
+            indent=1,
         )
     print(f"-> {out_path}")
     return 0
