@@ -259,3 +259,24 @@ def quantize_int8_sql(expr: str) -> tuple[str, str]:
         f"greatest(-127, least(127, floor(x / {scale} + 0.5)::INT))) END"
     )
     return scale, q
+
+
+def quantize_fixed(vec_col: str, scale: int) -> Column:
+    """Element-wise half-up fixed-point quantizer: each component
+    becomes floor(x·scale + 0.5) as BIGINT. The repo-standard vector
+    quantizer (pca.py discipline, shared by cluster_metrics): CAST to
+    DOUBLE happens BEFORE the scale — float32 inputs would otherwise
+    multiply in float32, and the two engines' promotion chains
+    differ; double math is identical text on both sides."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {scale}.0 + 0.5) AS BIGINT))"
+    )
+
+
+def quantize_fixed_sql(vec_col: str, scale: int) -> str:
+    """DuckDB twin of quantize_fixed."""
+    return (
+        f"list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {scale}.0 + 0.5) AS BIGINT))"
+    )

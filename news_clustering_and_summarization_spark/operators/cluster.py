@@ -302,8 +302,11 @@ def lsh_candidate_pairs(
     if symmetric:
         # left IS right: reuse the one Arrow matmul instead of
         # bucketing the same vectors twice (r09: ~1.5s of the 50k
-        # bench query was the duplicate bucket pass)
-        lb = lb.localCheckpoint(eager=True)
+        # bench query was the duplicate bucket pass). Checkpoint only
+        # (id, bucket) — the eager cut would otherwise materialize
+        # the full vector column that nothing downstream of it reads
+        # (vectors re-attach from l_vecs/r_vecs at verify)
+        lb = lb.select("l_id", "_b0").localCheckpoint(eager=True)
         rb = lb.select(
             F.col("l_id").alias("r_id"), F.col("_b0").alias("_bucket")
         )

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import half_away_div, half_away_div_sql
+from ..functions.vectors import quantize_fixed, quantize_fixed_sql
 
 __all__ = ["silhouette_by_label", "davies_bouldin"]
 
@@ -49,17 +50,11 @@ SQ = 1_000_000  # score quantization scale
 
 
 def _xq(vec_col: str) -> Column:
-    return F.expr(
-        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-        f" * {XQ}.0 + 0.5) AS BIGINT))"
-    )
+    return quantize_fixed(vec_col, XQ)
 
 
 def _xq_sql(vec_col: str) -> str:
-    return (
-        f"list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-        f" * {XQ}.0 + 0.5) AS BIGINT))"
-    )
+    return quantize_fixed_sql(vec_col, XQ)
 
 
 def _sqdist_lit(xq: Column, cent: list[int]) -> Column:
@@ -76,8 +71,11 @@ def _centroids_q(
 ) -> list[tuple[int, list[int], int]]:
     """[(label, c_q[dim], n_members)] sorted by label — exact integer
     centroids via one (label, dim) groupBy; bounded driver state
-    (k·dim ints)."""
-    cells = df.select(
+    (k·dim ints). NULL labels (unassigned points, e.g. DBSCAN noise
+    from an upstream left join) are EXCLUDED — a documented contract
+    (r09 review: a None key would otherwise crash the label sort and
+    the literal plan), mirrored by the SQL twins' IS NOT NULL."""
+    cells = df.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).cast("long").alias("_l"), _xq(vec_col).alias("_xq")
     ).select("_l", F.posexplode("_xq").alias("_d", "_x"))
     rows = (
@@ -121,7 +119,7 @@ def silhouette_by_label(
         return df.sparkSession.createDataFrame(
             [], "label long, n_members long, mean_sil_q long"
         )
-    base = df.select(
+    base = df.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).cast("long").alias("label"),
         _xq(vec_col).alias("_xq"),
     )
@@ -193,7 +191,7 @@ def silhouette_by_label_sql(
 WITH xq AS (
   SELECT {label_col}::BIGINT AS label, {id_col} AS id,
          {_xq_sql(vec_col)} AS v
-  FROM {table}
+  FROM {table} WHERE {label_col} IS NOT NULL
 ),
 cells AS (
   SELECT label, id, generate_subscripts(v, 1) AS d, unnest(v) AS x
@@ -250,7 +248,7 @@ def davies_bouldin(
         return spark.createDataFrame(
             [(len(cents), None)], "n_clusters long, db_q long"
         )
-    base = df.select(
+    base = df.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).cast("long").alias("label"),
         _xq(vec_col).alias("_xq"),
     )
@@ -333,7 +331,7 @@ def davies_bouldin_sql(
 WITH xq AS (
   SELECT {label_col}::BIGINT AS label, {id_col} AS id,
          {_xq_sql(vec_col)} AS v
-  FROM {table}
+  FROM {table} WHERE {label_col} IS NOT NULL
 ),
 cells AS (
   SELECT label, id, generate_subscripts(v, 1) AS d, unnest(v) AS x
@@ -375,8 +373,8 @@ r AS (
 per_i AS (
   SELECT label, max(r_q) AS rmax, sum(bad) AS nbad FROM r GROUP BY label
 )
-SELECT count(*)::BIGINT AS n_clusters,
-       CASE WHEN sum(nbad) = 0
+SELECT (SELECT count(*) FROM sig)::BIGINT AS n_clusters,
+       CASE WHEN count(*) > 0 AND sum(nbad) = 0
             THEN {half_away_div_sql('sum(rmax)', 'count(*)')}::BIGINT
        END AS db_q
 FROM per_i

@@ -1321,8 +1321,14 @@ def bleu_corpus(
     )
     head = parts.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.lit(lead_k)).cast("long").alias("cand_len"),
-        F.sum(F.col("n_tok") - F.lit(lead_k)).cast("long").alias("ref_len"),
+        # coalesce: an empty survivor set must read 0, not NULL — the
+        # SQL twin computes count(*)*k / coalesce(sum,0) (r09 review)
+        F.coalesce(F.sum(F.lit(lead_k)), F.lit(0)).cast("long").alias(
+            "cand_len"
+        ),
+        F.coalesce(F.sum(F.col("n_tok") - F.lit(lead_k)), F.lit(0))
+        .cast("long")
+        .alias("ref_len"),
     )
     out = head
     for n in range(1, max_n + 1):
@@ -1534,16 +1540,21 @@ def average_precision(
         * F.lit(float(quant))
         + F.lit(0.5)
     ).cast("long")
-    return (
+    # anchor the output on the ALWAYS-one-row totals aggregate: a
+    # zero-positive input empties the term frame, and deriving the
+    # counts via max() over it returned NULL n_pos/n_neg where the
+    # SQL twin reports the real counts (r09 review)
+    ap_sum = (
         contrib.where(F.col("p_s") > 0)
         .crossJoin(F.broadcast(total))
-        .agg(
-            F.when(
-                F.max("n_pos") > 0, F.sum(term)
-            ).alias("ap_q"),
-            F.max("n_pos").cast("long").alias("n_pos"),
-            F.max("n_neg").cast("long").alias("n_neg"),
-        )
+        .agg(F.sum(term).alias("_apsum"))
+    )
+    return total.crossJoin(F.broadcast(ap_sum)).select(
+        F.when(F.col("n_pos") > 0, F.col("_apsum"))
+        .cast("long")
+        .alias("ap_q"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
     )
 
 

@@ -255,12 +255,16 @@ def personalized_pagerank_sql(
         f"SELECT src AS node FROM {edges_cte}"
         f" UNION ALL SELECT dst FROM {edges_cte}"
         f" UNION ALL SELECT node FROM {seeds_cte}))",
-        f"ppr_ns AS (SELECT count(*) AS n FROM {seeds_cte})",
+        # DISTINCT mirrors the operator's seed dedup (r09 review:
+        # the r08 fix landed Spark-side only; duplicate seed rows
+        # would inflate n AND multiply base rows through this join)
+        f"ppr_seeds AS (SELECT DISTINCT node FROM {seeds_cte})",
+        "ppr_ns AS (SELECT count(*) AS n FROM ppr_seeds)",
         f"ppr_deg AS (SELECT src, count(*) AS outdeg FROM {edges_cte}"
         " GROUP BY src)",
         f"ppr_base AS (SELECT n.node, CASE WHEN s.node IS NOT NULL"
         f" THEN {SCALE} // (SELECT n FROM ppr_ns) ELSE 0 END AS s"
-        f" FROM ppr_nodes n LEFT JOIN {seeds_cte} s ON n.node = s.node)",
+        f" FROM ppr_nodes n LEFT JOIN ppr_seeds s ON n.node = s.node)",
         "ppr_r0 AS (SELECT node, s AS rank FROM ppr_base)",
     ]
     prev = "ppr_r0"
@@ -1281,18 +1285,26 @@ def hits_scores(
 
     a = None
     for _ in range(iterations):
+        # sums widen through DECIMAL(38,0): hub values are SCALE=1e12
+        # and an int64 sum wraps past ~9.2e6 in-edges (r09 review) —
+        # the DuckDB twin's sum(BIGINT) auto-widens to HUGEINT
         a = _norm(
             nodes.join(
                 e.join(
                     h.withColumnRenamed("node", "src"), "src"
                 )
                 .groupBy("dst")
-                .agg(F.sum("hub").alias("auth"))
+                .agg(
+                    F.sum(F.col("hub").cast("decimal(38,0)")).alias("auth")
+                )
                 .withColumnRenamed("dst", "node"),
                 "node",
                 "left",
             ).select(
-                "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+                "node",
+                F.coalesce(
+                    F.col("auth"), F.lit(0).cast("decimal(38,0)")
+                ).alias("auth"),
             ),
             "auth",
         )
@@ -1302,12 +1314,17 @@ def hits_scores(
                     a.withColumnRenamed("node", "dst"), "dst"
                 )
                 .groupBy("src")
-                .agg(F.sum("auth").alias("hub"))
+                .agg(
+                    F.sum(F.col("auth").cast("decimal(38,0)")).alias("hub")
+                )
                 .withColumnRenamed("src", "node"),
                 "node",
                 "left",
             ).select(
-                "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+                "node",
+                F.coalesce(
+                    F.col("hub"), F.lit(0).cast("decimal(38,0)")
+                ).alias("hub"),
             ),
             "hub",
         )
@@ -1333,9 +1350,9 @@ def hits_sql(edges_cte: str, iterations: int = 3) -> tuple[str, str]:
     for i in range(1, iterations + 1):
         parts.append(
             f"""a{i}_raw AS MATERIALIZED (
-  SELECT nodes.node, coalesce(inf.auth, 0)::BIGINT AS auth
+  SELECT nodes.node, coalesce(inf.auth, 0::HUGEINT) AS auth
   FROM nodes LEFT JOIN (
-    SELECT e.dst AS node, sum({prev_h}.hub) AS auth
+    SELECT e.dst AS node, sum({prev_h}.hub::HUGEINT) AS auth
     FROM {edges_cte} e JOIN {prev_h} ON e.src = {prev_h}.node
     GROUP BY e.dst
   ) inf USING (node)
@@ -1348,9 +1365,9 @@ def hits_sql(edges_cte: str, iterations: int = 3) -> tuple[str, str]:
         )
         parts.append(
             f"""h{i}_raw AS MATERIALIZED (
-  SELECT nodes.node, coalesce(ouf.hub, 0)::BIGINT AS hub
+  SELECT nodes.node, coalesce(ouf.hub, 0::HUGEINT) AS hub
   FROM nodes LEFT JOIN (
-    SELECT e.src AS node, sum(a{i}.auth) AS hub
+    SELECT e.src AS node, sum(a{i}.auth::HUGEINT) AS hub
     FROM {edges_cte} e JOIN a{i} ON e.dst = a{i}.node
     GROUP BY e.src
   ) ouf USING (node)

@@ -75,10 +75,9 @@ def top_component(
     # multiply in float32 (both engines promote float*int to float),
     # and the two engines' promotion chains differ — double math is
     # identical text on both sides
-    xq = F.expr(
-        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-        f" * {XQ}.0 + 0.5) AS BIGINT))"
-    )
+    from ..functions.vectors import quantize_fixed
+
+    xq = quantize_fixed(vec_col, XQ)
     base = df.select(F.col(id_col).alias("id"), xq.alias("xq"))
     cells = base.select(
         "id", F.posexplode("xq").alias("d", "x")
@@ -177,12 +176,13 @@ def top_component_sql(
 
     had = half_away_div_sql
     v0 = int(math.floor(VQ / math.sqrt(dim) + 0.5))
+    from ..functions.vectors import quantize_fixed_sql
+
+    qv = quantize_fixed_sql(vec_col, XQ)
     ctes = [
         f"""cells AS (
   SELECT {id_col} AS id, unnest(range(0, {dim})) AS d,
-         unnest(list_transform({vec_col},
-                x -> CAST(floor(CAST(x AS DOUBLE) * {XQ}.0 + 0.5)
-                     AS BIGINT))) AS x
+         unnest({qv}) AS x
   FROM {table}
 )""",
         f"""mu AS (

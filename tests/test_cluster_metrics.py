@@ -95,3 +95,41 @@ def test_davies_bouldin_degenerates(spark):
     assert got["n_clusters"] == 2 and got["db_q"] is None
     want = _duck(co).execute(davies_bouldin_sql("embeddings")).fetchone()
     assert (got["n_clusters"], got["db_q"]) == want
+
+
+def test_cluster_metrics_null_labels_excluded(spark):
+    """r09 review: NULL labels (unassigned points) are excluded by
+    documented contract in BOTH engines — no crash, no phantom
+    cluster."""
+    rows = TIGHT + [(9, [4.0, 4.0], None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = sorted(tuple(r) for r in silhouette_by_label(df).collect())
+    want_no_null = sorted(
+        tuple(r)
+        for r in silhouette_by_label(
+            spark.createDataFrame(
+                TIGHT, "vec_id long, embedding array<double>, label int"
+            )
+        ).collect()
+    )
+    assert got == want_no_null
+    sql_rows = sorted(
+        tuple(r)
+        for r in _duck(rows)
+        .execute(silhouette_by_label_sql("embeddings"))
+        .fetchall()
+    )
+    assert got == sql_rows
+
+
+def test_davies_bouldin_k1_sql_twin_agrees(spark):
+    """r09 review: the single-cluster degenerate must read
+    (n_clusters=1, NULL) in BOTH engines (the twin counted per_i —
+    empty at k=1 — and reported 0 clusters)."""
+    rows = TIGHT[:2]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = tuple(davies_bouldin(df).collect()[0])
+    want = _duck(rows).execute(davies_bouldin_sql("embeddings")).fetchone()
+    assert got == tuple(want) == (1, None)

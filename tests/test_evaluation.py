@@ -614,3 +614,46 @@ def test_matthews_corr_textbook_and_degenerate(spark):
     row = matthews_corr(empty, "p", "y").collect()[0]
     assert (row["tp"], row["tn"], row["fp"], row["fn"]) == (0, 0, 0, 0)
     assert row["mcc_q"] is None
+
+
+def test_average_precision_zero_positive_keeps_counts(spark):
+    """r09 review: a zero-positive input must report the REAL
+    (n_pos=0, n_neg) counts with ap_q NULL — matching the SQL twin,
+    not an all-NULL row from aggregating the empty term frame."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        average_precision,
+        average_precision_sql,
+    )
+
+    df = spark.createDataFrame([(5, 0), (7, 0), (9, 0)], ["score", "y"])
+    got = average_precision(df, "score", "y").collect()[0]
+    assert (got["ap_q"], got["n_pos"], got["n_neg"]) == (None, 0, 3)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (score BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(5, 0), (7, 0), (9, 0)])
+    want = con.execute(average_precision_sql("t", "score", "y")).fetchone()
+    assert (got["ap_q"], got["n_pos"], got["n_neg"]) == tuple(want)
+
+
+def test_bleu_corpus_empty_survivors_matches_sql(spark):
+    """r09 review: when no document clears the length gate both
+    engines must emit the same zero-stats row (Spark summed to NULL
+    where the twin coalesced to 0)."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        bleu_corpus,
+        bleu_corpus_sql,
+    )
+
+    rows = [(1, "too short"), (2, "also quite short text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = tuple(bleu_corpus(df).collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = tuple(con.execute(bleu_corpus_sql("documents")).fetchone())
+    assert got == want
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0

@@ -66,28 +66,56 @@ def main() -> int:
     for t in ["region", "nation", "customer", "supplier", "part"]:
         emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
 
+    # replicas r>0 INTERLEAVE a (replica, doc)-unique marker token
+    # after every 4th token instead of appending one suffix token.
+    # r08's suffix kept the shingle universe growing but left the 100
+    # replicas of one doc a NEAR-Dup CLIQUE (Jaccard ~n/(n+2) — the
+    # sf10 rehearsal showed dedup_minhash's TRUE answer at 27M pairs,
+    # quadratic in factor, masquerading as operator super-linearity;
+    # the text analog of the r08 embedding verbatim-copy lesson).
+    # With a marker every m=4 tokens the marker-free shingle fraction
+    # is (m-2)/(m+1) = 0.4, so same-doc cross-replica Jaccard is
+    # 0.4/1.6 = 0.25 < the 0.5 dedup threshold: replicas of one doc
+    # never pair, within-replica near-dup structure persists (shared
+    # marker-free shingles), and the true pair count scales ~linearly
+    # with the factor. Marker tokens are (r, doc)-unique, so they also
+    # keep the distinct-shingle universe growing.
     emit(
         "documents",
         f"""
         SELECT d.doc_id + r.r * 10000000 AS doc_id,
                CASE WHEN r.r = 0 THEN d.text
-                    ELSE d.text || ' xr' || r.r || 'w' || (d.doc_id % 997)
+                    ELSE regexp_replace(d.text,
+                        '((\\S+\\s+){{4}})',
+                        '\\1z' || r.r || 'x' || d.doc_id || ' ', 'g')
                END AS text,
                d.lang, d.source,
                CASE WHEN r.r = 0 THEN d.n_chars
-                    ELSE length(d.text || ' xr' || r.r || 'w'
-                                || (d.doc_id % 997))
+                    ELSE length(regexp_replace(d.text,
+                        '((\\S+\\s+){{4}})',
+                        '\\1z' || r.r || 'x' || d.doc_id || ' ', 'g'))
                END AS n_chars
         FROM read_parquet('{SRC}/documents.parquet') d CROSS JOIN reps r
         """,
     )
+    # cyclic shift by r % dim (r >= dim would wrap to the IDENTITY
+    # shift — at factor 100 replica 64 of a 64-dim vector was a
+    # verbatim copy of replica 0); replicas past one full cycle are
+    # additionally NEGATED (cosine distance 2 from everything near
+    # the original — the far side of the sphere), so no two replicas
+    # of one vector are ever near-dups at any supported factor < 128.
     emit(
         "embeddings",
         f"""
         SELECT e.vec_id + r.r * 10000000 AS vec_id,
                CASE WHEN r.r = 0 THEN e.embedding
-                    ELSE list_concat(e.embedding[r.r + 1:],
-                                     e.embedding[:r.r])
+                    WHEN r.r < 64 THEN
+                        list_concat(e.embedding[(r.r % 64) + 1:],
+                                    e.embedding[:(r.r % 64)])
+                    ELSE list_transform(
+                        list_concat(e.embedding[(r.r % 64) + 1:],
+                                    e.embedding[:(r.r % 64)]),
+                        x -> -x)
                END AS embedding,
                e.label
         FROM read_parquet('{SRC}/embeddings.parquet') e CROSS JOIN reps r
