@@ -1387,3 +1387,116 @@ def hits_sql(edges_cte: str, iterations: int = 3) -> tuple[str, str]:
     )
     parts.append(final)
     return ",\n".join(parts), "hits_out"
+
+
+def wl_fingerprint(
+    edges: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Weisfeiler-Lehman node fingerprints (Shervashidze et al. 2011,
+    "Weisfeiler-Lehman graph kernels") over the UNDIRECTED graph of
+    ``edges(src, dst)`` — structural node signatures for graph-shaped
+    training data: two nodes share a fingerprint after r rounds iff
+    their r-hop neighborhood trees are isomorphic, which is the
+    standard blocking key for graph dedup and the feature map of the
+    WL kernel.
+
+        lbl_0(v) = degree(v)
+        lbl_t(v) = hash64(lbl_{t-1}(v) || '|' ||
+                          join(sort(multiset of neighbor lbl_{t-1})))
+
+    Determinism: collect_list is partition-order-dependent, so the
+    neighbor multiset is array_sort'ed BEFORE hashing (the oracle's
+    list(... ORDER BY ...) replays it); hash64 is the md5-derived
+    engine-portable hash. Per round: one dst-keyed groupBy over the
+    symmetrized edge list — the Pregel-lite shuffle shape; labels are
+    localCheckpointed per round (consumed twice: neighbor fan-out and
+    the self term).
+
+    Output: (node, degree, wl_q) — wl_q the round-``rounds`` label.
+    Isolated nodes don't exist by construction (nodes come from the
+    edge list)."""
+    from ..functions import hashing as H
+
+    e = edges.select("src", "dst").distinct()
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    deg = lbl.select("node", F.col("lbl").alias("degree"))
+    for _ in range(rounds):
+        nbr = (
+            und.join(
+                lbl.select(F.col("node").alias("dst"),
+                           F.col("lbl").alias("_nl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(F.collect_list(F.col("_nl"))),
+                ).alias("_ns")
+            )
+        )
+        lbl = (
+            lbl.join(nbr, "node")
+            .select(
+                "node",
+                H.hash64(
+                    F.concat_ws("|", F.col("lbl").cast("string"),
+                                F.col("_ns"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return deg.join(lbl, "node").select(
+        "node", "degree", F.col("lbl").alias("wl_q")
+    )
+
+
+def wl_fingerprint_sql(edges_cte: str, rounds: int = 2) -> tuple[str, str]:
+    """DuckDB replay of wl_fingerprint: unrolled rounds over
+    ``edges_cte(src, dst)``. Returns (cte_fragment, final_relation)
+    selecting (node, degree, wl_q)."""
+    from ..functions.hashing import hash64_sql
+
+    parts = [
+        f"wl_und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM {edges_cte}"
+        f" UNION ALL SELECT dst, src FROM {edges_cte}))",
+        "wl_l0 AS MATERIALIZED (SELECT src AS node,"
+        " count(*)::BIGINT AS lbl FROM wl_und GROUP BY src)",
+    ]
+    prev = "wl_l0"
+    for i in range(1, rounds + 1):
+        h = hash64_sql(
+            "(prev.lbl::VARCHAR || '|' || n.ns)"
+        )
+        parts.append(
+            f"""wl_n{i} AS MATERIALIZED (
+  SELECT u.src AS node,
+         string_agg(l.lbl::VARCHAR, ',' ORDER BY l.lbl) AS ns
+  FROM wl_und u JOIN {prev} l ON u.dst = l.node
+  GROUP BY u.src
+)"""
+        )
+        parts.append(
+            f"""wl_l{i} AS MATERIALIZED (
+  SELECT prev.node, {h} AS lbl
+  FROM {prev} prev JOIN wl_n{i} n ON prev.node = n.node
+)"""
+        )
+        prev = f"wl_l{i}"
+    parts.append(
+        f"wl_out AS (SELECT d.node, d.lbl AS degree, f.lbl AS wl_q"
+        f" FROM wl_l0 d JOIN {prev} f ON d.node = f.node)"
+    )
+    return ",\n".join(parts), "wl_out"

@@ -471,3 +471,181 @@ def mine_triplets(
             (F.col("neg_cosine") - F.col("pos_cosine")).alias("margin"),
         )
     )
+
+
+MMR_QUANT = 1_000_000
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with EXACTLY the engines' operation order:
+    left-fold dot and norms (functions/vectors.dot_sql's list_reduce
+    / Spark's F.aggregate), then dot / (na * nb). CPython doubles are
+    the same IEEE ops, so the bits match both engines."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_k: int = 20,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of the ``pool_k`` most query-similar
+    vectors, each step maximizing
+
+        mmr_q = lam_num·rel_q − (lam_den − lam_num)·max_sim_q
+
+    (λ = lam_num/lam_den; rel_q = query cosine, max_sim_q = max
+    cosine to the already-selected set, both half-up ×1e6) — the
+    diversity-aware retrieval head every RAG / dedup-aware sampler
+    wants instead of plain top-k (near-identical passages crowd out
+    coverage).
+
+    Shape: relevance scoring is the DISTRIBUTED pass (one projection
+    over the corpus + an exact pool_k top-k); the greedy selection is
+    inherently sequential over pool_k ≤ dozens of rows, so the pool
+    (ids, scores, vectors — bounded driver state, the
+    lloyd_kmeans / bpe_merges precedent) is collected and the loop
+    runs driver-side with engine-identical float order (_cos_py).
+    The DuckDB oracle replays selection with UNROLLED per-step CTEs
+    — an independent implementation, so a green hash certifies the
+    greedy logic, not just one code path.
+
+    Ties break on smaller id at every argmax. The first pick has no
+    selected set: max_sim_q = 0 by convention (both engines).
+
+    Output: (rank, vec_id, rel_q, max_sim_q, mmr_q), rank 1..k."""
+    spark = emb.sparkSession
+    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        return spark.createDataFrame(
+            [],
+            "rank long, vec_id long, rel_q long, max_sim_q long,"
+            " mmr_q long",
+        )
+    qv = [float(x) for x in qrow[0]]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    rel = (
+        emb.where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.floor(
+                V.cosine_similarity(
+                    F.col(vec_col).cast("array<double>"), qlit
+                )
+                * F.lit(float(MMR_QUANT))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rel_q"),
+        )
+        .orderBy(F.col("rel_q").desc(), F.col("vec_id").asc())
+        .limit(pool_k)
+    )
+    pool = rel.collect()  # bounded: pool_k rows
+    vecs = {r["vec_id"]: [float(x) for x in r["v"]] for r in pool}
+    rels = {r["vec_id"]: r["rel_q"] for r in pool}
+    import math
+
+    def simq(a: int, b: int) -> int:
+        return int(math.floor(_cos_py(vecs[a], vecs[b]) * MMR_QUANT + 0.5))
+
+    selected: list[tuple[int, int, int, int]] = []  # (id, rel, msim, mmr)
+    remaining = sorted(vecs)
+    while remaining and len(selected) < k:
+        best = None
+        for c in remaining:
+            msim = (
+                max(simq(c, s[0]) for s in selected) if selected else 0
+            )
+            mmr = lam_num * rels[c] - (lam_den - lam_num) * msim
+            key = (-mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c, rels[c], msim, mmr)
+        selected.append((best[1], best[2], best[3], best[4]))
+        remaining.remove(best[1])
+    rows = [
+        (i + 1, vid, rq, ms, mm)
+        for i, (vid, rq, ms, mm) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank long, vec_id long, rel_q long, max_sim_q long, mmr_q long",
+    )
+
+
+def mmr_rerank_sql(
+    table: str,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_k: int = 20,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> str:
+    """DuckDB twin of mmr_rerank: pool + pairwise sims as CTEs, then
+    the greedy selection UNROLLED one CTE pair per step."""
+    cos_q = V.cosine_similarity_sql(f"c.{vec_col}", f"q.{vec_col}")
+    cos_p = V.cosine_similarity_sql(f"a.{vec_col}", f"b.{vec_col}")
+    mu = lam_den - lam_num
+    parts = [
+        f"""mmr_pool AS MATERIALIZED (
+  SELECT c.{id_col} AS vec_id, c.{vec_col} AS {vec_col},
+         floor({cos_q} * {MMR_QUANT}.0 + 0.5)::BIGINT AS rel_q
+  FROM {table} c JOIN {table} q ON q.{id_col} = {query_id}
+  WHERE c.{id_col} <> {query_id}
+  ORDER BY rel_q DESC, vec_id ASC LIMIT {pool_k}
+)""",
+        f"""mmr_sims AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         floor({cos_p} * {MMR_QUANT}.0 + 0.5)::BIGINT AS sim_q
+  FROM mmr_pool a JOIN mmr_pool b ON a.vec_id <> b.vec_id
+)""",
+        f"""mmr_s1 AS (
+  SELECT 1::BIGINT AS rank, vec_id, rel_q, 0::BIGINT AS max_sim_q,
+         ({lam_num} * rel_q)::BIGINT AS mmr_q
+  FROM mmr_pool ORDER BY rel_q DESC, vec_id ASC LIMIT 1
+)""",
+    ]
+    sel_union = "SELECT vec_id FROM mmr_s1"
+    for i in range(2, k + 1):
+        parts.append(
+            f"""mmr_s{i} AS (
+  SELECT {i}::BIGINT AS rank, p.vec_id, p.rel_q,
+         max(s.sim_q)::BIGINT AS max_sim_q,
+         ({lam_num} * p.rel_q - {mu} * max(s.sim_q))::BIGINT AS mmr_q
+  FROM mmr_pool p
+  JOIN mmr_sims s ON s.ida = p.vec_id
+                 AND s.idb IN ({sel_union})
+  WHERE p.vec_id NOT IN ({sel_union})
+  GROUP BY p.vec_id, p.rel_q
+  ORDER BY mmr_q DESC, p.vec_id ASC LIMIT 1
+)"""
+        )
+        sel_union += f" UNION ALL SELECT vec_id FROM mmr_s{i}"
+    union_all = " UNION ALL ".join(
+        f"SELECT * FROM mmr_s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union_all}) ORDER BY rank"
+    )

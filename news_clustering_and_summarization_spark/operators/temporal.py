@@ -1717,3 +1717,154 @@ FROM ts_rk WHERE 2 * cum >= n_pairs
 GROUP BY g, n_pairs
 ORDER BY event_type
 """
+
+
+def changepoint_binseg_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Single most-likely mean-shift point per daily series — the
+    first step of binary segmentation (Scott & Knott 1974), the
+    "WHERE did the level change" companion to [[cusum_from_daily]]'s
+    "DID it cross the alarm threshold". For the zero-filled daily
+    count series x_1..x_T with prefix sums S_t, the split statistic
+
+        D_t = | S_t · T − t · S_T |        (t = 1 .. T−1)
+
+    is the CUSUM distance scaled by T (all EXACT int64 — S_t ≤ total
+    events, ·T stays < 2^63 for ~3e9 events/day × decades; widen to
+    DECIMAL beyond), and t* = argmax D_t with the earliest-day
+    tie-break. Segment means are half-away integer divisions ×quant.
+
+    Shape: one (g, day) groupBy — the corpus-scale pass — then all
+    windows run over the DATE SPINE (calendar-bounded rows per
+    series, never event rows; the ks_drift precedent). Series with
+    T < 2 have no interior split: one row with NULL split columns
+    (degenerate-input discipline).
+
+    Output: (g, t_star, d_max, mean_before_q, mean_after_q) — t_star
+    the last day of the left segment."""
+    daily = events.groupBy(
+        F.col(type_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    full = spine.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    w_ord = Window.partitionBy("g").orderBy("d")
+    w_all = Window.partitionBy("g")
+    scored = (
+        full.withColumn("s_t", F.sum("x").over(w_ord))
+        .withColumn("t", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("s_tot", F.sum("x").over(w_all))
+        .where(F.col("t") < F.col("n"))  # interior splits only
+        .withColumn(
+            "d_stat",
+            F.abs(
+                F.col("s_t") * F.col("n") - F.col("t") * F.col("s_tot")
+            ),
+        )
+    )
+    w_pick = Window.partitionBy("g").orderBy(
+        F.col("d_stat").desc(), F.col("d").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "g",
+            # dates leave the engine as formatted strings (catalog
+            # determinism rule: Spark is session-TZ, DuckDB UTC-naive)
+            F.date_format("d", "yyyy-MM-dd").alias("t_star"),
+            F.col("d_stat").alias("d_max"),
+            half_away_div(f"s_t * {quant}", "t").cast("long").alias(
+                "mean_before_q"
+            ),
+            half_away_div(
+                f"(s_tot - s_t) * {quant}", "n - t"
+            ).cast("long").alias("mean_after_q"),
+        )
+    )
+    # series too short for an interior split: emit the degenerate row
+    short = (
+        full.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") < 2)
+        .select(
+            "g",
+            F.lit(None).cast("string").alias("t_star"),
+            F.lit(None).cast("long").alias("d_max"),
+            F.lit(None).cast("long").alias("mean_before_q"),
+            F.lit(None).cast("long").alias("mean_after_q"),
+        )
+    )
+    return best.unionByName(short).orderBy("g")
+
+
+def changepoint_binseg_daily_sql(
+    events_table: str = "events", quant: int = 1_000_000
+) -> str:
+    """DuckDB twin of changepoint_binseg_daily."""
+    from ..functions.exact import half_away_div_sql
+
+    mb = half_away_div_sql(f"s_t * {quant}", "t")
+    ma = half_away_div_sql(f"(s_tot - s_t) * {quant}", "n - t")
+    return f"""
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+spine AS (
+  SELECT g, unnest(generate_series(min(d), max(d),
+                   INTERVAL 1 DAY))::DATE AS d
+  FROM daily GROUP BY g
+),
+full_days AS (
+  SELECT s.g, s.d, coalesce(dl.x, 0)::BIGINT AS x
+  FROM spine s LEFT JOIN daily dl ON dl.g = s.g AND dl.d = s.d
+),
+scored AS (
+  SELECT g, d,
+         sum(x) OVER (PARTITION BY g ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS s_t,
+         row_number() OVER (PARTITION BY g ORDER BY d) AS t,
+         count(*) OVER (PARTITION BY g) AS n,
+         sum(x) OVER (PARTITION BY g) AS s_tot
+  FROM full_days
+),
+interior AS (
+  SELECT g, d, s_t::BIGINT AS s_t, t, n, s_tot::BIGINT AS s_tot,
+         abs(s_t * n - t * s_tot)::BIGINT AS d_stat
+  FROM scored WHERE t < n
+),
+best AS (
+  SELECT g, strftime(d, '%Y-%m-%d') AS t_star, d_stat AS d_max,
+         {mb}::BIGINT AS mean_before_q,
+         {ma}::BIGINT AS mean_after_q,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY d_stat DESC, d ASC) AS rn
+  FROM interior
+),
+short AS (
+  SELECT g, NULL::VARCHAR AS t_star, NULL::BIGINT AS d_max,
+         NULL::BIGINT AS mean_before_q, NULL::BIGINT AS mean_after_q
+  FROM full_days GROUP BY g HAVING count(*) < 2
+)
+SELECT g, t_star, d_max, mean_before_q, mean_after_q
+FROM (SELECT g, t_star, d_max, mean_before_q, mean_after_q
+      FROM best WHERE rn = 1
+      UNION ALL SELECT * FROM short)
+ORDER BY g
+"""

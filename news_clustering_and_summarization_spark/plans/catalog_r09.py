@@ -228,3 +228,90 @@ def oracle_stratified_kfold() -> str:
     from ..operators.sampling import stratified_kfold_summary_sql
 
     return stratified_kfold_summary_sql("documents", "doc_id", "lang", k=5)
+
+
+def q_changepoint(spark, sf):
+    """Binary-segmentation changepoint (operators/temporal.
+    changepoint_binseg_daily): per event-type daily series, the
+    single most-likely mean-shift day via the exact-integer CUSUM
+    distance argmax — the "WHERE did the level change" companion to
+    cusum_detect; windows run over the calendar spine only."""
+    from ..operators.temporal import changepoint_binseg_daily
+
+    return changepoint_binseg_daily(load(spark, sf, "events"))
+
+
+def oracle_changepoint() -> str:
+    from ..operators.temporal import changepoint_binseg_daily_sql
+
+    return changepoint_binseg_daily_sql("events")
+
+
+def q_wl_fingerprint(spark, sf):
+    """Weisfeiler-Lehman node fingerprints (operators/graph.
+    wl_fingerprint) on the part co-purchase graph: 2 rounds of
+    sorted-neighborhood md5 relabeling — structural blocking keys
+    for graph dedup; Pregel-lite shuffle shape, fingerprint
+    HISTOGRAM output (domain-bounded rows)."""
+    from ..operators.graph import wl_fingerprint
+
+    li = widen(spark, load(spark, sf, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    fp = wl_fingerprint(edges, rounds=2)
+    return (
+        fp.groupBy("wl_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.sum("degree").cast("long").alias("sum_degree"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "wl_q")
+        .limit(50)
+    )
+
+
+def oracle_wl_fingerprint() -> str:
+    from ..operators.graph import wl_fingerprint_sql
+
+    frag, final = wl_fingerprint_sql("edges", rounds=2)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+{frag}
+SELECT wl_q, count(*)::BIGINT AS n_nodes,
+       min(node)::BIGINT AS min_node,
+       sum(degree)::BIGINT AS sum_degree
+FROM {final}
+GROUP BY wl_q ORDER BY n_nodes DESC, wl_q LIMIT 50
+"""
+
+
+def q_mmr_rerank(spark, sf):
+    """MMR diversity reranking (operators/similarity.mmr_rerank):
+    top-20 query-similar vectors greedily reranked to 5 by
+    λ·relevance − (1−λ)·max-similarity-to-selected (λ=½, quantized
+    ints, id tie-breaks); the oracle replays the greedy UNROLLED —
+    an independent implementation of the selection logic."""
+    from ..operators.similarity import mmr_rerank
+
+    return mmr_rerank(load(spark, sf, "embeddings"), query_id=0)
+
+
+def oracle_mmr_rerank() -> str:
+    from ..operators.similarity import mmr_rerank_sql
+
+    return mmr_rerank_sql("embeddings", query_id=0)

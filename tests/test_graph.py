@@ -570,3 +570,34 @@ def test_hits_no_edges_degenerate(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert hits_scores(empty, iterations=2).collect() == []
+
+
+def test_wl_fingerprint_distinguishes_structure(spark):
+    """Path a-b-c vs triangle x-y-z: after 2 WL rounds the path's
+    endpoints share a fingerprint, its middle differs, and all
+    triangle nodes share one (degree-2 but different neighborhoods
+    than the path middle); the SQL twin is bit-identical."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.graph import (
+        wl_fingerprint,
+        wl_fingerprint_sql,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r for r in wl_fingerprint(df, rounds=2).collect()}
+    assert got[1]["wl_q"] == got[3]["wl_q"]          # path endpoints
+    assert got[1]["wl_q"] != got[2]["wl_q"]          # middle differs
+    assert got[10]["wl_q"] == got[11]["wl_q"] == got[12]["wl_q"]
+    assert got[2]["wl_q"] != got[10]["wl_q"]         # middle != triangle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    frag, final = wl_fingerprint_sql("e", rounds=2)
+    want = sorted(
+        con.execute(
+            f"WITH {frag} SELECT node, degree, wl_q FROM {final}"
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in wl_fingerprint(df, 2).collect()) == want

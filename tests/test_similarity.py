@@ -240,3 +240,60 @@ def test_lsh_bucket_udf_matches_fold_and_planes(spark):
         lsh_bucket_col(v, 64, 18, 42).alias("b_col"),
     )
     assert df.where(F.col("b_udf") != F.col("b_col")).count() == 0
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Three near-identical top vectors + one distinct: plain top-2
+    would take two clones; MMR's second pick must be the distinct
+    direction. The unrolled SQL twin is bit-identical."""
+    import duckdb
+
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        mmr_rerank,
+        mmr_rerank_sql,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # clone A (closest)
+        (2, [0.99, 0.141, 0.0]),       # clone B
+        (3, [0.99, 0.139, 0.0]),       # clone C
+        (4, [0.7, -0.71, 0.0]),        # distinct direction
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [
+        tuple(r)
+        for r in mmr_rerank(df, query_id=0, pool_k=4, k=3).collect()
+    ]
+    order = [t[1] for t in got]
+    # first pick = highest query cosine (clone with the smallest
+    # off-axis component relative to its norm = id 3); second pick
+    # MUST be the distinct direction (clones pay ~1e6 similarity
+    # penalty to the selected clone, id 4 pays ~0.6e6)
+    assert order[0] == 3
+    assert order[1] == 4
+    assert got[0][3] == 0  # rank-1 max_sim_q convention
+    assert all(t[4] == 1 * t[2] - 1 * t[3] for t in got)  # λ=½ identity
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            mmr_rerank_sql("embeddings", query_id=0, pool_k=4, k=3)
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_mmr_rerank_missing_query_is_empty(spark):
+    from news_clustering_and_summarization_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    assert mmr_rerank(df, query_id=99).collect() == []

@@ -869,3 +869,36 @@ def test_theil_sen_hand_cases_and_twin(spark):
         for r in con.execute(theil_sen_daily_sql("events")).fetchall()
     )
     assert got == want
+
+
+def test_changepoint_binseg_hand_case(spark):
+    """Level shift 2->8 between Jan 3 and Jan 4 must be found at
+    t_star = Jan 3 (last day of the left segment) with exact segment
+    means; a one-day series degenerates to NULLs."""
+    import datetime as dt
+
+    from news_clustering_and_summarization_spark.operators.temporal import (
+        changepoint_binseg_daily,
+    )
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 2), (2, 2), (3, 2), (4, 8), (5, 8), (6, 8)]:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12, 0), "shift", 0.0)
+            )
+            eid += 1
+    rows.append((eid, dt.datetime(2024, 3, 1, 0, 0), "single", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["g"]: r for r in changepoint_binseg_daily(df).collect()}
+    s = out["shift"]
+    assert s["t_star"] == "2024-01-03"
+    assert s["mean_before_q"] == 2_000_000
+    assert s["mean_after_q"] == 8_000_000
+    # D_3 = |6*6 - 3*30| = 54
+    assert s["d_max"] == 54
+    one = out["single"]
+    assert one["t_star"] is None and one["d_max"] is None
