@@ -343,16 +343,30 @@ def minhash_near_duplicates(
         bands=bands,
         preshingled=True,
     )
+    # verify on 60-bit-HASHED shingles: intersect/union SIZES — all
+    # exact Jaccard needs — are identical on a collision-free hash
+    # (md5-60bit, the repo-wide exactness assumption; ~2^-60 / pair),
+    # and int64 arrays shuffle 3-4x smaller than marker-laden shingle
+    # strings. At bench scales the verify side broadcasts and this is
+    # invisible; at sf10 (600k docs) the join flips to sort-merge and
+    # the string arrays were the query's dominant shuffle (r09 100x
+    # rehearsal: 557 MB of the 1.2 GB total). The oracle keeps
+    # verifying on raw strings — same sizes, same output, and the
+    # green hash doubles as the collision-freeness check.
+    hashed = shingled.select(
+        "id",
+        F.transform(F.col("sh"), lambda s: H.hash64(s)).alias("shh"),
+    )
     return (
         cands.join(
-            shingled.select(
-                F.col("id").alias("l_id"), F.col("sh").alias("l_sh")
+            hashed.select(
+                F.col("id").alias("l_id"), F.col("shh").alias("l_sh")
             ),
             "l_id",
         )
         .join(
-            shingled.select(
-                F.col("id").alias("r_id"), F.col("sh").alias("r_sh")
+            hashed.select(
+                F.col("id").alias("r_id"), F.col("shh").alias("r_sh")
             ),
             "r_id",
         )

@@ -53,47 +53,103 @@ def main() -> int:
     con = duckdb.connect()
     con.execute(f"CREATE TABLE reps AS SELECT unnest(range({factor})) AS r")
 
-    def emit(name: str, sql: str) -> None:
-        con.execute(
-            f"COPY ({sql}) TO '{out}/{name}.parquet' "
-            "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
+    def emit(name: str, sql: str, multi: bool = True) -> None:
+        # fact tables are written as a DIRECTORY of per-thread files:
+        # a single-file fixture reaches Spark as ONE scan partition
+        # (45 MB < maxPartitionBytes), so every downstream explode ran
+        # behind plans/catalog_shared.widen()'s round-robin exchange —
+        # at sf10 that fixture artifact (a full-text shuffle) dominated
+        # dedup_minhash's measured bytes (r09: 321 MB of 873 MB).
+        # Real corpora arrive as many files; the rehearsal fixture now
+        # does too, and widen() gates itself off.
+        target = f"{out}/{name}.parquet"
+        if multi:
+            # ~48 similar-size files per table at EVERY scale (file
+            # size from source bytes x factor; PER_THREAD_OUTPUT gave
+            # one file — the reps CROSS JOIN pipeline is
+            # single-threaded), so Spark scans with >= default
+            # parallelism at sf0.1 and sf10 alike and the ratios
+            # compare identical plans
+            # explicit deterministic 48-way slicing (FILE_SIZE_BYTES
+            # rotation is defeated by compression on the small
+            # scales): materialize ordered by the leading key, then
+            # one COPY per contiguous slice
+            n_files = 48
+            con.execute("DROP TABLE IF EXISTS _emit_tmp")
+            con.execute(
+                f"CREATE TEMP TABLE _emit_tmp AS {sql} ORDER BY 1"
+            )
+            n_rows = con.execute(
+                "SELECT count(*) FROM _emit_tmp"
+            ).fetchone()[0]
+            per = max(1, -(-n_rows // n_files))
+            os.makedirs(target, exist_ok=True)
+            for i in range(n_files):
+                off = i * per
+                if off >= n_rows:
+                    break
+                con.execute(
+                    f"COPY (SELECT * FROM _emit_tmp LIMIT {per} "
+                    f"OFFSET {off}) TO '{target}/part_{i:03d}.parquet' "
+                    "(FORMAT PARQUET)"
+                )
+            con.execute("DROP TABLE _emit_tmp")
+            glob_t = f"{target}/*.parquet"
+        else:
+            con.execute(
+                f"COPY ({sql}) TO '{target}' "
+                "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+            )
+            glob_t = target
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{glob_t}')"
         ).fetchone()[0]
         print(f"{name:12s} {n:>10,} rows")
 
     for t in ["region", "nation", "customer", "supplier", "part"]:
-        emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+        emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')",
+             multi=False)
 
-    # replicas r>0 INTERLEAVE a (replica, doc)-unique marker token
-    # after every 4th token instead of appending one suffix token.
-    # r08's suffix kept the shingle universe growing but left the 100
-    # replicas of one doc a NEAR-Dup CLIQUE (Jaccard ~n/(n+2) — the
-    # sf10 rehearsal showed dedup_minhash's TRUE answer at 27M pairs,
-    # quadratic in factor, masquerading as operator super-linearity;
-    # the text analog of the r08 embedding verbatim-copy lesson).
-    # With a marker every m=4 tokens the marker-free shingle fraction
-    # is (m-2)/(m+1) = 0.4, so same-doc cross-replica Jaccard is
-    # 0.4/1.6 = 0.25 < the 0.5 dedup threshold: replicas of one doc
-    # never pair, within-replica near-dup structure persists (shared
-    # marker-free shingles), and the true pair count scales ~linearly
-    # with the factor. Marker tokens are (r, doc)-unique, so they also
-    # keep the distinct-shingle universe growing.
+    # replicas r>0 INTERLEAVE a (group, doc)-unique marker token
+    # after every 2nd token instead of appending one suffix token.
+    # Two r09 rehearsal lessons behind this exact design:
+    # 1. r08's one-token suffix left the 100 replicas of one doc a
+    #    NEAR-DUP CLIQUE (J ~ n/(n+2)): dedup_minhash's TRUE answer
+    #    hit 27M pairs at sf10 — quadratic in factor, masquerading
+    #    as operator super-linearity (the text analog of the r08
+    #    embedding verbatim-copy lesson).
+    # 2. A marker every 4 tokens cut cross-replica J to ~0.26 —
+    #    below the 0.5 verify threshold, so the ANSWER was linear,
+    #    but 4-hash MinHash bands still collide at J=0.26 with
+    #    p ~ 4·J^4 ~ 2% per replica pair: the CANDIDATE set stayed
+    #    quadratic (shuffle x500 at 100x). The fixture must push
+    #    cross-replica J to ~0, not merely below the threshold.
+    # A marker every 2 tokens leaves no marker-free 3-shingle (max
+    # clean run = 2 < shingle width), so texts with different markers
+    # share ZERO shingles: candidates can't leak across groups at
+    # all. Replicas are then PAIRED into groups g = (r+1) div 2
+    # sharing one marker — pair members are byte-identical texts
+    # (J = 1), giving dedup a true answer that grows LINEARLY with
+    # the factor (one exact-dup pair per base doc per full group)
+    # instead of collapsing to the r=0 pairs. Markers are
+    # (g, doc)-unique, so the distinct-shingle universe keeps
+    # growing linearly too.
     emit(
         "documents",
         f"""
         SELECT d.doc_id + r.r * 10000000 AS doc_id,
                CASE WHEN r.r = 0 THEN d.text
                     ELSE regexp_replace(d.text,
-                        '((\\S+\\s+){{4}})',
-                        '\\1z' || r.r || 'x' || d.doc_id || ' ', 'g')
+                        '((\\S+\\s+){{2}})',
+                        '\\1z' || ((r.r + 1) // 2) || 'x' || d.doc_id
+                          || ' ', 'g')
                END AS text,
                d.lang, d.source,
                CASE WHEN r.r = 0 THEN d.n_chars
                     ELSE length(regexp_replace(d.text,
-                        '((\\S+\\s+){{4}})',
-                        '\\1z' || r.r || 'x' || d.doc_id || ' ', 'g'))
+                        '((\\S+\\s+){{2}})',
+                        '\\1z' || ((r.r + 1) // 2) || 'x' || d.doc_id
+                          || ' ', 'g'))
                END AS n_chars
         FROM read_parquet('{SRC}/documents.parquet') d CROSS JOIN reps r
         """,

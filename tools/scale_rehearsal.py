@@ -63,6 +63,7 @@ def _shuffle_bytes(ui: str) -> int:
 def main() -> int:
     args = sys.argv[1:]
     targets = list(TARGETS)
+    base_dir = "/root/testdata/sf0.1"
     if args and args[0] == "--scales":
         scales = []
         out_path = os.path.join(REPO, "SCALE_REHEARSAL.json")
@@ -72,6 +73,8 @@ def main() -> int:
                 out_path = args[i + 1]; i += 2
             elif args[i] == "--targets":
                 targets = args[i + 1].split(","); i += 2
+            elif args[i] == "--base":
+                base_dir = args[i + 1]; i += 2
             else:
                 label, rest = args[i].split("=", 1)
                 d, factor = rest.rsplit(":", 1)
@@ -104,7 +107,7 @@ def main() -> int:
     # first-execution cost
     for name in targets:
         catalog.QUERIES[name](spark, "/root/testdata/sf0.01").count()
-    points = [("sf0.1", "/root/testdata/sf0.1")] + [
+    points = [("sf0.1", base_dir)] + [
         (label, d) for label, d, _f in scales
     ]
     for sf_label, sf_dir in points:
