@@ -101,8 +101,13 @@ def inflate_vectors(
     The perturbation is an integer LCG mix of (inflated id, dim index,
     seed) — pure codegen'd int64 arithmetic that replays bit-for-bit
     in DuckDB (inflate_vectors_sql; the cluster_lsh oracle depends on
-    that). Every intermediate stays < 2^62, so no engine-divergent
-    overflow behavior (Spark wraps, DuckDB errors)."""
+    that). The inflated id is reduced mod _LCG_M BEFORE the first
+    multiply — mathematically identical ((x·A + C) mod M ≡
+    ((x mod M)·A + C) mod M), so values at every previously-working
+    scale are unchanged, and every intermediate stays < 2^62 even
+    for the 1e9-range ids of the sf10 rehearsal fixtures (r09: the
+    unreduced first product overflowed int64 there — Spark ANSI
+    errors, DuckDB errors; neither wraps silently)."""
     from pyspark.sql import functions as F
 
     return emb.select(
@@ -122,6 +127,7 @@ def inflate_vectors(
                             + F.col("_copy")
                             + F.lit(seed)
                         )
+                        % F.lit(_LCG_M)
                         * F.lit(_LCG_A)
                         + F.lit(_LCG_C)
                     )
@@ -162,7 +168,7 @@ def inflate_vectors_sql(
     (caller wraps in a CTE)."""
     id2 = f"(s.{id_col} * {factor} + c.copy + {seed})"
     h = (
-        f"(({id2} * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
+        f"(({id2} % {_LCG_M} * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
         f" * {_LCG_A} + i * {_MIX_B}) % {_LCG_M}"
     )
     return f"""
