@@ -163,6 +163,7 @@ def signlsh_params(
     n_rows: int,
     target_recall: float = 0.7,
     max_bits: int = 34,
+    max_probes: int = 256,
 ) -> tuple[int, int]:
     """(nbits, probe_radius) sized to the corpus, not just to recall.
 
@@ -172,11 +173,24 @@ def signlsh_params(
     bucket load (~16 rows expected) needs nbits >= log2(N/16), and
     recall at a given bit count is bought with probe radius. So:
     smallest r in {1,2,3} whose recall-max bit count covers the load
-    floor; if even r=3 can't, take r=3 at the load floor and accept
-    boundary recall below target (pairs well inside ε still collide
-    at much higher probability — documented tradeoff, never a
-    quadratic join)."""
+    floor AND whose probe fan-out Σ_{k<=r} C(nbits, k) stays within
+    ``max_probes``; if nothing qualifies, the largest r that fits the
+    probe budget at the load floor, accepting boundary recall below
+    target (pairs well inside ε still collide at much higher
+    probability — documented tradeoff, never a quadratic join and
+    never an unbounded explode).
+
+    The probe cap is the r09 100x lesson: the explode multiplies the
+    corpus by the mask count, and at the load-floor bit widths of
+    500k+ corpora r=3 means >1100 masks per row — the probe pass
+    itself became the quadratic-shaped cost (881 s at 500k vectors;
+    OOM at 5M). C(20, <=2) = 211 masks keeps the fan-out flat while
+    boundary recall at eps=0.1 stays ~0.5; callers buy recall with
+    a second hash table (seed), not with radius."""
     import math
+
+    def probes(nb: int, r: int) -> int:
+        return sum(math.comb(nb, k) for k in range(r + 1))
 
     need = max(4, math.ceil(math.log2(max(n_rows, 2) / 16.0)))
     for r in (1, 2, 3):
@@ -184,9 +198,18 @@ def signlsh_params(
         # signlsh_bits returns its 4-bit floor even when 4 bits can't
         # meet the target at this radius — verify before trusting it
         # (eps=0.56 at r=1: boundary recall ~0.55 despite nb=4)
-        if nb >= need and _boundary_recall(eps, nb, r) >= target_recall:
+        if (
+            nb >= need
+            and _boundary_recall(eps, nb, r) >= target_recall
+            and probes(nb, r) <= max_probes
+        ):
             return nb, r
-    return min(need, max_bits), 3
+    nb = min(need, max_bits)
+    best = 1
+    for r in (2, 3):
+        if probes(nb, r) <= max_probes:
+            best = r
+    return nb, best
 
 
 def _boundary_recall(eps: float, nbits: int, probe_radius: int) -> float:

@@ -1272,8 +1272,14 @@ def hits_scores(
         # 2·iterations normalizations — 2^6 re-executions of the edge
         # joins by iteration 3 (observed: 60s for a 6k-row graph).
         df = df.localCheckpoint(eager=True)
+        # _mx stays DECIMAL: a BIGINT cast here would overflow in
+        # exactly the >9.2e6-in-edge regime the widened sums exist
+        # for (r09 second-pass review) — the expr below casts it to
+        # DECIMAL(38,0) anyway
         mx = df.agg(
-            F.greatest(F.max(col), F.lit(1)).cast("long").alias("_mx")
+            F.greatest(F.max(col), F.lit(1))
+            .cast("decimal(38,0)")
+            .alias("_mx")
         )
         return df.crossJoin(F.broadcast(mx)).select(
             "node",

@@ -541,8 +541,17 @@ def mmr_rerank(
         )
     qv = [float(x) for x in qrow[0]]
     qlit = F.array(*[F.lit(x) for x in qv])
+    # zero-norm vectors have no cosine: excluded from the pool by
+    # documented precondition in BOTH engines (r09 second-pass
+    # review: a zero vector in the pool made the driver-side greedy
+    # raise ZeroDivisionError where a column path would NULL out)
+    nonzero = F.expr(
+        f"aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"
+    ) > F.lit(0.0)
     rel = (
         emb.where(F.col(id_col) != query_id)
+        .where(nonzero)
         .select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -612,6 +621,7 @@ def mmr_rerank_sql(
          floor({cos_q} * {MMR_QUANT}.0 + 0.5)::BIGINT AS rel_q
   FROM {table} c JOIN {table} q ON q.{id_col} = {query_id}
   WHERE c.{id_col} <> {query_id}
+    AND {V.norm_sql(f"c.{vec_col}")} > 0.0
   ORDER BY rel_q DESC, vec_id ASC LIMIT {pool_k}
 )""",
         f"""mmr_sims AS MATERIALIZED (
@@ -622,7 +632,7 @@ def mmr_rerank_sql(
         f"""mmr_s1 AS (
   SELECT 1::BIGINT AS rank, vec_id, rel_q, 0::BIGINT AS max_sim_q,
          ({lam_num} * rel_q)::BIGINT AS mmr_q
-  FROM mmr_pool ORDER BY rel_q DESC, vec_id ASC LIMIT 1
+  FROM mmr_pool ORDER BY ({lam_num} * rel_q) DESC, vec_id ASC LIMIT 1
 )""",
     ]
     sel_union = "SELECT vec_id FROM mmr_s1"

@@ -266,7 +266,9 @@ def q_wl_fingerprint(spark, sf):
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
+        # no .distinct() here: wl_fingerprint dedups its edge input
+        # itself — a catalog-side distinct would shuffle the query's
+        # largest intermediate twice (r09 second-pass review)
     )
     fp = wl_fingerprint(edges, rounds=2)
     return (

@@ -39,6 +39,7 @@ Usage: python tools/gen_scale_data.py [out_dir] [factor]
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
@@ -72,12 +73,30 @@ def main() -> int:
             # compare identical plans
             # explicit deterministic 48-way slicing (FILE_SIZE_BYTES
             # rotation is defeated by compression on the small
-            # scales): materialize ordered by the leading key, then
-            # one COPY per contiguous slice
+            # scales). Determinism is by CONSTRUCTION, not scan-order
+            # luck (r09 second-pass review): rows get an explicit _rn
+            # from row_number() over ALL columns (rows are distinct —
+            # every inflated table carries a unique id — so the order
+            # is total), and each slice is a WHERE range on _rn. The
+            # target dir is cleared first so a previous larger-factor
+            # run can't leave stale part files behind the glob.
             n_files = 48
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            elif os.path.exists(target):
+                os.remove(target)
             con.execute("DROP TABLE IF EXISTS _emit_tmp")
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM ({sql})"
+                ).fetchall()
+            ]
+            order = ", ".join(f'"{c}"' for c in cols)
             con.execute(
-                f"CREATE TEMP TABLE _emit_tmp AS {sql} ORDER BY 1"
+                "CREATE TEMP TABLE _emit_tmp AS "
+                f"SELECT row_number() OVER (ORDER BY {order}) AS _rn, * "
+                f"FROM ({sql})"
             )
             n_rows = con.execute(
                 "SELECT count(*) FROM _emit_tmp"
@@ -89,8 +108,10 @@ def main() -> int:
                 if off >= n_rows:
                     break
                 con.execute(
-                    f"COPY (SELECT * FROM _emit_tmp LIMIT {per} "
-                    f"OFFSET {off}) TO '{target}/part_{i:03d}.parquet' "
+                    f"COPY (SELECT * EXCLUDE (_rn) FROM _emit_tmp "
+                    f"WHERE _rn > {off} AND _rn <= {off + per} "
+                    f"ORDER BY _rn) "
+                    f"TO '{target}/part_{i:03d}.parquet' "
                     "(FORMAT PARQUET)"
                 )
             con.execute("DROP TABLE _emit_tmp")
@@ -104,6 +125,11 @@ def main() -> int:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{glob_t}')"
         ).fetchone()[0]
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{name}.parquet')"
+        ).fetchone()[0]
+        want = n_src * (factor if multi else 1)
+        assert n == want, (name, n, want)
         print(f"{name:12s} {n:>10,} rows")
 
     for t in ["region", "nation", "customer", "supplier", "part"]:
