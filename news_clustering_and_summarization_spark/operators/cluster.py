@@ -192,7 +192,13 @@ def signlsh_params(
     def probes(nb: int, r: int) -> int:
         return sum(math.comb(nb, k) for k in range(r + 1))
 
-    need = max(4, math.ceil(math.log2(max(n_rows, 2) / 16.0)))
+    # load floor: expected bucket occupancy ~0.25, NOT ~16 — the
+    # candidate volume per row is probes x load, and at the ~100-mask
+    # fan-outs of real corpora a load of 16 amplifies every row into
+    # ~2000 candidate cosines (r09 100x probe: 15 min at 500k vectors
+    # on bits sized for load 16; seconds at load 0.25). Four extra
+    # bits cost nothing — buckets are a hash value, not an allocation.
+    need = max(4, math.ceil(math.log2(max(n_rows, 2) * 4.0)))
     for r in (1, 2, 3):
         nb = signlsh_bits(eps, r, target_recall, max_bits)
         # signlsh_bits returns its 4-bit floor even when 4 bits can't
@@ -210,6 +216,29 @@ def signlsh_params(
         if probes(nb, r) <= max_probes:
             best = r
     return nb, best
+
+
+def signlsh_tables(
+    eps: float,
+    nbits: int,
+    probe_radius: int,
+    target_recall: float = 0.7,
+    max_tables: int = 8,
+) -> int:
+    """Hash-table count L lifting multiprobe recall at the ε boundary
+    to ``target_recall``: 1 − (1 − p₁)^L >= target, p₁ the
+    single-table boundary recall. Capped at ``max_tables`` (each
+    table is one more linear bucket+probe pass; past ~8 the honest
+    answer is a different index, not more of this one)."""
+    import math
+
+    p1 = _boundary_recall(eps, nbits, probe_radius)
+    if p1 >= target_recall:
+        return 1
+    if p1 <= 0.0:
+        return max_tables
+    need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
+    return max(1, min(max_tables, need))
 
 
 def _boundary_recall(eps: float, nbits: int, probe_radius: int) -> float:
@@ -235,6 +264,7 @@ def lsh_candidate_pairs(
     n_rows: int | None = None,
     dim: int | None = None,
     symmetric: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
     multiprobe, verified exactly. Same output contract as
@@ -261,6 +291,21 @@ def lsh_candidate_pairs(
     verified half to preserve the both-directions output contract
     bit-for-bit. r07 bisect: the double-sided verify was the bulk of
     the cluster_lsh regression (4.3s -> 1.7s on the 50k corpus).
+
+    ``n_tables`` > 1 builds L independent hash tables (seeds seed,
+    seed+1, ...) and UNIONS their candidate sets before the single
+    exact verify — the standard recall lever once the probe radius
+    hits its fan-out budget. Single-table multiprobe recall DECAYS
+    with corpus size: the bucket-load floor pushes nbits up with
+    log N, every extra bit multiplies the per-pair miss odds, and
+    the probe fan-out C(nbits, r) is capped at 256 masks (r09 100x
+    probe: radius-3 at the 500k-corpus bit width exploded 1160
+    masks/row — 15 minutes of probe join where radius-2 takes
+    seconds). L tables cost L bucket passes + L probe joins —
+    LINEAR in both L and N — and lift recall to 1 − (1 − p₁)^L;
+    candidates are deduped across tables before the verify, so each
+    surviving pair pays the cosine exactly once. signlsh_tables()
+    sizes L from the single-table boundary recall.
 
     This replaced an MLlib BucketedRandomProjectionLSH formulation:
     on L2-normalized vectors the scalar projections concentrate in
@@ -295,76 +340,91 @@ def lsh_candidate_pairs(
                 [], f"l_id {id_type}, r_id {id_type}, dist double"
             )
         dim = len(first[0])
-    # Arrow-batched int64 matmul: bit-identical to lsh_bucket_col and
-    # the SQL replay (quantized-integer dots are order-free), ~10x
-    # faster than the interpreted higher-order-function fold at
-    # nbits=18 x dim=64
-    bucket = lsh_bucket_udf(dim, nbits, seed)
-
-    # The probe explode multiplies the left side by len(masks) (172
-    # rows per input at nbits=18, r=2). Carrying the vector through
-    # that explode shuffles |left| * len(masks) * dim doubles through
-    # the bucket join (~4.4 GB at 50k x 64); so the join runs on
-    # (id, bucket) pairs ONLY and vectors are re-attached to the far
-    # smaller verified-candidate set afterwards — broadcast-attached
-    # when the vector tables are provably small (n_rows & dim known,
-    # under _VEC_BROADCAST_BYTES), hash-join otherwise.
     l_vecs = left.select(
         F.col(id_col).alias("l_id"), F.col(vec_col).alias("_lv")
     )
     r_vecs = right.select(
         F.col(id_col).alias("r_id"), F.col(vec_col).alias("_rv")
     )
-    lb = l_vecs.withColumn(
-        "_b0", bucket(F.col("_lv").cast("array<double>"))
-    )
     masks = probe_masks(nbits, probe_radius)
-    probes = F.array(
-        *[F.col("_b0").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
-    )
-    if symmetric:
-        # left IS right: reuse the one Arrow matmul instead of
-        # bucketing the same vectors twice (r09: ~1.5s of the 50k
-        # bench query was the duplicate bucket pass). Checkpoint only
-        # (id, bucket) — the eager cut would otherwise materialize
-        # the full vector column that nothing downstream of it reads
-        # (vectors re-attach from l_vecs/r_vecs at verify)
-        lb = lb.select("l_id", "_b0").localCheckpoint(eager=True)
-        rb = lb.select(
-            F.col("l_id").alias("r_id"), F.col("_b0").alias("_bucket")
+
+    # Per hash table: Arrow-batched int64 matmul bucketing
+    # (bit-identical to lsh_bucket_col and the SQL replay —
+    # quantized-integer dots are order-free, ~10x faster than the
+    # interpreted fold at nbits=18 x dim=64), then the probe explode.
+    # The explode multiplies the left side by len(masks); carrying
+    # vectors through it would shuffle |left| * masks * dim doubles,
+    # so the join runs on (id, bucket) pairs ONLY and vectors are
+    # re-attached to the far smaller candidate set at verify —
+    # broadcast-attached when provably small (n_rows & dim known,
+    # under _VEC_BROADCAST_BYTES), hash-join otherwise.
+    def _cand_one_table(t: int):
+        bucket = lsh_bucket_udf(dim, nbits, seed + t)
+        lb = l_vecs.withColumn(
+            "_b0", bucket(F.col("_lv").cast("array<double>"))
         )
-    else:
+        probes = F.array(
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(m)).cast("long")
+                for m in masks
+            ]
+        )
+        if symmetric:
+            # left IS right: reuse the one Arrow matmul instead of
+            # bucketing the same vectors twice (r09: ~1.5s of the 50k
+            # bench query was the duplicate bucket pass). Checkpoint
+            # only (id, bucket) — materializing the vector column the
+            # verify re-attaches anyway would be pure waste.
+            lb = lb.select("l_id", "_b0").localCheckpoint(eager=True)
+            rb = lb.select(
+                F.col("l_id").alias("r_id"),
+                F.col("_b0").alias("_bucket"),
+            )
+            # each unordered pair matches on exactly ONE bucket value
+            # per table (its mask m = b_l XOR b_r is unique), so
+            # probing only buckets >= the row's own generates it once:
+            # from the smaller-bucket side, or — same bucket — from
+            # the smaller id. Halves the explode AND the verify.
+            lbe = lb.select(
+                "l_id",
+                F.col("_b0"),
+                F.explode(
+                    F.filter(probes, lambda p: p >= F.col("_b0"))
+                ).alias("_bucket"),
+            )
+            return (
+                lbe.join(rb, "_bucket")
+                .where(
+                    (F.col("_bucket") > F.col("_b0"))
+                    | (F.col("l_id") < F.col("r_id"))
+                )
+                .select("l_id", "r_id")
+            )
         rb = r_vecs.withColumn(
             "_bucket", bucket(F.col("_rv").cast("array<double>"))
         ).select("r_id", "_bucket")
-    if symmetric:
-        # each unordered pair matches on exactly ONE bucket value
-        # (the pair's mask m = b_l XOR b_r is unique), so probing
-        # only buckets >= the row's own generates it exactly once:
-        # from the smaller-bucket side, or — same bucket — from the
-        # smaller id. Halves the explode AND the verify kernel.
-        lbe = lb.select(
-            "l_id",
-            F.col("_b0"),
-            F.explode(
-                F.filter(probes, lambda p: p >= F.col("_b0"))
-            ).alias("_bucket"),
-        )
-        cand = (
-            lbe.join(rb, "_bucket")
-            .where(
-                (F.col("_bucket") > F.col("_b0"))
-                | (F.col("l_id") < F.col("r_id"))
-            )
-            .select("l_id", "r_id")
-        )
-    else:
         lbe = lb.select("l_id", F.explode(probes).alias("_bucket"))
-        cand = (
+        return (
             lbe.join(rb, "_bucket")
             .where(F.col("l_id") != F.col("r_id"))
             .select("l_id", "r_id")
         )
+
+    cand = _cand_one_table(0)
+    for t in range(1, n_tables):
+        cand = cand.unionAll(_cand_one_table(t))
+    if n_tables > 1:
+        # cross-table dedup BEFORE the verify: candidate id pairs are
+        # 16 bytes, verified cosines are the expensive part. (The
+        # symmetric path emits each pair in ONE canonical-per-table
+        # orientation, but different tables can disagree on which —
+        # canonicalize before distinct.)
+        if symmetric:
+            cand = cand.select(
+                F.least("l_id", "r_id").alias("l_id"),
+                F.greatest("l_id", "r_id").alias("r_id"),
+            )
+        cand = cand.dropDuplicates(["l_id", "r_id"])
     small = (
         n_rows is not None
         and n_rows * dim * 8 <= _VEC_BROADCAST_BYTES
@@ -378,12 +438,12 @@ def lsh_candidate_pairs(
         .where(F.col("dist") <= eps)
         .select("l_id", "r_id", "dist")
     )
-    if not symmetric:
-        # multiprobe can find an (l, r) pair once per mask whose XOR
-        # lands in the probe set — dedup. The SYMMETRIC fast path
-        # needs none: an unordered pair matches on exactly one bucket
-        # value (its unique mask m = b_l XOR b_r), generated from one
-        # side only, so the dedup would be a pure extra shuffle (r09)
+    if not symmetric and n_tables == 1:
+        # duplicate-id inputs can repeat an (l, r) pair — dedup. The
+        # SYMMETRIC single-table path needs none: an unordered pair
+        # matches on exactly one bucket value (its unique mask
+        # m = b_l XOR b_r), generated from one side only (r09); the
+        # multi-table paths dedup candidates pre-verify above.
         verified = verified.dropDuplicates(["l_id", "r_id"])
     if symmetric:
         # restore the both-directions contract from the verified half

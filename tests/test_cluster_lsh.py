@@ -163,3 +163,49 @@ def test_symmetric_fast_path_identical_output(spark):
     assert base == fast and len(base) > 0
     # both directions present
     assert all((b, a, d) in fast for a, b, d in fast)
+
+
+def test_multi_table_lsh_superset_no_dupes(spark):
+    """n_tables=3 unions independent hash tables: the edge set is a
+    SUPERSET of table 0's (recall can only grow), contains no
+    duplicate ordered pairs, keeps the both-directions contract, and
+    every surviving edge still verifies dist <= eps."""
+    from news_clustering_and_summarization_spark.operators.cluster import (
+        lsh_candidate_pairs,
+    )
+    from news_clustering_and_summarization_spark.testing import (
+        inflate_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inflated = inflate_vectors(emb, 4)
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", nbits=14, dim=64,
+        n_rows=2000, symmetric=True,
+    )
+    one = lsh_candidate_pairs(inflated, inflated, 0.10, **kw).collect()
+    three = lsh_candidate_pairs(
+        inflated, inflated, 0.10, n_tables=3, **kw
+    ).collect()
+    set1 = {(r["l_id"], r["r_id"]) for r in one}
+    set3 = {(r["l_id"], r["r_id"]) for r in three}
+    assert len(set3) == len(three)  # no duplicate ordered pairs
+    assert set1 <= set3  # superset: recall only grows
+    assert all(r["dist"] <= 0.10 for r in three)
+    # both-directions contract
+    assert all((b, a) in set3 for a, b in set3)
+
+
+def test_signlsh_tables_sizing():
+    from news_clustering_and_summarization_spark.operators.cluster import (
+        _boundary_recall,
+        signlsh_tables,
+    )
+
+    # already above target -> one table
+    assert signlsh_tables(0.10, 13, 2) == 1
+    # low single-table recall -> more tables, capped at 8
+    low = signlsh_tables(0.10, 26, 1)
+    p1 = _boundary_recall(0.10, 26, 1)
+    assert low >= 2 and low <= 8
+    assert 1 - (1 - p1) ** low >= 0.7 or low == 8

@@ -82,6 +82,7 @@ def main() -> int:
         n_base = emb.count()
         n_rows = n_base * INFLATE
         nbits, radius = C.signlsh_params(EPS, n_rows)
+        tables = C.signlsh_tables(EPS, nbits, radius)
         inflated = (
             inflate_vectors(emb, INFLATE)
             .repartition(spark.sparkContext.defaultParallelism)
@@ -100,6 +101,7 @@ def main() -> int:
             dim=64,
             n_rows=n_rows,
             symmetric=True,
+            n_tables=tables,
         )
         n_pairs = pairs.count()
         wall = time.time() - t0
@@ -108,12 +110,14 @@ def main() -> int:
             "n_vectors": n_rows,
             "nbits": nbits,
             "probe_radius": radius,
+            "n_tables": tables,
             "wall_sec": round(wall, 2),
             "shuffle_mb": round(sb / 1e6, 2),
             "eps_pairs": n_pairs,
         }
         print(
             f"{label:6s} n={n_rows:>9,} nbits={nbits} r={radius} "
+            f"L={tables} "
             f"{wall:7.2f}s shuffle={sb / 1e6:9.2f}MB pairs={n_pairs:,}",
             flush=True,
         )
