@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "sessionize",          # lag window + agg
     "dedup_minhash",       # shingle -> LSH -> verify
     "dedup_embedding",     # similarity self-join
-    "cluster_lsh",         # sign-LSH ε-pairs on 50k vectors (> LSH_THRESHOLD)
+    "cluster_lsh",         # sign-LSH ε-pairs, production path (candidates+verify)
+    "cluster_lsh_verify",  # + recall/zero-FP certificates — the soak stays benched
     "ann_topk",            # brute-force top-k
     "quality_score",       # text heuristics
     "token_counts",        # token stats

@@ -61,6 +61,9 @@ CARTESIAN_OK = {
     # recall/false-positive stats aggregate onto the result — a
     # BroadcastNestedLoopJoin with an O(1)-row side by construction
     "ann_lsh",
+    "cluster_lsh_verify",
+    # production variant keeps the 1-row (n_nodes)x(n_edges, max_dist)
+    # broadcast crossJoin summary — O(1)-row sides by construction
     "cluster_lsh",
     # crossJoins the broadcast ONE-ROW corpus-total aggregate onto the
     # bigram table (text_analysis.collocations) — O(1)-row side
