@@ -309,6 +309,78 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh): the distinct word n-shingle array per document — the
+    shared front of every MinHash path. Factored out so the batch
+    operator (minhash_near_duplicates) and the streaming accumulator
+    (streaming/dedup.MinhashDedupStream) run the SAME expressions and
+    stream == batch holds by construction."""
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), H.tokens(text_col).alias("_tok")
+    ).select(
+        "id",
+        F.array_distinct(
+            H.word_shingles(F.col("_tok"), n)
+        ).alias("sh"),
+    )
+
+
+def hashed_shingles(shingled: DataFrame) -> DataFrame:
+    """(id, shh): shingle arrays mapped to 60-bit hashes — what the
+    exact-Jaccard verify actually joins. Intersect/union SIZES — all
+    exact Jaccard needs — are identical on a collision-free hash
+    (md5-60bit, the repo-wide exactness assumption; ~2^-60 / pair),
+    and int64 arrays shuffle 3-4x smaller than marker-laden shingle
+    strings. At bench scales the verify side broadcasts and this is
+    invisible; at sf10 (600k docs) the join flips to sort-merge and
+    the string arrays were the query's dominant shuffle (r09 100x
+    rehearsal: 557 MB of the 1.2 GB total). The oracle keeps
+    verifying on raw strings — same sizes, same output, and the
+    green hash doubles as the collision-freeness check."""
+    return shingled.select(
+        "id",
+        F.transform(F.col("sh"), lambda s: H.hash64(s)).alias("shh"),
+    )
+
+
+def jaccard_on_hashed(
+    cands: DataFrame,
+    l_hashed: DataFrame,
+    r_hashed: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify of (l_id, r_id) candidates against two
+    hashed_shingles frames. Shared by the batch and streaming paths."""
+    return (
+        cands.join(
+            l_hashed.select(
+                F.col("id").alias("l_id"), F.col("shh").alias("l_sh")
+            ),
+            "l_id",
+        )
+        .join(
+            r_hashed.select(
+                F.col("id").alias("r_id"), F.col("shh").alias("r_sh")
+            ),
+            "r_id",
+        )
+        .select(
+            "l_id",
+            "r_id",
+            (
+                F.size(F.array_intersect("l_sh", "r_sh"))
+                / F.size(F.array_union("l_sh", "r_sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -326,14 +398,9 @@ def minhash_near_duplicates(
     signatures, candidate generation, and both sides of the verify
     join all read them, and tokenize+shingle is the expensive part.
     """
-    shingled = fan_out(df).select(
-        F.col(id_col).alias("id"), H.tokens(text_col).alias("_tok")
-    ).select(
-        "id",
-        F.array_distinct(
-            H.word_shingles(F.col("_tok"), n)
-        ).alias("sh"),
-    ).localCheckpoint(eager=True)
+    shingled = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
     cands = minhash_lsh_candidates(
         shingled.select("id", F.col("sh").alias("text")),
         id_col="id",
@@ -343,43 +410,8 @@ def minhash_near_duplicates(
         bands=bands,
         preshingled=True,
     )
-    # verify on 60-bit-HASHED shingles: intersect/union SIZES — all
-    # exact Jaccard needs — are identical on a collision-free hash
-    # (md5-60bit, the repo-wide exactness assumption; ~2^-60 / pair),
-    # and int64 arrays shuffle 3-4x smaller than marker-laden shingle
-    # strings. At bench scales the verify side broadcasts and this is
-    # invisible; at sf10 (600k docs) the join flips to sort-merge and
-    # the string arrays were the query's dominant shuffle (r09 100x
-    # rehearsal: 557 MB of the 1.2 GB total). The oracle keeps
-    # verifying on raw strings — same sizes, same output, and the
-    # green hash doubles as the collision-freeness check.
-    hashed = shingled.select(
-        "id",
-        F.transform(F.col("sh"), lambda s: H.hash64(s)).alias("shh"),
-    )
-    return (
-        cands.join(
-            hashed.select(
-                F.col("id").alias("l_id"), F.col("shh").alias("l_sh")
-            ),
-            "l_id",
-        )
-        .join(
-            hashed.select(
-                F.col("id").alias("r_id"), F.col("shh").alias("r_sh")
-            ),
-            "r_id",
-        )
-        .select(
-            "l_id",
-            "r_id",
-            (
-                F.size(F.array_intersect("l_sh", "r_sh"))
-                / F.size(F.array_union("l_sh", "r_sh"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    hashed = hashed_shingles(shingled)
+    return jaccard_on_hashed(cands, hashed, hashed, threshold)
 
 
 def minhash_incremental_near_duplicates(

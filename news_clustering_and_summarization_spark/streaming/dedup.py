@@ -126,3 +126,237 @@ class BloomDedupStream:
         return self.spark.read.option("basePath", self.out_path).parquet(
             self.out_path
         )
+
+
+# --- streaming MinHash near-dup -------------------------------------
+
+
+class MinhashDedupStream:
+    """Streaming MinHash near-duplicate detection against the
+    cumulative corpus, on the shared crash-safe epoch-state layout
+    (streaming/epoch_state.py) — the near-dup companion of
+    BloomDedupStream (which is exact first-seen only) and the last
+    gap between the batch and streaming dedup stories.
+
+    State per epoch — all pure INSERTS (band rows are
+    content-addressed, shingle hashes are per-doc), so compaction's
+    merge is the plain union:
+
+      * ``bands/epoch=<e>/``    (id, band, bucket) — the persisted
+        LSH index; every future batch equi-joins against it without
+        ever re-signing history;
+      * ``shingles/epoch=<e>/`` (id, shh array<long>) — 60-bit hashed
+        shingle arrays, exactly what the exact-Jaccard verify reads
+        (operators/dedup.hashed_shingles);
+      * ``pairs/epoch=<e>/``    (l_id, r_id, jaccard) — the emitted
+        near-dup matches, the stream's output.
+
+    Per micro-batch the work is O(|batch| + |candidates|),
+    independent of corpus size: shingle + sign the batch once,
+    equi-join its band rows against the standing index, verify only
+    candidates.
+
+    Exactly-once under crash replay (foreachBatch is at-least-once):
+    every per-epoch directory is REPLACED on replay of the same
+    epoch, and every history read EXCLUDES the current epoch, so a
+    redelivered batch recomputes the identical pair set and state
+    rows. The newest epoch is never folded by compaction
+    (epoch_state invariant), so the excluded epoch can never hide
+    inside ``epoch=-1``.
+
+    stream == batch by construction: band rows come from the same
+    minhash_band_table, shingles from the same shingle_arrays, and
+    the verify from the same jaccard_on_hashed expressions as batch
+    minhash_near_duplicates; cross-epoch pairs are normalized to
+    (least, greatest) so ``detect()`` over the whole stream equals
+    the batch operator over the union of all batches row-for-row
+    (tests/test_streaming_minhash.py). Doc ids are assumed unique
+    across the stream (in-batch duplicates are dropped, matching
+    BloomDedupStream's contract).
+
+    LSH parameters are FROZEN at first construction (persisted to
+    ``_params.json``): band rows computed under different (n, k,
+    bands) are not comparable, so a restart with different
+    parameters raises instead of silently mixing indexes.
+    """
+
+    PARAMS = "_params.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        threshold: float = 0.7,
+        k: int | None = None,
+        bands: int | None = None,
+    ):
+        from ..operators import dedup as D
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.threshold = threshold
+        self.k = D.MINHASH_K if k is None else k
+        self.bands = D.MINHASH_BANDS if bands is None else bands
+        os.makedirs(state_dir, exist_ok=True)
+        self._freeze_params()
+
+    def _freeze_params(self) -> None:
+        import json
+
+        path = os.path.join(self.state_dir, self.PARAMS)
+        mine = {
+            "n": self.n,
+            "threshold": self.threshold,
+            "k": self.k,
+            "bands": self.bands,
+        }
+        if os.path.exists(path):
+            with open(path) as f:
+                frozen = json.load(f)
+            if frozen != mine:
+                raise ValueError(
+                    f"MinhashDedupStream params {mine} differ from the "
+                    f"store's frozen {frozen}; band rows computed under "
+                    "different LSH parameters are not comparable"
+                )
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mine, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    @property
+    def bands_path(self) -> str:
+        return os.path.join(self.state_dir, "bands")
+
+    @property
+    def shingles_path(self) -> str:
+        return os.path.join(self.state_dir, "shingles")
+
+    @property
+    def pairs_path(self) -> str:
+        return os.path.join(self.state_dir, "pairs")
+
+    def _history(
+        self, path: str, epoch_id: int, like: DataFrame
+    ) -> DataFrame:
+        """All epochs of ``path`` EXCEPT ``epoch_id`` (the replay
+        guard), self-healing an interrupted compaction first. The
+        empty store borrows ``like``'s schema so id types follow the
+        stream's, not a hardcoded guess."""
+        from . import epoch_state
+
+        epoch_state.recover_staging(path)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], like.schema)
+        return (
+            self.spark.read.option("basePath", path)
+            .parquet(path)
+            .where(F.col("epoch") != epoch_id)
+            .drop("epoch")
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators import dedup as D
+
+        e = int(epoch_id)
+        batch = batch_df.dropDuplicates([self.id_col])
+        # docs shorter than n tokens have no shingle and drop out of
+        # signatures in the batch operator; keep them out of the
+        # stores too (parity + no dead state rows)
+        shingled = (
+            D.shingle_arrays(batch, self.id_col, self.text_col, self.n)
+            .where(F.size("sh") > 0)
+            .localCheckpoint(eager=True)
+        )
+        hashed = D.hashed_shingles(shingled).localCheckpoint(eager=True)
+        bands = D.minhash_band_table(
+            shingled.select("id", F.col("sh").alias("text")),
+            id_col="id", text_col="text",
+            n=self.n, k=self.k, bands=self.bands, preshingled=True,
+        ).localCheckpoint(eager=True)
+        hist_bands = self._history(self.bands_path, e, bands)
+        hist_sh = self._history(self.shingles_path, e, hashed)
+        # in-batch leg: the batch operator's self-join, l < r
+        in_cands = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id")
+            )
+            .distinct()
+        )
+        in_pairs = D.jaccard_on_hashed(
+            in_cands, hashed, hashed, self.threshold
+        )
+        # cross leg: batch vs the standing corpus through the
+        # persisted index — history is never re-signed
+        cr_cands = (
+            bands.alias("a")
+            .join(hist_bands.alias("b"), ["band", "bucket"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.col("a.id").alias("l_id"), F.col("b.id").alias("r_id")
+            )
+            .distinct()
+        )
+        cr_pairs = D.jaccard_on_hashed(
+            cr_cands, hashed, hist_sh, self.threshold
+        ).select(
+            # normalize orientation to the batch operator's l < r
+            F.least("l_id", "r_id").alias("l_id"),
+            F.greatest("l_id", "r_id").alias("r_id"),
+            "jaccard",
+        )
+        # materialize BEFORE the state writes swap files underneath
+        pairs = in_pairs.unionByName(cr_pairs).localCheckpoint(eager=True)
+        for df, path in (
+            (pairs, self.pairs_path),
+            (bands, self.bands_path),
+            (hashed, self.shingles_path),
+        ):
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, f"epoch={e}")
+            )
+
+    def start(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
+
+    def detect(self) -> DataFrame:
+        """All near-dup pairs found so far — equals batch
+        minhash_near_duplicates over the union of every batch."""
+        from . import epoch_state
+
+        epoch_state.recover_staging(self.pairs_path)
+        if not os.path.exists(self.pairs_path):
+            return self.spark.createDataFrame(
+                [], "l_id string, r_id string, jaccard double"
+            )
+        return (
+            self.spark.read.option("basePath", self.pairs_path)
+            .parquet(self.pairs_path)
+            .drop("epoch")
+        )
+
+    def compact(self) -> None:
+        """Fold finished epochs of all three stores via the shared
+        crash-safe protocol. Rows are pure inserts, so the merge is
+        the identity (plain union of the folded directories)."""
+        from . import epoch_state
+
+        for path in (self.bands_path, self.shingles_path, self.pairs_path):
+            epoch_state.compact_store(self.spark, path, lambda df: df)
