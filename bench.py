@@ -30,7 +30,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 from news_clustering_and_summarization_spark.plans import catalog  # noqa: E402
-from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
+from news_clustering_and_summarization_spark.session import (  # noqa: E402
+    auto_driver_mem,
+    get_spark,
+)
 
 # Headline set: the flagship clustering pipeline + one representative
 # per operator family (join/agg, window, dedup, ANN, text analysis).
@@ -86,6 +89,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     load_before = round(os.getloadavg()[0], 2)
+    # size the driver heap from the input tier (session.auto_driver_mem;
+    # r08 verdict item 7) — pointing SPARK_GRAFT_SF_DIR at an inflated
+    # set must not require remembering SPARK_DRIVER_MEM by hand
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEM", auto_driver_mem(sf_dir, cpus)
+    )
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",

@@ -15,6 +15,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def auto_driver_mem(data_dir: str | None, cpus: int) -> str:
+    """Driver-heap sizing for the single-JVM local harness, from the
+    input tier instead of the operator's memory (r08 verdict item 7:
+    the 8g default OOMs at the 10x rehearsal tier — SCALE.md's
+    memory-per-core lesson says >= 1.5 GB/core above sf0.1).
+
+    An explicit ``SPARK_DRIVER_MEM`` always wins. Otherwise: inputs
+    up to ~100 MB of parquet keep the 8g default; anything larger
+    gets 1.5 GB/core, floored at 8 GB (small-core boxes) — local
+    executors share the driver JVM, so the bound scales with
+    parallelism, not data."""
+    explicit = os.environ.get("SPARK_DRIVER_MEM")
+    if explicit:
+        return explicit
+    size = 0
+    if data_dir and os.path.isdir(data_dir):
+        for root, _dirs, files in os.walk(data_dir):
+            size += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+    if size <= 100 * 1024 * 1024:
+        return "8g"
+    return f"{max(8, int(1.5 * cpus))}g"
+
+
 def get_spark(
     app_name: str = "news_clustering_spark",
     master: str | None = None,

@@ -34,10 +34,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from news_clustering_and_summarization_spark.plans import catalog  # noqa: E402
-from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
+from news_clustering_and_summarization_spark.session import (  # noqa: E402
+    auto_driver_mem,
+    get_spark,
+)
 
+# top-20 by cost (r08 verdict item 2: every heavy family needs
+# empirical scaling data, not just the original 8)
 TARGETS = [
-    "cluster_lsh",
+    "cluster_lsh",          # production path (r09 split)
+    "cluster_lsh_verify",   # + recall/zero-FP certificate legs
     "source_jaccard_kmv",
     "pagerank",
     "semdedup",
@@ -45,6 +51,17 @@ TARGETS = [
     "bpe_merges",
     "dedup_minhash",
     "kmeans_assign",
+    "setsim_join",          # AllPairs prefix filter
+    "keyword_textrank",
+    "dedup_components",     # CC contraction under growing components
+    "golden_record",
+    "record_linkage",
+    "ctfidf_labels",
+    "skew_join",
+    "bucketed_join",
+    "dbscan_full",          # cross-strategy: the quadratic regime, measured honestly
+    "bpe_encode",
+    "dsir_select",
 ]
 
 
@@ -88,6 +105,18 @@ def main() -> int:
         )
         scales = [("sf1", sf1, 10)]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # size the driver heap from the LARGEST rehearsal tier
+    # (session.auto_driver_mem; r08 verdict item 7 — the 8g default
+    # OOMed at sf1 and nothing but the operator's memory said so)
+    biggest = max(
+        [base_dir] + [d for _label, d, _f in scales],
+        key=lambda d: sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _ds, fs in os.walk(d)
+            for f in fs
+        ) if os.path.isdir(d) else 0,
+    )
+    os.environ.setdefault("SPARK_DRIVER_MEM", auto_driver_mem(biggest, cpus))
     spark = get_spark(
         "scale-rehearsal",
         master=f"local[{cpus}]",
