@@ -265,6 +265,7 @@ def lsh_candidate_pairs(
     dim: int | None = None,
     symmetric: bool = False,
     n_tables: int = 1,
+    vec_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
     multiprobe, verified exactly. Same output contract as
@@ -425,10 +426,22 @@ def lsh_candidate_pairs(
                 F.greatest("l_id", "r_id").alias("r_id"),
             )
         cand = cand.dropDuplicates(["l_id", "r_id"])
-    small = (
-        n_rows is not None
-        and n_rows * dim * 8 <= _VEC_BROADCAST_BYTES
+    # vec_broadcast_bytes is the memory-vs-disk tradeoff knob for the
+    # verify's vector attach (r09 100x probe lesson): above the gate
+    # the attach runs as TWO shuffle joins whose second leg carries a
+    # full vector per CANDIDATE row — bytes ~= candidates x dim x 8,
+    # i.e. answer-volume-bound, and on a near-dup-saturated corpus
+    # (5M vectors x ~24 true pairs each) that is ~60 GB of shuffle a
+    # single box's disk may not hold, while the whole vector table is
+    # only n x dim x 8 = 2.5 GB — comfortably one executor's memory.
+    # Callers that know their executors can raise the gate; the 64 MiB
+    # default stays conservative for the generic path.
+    gate = (
+        _VEC_BROADCAST_BYTES
+        if vec_broadcast_bytes is None
+        else vec_broadcast_bytes
     )
+    small = n_rows is not None and n_rows * dim * 8 <= gate
     if small:
         l_vecs, r_vecs = F.broadcast(l_vecs), F.broadcast(r_vecs)
     verified = (

@@ -1688,3 +1688,380 @@ SELECT tp, tn, fp, fn,
        END AS mcc_q
 FROM c
 """
+
+
+# --- multiple-testing control ---------------------------------------
+
+
+def fdr_bh(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    categories: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over per-group chi-square
+    goodness-of-fit tests (Benjamini & Hochberg 1995) — the
+    multiple-testing guardrail for fleet-wide audits: testing 25
+    brands at alpha=0.05 each expects a false alarm; BH bounds the
+    FALSE DISCOVERY RATE across the family instead.
+
+    Per group g: chi² GOF of the ``cat_col`` distribution (the fixed
+    ``categories`` list) against the whole-table distribution, df =
+    len(categories)-1. With df=2 the survival function is EXACTLY
+    exp(-x/2), so p-ordering is stat-ordering reversed and the BH
+    step-up 'p_(k) <= alpha*k/m' becomes 'stat_(k) >= -2*ln(alpha*k/m)'
+    — one ln per group of a rational argument; cross-engine the
+    comparison flips only if a statistic lands within 1 ulp of a
+    threshold (the quantized-ln bet bleu_corpus already takes).
+
+    Exactness: each chi² term is ((o*N - n_g*C)² as DECIMAL(38,0))
+    cast to double, divided by the exact-below-2^53 integer
+    (n_g*C*N), and the terms are summed in the FIXED category-list
+    order — both engines evaluate the identical double expression
+    tree. Ties in stat break by group name, so the k-ranking is
+    total and deterministic.
+
+    Output per group, ordered by k: (group, n_g, stat_q, k,
+    rejected) where k is the ascending-p rank and rejected marks the
+    BH step-up set {k <= K}, K = max k with p_(k) <= alpha*k/m."""
+    if len(categories) != 3:
+        # exp(-x/2) is the df=2 survival function; other df need an
+        # incomplete-gamma, which has no shared-expression replay
+        raise ValueError("fdr_bh is pinned to 3 categories (df=2)")
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("c")
+    )
+    cat_counts = [
+        F.sum(F.when(F.col("c") == F.lit(c), 1).otherwise(0))
+        .cast("long")
+        .alias(f"o_{i}")
+        for i, c in enumerate(categories)
+    ]
+    per_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"), *cat_counts
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        *[
+            F.sum(F.when(F.col("c") == F.lit(c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"C_{i}")
+            for i, c in enumerate(categories)
+        ],
+    )
+    j = per_g.crossJoin(F.broadcast(totals))
+    d38 = "decimal(38,0)"
+    term = None
+    for i in range(len(categories)):
+        num = (
+            (
+                F.col(f"o_{i}").cast(d38) * F.col("N").cast(d38)
+                - F.col("n_g").cast(d38) * F.col(f"C_{i}").cast(d38)
+            )
+        )
+        t = (num * num).cast("double") / (
+            F.col("n_g") * F.col(f"C_{i}") * F.col("N")
+        ).cast("double")
+        term = t if term is None else term + t
+    scored = j.select(
+        "g", "n_g", term.alias("stat"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    # the window domain is the GROUP table (25 brands), O(1) by
+    # construction — never the row table
+    w = Window.orderBy(F.col("stat").desc(), F.col("g").asc())
+    ranked = scored.withColumn("k", F.row_number().over(w)).withColumn(
+        "hit",
+        F.col("stat")
+        >= F.lit(-2.0)
+        * F.log(F.lit(alpha) * F.col("k") / F.col("m")),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("hit"), F.col("k"))), F.lit(0)
+        ).alias("k_cut")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            F.col("g").alias(group_col),
+            "n_g",
+            F.floor(F.col("stat") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("stat_q"),
+            "k",
+            (F.col("k") <= F.col("k_cut")).alias("rejected"),
+        )
+        .orderBy("k")
+    )
+
+
+def fdr_bh_sql(
+    table: str,
+    group_expr: str,
+    cat_expr: str,
+    categories: list[str],
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of fdr_bh: identical fixed-order double expression
+    tree, HUGEINT for the squared numerators."""
+    o_sel = ", ".join(
+        f"sum(CASE WHEN c = {sql_str_lit(c)} THEN 1 ELSE 0 END)::BIGINT"
+        f" AS o_{i}"
+        for i, c in enumerate(categories)
+    )
+    c_sel = ", ".join(
+        f"sum(CASE WHEN c = {sql_str_lit(c)} THEN 1 ELSE 0 END)::BIGINT"
+        f" AS C_{i}"
+        for i, c in enumerate(categories)
+    )
+    terms = " + ".join(
+        f"(((o_{i}::HUGEINT * N::HUGEINT - n_g::HUGEINT * C_{i}::HUGEINT)"
+        f" * (o_{i}::HUGEINT * N::HUGEINT - n_g::HUGEINT * C_{i}::HUGEINT)"
+        f")::DOUBLE / (n_g * C_{i} * N)::DOUBLE)"
+        for i in range(len(categories))
+    )
+    return f"""
+WITH base AS (SELECT ({group_expr}) AS g, ({cat_expr}) AS c FROM {table}),
+per_g AS (SELECT g, count(*)::BIGINT AS n_g, {o_sel} FROM base GROUP BY g),
+tot AS (SELECT count(*)::BIGINT AS N, {c_sel} FROM base),
+scored AS (
+  SELECT g, n_g, {terms} AS stat,
+         count(*) OVER () AS m
+  FROM per_g CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY stat DESC, g ASC) AS k,
+         stat >= -2.0 * ln({alpha} * row_number() OVER
+             (ORDER BY stat DESC, g ASC) / m) AS hit
+  FROM scored
+),
+kmax AS (SELECT coalesce(max(CASE WHEN hit THEN k END), 0) AS k_cut
+         FROM ranked)
+SELECT g AS {group_expr if group_expr.isidentifier() else 'grp'},
+       n_g, floor(stat * 1e6 + 0.5)::BIGINT AS stat_q,
+       k::BIGINT AS k, k <= k_cut AS rejected
+FROM ranked CROSS JOIN kmax
+ORDER BY k
+"""
+
+
+# --- conformal prediction --------------------------------------------
+
+
+def conformal_bound(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    alpha_pct: int = 10,
+    shard_width: int = 1024,
+) -> DataFrame:
+    """Split-conformal prediction bound (Vovk et al.; Papadopoulos
+    2002 inductive form): hash-split the rows into a TRAIN half
+    (fits the predictor: per-group integer mean) and a CALIBRATION
+    half (scores nonconformity |y - yhat|); the (1-alpha) bound is
+    the k-th smallest calibration residual with the finite-sample
+    correction k = ceil((n_cal+1)(1-alpha)) — the distribution-free
+    guarantee that a future |y - yhat| <= bound with prob >= 1-alpha.
+
+    Everything is exact integer arithmetic: the split is
+    hash64(key)%2, yhat is integer floor-division of the DECIMAL
+    cent sum, residuals are integer cents, and the order statistic
+    comes from binary_auc's two-phase prefix-sum over the DISTINCT
+    residual domain (no global row sort). alpha is a percent so k's
+    ceiling is integer division, never float.
+
+    Output: one row (n_cal, cal_k, bound) — bound NULL when
+    cal_k > n_cal (calibration set too small for the level)."""
+    from ..functions import hashing as H
+
+    base = df.select(
+        H.hash64(F.col(key_col).cast("string")).alias("h"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    train = base.where(F.col("h") % 2 == 0)
+    cal = base.where(F.col("h") % 2 != 0)
+    yhat = train.groupBy("grp").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    ).select(
+        "grp",
+        ((F.col("s") - F.col("s") % F.col("c")) / F.col("c"))
+        .cast("long")
+        .alias("yh"),
+    )
+    resid = (
+        cal.join(yhat, "grp")
+        .select(F.abs(F.col("v") - F.col("yh")).alias("r"))
+    )
+    per_r = resid.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v")
+    ).withColumn(
+        "shard", F.floor(F.col("r") / F.lit(shard_width)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        per_r.groupBy("shard")
+        .agg(F.sum("n_v").alias("shard_n"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("shard_n").over(w_shard), F.lit(0)),
+        )
+        .select("shard", "offset")
+    )
+    cum = per_r.join(F.broadcast(offsets), "shard").select(
+        "r",
+        (F.sum("n_v").over(w_in) + F.col("offset")).alias("cum"),
+    )
+    q = 100 - alpha_pct
+    nk = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    ).select(
+        "n_cal",
+        F.expr(f"({q} * (n_cal + 1) + 99) div 100").alias("cal_k"),
+    )
+    return nk.crossJoin(
+        F.broadcast(
+            cum.crossJoin(F.broadcast(nk.select("cal_k")))
+            .where(F.col("cum") >= F.col("cal_k"))
+            .agg(F.min("r").alias("_b"))
+        )
+    ).select(
+        "n_cal",
+        "cal_k",
+        F.when(F.col("cal_k") <= F.col("n_cal"), F.col("_b")).alias(
+            "bound"
+        ),
+    )
+
+
+def conformal_bound_sql(
+    table: str,
+    key_expr: str,
+    group_expr: str,
+    value_expr: str,
+    alpha_pct: int = 10,
+) -> str:
+    """DuckDB twin of conformal_bound: same hash split, integer
+    floor-division mean, and the k-th order statistic via a plain
+    row_number (semantics, not the two-phase shape)."""
+    from ..functions import hashing as H
+
+    h = H.hash64_sql(f"({key_expr})::VARCHAR")
+    q = 100 - alpha_pct
+    return f"""
+WITH base AS (SELECT {h} AS h, ({group_expr}) AS grp,
+                     ({value_expr})::BIGINT AS v FROM {table}),
+yhat AS (
+  SELECT grp, (sum(v::HUGEINT) // count(*)::HUGEINT)::BIGINT AS yh
+  FROM base WHERE h % 2 = 0 GROUP BY grp
+),
+resid AS (
+  SELECT abs(v - yh)::BIGINT AS r
+  FROM base JOIN yhat USING (grp) WHERE h % 2 <> 0
+),
+nk AS (SELECT count(*)::BIGINT AS n_cal,
+              (({q} * (count(*) + 1) + 99) // 100)::BIGINT AS cal_k
+       FROM resid),
+ordered AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM resid)
+SELECT n_cal, cal_k,
+       CASE WHEN cal_k <= n_cal THEN
+         (SELECT min(r) FROM ordered CROSS JOIN nk WHERE rn >= cal_k)
+       END AS bound
+FROM nk
+"""
+
+
+# --- fairness / representation audit ---------------------------------
+
+
+def fairness_audit(
+    df: DataFrame,
+    segment_col: str,
+    positive_col: str,
+) -> DataFrame:
+    """Demographic-parity audit of a boolean outcome across segments
+    — the representation-bias check a training-data pipeline runs
+    before a corpus (or a labeling policy) ships: per segment, the
+    positive-rate GAP vs the overall rate and the DISPARATE-IMPACT
+    ratio (four-fifths rule, EEOC 1978: flag when a segment's rate
+    falls below 80% of the overall).
+
+    Pure counting: per-segment (n_g, pos_g) in one map-side-
+    combinable groupBy, overall totals broadcast back, and the two
+    metrics as single exact-integer-over-exact-integer double
+    divisions (counts < 2^53), quantized half-up at 1e-6 — no
+    stochastic surface anywhere.
+
+    Output per segment: (segment, n_g, pos_g, rate_gap_q, di_q,
+    below_four_fifths), ordered by segment."""
+    base = df.select(
+        F.col(segment_col).alias("seg"),
+        F.col(positive_col).cast("long").alias("y"),
+    )
+    per = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("pos_g"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("y").cast("long").alias("P"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    gap = (
+        F.col("pos_g").cast("double") / F.col("n_g").cast("double")
+        - F.col("P").cast("double") / F.col("N").cast("double")
+    )
+    di = (F.col("pos_g").cast("double") * F.col("N").cast("double")) / (
+        F.col("n_g").cast("double") * F.col("P").cast("double")
+    )
+    return j.select(
+        F.col("seg").alias(segment_col),
+        "n_g",
+        "pos_g",
+        F.floor(gap * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "rate_gap_q"
+        ),
+        F.when(
+            F.col("P") > 0,
+            F.floor(di * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("di_q"),
+        F.when(F.col("P") > 0, di < F.lit(0.8)).alias(
+            "below_four_fifths"
+        ),
+    ).orderBy(segment_col)
+
+
+def fairness_audit_sql(
+    table: str, segment_expr: str, positive_expr: str, out_seg: str
+) -> str:
+    """DuckDB twin of fairness_audit (identical double divisions)."""
+    return f"""
+WITH base AS (SELECT ({segment_expr}) AS seg,
+                     (CASE WHEN {positive_expr} THEN 1 ELSE 0 END)::BIGINT
+                     AS y FROM {table}),
+per AS (SELECT seg, count(*)::BIGINT AS n_g, sum(y)::BIGINT AS pos_g
+        FROM base GROUP BY seg),
+tot AS (SELECT count(*)::BIGINT AS N, sum(y)::BIGINT AS P FROM base)
+SELECT seg AS {out_seg}, n_g, pos_g,
+       floor((pos_g::DOUBLE / n_g::DOUBLE - P::DOUBLE / N::DOUBLE)
+             * 1e6 + 0.5)::BIGINT AS rate_gap_q,
+       CASE WHEN P > 0 THEN
+         floor((pos_g::DOUBLE * N::DOUBLE) / (n_g::DOUBLE * P::DOUBLE)
+               * 1e6 + 0.5)::BIGINT END AS di_q,
+       CASE WHEN P > 0 THEN
+         (pos_g::DOUBLE * N::DOUBLE) / (n_g::DOUBLE * P::DOUBLE) < 0.8
+       END AS below_four_fifths
+FROM per CROSS JOIN tot
+ORDER BY {out_seg}
+"""

@@ -1551,3 +1551,151 @@ SELECT {q}, class_size,
 FROM per_class
 {tail}
 """
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_mult: int = 1,
+    y_mult: int = 1,
+    shard_width: int = 1024,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation — the monotone
+    companion to corr_matrix's Pearson (outlier-robust association,
+    the profiling question "related at all?" rather than "linearly
+    related?").
+
+    No global row sort anywhere: the tie-correct AVERAGE rank of a
+    value is a per-DISTINCT-value quantity, 2·avgrank = 2·N_< + n_v
+    + 1 (an exact integer — the doubling clears the half from
+    averaging, and Pearson is affine-invariant so rho over doubled
+    ranks is rho over ranks). N_< comes from binary_auc's two-phase
+    prefix-sum shape: in-shard cumulative windows run per
+    ``floor(value/shard_width)`` shard in parallel and only the
+    #shards-row total table crosses a single-partition window. The
+    doubled ranks then join back to the rows (value-keyed, domain-
+    not corpus-sized) and Pearson assembles from one map-side-
+    combinable aggregation in DECIMAL(38,0) — exact to ~4e9 rows
+    (4n⁴ < 1e38); the only irrational op is the final sqrt and rho
+    quantizes half-up at 1e-6.
+
+    Zero-variance inputs (all x or all y equal) have no defined
+    rank correlation: rho_q is NULL, matching the repo's
+    degenerate-input discipline. Output: one row (n, rho_q)."""
+    xq = F.col(x_col)
+    if x_mult != 1:
+        xq = F.floor(xq * F.lit(float(x_mult)) + F.lit(0.5))
+    yq = F.col(y_col)
+    if y_mult != 1:
+        yq = F.floor(yq * F.lit(float(y_mult)) + F.lit(0.5))
+    base = df.select(
+        xq.cast("long").alias("x"), yq.cast("long").alias("y")
+    )
+
+    def rank2(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_v")
+        ).withColumn(
+            "shard",
+            F.floor(F.col(col) / F.lit(shard_width)).cast("long"),
+        )
+        w_in = (
+            Window.partitionBy("shard")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_shard = Window.orderBy("shard").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            per.groupBy("shard")
+            .agg(F.sum("n_v").alias("shard_n"))
+            .withColumn(
+                "offset",
+                F.coalesce(F.sum("shard_n").over(w_shard), F.lit(0)),
+            )
+            .select("shard", "offset")
+        )
+        return (
+            per.join(F.broadcast(offsets), "shard")
+            .select(
+                col,
+                (
+                    F.lit(2)
+                    * (
+                        F.coalesce(F.sum("n_v").over(w_in), F.lit(0))
+                        + F.col("offset")
+                    )
+                    + F.col("n_v")
+                    + F.lit(1)
+                ).alias(f"r2{col}"),
+            )
+        )
+
+    ranked = base.join(rank2("x"), "x").join(rank2("y"), "y")
+    d19 = "decimal(19,0)"
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("r2x").cast(d19) * F.col("r2y").cast(d19)).alias("sxy"),
+        F.sum(F.col("r2x").cast(d19) * F.col("r2x").cast(d19)).alias("sxx"),
+        F.sum(F.col("r2y").cast(d19) * F.col("r2y").cast(d19)).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = num / (F.sqrt(vx) * F.sqrt(vy))
+    return stats.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("rho_q"),
+    )
+
+
+def spearman_sql(
+    table: str,
+    x_expr: str,
+    y_expr: str,
+) -> str:
+    """DuckDB twin of spearman (HUGEINT plays DECIMAL; the oracle
+    replays the SEMANTICS — per-distinct-value doubled average
+    ranks, Pearson over them — with plain windows, not the two-phase
+    sharding, which is a Spark plan shape, not a result)."""
+    return f"""
+WITH base AS (SELECT ({x_expr})::BIGINT AS x, ({y_expr})::BIGINT AS y
+              FROM {table}),
+rx AS (
+  SELECT x,
+         2 * coalesce(sum(n_v) OVER (ORDER BY x ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_v + 1 AS r2x
+  FROM (SELECT x, count(*)::BIGINT AS n_v FROM base GROUP BY x)
+),
+ry AS (
+  SELECT y,
+         2 * coalesce(sum(n_v) OVER (ORDER BY y ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_v + 1 AS r2y
+  FROM (SELECT y, count(*)::BIGINT AS n_v FROM base GROUP BY y)
+),
+stats AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n,
+         sum(r2x::HUGEINT) AS sx, sum(r2y::HUGEINT) AS sy,
+         sum(r2x::HUGEINT * r2y::HUGEINT) AS sxy,
+         sum(r2x::HUGEINT * r2x::HUGEINT) AS sxx,
+         sum(r2y::HUGEINT * r2y::HUGEINT) AS syy
+  FROM base JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT n,
+       CASE WHEN (n::HUGEINT * sxx - sx * sx) > 0
+             AND (n::HUGEINT * syy - sy * sy) > 0
+            THEN floor((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE))
+                 * 1e6 + 0.5)::BIGINT
+       END AS rho_q
+FROM stats
+"""

@@ -317,3 +317,123 @@ def oracle_mmr_rerank() -> str:
     from ..operators.similarity import mmr_rerank_sql
 
     return mmr_rerank_sql("embeddings", query_id=0)
+
+
+def q_spearman_corr(spark, sf):
+    """Tie-corrected Spearman rank correlation between lineitem
+    quantity and extended price (operators/profiling.spearman): the
+    monotone-association companion to corr_matrix, built from
+    per-distinct-value doubled average ranks (exact integers via the
+    binary_auc two-phase prefix sum — no global row sort) and a
+    DECIMAL(38,0) Pearson assembly over them."""
+    from ..operators.profiling import spearman
+
+    return spearman(
+        load(spark, sf, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        x_mult=1,
+        y_mult=100,
+    )
+
+
+def oracle_spearman_corr() -> str:
+    from ..operators.profiling import spearman_sql
+
+    return spearman_sql(
+        "lineitem",
+        "l_quantity",
+        "floor(l_extendedprice * 100.0 + 0.5)",
+    )
+
+
+def q_fdr_bh(spark, sf):
+    """Benjamini-Hochberg FDR control across per-brand return-flag
+    chi-square tests (operators/evaluation.fdr_bh): 25 simultaneous
+    GOF tests against the corpus-wide flag distribution, step-up
+    selected at alpha=0.05 — the multiple-testing guardrail for
+    fleet-wide data audits (25 naive tests at 0.05 expect a false
+    alarm; BH bounds the false discovery rate instead)."""
+    from ..operators.evaluation import fdr_bh
+
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("p_brand", "l_returnflag")
+    return fdr_bh(joined, "p_brand", "l_returnflag", ["A", "N", "R"])
+
+
+def oracle_fdr_bh() -> str:
+    from ..operators.evaluation import fdr_bh_sql
+
+    inner = (
+        "(SELECT p_brand, l_returnflag FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey)"
+    )
+    return fdr_bh_sql(inner, "p_brand", "l_returnflag", ["A", "N", "R"])
+
+
+def q_conformal_bound(spark, sf):
+    """Split-conformal 90% prediction bound for lineitem price given
+    quantity (operators/evaluation.conformal_bound): hash-split
+    train/calibration halves, per-quantity integer-mean predictor,
+    finite-sample k = ceil((n+1)·0.9)-th smallest calibration
+    residual via the two-phase prefix sum — the distribution-free
+    interval a data-quality gate would alarm against."""
+    from ..operators.evaluation import conformal_bound
+
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return conformal_bound(li, "rk", "q", "cents")
+
+
+def oracle_conformal_bound() -> str:
+    from ..operators.evaluation import conformal_bound_sql
+
+    inner = (
+        "(SELECT (l_orderkey * 8 + l_linenumber) AS rk, "
+        "l_quantity::BIGINT AS q, "
+        "floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS cents "
+        "FROM lineitem)"
+    )
+    return conformal_bound_sql(inner, "rk", "q", "cents")
+
+
+def q_fairness_audit(spark, sf):
+    """Demographic-parity audit of urgent-priority order rates
+    across customer nations (operators/evaluation.fairness_audit):
+    per-segment positive-rate gap vs overall and the four-fifths
+    disparate-impact ratio — the representation-bias check a corpus
+    or labeling policy is gated on before training."""
+    from ..operators.evaluation import fairness_audit
+
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        "c_nationkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+    return fairness_audit(joined, "c_nationkey", "is_urgent")
+
+
+def oracle_fairness_audit() -> str:
+    from ..operators.evaluation import fairness_audit_sql
+
+    inner = (
+        "(SELECT c_nationkey, o_orderpriority FROM orders "
+        "JOIN customer ON o_custkey = c_custkey)"
+    )
+    return fairness_audit_sql(
+        inner, "c_nationkey", "o_orderpriority = '1-URGENT'",
+        "c_nationkey",
+    )

@@ -72,8 +72,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
 
+    only = os.environ.get("LSH_PROBE_SCALES")
+    scales = [
+        s for s in SCALES if only is None or s[0] in only.split(",")
+    ]
     results: dict[str, dict] = {}
-    for label, sf_dir in SCALES:
+    for label, sf_dir in scales:
         path = os.path.join(sf_dir, "embeddings.parquet")
         if not os.path.exists(path):
             print(f"{label}: missing {path}, skipped")
@@ -102,6 +106,13 @@ def main() -> int:
             n_rows=n_rows,
             symmetric=True,
             n_tables=tables,
+            # memory-vs-disk knob (cluster.py vec_broadcast_bytes):
+            # this box has 128 GB RAM and ~80 GB free disk — at 5M
+            # vectors the verify's shuffle-carry attach needs ~60 GB
+            # of disk (answer-volume-bound) while the broadcast map
+            # is 2.5 GB of memory; the first sf10 probe run filled
+            # the disk and died. 4 GiB gate = broadcast through sf10.
+            vec_broadcast_bytes=4 << 30,
         )
         n_pairs = pairs.count()
         wall = time.time() - t0
