@@ -53,6 +53,16 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast global-total aggregate crossJoined onto the
     # domain-bounded (class x value) cell table
     "t_closeness",
+    # ONE-ROW broadcast crosses: the (N, per-category totals) row
+    # onto the 25-brand table, and the one-row BH cutoff (k_cut)
+    # back onto the ranked groups
+    "fdr_bh",
+    # ONE-ROW broadcast crosses: (n_cal, cal_k) onto the cumulative
+    # residual table and the one-row bound aggregate back
+    "conformal_bound",
+    # ONE-ROW broadcast cross of the (N, P) overall totals onto the
+    # 25-segment table
+    "fairness_audit",
     # per-normalization ONE-ROW broadcast max aggregate crossJoined
     # onto the node table (2 per iteration, the pagerank n_nodes shape)
     "hits",
@@ -239,6 +249,15 @@ GLOBAL_WIN_OK = {
     # same two-phase prefix-sum shape as classifier_auc: the only
     # single-partition window is over the shard-TOTAL table
     "ks_drift",
+    # two x the two-phase prefix-sum shape (one per rank dimension):
+    # each single-partition window is over a shard-TOTAL table
+    "spearman_corr",
+    # two-phase prefix sum over the distinct-residual domain: the
+    # single-partition window is the shard-TOTAL table
+    "conformal_bound",
+    # rank/threshold windows run over the GROUP table (25 brands,
+    # O(1) domain by construction), never the row table
+    "fdr_bh",
     # two-phase shard-total window for the reference cum counts plus
     # the psi total window over the TEN bucket rows
     "psi_drift",

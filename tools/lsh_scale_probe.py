@@ -29,7 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from news_clustering_and_summarization_spark.operators import cluster as C  # noqa: E402
-from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
+from news_clustering_and_summarization_spark.session import (  # noqa: E402
+    auto_driver_mem,
+    get_spark,
+)
 from news_clustering_and_summarization_spark.testing import inflate_vectors  # noqa: E402
 
 EPS = 0.10
@@ -60,6 +63,13 @@ def main() -> int:
         else os.path.join(REPO, "LSH_SCALE_PROBE.json")
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # the sf10 leg BROADCASTS a ~2.5 GB vector map (see
+    # vec_broadcast_bytes below) — an 8g driver heap OOMs building
+    # it; size from the largest present tier (r08 verdict item 7)
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEM",
+        auto_driver_mem("/tmp/spark_graft_sf10", cpus),
+    )
     spark = get_spark(
         "lsh-scale-probe",
         master=f"local[{cpus}]",
@@ -67,6 +77,11 @@ def main() -> int:
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.ui.enabled": "true",
+            # the sf10 broadcast build collects a ~2.7 GB vector
+            # relation through task results — the 1g default
+            # maxResultSize kills it (third distinct failure mode of
+            # this leg; each one documented in SCALE.md)
+            "spark.driver.maxResultSize": "8g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
