@@ -42,6 +42,14 @@ def stable_ids(
     parted = df.repartitionByRange(n, *order_by).sortWithinPartitions(
         *order_by
     )
+    # PIN one materialization of the range partitioning: the size
+    # job and the numbering job would otherwise evaluate
+    # repartitionByRange twice, and its boundaries are not guaranteed
+    # identical across executions (boundary sampling + AQE) — the
+    # sf0.1 sweep caught offsets shifted by a few rows between the
+    # two jobs (r09: 4402/5000 ids off by a per-block constant).
+    # The checkpoint also saves the full recompute of the input scan.
+    parted = parted.localCheckpoint(eager=True)
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     sizes = {
         r["_pid"]: r["cnt"]
