@@ -63,6 +63,9 @@ CARTESIAN_OK = {
     # ONE-ROW broadcast cross of the (N, P) overall totals onto the
     # 25-segment table
     "fairness_audit",
+    # ONE-ROW broadcast cross of the directed-edge-count total onto
+    # the 25-brand community table
+    "graph_modularity",
     # per-normalization ONE-ROW broadcast max aggregate crossJoined
     # onto the node table (2 per iteration, the pagerank n_nodes shape)
     "hits",
