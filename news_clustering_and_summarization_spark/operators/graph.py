@@ -1506,3 +1506,173 @@ def wl_fingerprint_sql(edges_cte: str, rounds: int = 2) -> tuple[str, str]:
         f" FROM wl_l0 d JOIN {prev} f ON d.node = f.node)"
     )
     return ",\n".join(parts), "wl_out"
+
+
+def modularity(
+    edges: DataFrame, communities: DataFrame, node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected graph
+    (Newman & Girvan 2004) — "is the community structure better than
+    chance?", the quality gate for any clustering-on-graphs output.
+
+    ``edges`` is the repo's symmetric directed form (both
+    orientations present, no self-loops); with M = directed edge
+    count (= 2m), E_c = intra-community directed edges and D_c =
+    total degree of community c:
+
+        Q = Σ_c (M·E_c − D_c²) / M²
+
+    Everything up to the final division is exact integer arithmetic
+    in DECIMAL(38,0) (M·E_c and D_c² pass int64 at ~3e9 edges); the
+    one double division per community quantizes half-up at 1e-6.
+    Output: one row per community (community, e_c, d_c,
+    q_contrib_q), ordered — Q itself is the exact sum of the
+    contributions. Shape: two groupBys on the edge list plus a
+    broadcast 1-row M total; no global windows, no iteration."""
+    lab_src = communities.select(
+        F.col(node_col).alias("src"), F.col(comm_col).alias("_c_src")
+    )
+    lab_dst = communities.select(
+        F.col(node_col).alias("dst"), F.col(comm_col).alias("_c_dst")
+    )
+    labeled = edges.join(lab_src, "src").join(lab_dst, "dst")
+    m_tot = labeled.agg(F.count(F.lit(1)).cast("long").alias("M"))
+    intra = (
+        labeled.where(F.col("_c_src") == F.col("_c_dst"))
+        .groupBy(F.col("_c_src").alias(comm_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    degree = (
+        labeled.groupBy(F.col("_c_src").alias(comm_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    d38 = "decimal(38,0)"
+    return (
+        degree.join(intra, comm_col, "left")
+        .select(
+            comm_col,
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            "d_c",
+        )
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            comm_col,
+            "e_c",
+            "d_c",
+            F.floor(
+                (
+                    F.col("M").cast(d38) * F.col("e_c").cast(d38)
+                    - F.col("d_c").cast(d38) * F.col("d_c").cast(d38)
+                ).cast("double")
+                / (F.col("M").cast("double") * F.col("M").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("q_contrib_q"),
+        )
+        .orderBy(comm_col)
+    )
+
+
+def modularity_sql(
+    edges_cte: str, communities_cte: str, comm_out: str = "community"
+) -> str:
+    """DuckDB twin of modularity (HUGEINT for the exact products).
+    ``edges_cte``/``communities_cte`` are relation names with
+    (src, dst) / (node, community) columns."""
+    return f"""
+labeled AS (
+  SELECT e.src, e.dst, cs.community AS c_src, cd.community AS c_dst
+  FROM {edges_cte} e
+  JOIN {communities_cte} cs ON cs.node = e.src
+  JOIN {communities_cte} cd ON cd.node = e.dst
+),
+m_tot AS (SELECT count(*)::BIGINT AS M FROM labeled),
+intra AS (SELECT c_src AS c, count(*)::BIGINT AS e_c FROM labeled
+          WHERE c_src = c_dst GROUP BY c_src),
+degree AS (SELECT c_src AS c, count(*)::BIGINT AS d_c FROM labeled
+           GROUP BY c_src)
+SELECT d.c AS {comm_out}, coalesce(i.e_c, 0)::BIGINT AS e_c, d.d_c,
+       floor((M::HUGEINT * coalesce(i.e_c, 0)::HUGEINT
+              - d.d_c::HUGEINT * d.d_c::HUGEINT)::DOUBLE
+             / (M::DOUBLE * M::DOUBLE) * 1e6 + 0.5)::BIGINT
+           AS q_contrib_q
+FROM degree d LEFT JOIN intra i ON i.c = d.c CROSS JOIN m_tot
+ORDER BY {comm_out}
+"""
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of end-point degrees over the directed-symmetric edge
+    list — do hubs link to hubs (r > 0, social graphs) or to leaves
+    (r < 0, technological graphs)?
+
+    Reuses the corr_matrix discipline: integer degrees, one map-side-
+    combinable aggregation of DECIMAL(38,0) sufficient statistics,
+    sqrt as the only irrational, half-up 1e-6 quantization. Zero-
+    variance degenerate (regular graph) emits NULL. Output: one row
+    (m_edges, r_q)."""
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    d19 = "decimal(19,0)"
+    paired = (
+        edges.join(deg.select(F.col("src"), F.col("_d").alias("dx")), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("_d").alias("dy")
+            ),
+            "dst",
+        )
+    )
+    stats = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dy").cast(d19)).alias("sxy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dx").cast(d19)).alias("sxx"),
+        F.sum(F.col("dy").cast(d19) * F.col("dy").cast(d19)).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return stats.select(
+        F.col("n").alias("m_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                num / (F.sqrt(vx) * F.sqrt(vy)) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("r_q"),
+    )
+
+
+def assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin of assortativity."""
+    return f"""
+deg AS (SELECT src, count(*)::BIGINT AS d FROM {edges_cte} GROUP BY src),
+paired AS (
+  SELECT ds.d AS dx, dd.d AS dy
+  FROM {edges_cte} e JOIN deg ds ON ds.src = e.src
+                     JOIN deg dd ON dd.src = e.dst
+),
+stats AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n,
+         sum(dx::HUGEINT) AS sx, sum(dy::HUGEINT) AS sy,
+         sum(dx::HUGEINT * dy::HUGEINT) AS sxy,
+         sum(dx::HUGEINT * dx::HUGEINT) AS sxx,
+         sum(dy::HUGEINT * dy::HUGEINT) AS syy
+  FROM paired
+)
+SELECT n AS m_edges,
+       CASE WHEN (n::HUGEINT * sxx - sx * sx) > 0
+             AND (n::HUGEINT * syy - sy * sy) > 0
+            THEN floor((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE))
+                 * 1e6 + 0.5)::BIGINT
+       END AS r_q
+FROM stats
+"""

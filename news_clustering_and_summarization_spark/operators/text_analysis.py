@@ -1451,3 +1451,83 @@ SELECT grp AS {group_col}, t AS term, tf, df_groups, score_q,
        rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def flesch_readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948) — the classic
+    readability gate a curation pipeline files next to the
+    length/stopword heuristics of quality_score:
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Deterministic cross-engine surrogate for syllables: vowel-GROUP
+    count per token ([aeiouy]+ runs, floor 1 — all-consonant and
+    digit tokens count one), the standard dictionary-free
+    approximation. Sentences = [.!?]+ run count, floor 1. Words =
+    the repo tokenizer (functions/hashing.tokens), so counts match
+    token_counts' universe. All three counts are exact integers;
+    the score is one fixed-order double expression over two exact
+    divisions, quantized half-up at 1e-4. Zero-word docs emit NULL.
+    One projection — no shuffle, no UDF."""
+    toks = H.tokens(text_col)
+    n_words = F.size(toks)
+    n_syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1), F.regexp_count(t, F.lit("[aeiouy]+"))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_sent = F.greatest(
+        F.lit(1), F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.when(
+            n_words > 0,
+            F.floor(score * F.lit(1e4) + F.lit(0.5)).cast("long"),
+        ).alias("flesch_q"),
+    ).orderBy(id_col)
+
+
+def flesch_readability_sql(
+    table: str, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of flesch_readability (same tokenizer via
+    tokens_sql, same fixed-order double expression)."""
+    toks = H.tokens_sql(text_expr)
+    return f"""
+WITH counts AS (
+  SELECT {id_expr} AS id,
+         len({toks})::BIGINT AS n_words,
+         greatest(1, len(regexp_extract_all({text_expr}, '[.!?]+')))::BIGINT
+             AS n_sentences,
+         coalesce(list_sum(list_transform({toks},
+             t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))),
+             0)::BIGINT AS n_syllables
+  FROM {table}
+)
+SELECT id AS {id_expr}, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         floor((206.835
+                - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+               * 1e4 + 0.5)::BIGINT
+       END AS flesch_q
+FROM counts
+ORDER BY {id_expr}
+"""

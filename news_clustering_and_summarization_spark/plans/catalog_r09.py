@@ -437,3 +437,94 @@ def oracle_fairness_audit() -> str:
         inner, "c_nationkey", "o_orderpriority = '1-URGENT'",
         "c_nationkey",
     )
+
+
+def _copurchase_edges(spark, sf):
+    """The pagerank query's part co-purchase graph (symmetric
+    directed, distinct, no self-loops) — shared by the graph-quality
+    queries below."""
+    li = widen(spark, load(spark, sf, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)"""
+
+
+def q_graph_modularity(spark, sf):
+    """Newman modularity of the BRAND partition over the co-purchase
+    graph (operators/graph.modularity): does co-purchase structure
+    follow brand? Per-brand exact contribution rows; Q is their sum.
+    Two groupBys over the edge list + a broadcast 1-row total —
+    no iteration, no global window."""
+    from ..operators.graph import modularity
+
+    part = load(spark, sf, "part")
+    comms = part.select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    return modularity(
+        _copurchase_edges(spark, sf), comms, comm_col="community"
+    )
+
+
+def oracle_graph_modularity() -> str:
+    from ..operators.graph import modularity_sql
+
+    return (
+        f"WITH {_EDGES_SQL.strip()},\n"
+        "comms AS (SELECT p_partkey AS node, p_brand AS community "
+        "FROM part),"
+        f"{modularity_sql('edges', 'comms', 'community')}"
+    )
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity of the co-purchase graph
+    (operators/graph.assortativity): one DECIMAL-exact Pearson over
+    edge endpoint degrees — hub-to-hub vs hub-to-leaf mixing, the
+    one-row graph-shape diagnostic next to clustering_coeff."""
+    from ..operators.graph import assortativity
+
+    return assortativity(_copurchase_edges(spark, sf))
+
+
+def oracle_assortativity() -> str:
+    from ..operators.graph import assortativity_sql
+
+    return (
+        f"WITH {_EDGES_SQL.strip()},"
+        f"{assortativity_sql('edges')}"
+    )
+
+
+def q_flesch_readability(spark, sf):
+    """Flesch Reading Ease per document (operators/text_analysis.
+    flesch_readability): vowel-group syllable surrogate, [.!?]+
+    sentences, repo tokenizer words — one zero-shuffle projection;
+    the readability gate next to quality_score."""
+    from ..operators.text_analysis import flesch_readability
+
+    return flesch_readability(widen(spark, load(spark, sf, "documents")))
+
+
+def oracle_flesch_readability() -> str:
+    from ..operators.text_analysis import flesch_readability_sql
+
+    return flesch_readability_sql("documents")
