@@ -738,3 +738,114 @@ SELECT stratum, fold, count(*)::BIGINT AS n,
        (sum(h2::HUGEINT) % 2305843009213693952)::BIGINT AS id_checksum
 FROM folded GROUP BY stratum, fold ORDER BY stratum, fold
 """
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal; Sener & Savarese 2018 for the training-data use): pick
+    the point farthest from the chosen set, k times — the classic
+    diversity-maximizing data-selection primitive with the 2-approx
+    coverage guarantee.
+
+    Iterative by nature: k-1 driver-coordinated rounds, each ONE
+    top-1 TakeOrdered job (no global sort — Spark's limit(1) with
+    ordering is a per-partition top-1 + driver merge) over a plan
+    that accumulates `least(mind, dist(vec, c_r))` chains; exactly
+    one center row (id + vector) is collected per round, so driver
+    traffic is k rows total. Determinism: the seed is the MINIMUM id,
+    every distance is the engine-pinned cosine expression, and the
+    argmax tie-breaks by ascending id — the DuckDB oracle replays
+    the identical unrolled recurrence, so selection parity is
+    bit-for-bit. Chosen points stay in the frame (their min-dist
+    collapses to ~0 and they are never re-picked while any point has
+    positive distance); both engines share that behavior exactly.
+
+    Output: one row per selected center, (sel_round, id, radius_q)
+    where radius_q is the quantized farthest distance AT selection
+    (the decreasing k-center coverage curve; NULL for the seed)."""
+    import math
+
+    from ..functions import vectors as V
+
+    rows = []
+    seed = (
+        df.select(F.min(F.col(id_col)).alias("i")).first()["i"]
+    )
+    seed_vec = (
+        df.where(F.col(id_col) == seed).select(vec_col).first()[0]
+    )
+    rows.append((0, seed, None))
+    cur = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn(
+        "mind",
+        V.cosine_distance(
+            F.col("v"), F.array(*[F.lit(float(x)) for x in seed_vec])
+        ),
+    )
+    for r in range(1, k):
+        far = cur.orderBy(
+            F.col("mind").desc(), F.col("id").asc()
+        ).limit(1).collect()[0]
+        rows.append(
+            (r, far["id"], int(math.floor(far["mind"] * 1e6 + 0.5)))
+        )
+        cvec = F.array(*[F.lit(float(x)) for x in far["v"]])
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), V.cosine_distance(F.col("v"), cvec))
+        )
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        rows, f"sel_round long, {id_col} long, radius_q long"
+    )
+    return out.orderBy("sel_round")
+
+
+def kcenter_coreset_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of kcenter_coreset: the same greedy recurrence
+    unrolled into k CTE pairs (c_r = top-1 by (mind DESC, id ASC),
+    m_r = running least of distances)."""
+    from ..functions import vectors as V
+
+    d0 = V.cosine_distance_sql("e." + vec_col, "c." + vec_col)
+    parts = [
+        f"c0 AS (SELECT {id_col}, {vec_col} FROM {table} "
+        f"WHERE {id_col} = (SELECT min({id_col}) FROM {table}))",
+        f"m0 AS (SELECT e.{id_col} AS id, e.{vec_col} AS v, "
+        f"{d0} AS mind FROM {table} e CROSS JOIN "
+        f"(SELECT {vec_col} FROM c0) c)",
+    ]
+    for r in range(1, k):
+        dr = V.cosine_distance_sql("m.v", "c.cv")
+        parts.append(
+            f"c{r} AS (SELECT id, v, mind FROM m{r - 1} "
+            f"ORDER BY mind DESC, id ASC LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f"m{r} AS (SELECT m.id, m.v, least(m.mind, {dr}) AS mind "
+                f"FROM m{r - 1} m CROSS JOIN "
+                f"(SELECT v AS cv FROM c{r}) c)"
+            )
+    selects = [
+        f"SELECT 0::BIGINT AS sel_round, "
+        f"(SELECT {id_col} FROM c0)::BIGINT AS {id_col}, "
+        f"NULL::BIGINT AS radius_q"
+    ] + [
+        f"SELECT {r}::BIGINT, (SELECT id FROM c{r})::BIGINT, "
+        f"(SELECT floor(mind * 1e6 + 0.5) FROM c{r})::BIGINT"
+        for r in range(1, k)
+    ]
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\n{union}\nORDER BY sel_round"

@@ -528,3 +528,22 @@ def oracle_flesch_readability() -> str:
     from ..operators.text_analysis import flesch_readability_sql
 
     return flesch_readability_sql("documents")
+
+
+def q_kcenter_coreset(spark, sf):
+    """Greedy k-center coreset over the embeddings table
+    (operators/sampling.kcenter_coreset, k=8): the
+    diversity-maximizing data-selection primitive (Gonzalez 1985;
+    Sener & Savarese 2018). k-1 driver-coordinated top-1 rounds — an
+    intentionally ITERATIVE plan, like kmeans_assign/pagerank; the
+    oracle replays the identical unrolled recurrence, so the
+    selected ids and the coverage-radius curve match bit-for-bit."""
+    from ..operators.sampling import kcenter_coreset
+
+    return kcenter_coreset(load(spark, sf, "embeddings"), k=8)
+
+
+def oracle_kcenter_coreset() -> str:
+    from ..operators.sampling import kcenter_coreset_sql
+
+    return kcenter_coreset_sql("embeddings", k=8)
