@@ -130,3 +130,23 @@ def test_params_are_frozen(spark, tmp_path):
     MinhashDedupStream(spark, state, threshold=0.7)  # same: fine
     with pytest.raises(ValueError, match="frozen"):
         MinhashDedupStream(spark, state, threshold=0.5)
+
+
+def test_interrupted_compaction_self_heals(spark, tmp_path):
+    """A crashed compaction (staging dir, no manifest, dead-writer
+    BEGIN marker) must be discarded by the next read — detect() and
+    process_batch history reads call epoch_state.recover_staging."""
+    ms = MinhashDedupStream(spark, str(tmp_path / "state"))
+    for e, b in enumerate(BATCHES[:2]):
+        ms.process_batch(_docs_df(spark, b), epoch_id=e)
+    want = _stream_pairs(ms)
+    # simulate the crash window: staging exists, manifest never
+    # committed, writer pid long dead
+    staging = os.path.join(ms.pairs_path, "_compact_staging")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "_BEGIN"), "w") as f:
+        f.write("999999999")  # no such pid
+    assert _stream_pairs(ms) == want          # read self-heals
+    assert not os.path.exists(staging)        # staging reaped
+    ms.process_batch(_docs_df(spark, BATCHES[2]), epoch_id=2)
+    assert _stream_pairs(ms) == _batch_pairs(spark, ALL_DOCS)
