@@ -800,8 +800,9 @@ def kcenter_coreset(
             "mind", F.least(F.col("mind"), V.cosine_distance(F.col("v"), cvec))
         )
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
     out = spark.createDataFrame(
-        rows, f"sel_round long, {id_col} long, radius_q long"
+        rows, f"sel_round long, {id_col} {id_type}, radius_q long"
     )
     return out.orderBy("sel_round")
 
