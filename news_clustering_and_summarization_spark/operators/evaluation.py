@@ -1867,8 +1867,12 @@ def conformal_bound(
     guarantee that a future |y - yhat| <= bound with prob >= 1-alpha.
 
     Everything is exact integer arithmetic: the split is
-    hash64(key)%2, yhat is integer floor-division of the DECIMAL
-    cent sum, residuals are integer cents, and the order statistic
+    hash64(key)%2, yhat is integer division of the DECIMAL cent sum
+    TRUNCATED TOWARD ZERO — `(s - s % c) / c` with Spark's
+    dividend-sign `%` truncates, and DuckDB's `//` also truncates
+    (verified: -7//2 = -3), so the twins agree on negative sums
+    too; "floor division" would be wrong for s < 0 — residuals are
+    integer cents, and the order statistic
     comes from binary_auc's two-phase prefix-sum over the DISTINCT
     residual domain (no global row sort). alpha is a percent so k's
     ceiling is integer division, never float.
@@ -1952,8 +1956,10 @@ def conformal_bound_sql(
     value_expr: str,
     alpha_pct: int = 10,
 ) -> str:
-    """DuckDB twin of conformal_bound: same hash split, integer
-    floor-division mean, and the k-th order statistic via a plain
+    """DuckDB twin of conformal_bound: same hash split, the same
+    truncate-toward-zero integer mean (`//` truncates in DuckDB,
+    matching Spark's `(s - s % c) / c` — both engines agree on
+    negative sums), and the k-th order statistic via a plain
     row_number (semantics, not the two-phase shape)."""
     from ..functions import hashing as H
 

@@ -1583,12 +1583,12 @@ def spearman(
     Zero-variance inputs (all x or all y equal) have no defined
     rank correlation: rho_q is NULL, matching the repo's
     degenerate-input discipline. Output: one row (n, rho_q)."""
-    xq = F.col(x_col)
-    if x_mult != 1:
-        xq = F.floor(xq * F.lit(float(x_mult)) + F.lit(0.5))
-    yq = F.col(y_col)
-    if y_mult != 1:
-        yq = F.floor(yq * F.lit(float(y_mult)) + F.lit(0.5))
+    # Quantize unconditionally (including mult=1): a bare long cast
+    # TRUNCATES decimals Spark-side while DuckDB's ::BIGINT ROUNDS, so
+    # the mult=1 fast path would silently diverge on fractional inputs
+    # (r09 advisor finding) — half-up floor on both engines instead.
+    xq = F.floor(F.col(x_col) * F.lit(float(x_mult)) + F.lit(0.5))
+    yq = F.floor(F.col(y_col) * F.lit(float(y_mult)) + F.lit(0.5))
     base = df.select(
         xq.cast("long").alias("x"), yq.cast("long").alias("y")
     )
@@ -1661,13 +1661,20 @@ def spearman_sql(
     table: str,
     x_expr: str,
     y_expr: str,
+    x_mult: int = 1,
+    y_mult: int = 1,
 ) -> str:
     """DuckDB twin of spearman (HUGEINT plays DECIMAL; the oracle
     replays the SEMANTICS — per-distinct-value doubled average
     ranks, Pearson over them — with plain windows, not the two-phase
-    sharding, which is a Spark plan shape, not a result)."""
+    sharding, which is a Spark plan shape, not a result). Applies
+    the same unconditional floor(x*mult+0.5) quantization as the
+    Spark path — a bare ::BIGINT would ROUND (half away from zero)
+    where the engine half-up floors, diverging on fractional input."""
+    xq = f"floor(({x_expr}) * {float(x_mult)} + 0.5)"
+    yq = f"floor(({y_expr}) * {float(y_mult)} + 0.5)"
     return f"""
-WITH base AS (SELECT ({x_expr})::BIGINT AS x, ({y_expr})::BIGINT AS y
+WITH base AS (SELECT ({xq})::BIGINT AS x, ({yq})::BIGINT AS y
               FROM {table}),
 rx AS (
   SELECT x,

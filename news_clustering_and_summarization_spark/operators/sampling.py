@@ -799,6 +799,14 @@ def kcenter_coreset(
         cur = cur.withColumn(
             "mind", F.least(F.col("mind"), V.cosine_distance(F.col("v"), cvec))
         )
+        # lineage cut every 16 rounds (the pagerank discipline): the
+        # `least(...)` chain otherwise grows one nested expression
+        # per center, and at k≈100 each round re-analyzes a
+        # 100-deep plan (r09 verdict item 2). localCheckpoint also
+        # caps recompute: each top-1 job evaluates at most 16
+        # distance terms past the last materialization.
+        if r % 16 == 0 and r < k - 1:
+            cur = cur.localCheckpoint(eager=True)
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     out = spark.createDataFrame(
@@ -815,26 +823,32 @@ def kcenter_coreset_sql(
 ) -> str:
     """DuckDB twin of kcenter_coreset: the same greedy recurrence
     unrolled into k CTE pairs (c_r = top-1 by (mind DESC, id ASC),
-    m_r = running least of distances)."""
+    m_r = running least of distances). Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs per reference, and m_r references
+    m_{r-1} twice, so without materialization the expansion doubles
+    per round — 2^k parquet scans, which exhausts the fd limit
+    around k=16 (the oracle-side twin of the 2^(2*iters) pagerank
+    re-execution trap the Spark path cuts with localCheckpoint)."""
     from ..functions import vectors as V
 
     d0 = V.cosine_distance_sql("e." + vec_col, "c." + vec_col)
     parts = [
-        f"c0 AS (SELECT {id_col}, {vec_col} FROM {table} "
+        f"c0 AS MATERIALIZED (SELECT {id_col}, {vec_col} FROM {table} "
         f"WHERE {id_col} = (SELECT min({id_col}) FROM {table}))",
-        f"m0 AS (SELECT e.{id_col} AS id, e.{vec_col} AS v, "
+        f"m0 AS MATERIALIZED (SELECT e.{id_col} AS id, e.{vec_col} AS v, "
         f"{d0} AS mind FROM {table} e CROSS JOIN "
         f"(SELECT {vec_col} FROM c0) c)",
     ]
     for r in range(1, k):
         dr = V.cosine_distance_sql("m.v", "c.cv")
         parts.append(
-            f"c{r} AS (SELECT id, v, mind FROM m{r - 1} "
+            f"c{r} AS MATERIALIZED (SELECT id, v, mind FROM m{r - 1} "
             f"ORDER BY mind DESC, id ASC LIMIT 1)"
         )
         if r < k - 1:
             parts.append(
-                f"m{r} AS (SELECT m.id, m.v, least(m.mind, {dr}) AS mind "
+                f"m{r} AS MATERIALIZED "
+                f"(SELECT m.id, m.v, least(m.mind, {dr}) AS mind "
                 f"FROM m{r - 1} m CROSS JOIN "
                 f"(SELECT v AS cv FROM c{r}) c)"
             )

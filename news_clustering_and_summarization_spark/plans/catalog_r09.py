@@ -343,7 +343,9 @@ def oracle_spearman_corr() -> str:
     return spearman_sql(
         "lineitem",
         "l_quantity",
-        "floor(l_extendedprice * 100.0 + 0.5)",
+        "l_extendedprice",
+        x_mult=1,
+        y_mult=100,
     )
 
 

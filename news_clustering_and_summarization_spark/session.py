@@ -39,7 +39,29 @@ def auto_driver_mem(data_dir: str | None, cpus: int) -> str:
             )
     if size <= 100 * 1024 * 1024:
         return "8g"
-    return f"{max(8, int(1.5 * cpus))}g"
+    # Clamp to a fraction of physical RAM: 1.5 GB/core on a many-core
+    # box with modest memory (32 cores / 32 GB) would request a 48g
+    # heap the JVM can't start (r09 advisor finding). 70% of detected
+    # RAM leaves room for Python workers + page cache; the 8 GB floor
+    # still wins on small boxes because a floor above RAM is the
+    # pre-existing explicit-knob territory (SPARK_DRIVER_MEM).
+    want = int(1.5 * cpus)
+    total_gb = _physical_ram_gb()
+    if total_gb:
+        want = min(want, max(4, int(0.7 * total_gb)))
+    return f"{max(8, want)}g"
+
+
+def _physical_ram_gb() -> int | None:
+    """Total physical RAM in GiB (Linux /proc/meminfo), None if unknown."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return None
 
 
 def get_spark(

@@ -92,6 +92,12 @@ class HLLStream:
         )
 
     def start(self, stream_df: DataFrame, checkpoint: str):
+        from . import epoch_state
+
+        # epoch ids come from this checkpoint's batch numbering; a
+        # different checkpoint would restart them at 0 and clobber
+        # existing epoch state (r09 advisor finding)
+        epoch_state.freeze_checkpoint(self.state_dir, checkpoint)
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

@@ -221,6 +221,12 @@ class PsiStream:
         _compact_summed(self.spark, self.bins_path, "bucket", "cur_n")
 
     def start(self, stream_df: DataFrame, checkpoint: str):
+        from . import epoch_state
+
+        # epoch ids come from this checkpoint's batch numbering; a
+        # different checkpoint would restart them at 0 and clobber
+        # existing epoch state (r09 advisor finding)
+        epoch_state.freeze_checkpoint(self.state_dir, checkpoint)
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)
@@ -329,6 +335,12 @@ class KsStream:
         _compact_summed(self.spark, self.bins_path, "v", "b_c")
 
     def start(self, stream_df: DataFrame, checkpoint: str):
+        from . import epoch_state
+
+        # epoch ids come from this checkpoint's batch numbering; a
+        # different checkpoint would restart them at 0 and clobber
+        # existing epoch state (r09 advisor finding)
+        epoch_state.freeze_checkpoint(self.state_dir, checkpoint)
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

@@ -78,6 +78,46 @@ BEGIN_STALE_SECONDS = 900.0
 _ACTIVE: set[str] = set()
 
 
+def freeze_checkpoint(state_dir: str, checkpoint: str) -> None:
+    """Bind ``state_dir`` to one stream checkpoint identity.
+
+    The epoch replay guard (overwrite ``epoch=e``, exclude ``e``
+    from history) assumes epoch ids are unique per state_dir — true
+    only while the SAME Structured Streaming checkpoint numbers the
+    batches. Restarting against the same state_dir with a FRESH
+    checkpoint restarts epochs at 0 and silently clobbers/excludes
+    the newest historical epoch (r09 advisor finding). So the first
+    ``start()`` freezes the checkpoint location next to the state
+    (``_checkpoint.json``) and any later start with a different
+    location raises instead of corrupting.
+
+    Written atomically (temp + rename) like ``_params.json``."""
+    import json
+
+    path = os.path.join(state_dir, "_checkpoint.json")
+    mine = {"checkpoint": os.path.abspath(checkpoint)}
+    if os.path.exists(path):
+        with open(path) as f:
+            frozen = json.load(f)
+        if frozen != mine:
+            raise ValueError(
+                f"state_dir {state_dir!r} is bound to checkpoint "
+                f"{frozen['checkpoint']!r} but this stream uses "
+                f"{mine['checkpoint']!r}; a fresh checkpoint restarts "
+                "epoch ids at 0 and would clobber existing epoch "
+                "state — reuse the original checkpoint or use a new "
+                "state_dir"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(mine, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
 def _writer_in_progress(staging: str) -> bool:
     """True when ``staging``'s ``_BEGIN`` marker names a writer that
     is plausibly still mid-merge: a LIVE process (liveness, not

@@ -102,3 +102,58 @@ def test_fairness_audit_flags_disparate_segment(spark):
     assert out["f"]["di_q"] == 333333
     assert out["f"]["rate_gap_q"] == -200000
     assert out["m"]["rate_gap_q"] == 200000
+
+
+def test_conformal_bound_negative_values_match_oracle(spark):
+    # r09 advisor: the integer mean `(s - s % c) / c` and the twin's
+    # `//` were claimed (docstring) to be floor division; both in fact
+    # TRUNCATE toward zero. Pin cross-engine parity on a value domain
+    # with negative per-group sums so the agreement is tested, not
+    # assumed.
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from news_clustering_and_summarization_spark.operators.evaluation import (
+        conformal_bound_sql,
+    )
+    from tests.conftest import rows_match
+
+    rows = [(i, i % 3, ((i * 41) % 199) - 150) for i in range(240)]
+    sdf = spark.createDataFrame(rows, "rk long, grp long, v long")
+    out = conformal_bound(sdf, "rk", "grp", "v")
+    con = _duckdb.connect()
+    con.register(
+        "t_neg", pd.DataFrame(rows, columns=["rk", "grp", "v"])
+    )
+    ok, msg = rows_match(
+        out, con.sql(conformal_bound_sql("t_neg", "rk", "grp", "v"))
+    )
+    con.close()
+    assert ok, msg
+
+
+def test_spearman_fractional_mult1_matches_oracle(spark):
+    # r09 advisor: with x_mult=1 the old Spark path long-cast
+    # (truncation) while the oracle ::BIGINT rounded — parity held
+    # only on integral inputs. Both sides now quantize half-up
+    # unconditionally; pin it on genuinely fractional doubles.
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from news_clustering_and_summarization_spark.operators.profiling import (
+        spearman_sql,
+    )
+    from tests.conftest import rows_match
+
+    rows = [
+        (float(i) + 0.5, float((i * 7) % 23) + 0.5) for i in range(60)
+    ]
+    sdf = spark.createDataFrame(rows, "a double, b double")
+    out = spearman(sdf, "a", "b")
+    con = _duckdb.connect()
+    con.register("t_frac", pd.DataFrame(rows, columns=["a", "b"]))
+    ok, msg = rows_match(
+        out, con.sql(spearman_sql("t_frac", "a", "b"))
+    )
+    con.close()
+    assert ok, msg

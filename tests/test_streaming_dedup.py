@@ -91,3 +91,25 @@ def test_replay_of_processed_epoch_is_idempotent(spark, tmp_path):
     ded.process_batch(batch1, 1)
     got = sorted(r["content_hash"] for r in ded.accepted().collect())
     assert got == ["k1", "k2", "k3"]
+
+
+def test_fresh_checkpoint_on_existing_state_raises(spark, tmp_path):
+    # r09 advisor: epoch ids are the checkpoint's batch numbering; a
+    # NEW checkpoint over an EXISTING state_dir restarts them at 0
+    # and clobbers the oldest epoch. The guard must raise instead.
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _write_batch(src, "b0", ["x", "y"])
+    ded = BloomDedupStream(spark, state, "content_hash", n_expected=1000)
+    q = ded.start(_mk_stream(spark, src), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    ded2 = BloomDedupStream(spark, state, "content_hash", n_expected=1000)
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        ded2.start(_mk_stream(spark, src), str(tmp_path / "ckpt2"))
+    # the ORIGINAL checkpoint still restarts fine
+    q3 = ded2.start(_mk_stream(spark, src), str(tmp_path / "ckpt"))
+    q3.processAllAvailable()
+    q3.stop()

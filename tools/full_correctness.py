@@ -138,8 +138,12 @@ def run_sweep(
                 try:
                     opdf = _oracle_df(con, oracle, oracle_timeout)
                 except TimeoutError:
+                    # No oracle rowcount exists, so rows_match is None
+                    # (unknown) like schema/hash — NOT True: downstream
+                    # consumers must not mistake a timed-out oracle for
+                    # even a rows-only pass (r09 advisor finding).
                     row.update(
-                        rows_match=True, schema_match=None,
+                        rows_match=None, schema_match=None,
                         hash_match=None, oracle_rows=None,
                         oracle_timeout=True,
                         note=(
@@ -214,8 +218,10 @@ def main() -> int:
     n = len(results)
     n_to = sum(1 for r in results.values() if r.get("oracle_timeout"))
     extra = f" ({n_to} oracle-timeout, weaker stamp)" if n_to else ""
-    print(f"\n{n - bad}/{n} green{extra} -> {out_path}")
-    return 1 if bad else 0
+    print(f"\n{n - bad - n_to}/{n} green{extra} -> {out_path}")
+    # exit 0 = all green; 2 = no fails but some oracles timed out
+    # (weaker stamp present); 1 = at least one real fail.
+    return 1 if bad else (2 if n_to else 0)
 
 
 if __name__ == "__main__":
