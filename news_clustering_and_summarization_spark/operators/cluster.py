@@ -470,6 +470,261 @@ def lsh_candidate_pairs(
     return verified
 
 
+# ivf_epsilon_pairs routing quantizer: vector components scale by 2^20
+# before rounding, so routing distances are EXACT integers (squares sum
+# to < 2^53 at dim 64 — see the operator docstring) and both engines
+# rank cells identically with no float-order ambiguity anywhere.
+IVF_QUANT = 1 << 20
+
+
+def ivf_centroid_ids(df: DataFrame, id_col: str, sample_mod: int):
+    """The deterministic centroid subset of ``df``: rows whose content
+    hash lands on the ``sample_mod`` stride. Data-point centroids —
+    not Lloyd means — so the DuckDB oracle can SELECT the identical
+    codebook instead of replaying float k-means."""
+    from ..functions import hashing as H
+
+    return df.where(
+        F.pmod(H.hash64(F.col(id_col).cast("string")), sample_mod) == 0
+    )
+
+
+def ivf_epsilon_pairs(
+    df: DataFrame,
+    eps: float,
+    id_col: str = "row_id",
+    vec_col: str = "centroid",
+    sample_mod: int = 64,
+    nprobe: int = 8,
+    margin: float | None = None,
+    n_rows: int | None = None,
+    max_block: int = 4096,
+) -> DataFrame:
+    """ε-pair self-join via IVF cells with margin-capped multiprobe
+    (r09 verdict item 1: the scale-stable index past sign-LSH's L=8
+    recall ceiling). Output contract matches brute_force_pairs /
+    lsh_candidate_pairs symmetric mode: both directions, no
+    self-pairs, exact ``dist``; false positives are structurally
+    impossible (every candidate is exact-verified).
+
+    **Index.** The codebook is a hash-stride SAMPLE OF THE DATA
+    (ivf_centroid_ids, expected n/sample_mod points) — no Lloyd
+    float fitting, so the whole index is deterministic relational
+    algebra both engines can replay. Each point ranks the codebook
+    by quantized integer squared euclidean distance (components
+    scaled by IVF_QUANT and half-up rounded; dim·(Q·|x|)² stays
+    under 2^53, so numpy BLAS on integer-valued doubles and DuckDB's
+    array_inner_product produce the SAME exact integers in any
+    summation order — routing has zero float ambiguity) and probes
+    its top-``nprobe`` cells, margin-filtered: cells beyond
+    sqrt(d2_home) + Q·(sqrt(2·eps) + slack) cannot host an ε-pair
+    completion (triangle inequality on ~unit-norm inputs), so on
+    cluster-structured corpora the probe list collapses to ~1 cell
+    and the margin makes the index EXACT; on sphere-filling corpora
+    the cap bounds cost and recall is the measured quantity.
+
+    **Why this breaks the LSH decade ceiling.** Sign-LSH holds
+    recall by growing tables L (2→3→8 across the r09 probe's two
+    decades — saturated at the L=8 cap, cluster.py signlsh_tables).
+    Here a pair is found iff one endpoint's home cell is in the
+    other's top-``nprobe`` probe list; as n grows, cells shrink only
+    like k^(-1/dim) (k ∝ n at fixed sample_mod), so the probe-rank
+    of a true neighbor's home cell is ~scale-invariant — recall
+    needs no growing knob. tools/ivf_scale_probe.py measures exactly
+    this across 50k/500k/5M.
+
+    **Scale shape.** Routing: two chunked BLAS passes against the
+    broadcast codebook, zero shuffle, n·k·dim flops. One data
+    shuffle routes each vector to <= nprobe cells (<= nprobe·n rows;
+    margin typically prunes far below the cap). Verification runs
+    inside each cell as a blocked numpy kernel (semdedup's bounded-
+    quadratic shape): per-cell m² cosines with m ~ sample_mod·probe
+    fan-out; candidates never materialize into a shuffle — only
+    verified ε-pairs leave the kernel, so post-kernel traffic is
+    answer-bound (one dropDuplicates for the <= 2 cells that can
+    both emit a pair). Skew honesty: the largest cell bounds one
+    task's wall (``max_block`` chunking keeps memory flat); a
+    pathological single-cell corpus degrades to the exact quadratic
+    in one task — same answer, no memory cliff.
+
+    **Exactness of dist.** The kernel prefilters with a normalized
+    fp64 matmul at eps + 1e-9, then recomputes survivors with the
+    SAME left-to-right index-ordered fold as V.cosine_distance /
+    cosine_distance_sql (vectorized across pairs, sequential across
+    dims — bit-identical doubles), so emitted distances equal the
+    Catalyst/DuckDB expression exactly and full value-level oracles
+    hold (plans/catalog_cluster.q_cluster_ivf*)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"l_id {id_type}, r_id {id_type}, dist double"
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    cent_rows = (
+        ivf_centroid_ids(base, "_id", sample_mod)
+        .orderBy("_id")
+        .collect()
+    )
+    if not cent_rows:
+        # stride hit nothing (tiny input): every row is its own cell
+        cent_rows = base.orderBy("_id").collect()
+    if not cent_rows:
+        return spark.createDataFrame([], out_schema)
+    Cq = np.array(
+        [
+            np.floor(np.asarray(r["_v"], dtype=np.float64) * IVF_QUANT + 0.5)
+            for r in cent_rows
+        ],
+        dtype=np.float64,
+    )
+    c_sq = (Cq * Cq).sum(axis=1)
+    if margin is None:
+        margin = math.sqrt(2.0 * eps) + 1e-6
+    mq = margin * IVF_QUANT
+    k = len(Cq)
+    p = min(nprobe, k)
+    bc = spark.sparkContext.broadcast((Cq, c_sq))
+
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+
+    def route(batches):
+        Cm, csq = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            Xq = np.floor(X * IVF_QUANT + 0.5)
+            ids_all = pdf["_id"].to_numpy()
+            vs_all = pdf["_v"].to_numpy()
+            o_cell, o_idx, o_home = [], [], []
+            # row-chunked so the (rows x k) distance block stays flat
+            for r0 in range(0, len(Xq), 1024):
+                xc = Xq[r0: r0 + 1024]
+                x_sq = (xc * xc).sum(axis=1)
+                # d2(x, c) = |x|² - 2x·c + |c|², every term an exact
+                # integer-valued double -> identical in any engine
+                d2 = x_sq[:, None] - 2.0 * (xc @ Cm.T) + csq[None, :]
+                for i in range(len(xc)):
+                    row = d2[i]
+                    if p < k:
+                        # argpartition breaks d2 TIES arbitrarily;
+                        # the oracle ranks by (d2, cell), so pull in
+                        # every cell tied with the boundary value and
+                        # re-rank exactly
+                        part = np.argpartition(row, p - 1)[:p]
+                        bnd = row[part].max()
+                        cand = np.nonzero(row <= bnd)[0]
+                    else:
+                        cand = np.arange(k)
+                    sel = cand[np.lexsort((cand, row[cand]))][:p]
+                    # explicit t*t, not t**2: Python ** routes through
+                    # C pow() which is not guaranteed ulp-identical to
+                    # the multiply the SQL twin uses
+                    t = math.sqrt(max(row[sel[0]], 0.0)) + mq
+                    sel = sel[row[sel] <= t * t]
+                    gi = r0 + i
+                    o_cell.extend(int(c) for c in sel)
+                    o_idx.extend([gi] * len(sel))
+                    o_home.extend(
+                        [True] + [False] * (len(sel) - 1)
+                    )
+            o_idx = np.array(o_idx, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "cell": np.array(o_cell, dtype=np.int64),
+                    "_id": ids_all[o_idx],
+                    "_home": np.array(o_home, dtype=bool),
+                    "_v": vs_all[o_idx],
+                }
+            )
+
+    routed = base.mapInPandas(
+        route,
+        schema=f"cell long, _id {id_type}, _home boolean, "
+        "_v array<double>",
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        home = pdf["_home"].to_numpy()
+        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        # fold-order norms: sequential over dims, vectorized over rows
+        # (bit-identical to V.norm / norm_sql)
+        acc = np.zeros(len(X), dtype=np.float64)
+        for j in range(X.shape[1]):
+            acc = acc + X[:, j] * X[:, j]
+        norms = np.sqrt(acc)
+        Xn = X / np.maximum(norms, 1e-300)[:, None]
+        out_l, out_r, out_d = [], [], []
+        for i0 in range(0, len(X), max_block):
+            i1 = min(i0 + max_block, len(X))
+            for j0 in range(i0, len(X), max_block):
+                j1 = min(j0 + max_block, len(X))
+                d = 1.0 - Xn[i0:i1] @ Xn[j0:j1].T
+                li, rj = np.nonzero(d <= eps + 1e-9)
+                gi, gj = li + i0, rj + j0
+                if j0 == i0:
+                    # diagonal block: both orientations present in the
+                    # nonzero — the id order keeps exactly one
+                    keep = (ids[gi] < ids[gj]) & (home[gi] | home[gj])
+                else:
+                    # off-diagonal block: each cross pair appears ONCE
+                    # (block (j0, i0) is never iterated), in whichever
+                    # orientation the block order gave it — canonicalize
+                    # below instead of filtering, or the pairs whose
+                    # smaller id lives in the later block are lost
+                    keep = (ids[gi] != ids[gj]) & (home[gi] | home[gj])
+                gi, gj = gi[keep], gj[keep]
+                if not len(gi):
+                    continue
+                swap = ids[gi] > ids[gj]
+                gi[swap], gj[swap] = gj[swap], gi[swap]
+                # exact fold-order dot on the ORIGINAL doubles for
+                # survivors: sequential over dims, vectorized over
+                # pairs — replays the Catalyst/DuckDB fold exactly
+                dot = np.zeros(len(gi), dtype=np.float64)
+                A, B = X[gi], X[gj]
+                for jd in range(X.shape[1]):
+                    dot = dot + A[:, jd] * B[:, jd]
+                dist = 1.0 - dot / (norms[gi] * norms[gj])
+                dist = np.clip(dist, 0.0, 1.0)
+                ok = dist <= eps
+                out_l.append(ids[gi][ok])
+                out_r.append(ids[gj][ok])
+                out_d.append(dist[ok])
+        if not out_l:
+            return pd.DataFrame({"l_id": [], "r_id": [], "dist": []})
+        return pd.DataFrame(
+            {
+                "l_id": np.concatenate(out_l),
+                "r_id": np.concatenate(out_r),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    verified = (
+        routed.groupBy("cell")
+        .applyInPandas(cell_pairs, schema=out_schema)
+        # a pair can surface in home(u) AND home(v) — answer-bound dedup
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    return verified.unionAll(
+        verified.select(
+            F.col("r_id").alias("l_id"),
+            F.col("l_id").alias("r_id"),
+            "dist",
+        )
+    )
+
+
 def similarity_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -492,6 +747,12 @@ def similarity_pairs(
         # re-evaluate the (possibly UDF-bearing) right-side lineage
         return lsh_candidate_pairs(
             left, right, eps, id_col, vec_col, n_rows=n_right, dim=dim
+        )
+    if strategy == "ivf":
+        # exact self-join index (left must be right); see
+        # ivf_epsilon_pairs for when it beats lsh
+        return ivf_epsilon_pairs(
+            left, eps, id_col=id_col, vec_col=vec_col, n_rows=n_right
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

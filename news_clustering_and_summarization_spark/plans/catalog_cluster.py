@@ -256,6 +256,255 @@ FROM agg
 """
 
 
+# --- IVF ε-pair index (r09 verdict item 1) ---------------------------
+
+_IVF_EPS = 0.10
+_IVF_FACTOR = 10
+_IVF_SAMPLE_MOD = 64
+_IVF_NPROBE = 8
+_CK_MOD = 2305843009213693952  # 2^61, the standing checksum modulus
+
+
+def _ivf_inflated_edges(spark, sf, checkpoint_edges: bool):
+    """Shared kernel of the cluster_ivf pair: deterministic 10x
+    inflation + IVF margin-capped multiprobe + exact-cosine verify
+    (operators/cluster.ivf_epsilon_pairs)."""
+    from ..testing import inflate_vectors
+
+    emb = load(spark, sf, "embeddings")
+    inflated = (
+        inflate_vectors(emb, _IVF_FACTOR)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    edges = C.ivf_epsilon_pairs(
+        inflated, _IVF_EPS, id_col="vec_id", vec_col="embedding",
+        sample_mod=_IVF_SAMPLE_MOD, nprobe=_IVF_NPROBE,
+    )
+    if checkpoint_edges:
+        edges = edges.localCheckpoint(eager=True)
+    return inflated, edges
+
+
+def _edge_checksums():
+    """Value-level certification of the whole edge SET in O(1) output
+    columns: a content hash over canonical pair ids and the sum of
+    1e-6-quantized distances, both mod 2^61 in DECIMAL(38,0)/HUGEINT.
+    Any missing, extra, or misvalued edge flips at least one."""
+    pk = H.hash64(
+        F.concat(
+            F.col("l_id").cast("string"),
+            F.lit("|"),
+            F.col("r_id").cast("string"),
+        )
+    )
+    return [
+        (
+            F.sum(pk.cast("decimal(38,0)"))
+            % F.lit(_CK_MOD).cast("decimal(38,0)")
+        ).cast("long").alias("pair_ck"),
+        (
+            F.sum(
+                F.floor(F.col("dist") * 1e6 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            % F.lit(_CK_MOD).cast("decimal(38,0)")
+        ).cast("long").alias("dist_ck"),
+    ]
+
+
+def q_cluster_ivf(spark, sf):
+    """PRODUCTION IVF ε-pair path (r09 verdict item 1 — the
+    scale-stable index past sign-LSH's L=8 recall ceiling): inflate
+    10x, route every vector to its margin-capped top-8 IVF cells by
+    quantized-integer distance to a hash-stride data-point codebook,
+    verify within-cell candidates with the exact fold cosine. The
+    oracle replays inflate → quantize → route → candidate → verify
+    move for move in DuckDB (integer routing has zero float
+    ambiguity; verify is the engine-pinned fold), and the output
+    certifies the full edge SET value-level via 2^61 checksums —
+    n_edges, max dist, a pair-identity hash and the quantized-dist
+    sum must all match."""
+    inflated, edges = _ivf_inflated_edges(spark, sf, checkpoint_edges=False)
+    canon = edges.where(F.col("l_id") < F.col("r_id"))
+    return inflated.agg(F.count("*").alias("n_nodes")).crossJoin(
+        canon.agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.max("dist"), 6).alias("max_edge_dist"),
+            *_edge_checksums(),
+        )
+    )
+
+
+def q_cluster_ivf_verify(spark, sf):
+    """Certificate variant of q_cluster_ivf (same kernel): adds the
+    two in-plan contracts — zero false positives (max edge dist <=
+    eps, structural: every candidate is exact-verified) and recall
+    >= 0.7 against a brute-forced ~5% sample (the r09 verdict's
+    boundary-recall bar; measured ~0.997 at 50k). Fully oracled:
+    the sampled-recall leg replays in DuckDB too."""
+    inflated, edges = _ivf_inflated_edges(spark, sf, checkpoint_edges=True)
+    sample = inflated.where(
+        H.hash64(F.col("vec_id").cast("string")) % 20 == 0
+    )
+    exact = C.brute_force_pairs(
+        sample, sample, _IVF_EPS, id_col="vec_id", vec_col="embedding",
+        upper_only=True, with_dist=False,
+    ).localCheckpoint(eager=True)
+    ivf_pairs = edges.where(F.col("l_id") < F.col("r_id")).select(
+        "l_id", "r_id"
+    )
+    hits = exact.join(ivf_pairs, ["l_id", "r_id"], "left_semi").agg(
+        F.count("*").alias("_n_hits")
+    )
+    return (
+        inflated.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(
+            edges.where(F.col("l_id") < F.col("r_id")).agg(
+                F.count("*").alias("n_edges"),
+                F.round(F.max("dist"), 6).alias("max_edge_dist"),
+            )
+        )
+        .crossJoin(exact.agg(F.count("*").alias("n_sample_pairs")))
+        .crossJoin(hits)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_sample_pairs",
+            F.round(
+                F.when(F.col("n_sample_pairs") > 0,
+                       F.col("_n_hits") / F.col("n_sample_pairs"))
+                .otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall_vs_exact_sample"),
+            "max_edge_dist",
+        )
+        .withColumn(
+            "no_false_positives",
+            F.assert_true(
+                F.col("max_edge_dist") <= F.lit(_IVF_EPS + 1e-9),
+                F.concat(F.lit("IVF edge beyond eps: "),
+                         F.col("max_edge_dist").cast("string")),
+            ).isNull(),
+        )
+        .withColumn(
+            "recall_floor_ok",
+            F.assert_true(
+                F.col("recall_vs_exact_sample") >= F.lit(0.7),
+                F.concat(F.lit("IVF recall below floor 0.7: "),
+                         F.col("recall_vs_exact_sample").cast("string")),
+            ).isNull(),
+        )
+    )
+
+
+def _oracle_ivf_ctes() -> str:
+    """Shared WITH-prefix of the cluster_ivf oracles: md5 inflation,
+    integer quantization, codebook stride, exact-integer routing with
+    (d2, cell) rank + margin cap, candidate join, exact fold-cosine
+    verification. Routing distances use DOUBLE[64]
+    array_inner_product — exact for the < 2^53 integer-valued
+    components in ANY summation order, so the SIMD fast path IS the
+    bit-exact replay."""
+    from ..operators.cluster import IVF_QUANT
+    import math
+
+    inf = inflate_vectors_sql_cached("embeddings", _IVF_FACTOR)
+    mq = repr((math.sqrt(2.0 * _IVF_EPS) + 1e-6) * IVF_QUANT)
+    cosd = V.cosine_distance_sql("li.embedding", "ri.embedding")
+    stride = H.hash64_sql("vec_id::VARCHAR") + f" % {_IVF_SAMPLE_MOD} = 0"
+    lim = f"(sqrt(greatest(dh, 0.0)) + {mq}) * (sqrt(greatest(dh, 0.0)) + {mq})"
+    return f"""
+WITH inf AS MATERIALIZED ({inf}),
+q AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             e -> floor(e::DOUBLE * {IVF_QUANT}.0 + 0.5))::DOUBLE[64] AS vq
+  FROM inf
+),
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cq
+  FROM q WHERE {stride}
+),
+routed AS MATERIALIZED (
+  SELECT vec_id, cell, (rn = 1) AS is_home FROM (
+    SELECT vec_id, cell, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cell) AS rn,
+           min(d2) OVER (PARTITION BY vec_id) AS dh
+    FROM (SELECT q.vec_id, c.cell,
+                 array_inner_product(q.vq, q.vq)
+                 - 2 * array_inner_product(q.vq, c.cq)
+                 + array_inner_product(c.cq, c.cq) AS d2
+          FROM q CROSS JOIN cent c))
+  WHERE rn <= {_IVF_NPROBE} AND d2 <= {lim}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS l_id, b.vec_id AS r_id
+  FROM routed a JOIN routed b ON a.cell = b.cell
+   AND a.vec_id < b.vec_id
+  WHERE a.is_home OR b.is_home
+),
+edges AS MATERIALIZED (
+  SELECT l_id, r_id, dist FROM (
+    SELECT c.l_id, c.r_id, {cosd} AS dist
+    FROM cand c JOIN inf li ON li.vec_id = c.l_id
+                JOIN inf ri ON ri.vec_id = c.r_id)
+  WHERE dist <= {_IVF_EPS}
+)"""
+
+
+def inflate_vectors_sql_cached(src: str, factor: int) -> str:
+    from ..testing import inflate_vectors_sql
+
+    return inflate_vectors_sql(src, factor, dim=64)
+
+
+def oracle_cluster_ivf() -> str:
+    pair_h = H.hash64_sql("l_id::VARCHAR || '|' || r_id::VARCHAR")
+    return f"""{_oracle_ivf_ctes()}
+SELECT (SELECT count(*) FROM inf) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT round(max(dist), 6) FROM edges) AS max_edge_dist,
+       (SELECT (sum(({pair_h})::HUGEINT) % {_CK_MOD})::BIGINT
+        FROM edges) AS pair_ck,
+       (SELECT (sum(floor(dist * 1e6 + 0.5)::HUGEINT)
+                % {_CK_MOD})::BIGINT FROM edges) AS dist_ck
+"""
+
+
+def oracle_cluster_ivf_verify() -> str:
+    cosd_s = V.cosine_distance_sql("s1.embedding", "s2.embedding")
+    samp_pred = H.hash64_sql("vec_id::VARCHAR") + " % 20 = 0"
+    return f"""{_oracle_ivf_ctes()},
+samp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM inf WHERE {samp_pred}
+),
+exact AS MATERIALIZED (
+  SELECT s1.vec_id AS l_id, s2.vec_id AS r_id
+  FROM samp s1 JOIN samp s2 ON s1.vec_id < s2.vec_id
+  WHERE {cosd_s} <= {_IVF_EPS}
+),
+agg AS (
+  SELECT (SELECT count(*) FROM inf) AS n_nodes,
+         (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT count(*) FROM exact) AS n_sample_pairs,
+         (SELECT count(*) FROM exact x WHERE EXISTS (
+            SELECT 1 FROM edges e2
+            WHERE e2.l_id = x.l_id AND e2.r_id = x.r_id)) AS n_hits,
+         (SELECT round(max(dist), 6) FROM edges) AS max_edge_dist
+)
+SELECT n_nodes, n_edges, n_sample_pairs,
+       round(CASE WHEN n_sample_pairs > 0
+                  THEN n_hits::DOUBLE / n_sample_pairs
+                  ELSE 1.0 END, 6) AS recall_vs_exact_sample,
+       max_edge_dist,
+       true AS no_false_positives, true AS recall_floor_ok
+FROM agg
+"""
+
+
 def q_clustering_quality(spark, sf):
     """External cluster-evaluation metrics over the ε-graph assignment
     vs the ground-truth label column — the eval capability the
