@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_embedding",     # similarity self-join
     "cluster_lsh",         # sign-LSH ε-pairs, production path (candidates+verify)
     "cluster_lsh_verify",  # + recall/zero-FP certificates — the soak stays benched
+    "cluster_ivf",         # IVF ε-pairs (r10): the scale-stable flagship index
     "ann_topk",            # brute-force top-k
     "quality_score",       # text heuristics
     "token_counts",        # token stats

@@ -604,7 +604,7 @@ def ivf_epsilon_pairs(
             Xq = np.floor(X * IVF_QUANT + 0.5)
             ids_all = pdf["_id"].to_numpy()
             vs_all = pdf["_v"].to_numpy()
-            o_cell, o_idx, o_home = [], [], []
+            a_cell, a_idx, a_home = [], [], []
             # row-chunked so the (rows x k) distance block stays flat
             for r0 in range(0, len(Xq), 1024):
                 xc = Xq[r0: r0 + 1024]
@@ -612,31 +612,48 @@ def ivf_epsilon_pairs(
                 # d2(x, c) = |x|² - 2x·c + |c|², every term an exact
                 # integer-valued double -> identical in any engine
                 d2 = x_sq[:, None] - 2.0 * (xc @ Cm.T) + csq[None, :]
-                for i in range(len(xc)):
-                    row = d2[i]
-                    if p < k:
-                        # argpartition breaks d2 TIES arbitrarily;
-                        # the oracle ranks by (d2, cell), so pull in
-                        # every cell tied with the boundary value and
-                        # re-rank exactly
-                        part = np.argpartition(row, p - 1)[:p]
-                        bnd = row[part].max()
-                        cand = np.nonzero(row <= bnd)[0]
-                    else:
-                        cand = np.arange(k)
-                    sel = cand[np.lexsort((cand, row[cand]))][:p]
-                    # explicit t*t, not t**2: Python ** routes through
-                    # C pow() which is not guaranteed ulp-identical to
-                    # the multiply the SQL twin uses
-                    t = math.sqrt(max(row[sel[0]], 0.0)) + mq
-                    sel = sel[row[sel] <= t * t]
-                    gi = r0 + i
-                    o_cell.extend(int(c) for c in sel)
-                    o_idx.extend([gi] * len(sel))
-                    o_home.extend(
-                        [True] + [False] * (len(sel) - 1)
-                    )
-            o_idx = np.array(o_idx, dtype=np.int64)
+                if p < k:
+                    part = np.argpartition(d2, p - 1, axis=1)[:, :p]
+                    # cell-ascending pre-sort, then STABLE argsort by
+                    # d2: within equal d2 the smaller cell id wins —
+                    # exactly the oracle's (d2, cell) rank
+                    part.sort(axis=1)
+                    d_part = np.take_along_axis(d2, part, axis=1)
+                    order = np.argsort(d_part, axis=1, kind="stable")
+                    cells_o = np.take_along_axis(part, order, axis=1)
+                    d_o = np.take_along_axis(d_part, order, axis=1)
+                    # argpartition breaks BOUNDARY ties arbitrarily: a
+                    # cell tied with the p-th value but excluded could
+                    # out-rank an included one by id. Detect and re-do
+                    # those rows exactly (rare)
+                    bnd = d_o[:, -1]
+                    tied = (d2 <= bnd[:, None]).sum(axis=1) > p
+                    for i in np.nonzero(tied)[0]:
+                        row = d2[i]
+                        cand = np.nonzero(row <= bnd[i])[0]
+                        sel = cand[np.lexsort((cand, row[cand]))][:p]
+                        cells_o[i] = sel
+                        d_o[i] = row[sel]
+                else:
+                    order = np.argsort(d2, axis=1, kind="stable")
+                    cells_o = order[:, :p]
+                    d_o = np.take_along_axis(d2, cells_o, axis=1)
+                # margin cap: explicit t*t, not t**2 (Python ** routes
+                # through C pow(), not guaranteed ulp-identical to the
+                # multiply the SQL twin uses)
+                t = np.sqrt(np.maximum(d_o[:, 0], 0.0)) + mq
+                keep = d_o <= (t * t)[:, None]
+                ri, pi = np.nonzero(keep)
+                a_cell.append(cells_o[ri, pi])
+                a_idx.append(ri + r0)
+                a_home.append(pi == 0)
+            o_cell = np.concatenate(a_cell) if a_cell else np.array([], dtype=np.int64)
+            o_idx = (
+                np.concatenate(a_idx) if a_idx else np.array([], dtype=np.int64)
+            )
+            o_home = (
+                np.concatenate(a_home) if a_home else np.array([], dtype=bool)
+            )
             yield pd.DataFrame(
                 {
                     "cell": np.array(o_cell, dtype=np.int64),

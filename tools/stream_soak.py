@@ -1,0 +1,307 @@
+#!/usr/bin/env python3
+"""Streaming soak at scale (r09 verdict item 3): all prior scale
+evidence is batch-side; this drives the two stateful streaming
+families over sf1-derived corpora for >= 50 real micro-batches each
+and records the per-batch trajectories that prove state stays
+bounded.
+
+Soak A — ClusteringPipeline (the reference's own job): 50 x 1000
+embedded articles through the count-triggered foreachBatch
+(incremental ε-graph clustering + serving-table merges + summarize
+gate). The corpus is family-structured (25 near-copies per base
+vector) and HASH-SHUFFLED so family members arrive spread across
+batches — the worst case for incremental merging. The invariant
+under test is centroid collapse: each family folds into ONE pool
+row, so the pool must stay O(#families + recent singletons), NOT
+O(rows ingested); per-batch wall must not trend with total rows.
+
+Soak B — MinhashDedupStream: 50 x 1000 sf1 documents through the
+epoch-state near-dup stream, compact() every 10 batches (crash-safe
+folding under live load). State (bands/shingles) must grow linearly
+in DOCS SEEN (it is the index, linear by design) while wall stays
+~flat per batch; pairs grow with the true answer. Ends with the
+stream==batch equality check: detect() must equal batch
+minhash_near_duplicates over the union of everything streamed.
+
+Usage: python tools/stream_soak.py [out_json]
+  (expects /tmp/spark_graft_sf1 from tools/gen_scale_data.py;
+  SOAK_BATCHES / SOAK_BATCH_ROWS override the 50 x 1000 default)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from news_clustering_and_summarization_spark.functions import hashing as H  # noqa: E402
+from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
+from news_clustering_and_summarization_spark.streaming.dedup import (  # noqa: E402
+    MinhashDedupStream,
+)
+from news_clustering_and_summarization_spark.streaming.pipeline import (  # noqa: E402
+    ClusteringPipeline,
+)
+from news_clustering_and_summarization_spark.testing import inflate_vectors  # noqa: E402
+
+SF1 = "/tmp/spark_graft_sf1"
+N_BATCHES = int(os.environ.get("SOAK_BATCHES", "50"))
+BATCH_ROWS = int(os.environ.get("SOAK_BATCH_ROWS", "1000"))
+WORK = "/tmp/spark_graft_stream_soak"
+
+
+def _rows(spark, path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
+
+def _emit_file(spark, pdf_chunk, schema, src: str, name: str) -> None:
+    """Write one micro-batch as a SINGLE parquet file directly in the
+    stream source dir (the file source does not recurse into nested
+    batch directories): write to a scratch dir, move the part file."""
+    import glob
+
+    scratch = os.path.join(WORK, "_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    sdf = spark.createDataFrame(pdf_chunk, schema=schema)
+    sdf.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src, name))
+
+
+def soak_clustering(spark) -> dict:
+    src = os.path.join(WORK, "articles_src")
+    state = os.path.join(WORK, "cluster_state")
+    ckpt = os.path.join(WORK, "cluster_ckpt")
+    total = N_BATCHES * BATCH_ROWS
+    n_base = total // 25
+    emb = (
+        spark.read.parquet(os.path.join(SF1, "embeddings.parquet"))
+        .orderBy("vec_id")
+        .limit(n_base)
+    )
+    corpus = (
+        inflate_vectors(emb, 25)
+        .select(
+            F.concat(F.lit("a"), F.col("vec_id").cast("string")).alias("id"),
+            F.concat(F.lit("title "), F.col("vec_id").cast("string")).alias(
+                "title"
+            ),
+            F.lit("summary").alias("summary"),
+            F.lit("body text").alias("text"),
+            F.lit("2024-01-01").alias("publication_date"),
+            F.array(F.col("embedding").cast("array<float>")).alias(
+                "concat_embedding"
+            ),
+            # hash-shuffled arrival: family members land in different
+            # micro-batches — incremental merging, not same-batch CC
+            H.hash64(F.col("vec_id").cast("string")).alias("_ord"),
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+        .localCheckpoint(eager=True)
+    )
+    pipe = ClusteringPipeline(
+        spark, state, batch_size=BATCH_ROWS, embed_dim=64
+    )
+    os.makedirs(src, exist_ok=True)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(pipe.process_batch).option(
+        "checkpointLocation", ckpt
+    ).outputMode("update").start()
+
+    pdf = corpus.toPandas()
+    batches = []
+    seen = 0
+    for b in range(N_BATCHES):
+        chunk = pdf.iloc[b * BATCH_ROWS: (b + 1) * BATCH_ROWS]
+        if chunk.empty:
+            break
+        _emit_file(spark, chunk, corpus.schema, src, f"b{b:04d}.parquet")
+        t0 = time.time()
+        q.processAllAvailable()
+        wall = time.time() - t0
+        seen += len(chunk)
+        row = {
+            "batch": b,
+            "rows_seen": seen,
+            "wall_sec": round(wall, 2),
+            "pool_rows": _rows(spark, pipe.pool_path),
+            "clusters_rows": _rows(spark, pipe.clusters_path),
+            "articles_rows": _rows(spark, pipe.articles_path),
+            "pending_rows": _rows(spark, pipe.pending_path),
+        }
+        batches.append(row)
+        if b % 10 == 0 or b == N_BATCHES - 1:
+            print(
+                f"cluster b{b:03d} seen={seen:>7,} wall={wall:6.2f}s "
+                f"pool={row['pool_rows']:,} "
+                f"clusters={row['clusters_rows']:,}",
+                flush=True,
+            )
+    q.stop()
+    pool_final = batches[-1]["pool_rows"]
+    return {
+        "n_batches": len(batches),
+        "rows_ingested": seen,
+        "pool_final": pool_final,
+        "pool_over_ingested": round(pool_final / max(seen, 1), 4),
+        "wall_first10_avg": round(
+            sum(r["wall_sec"] for r in batches[:10]) / 10, 2
+        ),
+        "wall_last10_avg": round(
+            sum(r["wall_sec"] for r in batches[-10:]) / 10, 2
+        ),
+        "batches": batches,
+    }
+
+
+def soak_minhash(spark) -> dict:
+    src = os.path.join(WORK, "docs_src")
+    state = os.path.join(WORK, "minhash_state")
+    ckpt = os.path.join(WORK, "minhash_ckpt")
+    total = N_BATCHES * BATCH_ROWS
+    docs = (
+        spark.read.parquet(os.path.join(SF1, "documents.parquet"))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .orderBy(H.hash64(F.col("doc_id")))
+        .limit(total)
+        .localCheckpoint(eager=True)
+    )
+    ded = MinhashDedupStream(spark, state, id_col="doc_id", text_col="text")
+    os.makedirs(src, exist_ok=True)
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ded.start(stream, ckpt)
+
+    pdf = docs.toPandas()
+    batches = []
+    seen = 0
+    for b in range(N_BATCHES):
+        chunk = pdf.iloc[b * BATCH_ROWS: (b + 1) * BATCH_ROWS]
+        if chunk.empty:
+            break
+        _emit_file(
+            spark, chunk, "doc_id string, text string", src,
+            f"b{b:04d}.parquet",
+        )
+        t0 = time.time()
+        q.processAllAvailable()
+        wall = time.time() - t0
+        compacted = False
+        if b and b % 10 == 0:
+            ded.compact()
+            compacted = True
+        seen += len(chunk)
+        row = {
+            "batch": b,
+            "docs_seen": seen,
+            "wall_sec": round(wall, 2),
+            "band_rows": _rows(spark, ded.bands_path),
+            "shingle_rows": _rows(spark, ded.shingles_path),
+            "pair_rows": _rows(spark, ded.pairs_path),
+            "compacted": compacted,
+        }
+        batches.append(row)
+        if b % 10 == 0 or b == N_BATCHES - 1:
+            print(
+                f"minhash b{b:03d} seen={seen:>7,} wall={wall:6.2f}s "
+                f"bands={row['band_rows']:,} pairs={row['pair_rows']:,}",
+                flush=True,
+            )
+    q.stop()
+
+    # stream == batch: the soak's correctness leg
+    from news_clustering_and_summarization_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    t0 = time.time()
+    batch_pairs = {
+        (r["l_id"], r["r_id"])
+        for r in minhash_near_duplicates(
+            spark.createDataFrame(pdf.iloc[:seen]), id_col="doc_id"
+        ).collect()
+    }
+    stream_pairs = {
+        (r["l_id"], r["r_id"]) for r in ded.detect().collect()
+    }
+    eq_wall = time.time() - t0
+    return {
+        "n_batches": len(batches),
+        "docs_ingested": seen,
+        "stream_pairs": len(stream_pairs),
+        "batch_pairs": len(batch_pairs),
+        "stream_eq_batch": stream_pairs == batch_pairs,
+        "equality_check_sec": round(eq_wall, 2),
+        "wall_first10_avg": round(
+            sum(r["wall_sec"] for r in batches[:10]) / 10, 2
+        ),
+        "wall_last10_avg": round(
+            sum(r["wall_sec"] for r in batches[-10:]) / 10, 2
+        ),
+        "batches": batches,
+    }
+
+
+def main() -> int:
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(REPO, "STREAM_SOAK.json")
+    )
+    if not os.path.isdir(SF1):
+        print(f"missing {SF1}; run tools/gen_scale_data.py first")
+        return 1
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        "stream-soak", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    cluster_res = soak_clustering(spark)
+    t1 = time.time()
+    minhash_res = soak_minhash(spark)
+    t2 = time.time()
+    spark.stop()
+    out = {
+        "batches_per_soak": N_BATCHES,
+        "batch_rows": BATCH_ROWS,
+        "clustering": {**cluster_res, "total_sec": round(t1 - t0, 1)},
+        "minhash": {**minhash_res, "total_sec": round(t2 - t1, 1)},
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    ok = minhash_res["stream_eq_batch"]
+    print(
+        f"clustering: pool {cluster_res['pool_final']:,} / "
+        f"{cluster_res['rows_ingested']:,} ingested "
+        f"(ratio {cluster_res['pool_over_ingested']}); "
+        f"minhash stream==batch: {ok} -> {out_path}"
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
