@@ -497,7 +497,6 @@ def ivf_epsilon_pairs(
     sample_mod: int = 64,
     nprobe: int = 8,
     margin: float | None = None,
-    n_rows: int | None = None,
     max_block: int = 4096,
 ) -> DataFrame:
     """ε-pair self-join via IVF cells with margin-capped multiprobe
@@ -533,7 +532,7 @@ def ivf_epsilon_pairs(
     needs no growing knob. tools/ivf_scale_probe.py measures exactly
     this across 50k/500k/5M.
 
-    **Scale shape.** Routing: two chunked BLAS passes against the
+    **Scale shape.** Routing: one row-chunked BLAS pass against the
     broadcast codebook, zero shuffle, n·k·dim flops. One data
     shuffle routes each vector to <= nprobe cells (<= nprobe·n rows;
     margin typically prunes far below the cap). Verification runs
@@ -769,7 +768,7 @@ def similarity_pairs(
         # exact self-join index (left must be right); see
         # ivf_epsilon_pairs for when it beats lsh
         return ivf_epsilon_pairs(
-            left, eps, id_col=id_col, vec_col=vec_col, n_rows=n_right
+            left, eps, id_col=id_col, vec_col=vec_col
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

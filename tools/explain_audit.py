@@ -78,6 +78,12 @@ CARTESIAN_OK = {
     # production variant keeps the 1-row (n_nodes)x(n_edges, max_dist)
     # broadcast crossJoin summary — O(1)-row sides by construction
     "cluster_lsh",
+    # same O(1)-row summary crossJoins: (n_nodes) x (n_edges,
+    # max_dist, 2^61 checksums) for the production path; the verify
+    # variant adds the 1-row sampled-recall legs (the
+    # cluster_lsh_verify shape)
+    "cluster_ivf",
+    "cluster_ivf_verify",
     # crossJoins the broadcast ONE-ROW corpus-total aggregate onto the
     # bigram table (text_analysis.collocations) — O(1)-row side
     "collocations",
