@@ -498,6 +498,7 @@ def ivf_epsilon_pairs(
     nprobe: int = 8,
     margin: float | None = None,
     max_block: int = 4096,
+    both_directions: bool = True,
 ) -> DataFrame:
     """ε-pair self-join via IVF cells with margin-capped multiprobe
     (r09 verdict item 1: the scale-stable index past sign-LSH's L=8
@@ -732,6 +733,14 @@ def ivf_epsilon_pairs(
         # a pair can surface in home(u) AND home(v) — answer-bound dedup
         .dropDuplicates(["l_id", "r_id"])
     )
+    if not both_directions:
+        # canonical half only (l_id < r_id). Callers that aggregate or
+        # join on canonical pairs should prefer this: the mirror below
+        # is a UNION whose branches Catalyst does not share, so a
+        # post-union l<r filter would run the verify kernel twice
+        # (and the r10 sf10 probe OOMed materializing the mirrored
+        # 214M-row set it was about to filter back down)
+        return verified
     return verified.unionAll(
         verified.select(
             F.col("r_id").alias("l_id"),

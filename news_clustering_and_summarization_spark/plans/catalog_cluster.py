@@ -280,6 +280,9 @@ def _ivf_inflated_edges(spark, sf, checkpoint_edges: bool):
     edges = C.ivf_epsilon_pairs(
         inflated, _IVF_EPS, id_col="vec_id", vec_col="embedding",
         sample_mod=_IVF_SAMPLE_MOD, nprobe=_IVF_NPROBE,
+        # canonical pairs only: both consumers filter l<r anyway, and
+        # the mirrored union would run the verify kernel twice
+        both_directions=False,
     )
     if checkpoint_edges:
         edges = edges.localCheckpoint(eager=True)

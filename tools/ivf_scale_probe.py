@@ -36,10 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from news_clustering_and_summarization_spark.functions import hashing as H  # noqa: E402
 from news_clustering_and_summarization_spark.operators import cluster as C  # noqa: E402
-from news_clustering_and_summarization_spark.session import (  # noqa: E402
-    auto_driver_mem,
-    get_spark,
-)
+from news_clustering_and_summarization_spark.session import get_spark  # noqa: E402
 from news_clustering_and_summarization_spark.testing import inflate_vectors  # noqa: E402
 
 EPS = 0.10
@@ -73,10 +70,12 @@ def main() -> int:
         else os.path.join(REPO, "IVF_SCALE_PROBE.json")
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    os.environ.setdefault(
-        "SPARK_DRIVER_MEM",
-        auto_driver_mem("/tmp/spark_graft_sf10", cpus),
-    )
+    # 32g, NOT auto_driver_mem's 48g: the IVF route broadcast is ~5 MB
+    # (codebook), so unlike the LSH probe there is no multi-GB
+    # broadcast to build — and the first sf10 run was OOM-KILLED by
+    # the kernel with a 48g heap + 32 python workers on a 128 GB box.
+    # 32g JVM + ~1-2 GB per worker leaves real headroom.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(
         "ivf-scale-probe",
         master=f"local[{cpus}]",
@@ -112,6 +111,9 @@ def main() -> int:
         )
         before = _shuffle_bytes(ui)
         t0 = time.time()
+        # canonical half only (l < r): the mirrored union would both
+        # double the materialized set and re-run the verify kernel
+        # per branch — the first sf10 attempt OOMed exactly there
         pairs = C.ivf_epsilon_pairs(
             inflated,
             EPS,
@@ -119,8 +121,9 @@ def main() -> int:
             vec_col="embedding",
             sample_mod=SAMPLE_MOD,
             nprobe=NPROBE,
+            both_directions=False,
         ).localCheckpoint(eager=True)
-        n_pairs = pairs.count()
+        n_pairs = 2 * pairs.count()  # both-directions count, same basis as LSH probe
         wall = time.time() - t0
         sb = _shuffle_bytes(ui) - before
         # sampled recall vs brute force on a ~2% node subset
@@ -133,11 +136,7 @@ def main() -> int:
         ).localCheckpoint(eager=True)
         n_exact = exact.count()
         n_hits = exact.join(
-            pairs.where(F.col("l_id") < F.col("r_id")).select(
-                "l_id", "r_id"
-            ),
-            ["l_id", "r_id"],
-            "left_semi",
+            pairs.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi"
         ).count()
         recall = round(n_hits / n_exact, 4) if n_exact else 1.0
         results[label] = {
