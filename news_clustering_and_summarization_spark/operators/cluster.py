@@ -116,18 +116,33 @@ def brute_force_pairs(
             l_norm = l_mat / np.maximum(
                 np.linalg.norm(l_mat, axis=1, keepdims=True), 1e-300
             )
-            sim = l_norm @ mat_r.T
-            dist = np.clip(1.0 - sim, 0.0, 1.0)
-            li, ri = np.nonzero(dist <= eps)
-            keep = (
-                (l_ids[li] < ids_r[ri])
-                if upper_only
-                else (l_ids[li] != ids_r[ri])
+            # right side processed in column blocks bounded to ~16M
+            # sim cells (128 MB float64): an UNBLOCKED batch x right
+            # matrix is batch_rows x |right| doubles PER WORKER —
+            # at a 100k-row right side that is 2.4 GB x 32 workers,
+            # which OOM-killed the r10 sf10 probe's recall leg
+            rchunk = max(512, 16_000_000 // max(len(l_norm), 1))
+            outs = []
+            for r0 in range(0, len(ids_r), rchunk):
+                sim = l_norm @ mat_r[r0: r0 + rchunk].T
+                dist = np.clip(1.0 - sim, 0.0, 1.0)
+                li, ri = np.nonzero(dist <= eps)
+                gr = ri + r0
+                keep = (
+                    (l_ids[li] < ids_r[gr])
+                    if upper_only
+                    else (l_ids[li] != ids_r[gr])
+                )
+                cols = {
+                    "l_id": l_ids[li][keep],
+                    "r_id": ids_r[gr][keep],
+                }
+                if with_dist:
+                    cols["dist"] = dist[li, ri][keep]
+                outs.append(pd.DataFrame(cols))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"l_id": [], "r_id": []}
             )
-            cols = {"l_id": l_ids[li][keep], "r_id": ids_r[ri][keep]}
-            if with_dist:
-                cols["dist"] = dist[li, ri][keep]
-            yield pd.DataFrame(cols)
 
     return left.select(
         F.col(id_col).alias("lid"), F.col(vec_col).alias("lvec")

@@ -70,27 +70,10 @@ def main() -> int:
         else os.path.join(REPO, "IVF_SCALE_PROBE.json")
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    # 32g, NOT auto_driver_mem's 48g: the IVF route broadcast is ~5 MB
+    # 24g, NOT auto_driver_mem's 48g: the IVF route broadcast is ~5 MB
     # (codebook), so unlike the LSH probe there is no multi-GB
-    # broadcast to build — and the first sf10 run was OOM-KILLED by
-    # the kernel with a 48g heap + 32 python workers on a 128 GB box.
-    # 32g JVM + ~1-2 GB per worker leaves real headroom.
-    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
-    spark = get_spark(
-        "ivf-scale-probe",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            "spark.ui.enabled": "true",
-            # the sf10 recall leg broadcasts a ~100k-vector sample
-            # (51 MB) and brute_force_pairs collects it through task
-            # results — headroom over the 1g default
-            "spark.driver.maxResultSize": "8g",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
+    # broadcast to build — a 48g heap OOM-killed the first sf10 run.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
     only = os.environ.get("IVF_PROBE_SCALES")
     scales = [
@@ -102,6 +85,26 @@ def main() -> int:
         if not os.path.exists(path):
             print(f"{label}: missing {path}, skipped")
             continue
+        # ONE SESSION PER TIER: long-lived reused python workers
+        # accumulate allocator fragmentation across tiers (the second
+        # sf10 OOM showed ~12 workers at 5.5 GB after the sf0.1+sf1
+        # legs; a fresh-session sf10 run stays at ~0.5 GB/worker) —
+        # stopping the session retires the worker pool between tiers
+        spark = get_spark(
+            f"ivf-scale-probe-{label}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+            extra_conf={
+                "spark.ui.showConsoleProgress": "false",
+                "spark.ui.enabled": "true",
+                # the sf10 recall leg broadcasts a ~100k-vector sample
+                # (51 MB) and brute_force_pairs collects it through
+                # task results — headroom over the 1g default
+                "spark.driver.maxResultSize": "8g",
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
         emb = spark.read.parquet(path)
         n_rows = emb.count() * INFLATE
         inflated = (
@@ -155,7 +158,7 @@ def main() -> int:
             f"recall={recall} ({n_hits}/{n_exact})",
             flush=True,
         )
-    spark.stop()
+        spark.stop()
     base = results.get("sf0.1")
     if base:
         for r in results.values():
