@@ -105,6 +105,18 @@ def main() -> int:
         )
         spark.sparkContext.setLogLevel("ERROR")
         ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
+        # JIT/codegen/worker-spawn warm-up inside THIS session so the
+        # per-tier isolation doesn't bill ~50s of cold-start to the
+        # first measured wall (the lsh probe ran one warm session;
+        # same methodology, now per tier)
+        warm = inflate_vectors(
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+            INFLATE,
+        ).localCheckpoint(eager=True)
+        C.ivf_epsilon_pairs(
+            warm, EPS, id_col="vec_id", vec_col="embedding",
+            sample_mod=SAMPLE_MOD, nprobe=NPROBE, both_directions=False,
+        ).count()
         emb = spark.read.parquet(path)
         n_rows = emb.count() * INFLATE
         inflated = (
