@@ -66,15 +66,16 @@ def main() -> int:
                 row[f"shuffle_ratio_{label}"] = r["shuffle_ratio_vs_sf0.1"]
                 row[f"wall_ratio_{label}"] = r["wall_ratio_vs_sf0.1"]
         results[key] = row
-    notes = base.setdefault("notes", {})
-    notes["flagship_unification_r10"] = (
-        "cluster_lsh / cluster_lsh_verify / dbscan_full stop at sf1 "
-        "because the catalog variants pin parameters for DuckDB "
-        "oracle replay (quadratic by construction past their tier); "
-        "the *_production rows fold in the auto-sized probe runs "
-        "(LSH_SCALE_PROBE / IVF_SCALE_PROBE, identical 25x-inflated "
-        "corpus and eps) so this artifact carries the full-decade "
-        "story for the flagship similarity join."
+    notes = base.setdefault("notes", [])
+    notes.append(
+        "flagship unification (r10): cluster_lsh / cluster_lsh_verify "
+        "/ dbscan_full stop at sf1 because the catalog variants pin "
+        "parameters for DuckDB oracle replay (quadratic by "
+        "construction past their tier); the *_production rows fold "
+        "in the auto-sized probe runs (LSH_SCALE_PROBE / "
+        "IVF_SCALE_PROBE, identical 25x-inflated corpus and eps) so "
+        "this artifact carries the full-decade story for the "
+        "flagship similarity join."
     )
     with open(out_path, "w") as f:
         json.dump(base, f, indent=1)
