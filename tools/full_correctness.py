@@ -98,6 +98,7 @@ def run_sweep(
     sf: str,
     echo: bool = True,
     oracle_timeout: float | None = None,
+    flush_path: str | None = None,
 ) -> tuple[dict, int]:
     """Run every catalog query at ``sf`` against its oracle; return
     ({name: result_row}, n_failed). Shared by the CLI below and the
@@ -131,9 +132,15 @@ def run_sweep(
                 con.execute("SET memory_limit='48GB'")
                 con.execute("SET temp_directory='/tmp/duckdb_sweep_tmp'")
                 for t in catalog.TABLES:
+                    # driver testdata tables are single files; the
+                    # gen_scale_data fixtures are Spark-written
+                    # DIRECTORIES — DuckDB needs the glob form there
+                    tp = f"{sf}/{t}.parquet"
+                    if os.path.isdir(tp):
+                        tp = f"{tp}/*.parquet"
                     con.execute(
                         f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{sf}/{t}.parquet')"
+                        f"read_parquet('{tp}')"
                     )
                 try:
                     opdf = _oracle_df(con, oracle, oracle_timeout)
@@ -155,6 +162,7 @@ def run_sweep(
                         sec=round(time.time() - t0, 2),
                     )
                     results[name] = row
+                    _flush(flush_path, sf, results)
                     if echo:
                         print(
                             f"{name:26s} TIMEOUT(oracle) "
@@ -185,6 +193,7 @@ def run_sweep(
         if not ok:
             bad += 1
         results[name] = row
+        _flush(flush_path, sf, results)
         if echo:
             print(
                 f"{name:26s} {'ok' if ok else 'FAIL':4s} "
@@ -192,6 +201,20 @@ def run_sweep(
                 flush=True,
             )
     return results, bad
+
+
+def _flush(flush_path: str | None, sf: str, results: dict) -> None:
+    """Incremental write-through for LONG sweeps (sf1 takes hours):
+    a cut-off run still leaves every completed row on disk, marked
+    partial until the final write."""
+    if not flush_path:
+        return
+    tmp = flush_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"sf_dir": sf, "partial": True, "results": results}, f, indent=1
+        )
+    os.replace(tmp, flush_path)
 
 
 def main() -> int:
@@ -211,7 +234,9 @@ def main() -> int:
         "full-correctness", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    results, bad = run_sweep(spark, sf, oracle_timeout=oracle_timeout)
+    results, bad = run_sweep(
+        spark, sf, oracle_timeout=oracle_timeout, flush_path=out_path
+    )
     spark.stop()
     with open(out_path, "w") as f:
         json.dump({"sf_dir": sf, "results": results}, f, indent=1)
