@@ -27,7 +27,10 @@ lands in /tmp). The inflation is hash-deterministic (no RNG):
   disjoint copies: 10x nodes AND 10x edges, not 10x multiplicity
   of the same edges).
 - orders     x10: o_orderkey += r*100_000_000.
-- events     x10: row identity via ts += r microseconds (keeps
+- events     x10: event_id += r*100_000_000 (event_id must STAY a
+  key — the r10 sf1 sweep caught range_join diverging 10x because
+  duplicate event_ids let the oracle's GROUP BY collapse what the
+  Spark query's join re-expands) and ts += r microseconds (keeps
   windows/sessions structurally intact while making replicas
   distinct rows).
 - region/nation/customer/supplier/part: copied as-is (dimension
@@ -223,6 +226,7 @@ def main() -> int:
         "events",
         f"""
         SELECT e.* REPLACE (
+            e.event_id + r.r * 100000000 AS event_id,
             e.ts + to_microseconds(r.r::BIGINT) AS ts)
         FROM read_parquet('{SRC}/events.parquet') e CROSS JOIN reps r
         """,
