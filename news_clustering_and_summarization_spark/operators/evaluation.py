@@ -103,37 +103,91 @@ def embedding_outlier_scores(
     """Data-cleaning signal: per-label cosine distance to the label
     centroid, plus its z-score within the label — high z marks
     mislabeled or off-distribution rows. Pure aggregations: centroid
-    via posexplode+avg (distributed, no collect), one broadcast-sized
+    via posexplode (distributed, no collect), one broadcast-sized
     join back, moment stats per label. Emits scores for every row
     (thresholding is the caller's policy — keeps the output free of
     float-boundary membership flips).
-    """
-    from ..functions import vectors as V
-    from .cluster import centroids
 
-    cent = centroids(df.select(label_col, vec_col), label_col, vec_col)
+    Cross-engine determinism (the r10 sf1 sweep caught the original
+    avg/stddev formulation hash-diverging at 10x group sizes —
+    unordered double sums drift by ulps and flip the rounded output):
+    every aggregate is now an EXACT integer sum. Centroid components
+    are means of 1e6-quantized coordinates (sums < 2^53 — exact in
+    DECIMAL and in any-order double addition alike); distances
+    quantize to integer micro-units before the moment stats; mean and
+    sample variance assemble from DECIMAL(38,0) power sums
+    (n·Σq² − (Σq)² exact); the only irrational op is one final sqrt
+    on an exact-integer-derived double, and the z-score's division
+    order is pinned identically in the SQL twin."""
+    from ..functions import vectors as V
+
+    q = F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5))
+    cent = (
+        df.select(label_col, F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.sum(q.cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            label_col,
+            "pos",
+            # exact: |q| <= ~1e6, n <= 2^33 before the double sum
+            # could lose a unit; the division is one deterministic op
+            (F.col("_s").cast("double")
+             / (F.col("_n") * F.lit(1e6))).alias("mean"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("_pm")
+        )
+        .select(
+            label_col,
+            F.transform(F.col("_pm"), lambda s: s["mean"]).alias("centroid"),
+        )
+    )
     dists = df.join(cent, label_col).select(
         label_col,
         id_col,
-        V.cosine_distance(
-            F.col(vec_col).cast("array<double>"), F.col("centroid")
-        ).alias("dist"),
+        F.floor(
+            V.cosine_distance(
+                F.col(vec_col).cast("array<double>"), F.col("centroid")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("dq"),
     )
+    d38 = "decimal(38,0)"
     stats = dists.groupBy(label_col).agg(
-        F.avg("dist").alias("_mu"),
-        F.stddev_samp("dist").alias("_sd"),
+        F.sum(F.col("dq").cast(d38)).alias("_s1"),
+        F.sum((F.col("dq") * F.col("dq")).cast(d38)).alias("_s2"),
         F.count("*").alias("n_members"),
+    )
+    n = F.col("n_members")
+    var_num = (n.cast(d38) * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+    # z = (n·dq − S1) / (n · sqrt(var_num / (n(n−1)))) — every term
+    # left of the sqrt is an exact integer; op order pinned in SQL
+    z = (
+        (n.cast(d38) * F.col("dq").cast(d38) - F.col("_s1")).cast("double")
+        / (
+            n.cast("double")
+            * F.sqrt(
+                var_num.cast("double")
+                / (n * (n - F.lit(1))).cast("double")
+            )
+        )
     )
     return dists.join(stats, label_col).select(
         label_col,
         id_col,
         "n_members",
-        F.round("dist", 6).alias("dist"),
-        F.round(
-            F.when(
-                F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd")
-            ).otherwise(F.lit(0.0)),
-            3,
+        (F.col("dq").cast("double") / F.lit(1e6)).alias("dist"),
+        # + 0.0 normalizes IEEE -0.0 (a just-below-mean dq rounds to
+        # -0.0): equal by ==, DIFFERENT by bit pattern — and the
+        # driver hashes float bits (caught by the sf1 sweep)
+        (
+            F.round(F.when(var_num > 0, z).otherwise(F.lit(0.0)), 3)
+            + F.lit(0.0)
         ).alias("zscore"),
     )
 

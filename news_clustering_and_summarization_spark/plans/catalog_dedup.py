@@ -542,29 +542,45 @@ def q_embedding_outliers(spark, sf):
 
 
 def oracle_embedding_outliers() -> str:
+    """Twin of the r10 exact-integer formulation: quantized centroid
+    means, integer micro-unit distances, DECIMAL/HUGEINT power sums,
+    and the z-score's division order pinned to the Spark expression
+    (the old avg/stddev twin hash-diverged at sf1 — unordered double
+    sums drift by ulps at 10x group sizes)."""
     d = V.cosine_distance_sql("e.embedding", "c.centroid")
     return f"""
 WITH c AS (
   SELECT label, list(m ORDER BY dim) AS centroid FROM (
     -- dims fixed at 64 (TESTDATA embeddings); literal bounds because
     -- this DuckDB build lacks lateral column params in range()
-    SELECT label, r.i AS dim, avg(embedding[r.i]::DOUBLE) AS m
+    SELECT label, r.i AS dim,
+           sum(floor(embedding[r.i]::DOUBLE * 1e6 + 0.5)::HUGEINT)::DOUBLE
+           / (count(*) * 1000000.0) AS m
     FROM embeddings CROSS JOIN range(1, 65) r(i)
     GROUP BY label, r.i
   ) GROUP BY label
 ),
 d AS (
-  SELECT e.label, e.vec_id, {d} AS dist
+  SELECT e.label, e.vec_id,
+         floor({d} * 1e6 + 0.5)::BIGINT AS dq
   FROM embeddings e JOIN c ON e.label = c.label
 ),
 s AS (
-  SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd,
-         count(*) AS n_members
+  SELECT label, sum(dq::HUGEINT) AS s1,
+         sum((dq::HUGEINT) * (dq::HUGEINT)) AS s2,
+         count(*)::BIGINT AS n_members
   FROM d GROUP BY label
 )
-SELECT d.label, d.vec_id, s.n_members, round(d.dist, 6) AS dist,
-       round(CASE WHEN s.sd > 0 THEN (d.dist - s.mu) / s.sd
-                  ELSE 0.0 END, 3) AS zscore
+SELECT d.label, d.vec_id, s.n_members,
+       d.dq::DOUBLE / 1e6 AS dist,
+       round(CASE WHEN (s.n_members::HUGEINT * s.s2 - s.s1 * s.s1) > 0
+                  THEN (s.n_members::HUGEINT * d.dq::HUGEINT - s.s1)::DOUBLE
+                       / (s.n_members::DOUBLE
+                          * sqrt((s.n_members::HUGEINT * s.s2
+                                  - s.s1 * s.s1)::DOUBLE
+                                 / (s.n_members
+                                    * (s.n_members - 1))::DOUBLE))
+                  ELSE 0.0 END, 3) + 0.0 AS zscore
 FROM d JOIN s ON d.label = s.label
 """
 
