@@ -67,6 +67,7 @@ def brute_force_pairs(
     vec_col: str = "centroid",
     upper_only: bool = False,
     with_dist: bool = True,
+    block_cells: int = 16_000_000,
 ) -> DataFrame:
     """All pairs (left.id, right.id) with cosine distance <= eps.
     Output: l_id, r_id, dist (float64). Skips self-pairs.
@@ -121,7 +122,7 @@ def brute_force_pairs(
             # matrix is batch_rows x |right| doubles PER WORKER —
             # at a 100k-row right side that is 2.4 GB x 32 workers,
             # which OOM-killed the r10 sf10 probe's recall leg
-            rchunk = max(512, 16_000_000 // max(len(l_norm), 1))
+            rchunk = max(512, block_cells // max(len(l_norm), 1))
             outs = []
             for r0 in range(0, len(ids_r), rchunk):
                 sim = l_norm @ mat_r[r0: r0 + rchunk].T

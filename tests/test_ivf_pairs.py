@@ -143,3 +143,22 @@ def test_similarity_pairs_ivf_strategy(spark, corpus):
         strategy="ivf",
     )
     assert out.count() > 0
+
+
+def test_brute_force_right_blocking_matches_unblocked(spark, corpus):
+    # r10: the kernel blocks the right side (an unblocked
+    # batch x right sim matrix OOMed the sf10 recall leg). A tiny
+    # block budget must produce the identical pair set.
+    eps = 0.10
+    a = _pairs(
+        C.brute_force_pairs(
+            corpus, corpus, eps, id_col="vec_id", vec_col="embedding"
+        )
+    )
+    b = _pairs(
+        C.brute_force_pairs(
+            corpus, corpus, eps, id_col="vec_id", vec_col="embedding",
+            block_cells=2048,  # forces many sub-512-col blocks per batch
+        )
+    )
+    assert a == b
