@@ -32,8 +32,38 @@ def main() -> int:
     if os.path.exists(out_path):
         with open(out_path) as f:
             done = json.load(f).get("results", {})
+    # A flush checkpoint from a previously interrupted *resume* run
+    # holds rows the main artifact doesn't — merge it in so they are
+    # not re-run (advice r10: the flush was written but never read).
+    if os.path.exists(out_path + ".resume"):
+        with open(out_path + ".resume") as f:
+            done.update(json.load(f).get("results", {}))
+
+    def _is_failed(r: dict) -> bool:
+        return bool(
+            r.get("err")
+            or r.get("rows_match") is False
+            or r.get("hash_match") is False
+        )
+
+    # Re-run failures, not just missing rows: a row stamped FAILED by
+    # a run that predates a fix must not survive into the final
+    # artifact (advice r10: stale embedding_outliers fail at sf1).
+    retry = sorted(n for n, r in done.items() if _is_failed(r))
+    for n in retry:
+        del done[n]
     todo = {n: q for n, q in catalog.QUERIES.items() if n not in done}
-    print(f"resume: {len(done)} done, {len(todo)} to run")
+    print(
+        f"resume: {len(done)} done, {len(todo)} to run"
+        + (f" (retrying {len(retry)} failed: {retry})" if retry else "")
+    )
+    # Persist the merged seed NOW: run_sweep's flush file only holds
+    # rows from THIS run, so rows salvaged from an older .resume
+    # checkpoint would live solely in memory until the final write —
+    # an interrupt would lose them. Stamp partial:true so a seed is
+    # never mistaken for a completed sweep.
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf, "results": done, "partial": True}, f, indent=1)
     saved = catalog.QUERIES
     catalog.QUERIES = todo
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
