@@ -141,9 +141,16 @@ def brute_force_pairs(
                 if with_dist:
                     cols["dist"] = dist[li, ri][keep]
                 outs.append(pd.DataFrame(cols))
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"l_id": [], "r_id": []}
-            )
+            if outs:
+                yield pd.concat(outs)
+            else:
+                # fallback frame must carry the SAME columns as the
+                # blocked path (incl. dist when with_dist) or the
+                # Arrow schema conversion dies on the empty batch
+                empty = {"l_id": [], "r_id": []}
+                if with_dist:
+                    empty["dist"] = []
+                yield pd.DataFrame(empty)
 
     return left.select(
         F.col(id_col).alias("lid"), F.col(vec_col).alias("lvec")
@@ -512,6 +519,7 @@ def ivf_epsilon_pairs(
     vec_col: str = "centroid",
     sample_mod: int = 64,
     nprobe: int = 8,
+    cprobe: int = 8,
     margin: float | None = None,
     max_block: int = 4096,
     both_directions: bool = True,
@@ -526,18 +534,34 @@ def ivf_epsilon_pairs(
     **Index.** The codebook is a hash-stride SAMPLE OF THE DATA
     (ivf_centroid_ids, expected n/sample_mod points) — no Lloyd
     float fitting, so the whole index is deterministic relational
-    algebra both engines can replay. Each point ranks the codebook
-    by quantized integer squared euclidean distance (components
-    scaled by IVF_QUANT and half-up rounded; dim·(Q·|x|)² stays
-    under 2^53, so numpy BLAS on integer-valued doubles and DuckDB's
+    algebra both engines can replay. Routing is TWO-LEVEL (r10
+    verdict item 1: one-level ranking was n·k·dim = O(n²·dim/
+    sample_mod) total FLOPs with k ∝ n — quadratic CPU, the last
+    scale-killer term in the flagship path). Level 1: coarse
+    centroids are every isqrt(k)-th row of the cell-id-ordered
+    codebook (kc ≈ √k of them), each fine cell is assigned to its
+    nearest coarse centroid, and a point ranks only the kc coarse
+    rows, keeping its top-``cprobe`` groups. Level 2: the point
+    ranks the fine cells INSIDE those groups (expected cprobe·√k of
+    them) and probes its top-``nprobe``, margin-filtered. Per-point
+    routing work is (kc + cprobe·k/kc)·dim ≈ (1+cprobe)·√k·dim —
+    n^1.5 total instead of n², and at probe scales the matmuls are
+    no longer the wall. When cprobe ≥ kc every group is probed and
+    the index degrades EXACTLY to one-level semantics (the fine
+    ranking then runs over all k cells), so small inputs keep the
+    old behavior bit-for-bit. All distances at both levels are
+    quantized integer squared euclidean (components scaled by
+    IVF_QUANT and half-up rounded; dim·(Q·|x|)² stays under 2^53,
+    so numpy BLAS on integer-valued doubles and DuckDB's
     array_inner_product produce the SAME exact integers in any
-    summation order — routing has zero float ambiguity) and probes
-    its top-``nprobe`` cells, margin-filtered: cells beyond
-    sqrt(d2_home) + Q·(sqrt(2·eps) + slack) cannot host an ε-pair
+    summation order — routing has zero float ambiguity), ties broken
+    by (d2, id) at every level. The margin filter drops probed cells
+    beyond sqrt(d2_home) + Q·(sqrt(2·eps) + slack), where d2_home is
+    the best PROBED cell: cells beyond it cannot host an ε-pair
     completion (triangle inequality on ~unit-norm inputs), so on
-    cluster-structured corpora the probe list collapses to ~1 cell
-    and the margin makes the index EXACT; on sphere-filling corpora
-    the cap bounds cost and recall is the measured quantity.
+    cluster-structured corpora the probe list collapses to ~1 cell;
+    on sphere-filling corpora the cap bounds cost and recall is the
+    measured quantity (tools/ivf_scale_probe.py).
 
     **Why this breaks the LSH decade ceiling.** Sign-LSH holds
     recall by growing tables L (2→3→8 across the r09 probe's two
@@ -550,7 +574,8 @@ def ivf_epsilon_pairs(
     this across 50k/500k/5M.
 
     **Scale shape.** Routing: one row-chunked BLAS pass against the
-    broadcast codebook, zero shuffle, n·k·dim flops. One data
+    broadcast codebook, zero shuffle, n·(1+cprobe)·√k·dim flops
+    (two-level, above). One data
     shuffle routes each vector to <= nprobe cells (<= nprobe·n rows;
     margin typically prunes far below the cap). Verification runs
     inside each cell as a blocked numpy kernel (semdedup's bounded-
@@ -605,14 +630,30 @@ def ivf_epsilon_pairs(
     mq = margin * IVF_QUANT
     k = len(Cq)
     p = min(nprobe, k)
-    bc = spark.sparkContext.broadcast((Cq, c_sq))
+    # two-level index: coarse centroids = every cstride-th row of the
+    # id-ordered codebook; each fine cell joins its nearest coarse
+    # group by the same exact-integer d2 with (d2, g) tie-break
+    # (np.argmin returns the FIRST minimum — g ascends with column)
+    cstride = max(1, math.isqrt(k))
+    g_pos = np.arange(0, k, cstride)
+    kc = len(g_pos)
+    cp = min(cprobe, kc)
+    Gq = Cq[g_pos]
+    g_sq = c_sq[g_pos]
+    d2cg = c_sq[:, None] - 2.0 * (Cq @ Gq.T) + g_sq[None, :]
+    cell_grp = np.argmin(d2cg, axis=1)
+    grp_members = [np.nonzero(cell_grp == g)[0] for g in range(kc)]
+    bc = spark.sparkContext.broadcast(
+        (Cq, c_sq, Gq, g_sq, grp_members)
+    )
 
     par = spark.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
 
     def route(batches):
-        Cm, csq = bc.value
+        Cm, csq, Gm, gsq, members = bc.value
+        n_grp = len(members)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -621,48 +662,62 @@ def ivf_epsilon_pairs(
             ids_all = pdf["_id"].to_numpy()
             vs_all = pdf["_v"].to_numpy()
             a_cell, a_idx, a_home = [], [], []
-            # row-chunked so the (rows x k) distance block stays flat
+            # row-chunked so the distance blocks stay flat
             for r0 in range(0, len(Xq), 1024):
                 xc = Xq[r0: r0 + 1024]
+                nr = len(xc)
                 x_sq = (xc * xc).sum(axis=1)
+                # level 1 — rank the √k coarse rows; stable argsort on
+                # d2 keeps ascending g within ties = (d2, g) rank.
                 # d2(x, c) = |x|² - 2x·c + |c|², every term an exact
                 # integer-valued double -> identical in any engine
-                d2 = x_sq[:, None] - 2.0 * (xc @ Cm.T) + csq[None, :]
-                if p < k:
-                    part = np.argpartition(d2, p - 1, axis=1)[:, :p]
-                    # cell-ascending pre-sort, then STABLE argsort by
-                    # d2: within equal d2 the smaller cell id wins —
-                    # exactly the oracle's (d2, cell) rank
-                    part.sort(axis=1)
-                    d_part = np.take_along_axis(d2, part, axis=1)
-                    order = np.argsort(d_part, axis=1, kind="stable")
-                    cells_o = np.take_along_axis(part, order, axis=1)
-                    d_o = np.take_along_axis(d_part, order, axis=1)
-                    # argpartition breaks BOUNDARY ties arbitrarily: a
-                    # cell tied with the p-th value but excluded could
-                    # out-rank an included one by id. Detect and re-do
-                    # those rows exactly (rare)
-                    bnd = d_o[:, -1]
-                    tied = (d2 <= bnd[:, None]).sum(axis=1) > p
-                    for i in np.nonzero(tied)[0]:
-                        row = d2[i]
-                        cand = np.nonzero(row <= bnd[i])[0]
-                        sel = cand[np.lexsort((cand, row[cand]))][:p]
-                        cells_o[i] = sel
-                        d_o[i] = row[sel]
-                else:
-                    order = np.argsort(d2, axis=1, kind="stable")
-                    cells_o = order[:, :p]
-                    d_o = np.take_along_axis(d2, cells_o, axis=1)
-                # margin cap: explicit t*t, not t**2 (Python ** routes
-                # through C pow(), not guaranteed ulp-identical to the
-                # multiply the SQL twin uses)
-                t = np.sqrt(np.maximum(d_o[:, 0], 0.0)) + mq
-                keep = d_o <= (t * t)[:, None]
-                ri, pi = np.nonzero(keep)
-                a_cell.append(cells_o[ri, pi])
-                a_idx.append(ri + r0)
-                a_home.append(pi == 0)
+                d2g = x_sq[:, None] - 2.0 * (xc @ Gm.T) + gsq[None, :]
+                topg = np.argsort(d2g, axis=1, kind="stable")[:, :cp]
+                probe = np.zeros((nr, n_grp), dtype=bool)
+                probe[np.arange(nr)[:, None], topg] = True
+                # level 2 — exact d2 to the fine cells of the probed
+                # groups only, gathered group-major so every matmul
+                # stays vectorized
+                rows_l, cells_l, d2_l = [], [], []
+                for g in range(n_grp):
+                    r = np.nonzero(probe[:, g])[0]
+                    M = members[g]
+                    if not len(r) or not len(M):
+                        continue
+                    d2f = (
+                        x_sq[r][:, None]
+                        - 2.0 * (xc[r] @ Cm[M].T)
+                        + csq[M][None, :]
+                    )
+                    rows_l.append(np.repeat(r, len(M)))
+                    cells_l.append(np.tile(M, len(r)))
+                    d2_l.append(d2f.ravel())
+                if not rows_l:
+                    continue
+                rows = np.concatenate(rows_l)
+                cells = np.concatenate(cells_l)
+                d2s = np.concatenate(d2_l)
+                # exact (d2, cell) rank per row via one lexsort — no
+                # argpartition boundary-tie caveat: ties at the nprobe
+                # cut break by cell id, matching the SQL row_number
+                order = np.lexsort((cells, d2s, rows))
+                rows_s = rows[order]
+                cells_s = cells[order]
+                d2_s = d2s[order]
+                first = np.empty(len(rows_s), dtype=bool)
+                first[:1] = True
+                first[1:] = rows_s[1:] != rows_s[:-1]
+                idx = np.arange(len(rows_s))
+                fidx = np.maximum.accumulate(np.where(first, idx, 0))
+                rank = idx - fidx
+                # margin cap vs the best PROBED cell: explicit t*t,
+                # not t**2 (Python ** routes through C pow(), not
+                # guaranteed ulp-identical to the SQL twin's multiply)
+                t = np.sqrt(np.maximum(d2_s[fidx], 0.0)) + mq
+                keep = (rank < p) & (d2_s <= t * t)
+                a_cell.append(cells_s[keep])
+                a_idx.append(rows_s[keep] + r0)
+                a_home.append(rank[keep] == 0)
             o_cell = np.concatenate(a_cell) if a_cell else np.array([], dtype=np.int64)
             o_idx = (
                 np.concatenate(a_idx) if a_idx else np.array([], dtype=np.int64)
@@ -790,8 +845,25 @@ def similarity_pairs(
             left, right, eps, id_col, vec_col, n_rows=n_right, dim=dim
         )
     if strategy == "ivf":
-        # exact self-join index (left must be right); see
-        # ivf_epsilon_pairs for when it beats lsh
+        # self-join index: ivf_epsilon_pairs routes ONE corpus against
+        # its own codebook, so a caller passing a distinct right side
+        # would silently get left×left — refuse instead
+        same = left is right
+        if not same:
+            try:
+                same = bool(
+                    left._jdf.queryExecution().analyzed().sameResult(
+                        right._jdf.queryExecution().analyzed()
+                    )
+                )
+            except Exception:
+                same = False
+        if not same:
+            raise ValueError(
+                "strategy='ivf' is a self-join index: left and right "
+                "must be the same DataFrame (use 'lsh' or 'cross' for "
+                "two-sided joins)"
+            )
         return ivf_epsilon_pairs(
             left, eps, id_col=id_col, vec_col=vec_col
         )

@@ -262,6 +262,7 @@ _IVF_EPS = 0.10
 _IVF_FACTOR = 10
 _IVF_SAMPLE_MOD = 64
 _IVF_NPROBE = 8
+_IVF_CPROBE = 8
 _CK_MOD = 2305843009213693952  # 2^61, the standing checksum modulus
 
 
@@ -280,6 +281,7 @@ def _ivf_inflated_edges(spark, sf, checkpoint_edges: bool):
     edges = C.ivf_epsilon_pairs(
         inflated, _IVF_EPS, id_col="vec_id", vec_col="embedding",
         sample_mod=_IVF_SAMPLE_MOD, nprobe=_IVF_NPROBE,
+        cprobe=_IVF_CPROBE,
         # canonical pairs only: both consumers filter l<r anyway, and
         # the mirrored union would run the verify kernel twice
         both_directions=False,
@@ -404,12 +406,16 @@ def q_cluster_ivf_verify(spark, sf):
 
 def _oracle_ivf_ctes() -> str:
     """Shared WITH-prefix of the cluster_ivf oracles: md5 inflation,
-    integer quantization, codebook stride, exact-integer routing with
-    (d2, cell) rank + margin cap, candidate join, exact fold-cosine
-    verification. Routing distances use DOUBLE[64]
+    integer quantization, codebook stride, TWO-LEVEL exact-integer
+    routing (coarse = every isqrt(k)-th codebook row; fine ranking
+    over the top-cprobe groups' cells only — mirrors
+    operators/cluster.ivf_epsilon_pairs move for move) with (d2, id)
+    rank at both levels + margin cap, candidate join, exact
+    fold-cosine verification. Routing distances use DOUBLE[64]
     array_inner_product — exact for the < 2^53 integer-valued
     components in ANY summation order, so the SIMD fast path IS the
-    bit-exact replay."""
+    bit-exact replay; floor(sqrt(k)) equals Python math.isqrt(k) for
+    k < 2^52 because IEEE sqrt is correctly rounded."""
     from ..operators.cluster import IVF_QUANT
     import math
 
@@ -421,14 +427,44 @@ def _oracle_ivf_ctes() -> str:
     return f"""
 WITH inf AS MATERIALIZED ({inf}),
 q AS MATERIALIZED (
-  SELECT vec_id, embedding,
-         list_transform(embedding,
-             e -> floor(e::DOUBLE * {IVF_QUANT}.0 + 0.5))::DOUBLE[64] AS vq
-  FROM inf
+  SELECT vec_id, embedding, vq, array_inner_product(vq, vq) AS nq
+  FROM (SELECT vec_id, embedding,
+               list_transform(embedding,
+                   e -> floor(e::DOUBLE * {IVF_QUANT}.0 + 0.5)
+               )::DOUBLE[64] AS vq
+        FROM inf)
 ),
 cent AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cq
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         vq AS cq, nq AS nc
   FROM q WHERE {stride}
+),
+parms AS MATERIALIZED (
+  SELECT greatest(1, CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT))
+         AS cstride
+  FROM cent
+),
+coarse AS MATERIALIZED (
+  SELECT cell // p.cstride AS g, cq AS gq, nc AS ng
+  FROM cent, parms p WHERE cell % p.cstride = 0
+),
+cellgrp AS MATERIALIZED (
+  SELECT cell, g FROM (
+    SELECT c.cell, co.g,
+           row_number() OVER (PARTITION BY c.cell
+               ORDER BY c.nc - 2 * array_inner_product(c.cq, co.gq)
+                        + co.ng, co.g) AS rn
+    FROM cent c CROSS JOIN coarse co)
+  WHERE rn = 1
+),
+routedg AS MATERIALIZED (
+  SELECT vec_id, g FROM (
+    SELECT q.vec_id, co.g,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY q.nq - 2 * array_inner_product(q.vq, co.gq)
+                        + co.ng, co.g) AS rn
+    FROM q CROSS JOIN coarse co)
+  WHERE rn <= {_IVF_CPROBE}
 ),
 routed AS MATERIALIZED (
   SELECT vec_id, cell, (rn = 1) AS is_home FROM (
@@ -436,11 +472,13 @@ routed AS MATERIALIZED (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY d2, cell) AS rn,
            min(d2) OVER (PARTITION BY vec_id) AS dh
-    FROM (SELECT q.vec_id, c.cell,
-                 array_inner_product(q.vq, q.vq)
-                 - 2 * array_inner_product(q.vq, c.cq)
-                 + array_inner_product(c.cq, c.cq) AS d2
-          FROM q CROSS JOIN cent c))
+    FROM (SELECT q.vec_id, ce.cell,
+                 q.nq - 2 * array_inner_product(q.vq, ce.cq)
+                 + ce.nc AS d2
+          FROM q
+          JOIN routedg rg ON rg.vec_id = q.vec_id
+          JOIN cellgrp cg ON cg.g = rg.g
+          JOIN cent ce ON ce.cell = cg.cell))
   WHERE rn <= {_IVF_NPROBE} AND d2 <= {lim}
 ),
 cand AS (

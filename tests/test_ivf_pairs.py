@@ -162,3 +162,89 @@ def test_brute_force_right_blocking_matches_unblocked(spark, corpus):
         )
     )
     assert a == b
+
+
+def test_ivf_two_level_active_path_exact_on_clustered_data(spark):
+    # r11: routing is two-level (coarse = isqrt(k)-stride over the
+    # codebook). Force the ACTIVE two-level path — cprobe < kc — with
+    # sample_mod=1 (every row a cell: k=120, cstride=10, kc=12 > 4).
+    # Families are tight angular cones 30° apart with members 0.1°
+    # apart, ids contiguous per family, so the stride lands EXACTLY
+    # one coarse centroid inside each family and every member's
+    # nearest coarse group is unambiguously its own family — on such
+    # data the margin cap makes the index EXACT: the pair set must
+    # equal brute force, dist and all. (One-hot near-orthogonal
+    # families would NOT give this: there the coarse ranking is
+    # noise-driven and recall is only a measured quantity.)
+    import math as m
+
+    rows = [
+        (
+            i,
+            [
+                m.cos(m.radians(30.0 * (i // 10) + 0.1 * (i % 10))),
+                m.sin(m.radians(30.0 * (i // 10) + 0.1 * (i % 10))),
+                0.0,
+                0.0,
+            ],
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    eps = 0.001  # intra-family cos-dist <= 1-cos(0.9°) ~ 1.2e-4
+    ivf = _pairs(
+        C.ivf_epsilon_pairs(
+            df, eps, id_col="vec_id", vec_col="embedding",
+            sample_mod=1, nprobe=10, cprobe=4,
+        )
+    )
+    brute = _pairs(
+        C.brute_force_pairs(
+            df, df, eps, id_col="vec_id", vec_col="embedding"
+        )
+    )
+    assert set(ivf) == set(brute)
+    assert len(brute) == 12 * 10 * 9  # every intra-family ordered pair
+    # dists agree to float noise (ivf emits the exact fold-order
+    # cosine — pinned bit-for-bit vs Catalyst in
+    # test_ivf_dist_matches_engine_fold_exactly — while brute's
+    # kernel uses a BLAS matmul: last-ulp differences are expected)
+    assert all(abs(ivf[p] - brute[p]) < 1e-12 for p in brute)
+
+
+def test_ivf_cprobe_monotone_and_saturated_is_one_level(spark, corpus):
+    # cprobe >= kc probes every group — the fine ranking then runs
+    # over ALL cells, i.e. the r10 one-level semantics; any two
+    # saturated values must agree exactly. Below saturation the
+    # coarse cut only PRUNES candidate cells (same margin, same
+    # nprobe rank over a subset), so the default-cprobe answer must
+    # be a subset of the saturated one, and on this corpus (k=83,
+    # kc=10 > 8: active two-level) the measured loss stays small.
+    eps = 0.10
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", sample_mod=64, nprobe=8,
+        both_directions=False,
+    )
+    a = _pairs(C.ivf_epsilon_pairs(corpus, eps, cprobe=10**6, **kw))
+    a2 = _pairs(C.ivf_epsilon_pairs(corpus, eps, cprobe=10, **kw))
+    assert a == a2  # kc == 10: both saturated, bit-identical
+    b = _pairs(C.ivf_epsilon_pairs(corpus, eps, cprobe=8, **kw))
+    # NOT a subset relation: pruning groups improves surviving cells'
+    # ranks past the nprobe cut (and loosens the d2_home margin), so
+    # each side can hold pairs the other misses — but every emitted
+    # dist is exact-verified (identical where both found the pair)
+    # and the overlap stays high even on this near-orthogonal corpus
+    assert all(a[p] == b[p] for p in set(a) & set(b))
+    assert len(set(a) & set(b)) >= 0.95 * len(a)
+    assert 0.95 * len(a) <= len(b) <= 1.05 * len(a)
+
+
+def test_similarity_pairs_ivf_rejects_distinct_right(spark, corpus):
+    other = corpus.where(F.col("vec_id") % 2 == 0)
+    with pytest.raises(ValueError, match="self-join"):
+        C.similarity_pairs(
+            corpus, other, 0.10, id_col="vec_id", vec_col="embedding",
+            strategy="ivf",
+        )
