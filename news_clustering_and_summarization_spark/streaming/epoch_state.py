@@ -91,14 +91,19 @@ def freeze_checkpoint(state_dir: str, checkpoint: str) -> None:
     (``_checkpoint.json``) and any later start with a different
     location raises instead of corrupting.
 
-    Written atomically (temp + rename) like ``_params.json``."""
+    Written atomically with CREATE-EXCLUSIVE semantics (temp +
+    os.link, which fails if the target exists — unlike rename, which
+    silently replaces): two streams starting concurrently against
+    the same state_dir cannot both win the race; the loser re-reads
+    the winner's binding and raises on conflict (r10 advisor
+    finding: check-then-rename left exactly the concurrent case the
+    guard exists for undetected)."""
     import json
 
     path = os.path.join(state_dir, "_checkpoint.json")
     mine = {"checkpoint": os.path.abspath(checkpoint)}
-    if os.path.exists(path):
-        with open(path) as f:
-            frozen = json.load(f)
+
+    def _check(frozen: dict) -> None:
         if frozen != mine:
             raise ValueError(
                 f"state_dir {state_dir!r} is bound to checkpoint "
@@ -108,14 +113,25 @@ def freeze_checkpoint(state_dir: str, checkpoint: str) -> None:
                 "state — reuse the original checkpoint or use a new "
                 "state_dir"
             )
+
+    if os.path.exists(path):
+        with open(path) as f:
+            _check(json.load(f))
         return
     os.makedirs(state_dir, exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(mine, f)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        # lost the race — validate against the winner's binding
+        with open(path) as f:
+            _check(json.load(f))
+    finally:
+        os.remove(tmp)
 
 
 def _writer_in_progress(staging: str) -> bool:

@@ -286,3 +286,51 @@ def test_zero_pid_marker_treated_as_unreadable(spark, tmp_path):
         epoch_state.recover_staging(path)
         assert not os.path.exists(staging), content  # stale: reaped
     assert _totals(spark, path) == {1: 20}
+
+
+def test_freeze_checkpoint_binds_and_conflicts(tmp_path):
+    sd = str(tmp_path / "state")
+    epoch_state.freeze_checkpoint(sd, str(tmp_path / "ckpt_a"))
+    # same binding: idempotent
+    epoch_state.freeze_checkpoint(sd, str(tmp_path / "ckpt_a"))
+    import pytest
+
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        epoch_state.freeze_checkpoint(sd, str(tmp_path / "ckpt_b"))
+
+
+def test_freeze_checkpoint_race_loser_detects_conflict(tmp_path, monkeypatch):
+    # r10 advisor: check-then-write missed the CONCURRENT case. Force
+    # the race window — the exists() probe says no binding, but by
+    # link time another stream has won — and require the loser to
+    # re-read the winner's binding and raise instead of clobbering.
+    import json
+
+    import pytest
+
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    path = os.path.join(sd, "_checkpoint.json")
+    real_exists = os.path.exists
+
+    def racing_exists(p):
+        if p == path:
+            # winner lands its binding AFTER the probe returns False
+            if not real_exists(p):
+                with open(p, "w") as f:
+                    json.dump(
+                        {"checkpoint": os.path.abspath(
+                            str(tmp_path / "ckpt_winner"))},
+                        f,
+                    )
+            return False
+        return real_exists(p)
+
+    monkeypatch.setattr(os.path, "exists", racing_exists)
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        epoch_state.freeze_checkpoint(sd, str(tmp_path / "ckpt_loser"))
+    monkeypatch.undo()
+    # the winner's binding survived untouched and still validates
+    epoch_state.freeze_checkpoint(sd, str(tmp_path / "ckpt_winner"))
+    # no temp litter left behind
+    assert [f for f in os.listdir(sd) if ".tmp" in f] == []
