@@ -512,115 +512,19 @@ def ivf_centroid_ids(df: DataFrame, id_col: str, sample_mod: int):
     )
 
 
-def ivf_epsilon_pairs(
-    df: DataFrame,
-    eps: float,
-    id_col: str = "row_id",
-    vec_col: str = "centroid",
-    sample_mod: int = 64,
-    nprobe: int = 8,
-    cprobe: int = 8,
-    margin: float | None = None,
-    max_block: int = 4096,
-    both_directions: bool = True,
-) -> DataFrame:
-    """ε-pair self-join via IVF cells with margin-capped multiprobe
-    (r09 verdict item 1: the scale-stable index past sign-LSH's L=8
-    recall ceiling). Output contract matches brute_force_pairs /
-    lsh_candidate_pairs symmetric mode: both directions, no
-    self-pairs, exact ``dist``; false positives are structurally
-    impossible (every candidate is exact-verified).
-
-    **Index.** The codebook is a hash-stride SAMPLE OF THE DATA
-    (ivf_centroid_ids, expected n/sample_mod points) — no Lloyd
-    float fitting, so the whole index is deterministic relational
-    algebra both engines can replay. Routing is TWO-LEVEL (r10
-    verdict item 1: one-level ranking was n·k·dim = O(n²·dim/
-    sample_mod) total FLOPs with k ∝ n — quadratic CPU, the last
-    scale-killer term in the flagship path). Level 1: coarse
-    centroids are every isqrt(k)-th row of the cell-id-ordered
-    codebook (kc ≈ √k of them), each fine cell is assigned to its
-    nearest coarse centroid, and a point ranks only the kc coarse
-    rows, keeping its top-``cprobe`` groups. Level 2: the point
-    ranks the fine cells INSIDE those groups (expected cprobe·√k of
-    them) and probes its top-``nprobe``, margin-filtered. Per-point
-    routing work is (kc + cprobe·k/kc)·dim ≈ (1+cprobe)·√k·dim —
-    n^1.5 total instead of n², and at probe scales the matmuls are
-    no longer the wall. When cprobe ≥ kc every group is probed and
-    the index degrades EXACTLY to one-level semantics (the fine
-    ranking then runs over all k cells), so small inputs keep the
-    old behavior bit-for-bit. All distances at both levels are
-    quantized integer squared euclidean (components scaled by
-    IVF_QUANT and half-up rounded; dim·(Q·|x|)² stays under 2^53,
-    so numpy BLAS on integer-valued doubles and DuckDB's
-    array_inner_product produce the SAME exact integers in any
-    summation order — routing has zero float ambiguity), ties broken
-    by (d2, id) at every level. The margin filter drops probed cells
-    beyond sqrt(d2_home) + Q·(sqrt(2·eps) + slack), where d2_home is
-    the best PROBED cell: cells beyond it cannot host an ε-pair
-    completion (triangle inequality on ~unit-norm inputs), so on
-    cluster-structured corpora the probe list collapses to ~1 cell;
-    on sphere-filling corpora the cap bounds cost and recall is the
-    measured quantity (tools/ivf_scale_probe.py).
-
-    **Why this breaks the LSH decade ceiling.** Sign-LSH holds
-    recall by growing tables L (2→3→8 across the r09 probe's two
-    decades — saturated at the L=8 cap, cluster.py signlsh_tables).
-    Here a pair is found iff one endpoint's home cell is in the
-    other's top-``nprobe`` probe list; as n grows, cells shrink only
-    like k^(-1/dim) (k ∝ n at fixed sample_mod), so the probe-rank
-    of a true neighbor's home cell is ~scale-invariant — recall
-    needs no growing knob. tools/ivf_scale_probe.py measures exactly
-    this across 50k/500k/5M.
-
-    **Scale shape.** Routing: one row-chunked BLAS pass against the
-    broadcast codebook, zero shuffle, n·(1+cprobe)·√k·dim flops
-    (two-level, above). One data
-    shuffle routes each vector to <= nprobe cells (<= nprobe·n rows;
-    margin typically prunes far below the cap). Verification runs
-    inside each cell as a blocked numpy kernel (semdedup's bounded-
-    quadratic shape): per-cell m² cosines with m ~ sample_mod·probe
-    fan-out; candidates never materialize into a shuffle — only
-    verified ε-pairs leave the kernel, so post-kernel traffic is
-    answer-bound (one dropDuplicates for the <= 2 cells that can
-    both emit a pair). Skew honesty: the largest cell bounds one
-    task's wall (``max_block`` chunking keeps memory flat); a
-    pathological single-cell corpus degrades to the exact quadratic
-    in one task — same answer, no memory cliff.
-
-    **Exactness of dist.** The kernel prefilters with a normalized
-    fp64 matmul at eps + 1e-9, then recomputes survivors with the
-    SAME left-to-right index-ordered fold as V.cosine_distance /
-    cosine_distance_sql (vectorized across pairs, sequential across
-    dims — bit-identical doubles), so emitted distances equal the
-    Catalyst/DuckDB expression exactly and full value-level oracles
-    hold (plans/catalog_cluster.q_cluster_ivf*)."""
+def _ivf_prep_from_vecs(vecs, eps, margin, nprobe, cprobe):
+    """Quantize an ORDERED codebook (cell i = vecs[i]) and derive the
+    two-level coarse structure + resolved probe knobs. Shared by the
+    in-memory ε-pair join and the on-disk index (eps_index.py), so a
+    frozen persisted codebook routes bit-identically to the build."""
     import math
 
     import numpy as np
-    import pandas as pd
 
-    spark = df.sparkSession
-    id_type = dict(df.dtypes)[id_col]
-    out_schema = f"l_id {id_type}, r_id {id_type}, dist double"
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).where(F.col("_v").isNotNull())
-    cent_rows = (
-        ivf_centroid_ids(base, "_id", sample_mod)
-        .orderBy("_id")
-        .collect()
-    )
-    if not cent_rows:
-        # stride hit nothing (tiny input): every row is its own cell
-        cent_rows = base.orderBy("_id").collect()
-    if not cent_rows:
-        return spark.createDataFrame([], out_schema)
     Cq = np.array(
         [
-            np.floor(np.asarray(r["_v"], dtype=np.float64) * IVF_QUANT + 0.5)
-            for r in cent_rows
+            np.floor(np.asarray(v, dtype=np.float64) * IVF_QUANT + 0.5)
+            for v in vecs
         ],
         dtype=np.float64,
     )
@@ -629,7 +533,6 @@ def ivf_epsilon_pairs(
         margin = math.sqrt(2.0 * eps) + 1e-6
     mq = margin * IVF_QUANT
     k = len(Cq)
-    p = min(nprobe, k)
     # two-level index: coarse centroids = every cstride-th row of the
     # id-ordered codebook; each fine cell joins its nearest coarse
     # group by the same exact-integer d2 with (d2, g) tie-break
@@ -637,19 +540,28 @@ def ivf_epsilon_pairs(
     cstride = max(1, math.isqrt(k))
     g_pos = np.arange(0, k, cstride)
     kc = len(g_pos)
-    cp = min(cprobe, kc)
     Gq = Cq[g_pos]
     g_sq = c_sq[g_pos]
     d2cg = c_sq[:, None] - 2.0 * (Cq @ Gq.T) + g_sq[None, :]
     cell_grp = np.argmin(d2cg, axis=1)
     grp_members = [np.nonzero(cell_grp == g)[0] for g in range(kc)]
-    bc = spark.sparkContext.broadcast(
-        (Cq, c_sq, Gq, g_sq, grp_members)
-    )
+    return {
+        "arrays": (Cq, c_sq, Gq, g_sq, grp_members),
+        "p": min(nprobe, k),
+        "cp": min(cprobe, kc),
+        "mq": mq,
+    }
 
-    par = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+
+def _ivf_route_fn(bc, p: int, cp: int, mq: float):
+    """mapInPandas routing-kernel factory: quantize each batch, rank
+    the coarse rows (level 1), exact-rank the probed groups' fine
+    cells (level 2) via one (d2, cell) lexsort, margin-cap, and emit
+    (cell, _id, _home, _v) fan-out rows. ``bc`` broadcasts the
+    _ivf_prep_from_vecs arrays; shared by ivf_epsilon_pairs and the
+    on-disk index so build/append/query all route identically."""
+    import numpy as np
+    import pandas as pd
 
     def route(batches):
         Cm, csq, Gm, gsq, members = bc.value
@@ -734,15 +646,23 @@ def ivf_epsilon_pairs(
                 }
             )
 
-    routed = base.mapInPandas(
-        route,
-        schema=f"cell long, _id {id_type}, _home boolean, "
-        "_v array<double>",
-    )
+    return route
+
+
+def _ivf_cell_pairs_fn(eps: float, max_block: int):
+    """applyInPandas per-cell verify-kernel factory. Full mode emits
+    every within-cell ε-pair (canonical l_id < r_id, home-flag
+    dedup); when the input carries a ``_new`` boolean column the
+    kernel runs INCREMENTALLY — left side restricted to new rows, so
+    settled pool×pool pairs are never recomputed."""
+    import numpy as np
+    import pandas as pd
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
         home = pdf["_home"].to_numpy()
+        inc = "_new" in pdf.columns
+        newm = pdf["_new"].to_numpy() if inc else None
         X = np.array(pdf["_v"].tolist(), dtype=np.float64)
         # fold-order norms: sequential over dims, vectorized over rows
         # (bit-identical to V.norm / norm_sql)
@@ -752,42 +672,71 @@ def ivf_epsilon_pairs(
         norms = np.sqrt(acc)
         Xn = X / np.maximum(norms, 1e-300)[:, None]
         out_l, out_r, out_d = [], [], []
-        for i0 in range(0, len(X), max_block):
-            i1 = min(i0 + max_block, len(X))
-            for j0 in range(i0, len(X), max_block):
-                j1 = min(j0 + max_block, len(X))
-                d = 1.0 - Xn[i0:i1] @ Xn[j0:j1].T
-                li, rj = np.nonzero(d <= eps + 1e-9)
-                gi, gj = li + i0, rj + j0
-                if j0 == i0:
-                    # diagonal block: both orientations present in the
-                    # nonzero — the id order keeps exactly one
-                    keep = (ids[gi] < ids[gj]) & (home[gi] | home[gj])
-                else:
-                    # off-diagonal block: each cross pair appears ONCE
-                    # (block (j0, i0) is never iterated), in whichever
-                    # orientation the block order gave it — canonicalize
-                    # below instead of filtering, or the pairs whose
-                    # smaller id lives in the later block are lost
-                    keep = (ids[gi] != ids[gj]) & (home[gi] | home[gj])
-                gi, gj = gi[keep], gj[keep]
-                if not len(gi):
-                    continue
-                swap = ids[gi] > ids[gj]
-                gi[swap], gj[swap] = gj[swap], gi[swap]
-                # exact fold-order dot on the ORIGINAL doubles for
-                # survivors: sequential over dims, vectorized over
-                # pairs — replays the Catalyst/DuckDB fold exactly
-                dot = np.zeros(len(gi), dtype=np.float64)
-                A, B = X[gi], X[gj]
-                for jd in range(X.shape[1]):
-                    dot = dot + A[:, jd] * B[:, jd]
-                dist = 1.0 - dot / (norms[gi] * norms[gj])
-                dist = np.clip(dist, 0.0, 1.0)
-                ok = dist <= eps
-                out_l.append(ids[gi][ok])
-                out_r.append(ids[gj][ok])
-                out_d.append(dist[ok])
+
+        def emit(gi, gj):
+            if not len(gi):
+                return
+            swap = ids[gi] > ids[gj]
+            gi[swap], gj[swap] = gj[swap], gi[swap]
+            # exact fold-order dot on the ORIGINAL doubles for
+            # survivors: sequential over dims, vectorized over
+            # pairs — replays the Catalyst/DuckDB fold exactly
+            dot = np.zeros(len(gi), dtype=np.float64)
+            A, B = X[gi], X[gj]
+            for jd in range(X.shape[1]):
+                dot = dot + A[:, jd] * B[:, jd]
+            dist = 1.0 - dot / (norms[gi] * norms[gj])
+            dist = np.clip(dist, 0.0, 1.0)
+            ok = dist <= eps
+            out_l.append(ids[gi][ok])
+            out_r.append(ids[gj][ok])
+            out_d.append(dist[ok])
+
+        if inc:
+            # incremental: left = NEW rows only, right = all rows in
+            # the cell — settled pool×pool pairs are never recomputed
+            # (the reference's new×(pool∪new) block shape,
+            # clustering.py:88-118). A new×new pair is seen from both
+            # endpoints: the id order keeps exactly one.
+            L = np.nonzero(newm)[0]
+            for i0 in range(0, len(L), max_block):
+                li = L[i0: i0 + max_block]
+                for j0 in range(0, len(X), max_block):
+                    j1 = min(j0 + max_block, len(X))
+                    d = 1.0 - Xn[li] @ Xn[j0:j1].T
+                    ii, rj = np.nonzero(d <= eps + 1e-9)
+                    gi, gj = li[ii], rj + j0
+                    keep = (
+                        (ids[gi] != ids[gj])
+                        & (home[gi] | home[gj])
+                        & (~newm[gj] | (ids[gi] < ids[gj]))
+                    )
+                    emit(gi[keep], gj[keep])
+        else:
+            for i0 in range(0, len(X), max_block):
+                i1 = min(i0 + max_block, len(X))
+                for j0 in range(i0, len(X), max_block):
+                    j1 = min(j0 + max_block, len(X))
+                    d = 1.0 - Xn[i0:i1] @ Xn[j0:j1].T
+                    li, rj = np.nonzero(d <= eps + 1e-9)
+                    gi, gj = li + i0, rj + j0
+                    if j0 == i0:
+                        # diagonal block: both orientations present in
+                        # the nonzero — the id order keeps exactly one
+                        keep = (ids[gi] < ids[gj]) & (
+                            home[gi] | home[gj]
+                        )
+                    else:
+                        # off-diagonal block: each cross pair appears
+                        # ONCE (block (j0, i0) is never iterated), in
+                        # whichever orientation the block order gave
+                        # it — canonicalize in emit() instead of
+                        # filtering, or pairs whose smaller id lives
+                        # in the later block are lost
+                        keep = (ids[gi] != ids[gj]) & (
+                            home[gi] | home[gj]
+                        )
+                    emit(gi[keep], gj[keep])
         if not out_l:
             return pd.DataFrame({"l_id": [], "r_id": [], "dist": []})
         return pd.DataFrame(
@@ -798,9 +747,130 @@ def ivf_epsilon_pairs(
             }
         )
 
+    return cell_pairs
+
+
+def ivf_epsilon_pairs(
+    df: DataFrame,
+    eps: float,
+    id_col: str = "row_id",
+    vec_col: str = "centroid",
+    sample_mod: int = 64,
+    nprobe: int = 8,
+    cprobe: int = 8,
+    margin: float | None = None,
+    max_block: int = 4096,
+    both_directions: bool = True,
+) -> DataFrame:
+    """ε-pair self-join via IVF cells with margin-capped multiprobe
+    (r09 verdict item 1: the scale-stable index past sign-LSH's L=8
+    recall ceiling). Output contract matches brute_force_pairs /
+    lsh_candidate_pairs symmetric mode: both directions, no
+    self-pairs, exact ``dist``; false positives are structurally
+    impossible (every candidate is exact-verified).
+
+    **Index.** The codebook is a hash-stride SAMPLE OF THE DATA
+    (ivf_centroid_ids, expected n/sample_mod points) — no Lloyd
+    float fitting, so the whole index is deterministic relational
+    algebra both engines can replay. Routing is TWO-LEVEL (r10
+    verdict item 1: one-level ranking was n·k·dim = O(n²·dim/
+    sample_mod) total FLOPs with k ∝ n — quadratic CPU, the last
+    scale-killer term in the flagship path). Level 1: coarse
+    centroids are every isqrt(k)-th row of the cell-id-ordered
+    codebook (kc ≈ √k of them), each fine cell is assigned to its
+    nearest coarse centroid, and a point ranks only the kc coarse
+    rows, keeping its top-``cprobe`` groups. Level 2: the point
+    ranks the fine cells INSIDE those groups (expected cprobe·√k of
+    them) and probes its top-``nprobe``, margin-filtered. Per-point
+    routing work is (kc + cprobe·k/kc)·dim ≈ (1+cprobe)·√k·dim —
+    n^1.5 total instead of n², and at probe scales the matmuls are
+    no longer the wall. When cprobe ≥ kc every group is probed and
+    the index degrades EXACTLY to one-level semantics (the fine
+    ranking then runs over all k cells), so small inputs keep the
+    old behavior bit-for-bit. All distances at both levels are
+    quantized integer squared euclidean (components scaled by
+    IVF_QUANT and half-up rounded; dim·(Q·|x|)² stays under 2^53,
+    so numpy BLAS on integer-valued doubles and DuckDB's
+    array_inner_product produce the SAME exact integers in any
+    summation order — routing has zero float ambiguity), ties broken
+    by (d2, id) at every level. The margin filter drops probed cells
+    beyond sqrt(d2_home) + Q·(sqrt(2·eps) + slack), where d2_home is
+    the best PROBED cell: cells beyond it cannot host an ε-pair
+    completion (triangle inequality on ~unit-norm inputs), so on
+    cluster-structured corpora the probe list collapses to ~1 cell;
+    on sphere-filling corpora the cap bounds cost and recall is the
+    measured quantity (tools/ivf_scale_probe.py).
+
+    **Why this breaks the LSH decade ceiling.** Sign-LSH holds
+    recall by growing tables L (2→3→8 across the r09 probe's two
+    decades — saturated at the L=8 cap, cluster.py signlsh_tables).
+    Here a pair is found iff one endpoint's home cell is in the
+    other's top-``nprobe`` probe list; as n grows, cells shrink only
+    like k^(-1/dim) (k ∝ n at fixed sample_mod), so the probe-rank
+    of a true neighbor's home cell is ~scale-invariant — recall
+    needs no growing knob. tools/ivf_scale_probe.py measures exactly
+    this across 50k/500k/5M.
+
+    **Scale shape.** Routing: one row-chunked BLAS pass against the
+    broadcast codebook, zero shuffle, n·(1+cprobe)·√k·dim flops
+    (two-level, above). One data
+    shuffle routes each vector to <= nprobe cells (<= nprobe·n rows;
+    margin typically prunes far below the cap). Verification runs
+    inside each cell as a blocked numpy kernel (semdedup's bounded-
+    quadratic shape): per-cell m² cosines with m ~ sample_mod·probe
+    fan-out; candidates never materialize into a shuffle — only
+    verified ε-pairs leave the kernel, so post-kernel traffic is
+    answer-bound (one dropDuplicates for the <= 2 cells that can
+    both emit a pair). Skew honesty: the largest cell bounds one
+    task's wall (``max_block`` chunking keeps memory flat); a
+    pathological single-cell corpus degrades to the exact quadratic
+    in one task — same answer, no memory cliff.
+
+    **Exactness of dist.** The kernel prefilters with a normalized
+    fp64 matmul at eps + 1e-9, then recomputes survivors with the
+    SAME left-to-right index-ordered fold as V.cosine_distance /
+    cosine_distance_sql (vectorized across pairs, sequential across
+    dims — bit-identical doubles), so emitted distances equal the
+    Catalyst/DuckDB expression exactly and full value-level oracles
+    hold (plans/catalog_cluster.q_cluster_ivf*)."""
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"l_id {id_type}, r_id {id_type}, dist double"
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    cent_rows = (
+        ivf_centroid_ids(base, "_id", sample_mod)
+        .orderBy("_id")
+        .collect()
+    )
+    if not cent_rows:
+        # stride hit nothing (tiny input): every row is its own cell
+        cent_rows = base.orderBy("_id").collect()
+    if not cent_rows:
+        return spark.createDataFrame([], out_schema)
+    prep = _ivf_prep_from_vecs(
+        [r["_v"] for r in cent_rows], eps, margin, nprobe, cprobe
+    )
+    bc = spark.sparkContext.broadcast(prep["arrays"])
+    p, cp, mq = prep["p"], prep["cp"], prep["mq"]
+
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+
+    routed = base.mapInPandas(
+        _ivf_route_fn(bc, p, cp, mq),
+        schema=f"cell long, _id {id_type}, _home boolean, "
+        "_v array<double>",
+    )
+
     verified = (
         routed.groupBy("cell")
-        .applyInPandas(cell_pairs, schema=out_schema)
+        .applyInPandas(
+            _ivf_cell_pairs_fn(eps, max_block), schema=out_schema
+        )
         # a pair can surface in home(u) AND home(v) — answer-bound dedup
         .dropDuplicates(["l_id", "r_id"])
     )
