@@ -404,7 +404,7 @@ def q_cluster_ivf_verify(spark, sf):
     )
 
 
-def _oracle_ivf_ctes() -> str:
+def _oracle_ivf_ctes(cent_pred: str = "") -> str:
     """Shared WITH-prefix of the cluster_ivf oracles: md5 inflation,
     integer quantization, codebook stride, TWO-LEVEL exact-integer
     routing (coarse = every isqrt(k)-th codebook row; fine ranking
@@ -437,7 +437,7 @@ q AS MATERIALIZED (
 cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          vq AS cq, nq AS nc
-  FROM q WHERE {stride}
+  FROM q WHERE {stride}{cent_pred}
 ),
 parms AS MATERIALIZED (
   SELECT greatest(1, CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT))
@@ -500,6 +500,70 @@ def inflate_vectors_sql_cached(src: str, factor: int) -> str:
     from ..testing import inflate_vectors_sql
 
     return inflate_vectors_sql(src, factor, dim=64)
+
+
+def q_cluster_ivf_index(spark, sf):
+    """On-disk IVF ε-pair index lifecycle as ONE oracled query (r10
+    verdict item 6): build the index over a 90% base (codebook =
+    hash-stride over base only), APPEND the remaining 10% against the
+    frozen codebook, then read the full pair set straight from the
+    persisted fan-out — no routing at query time. The oracle is the
+    cluster_ivf bit-replay with the codebook CTE restricted to base
+    rows: append==rebuild holds because the appended rows route
+    through the identical broadcast geometry
+    (operators/eps_index.py; equivalence also pinned by
+    tests/test_eps_index.py). Same 2^61 edge-set checksums."""
+    import os
+
+    from ..operators import eps_index as XI
+
+    inflated, _ = _ivf_inflated_edges_input(spark, sf)
+    split = H.hash64(F.col("vec_id").cast("string")) % 10 == 0
+    base = inflated.where(~split)
+    batch = inflated.where(split)
+    tag = sf.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_eps_index/{tag}_{os.getpid()}"
+    kw = dict(id_col="vec_id", vec_col="embedding")
+    XI.write_eps_index(
+        base, path, _IVF_EPS, sample_mod=_IVF_SAMPLE_MOD,
+        nprobe=_IVF_NPROBE, cprobe=_IVF_CPROBE, n_buckets=64, **kw,
+    )
+    XI.append_eps_index(batch, path, **kw)
+    edges = XI.eps_pairs_from_index(spark, path)
+    return inflated.agg(F.count("*").alias("n_nodes")).crossJoin(
+        edges.agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.max("dist"), 6).alias("max_edge_dist"),
+            *_edge_checksums(),
+        )
+    )
+
+
+def _ivf_inflated_edges_input(spark, sf):
+    """The cluster_ivf inflation (shared corpus, no edge compute)."""
+    from ..testing import inflate_vectors
+
+    emb = load(spark, sf, "embeddings")
+    inflated = (
+        inflate_vectors(emb, _IVF_FACTOR)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    return inflated, None
+
+
+def oracle_cluster_ivf_index() -> str:
+    pair_h = H.hash64_sql("l_id::VARCHAR || '|' || r_id::VARCHAR")
+    base_pred = " AND " + H.hash64_sql("vec_id::VARCHAR") + " % 10 != 0"
+    return f"""{_oracle_ivf_ctes(cent_pred=base_pred)}
+SELECT (SELECT count(*) FROM inf) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT round(max(dist), 6) FROM edges) AS max_edge_dist,
+       (SELECT (sum(({pair_h})::HUGEINT) % {_CK_MOD})::BIGINT
+        FROM edges) AS pair_ck,
+       (SELECT (sum(floor(dist * 1e6 + 0.5)::HUGEINT)
+                % {_CK_MOD})::BIGINT FROM edges) AS dist_ck
+"""
 
 
 def oracle_cluster_ivf() -> str:
