@@ -48,28 +48,51 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
     }
 
 
+def decode_image(payload: bytes):
+    """Magic-dispatched real image decode: uncompressed BMP
+    (functions/bmp.py) or baseline PNG (functions/png.py, zlib +
+    NumPy — r10 verdict item 5: the first COMPRESSED format behind
+    the seam). Returns (H, W, 3) uint8 RGB; raises ValueError for a
+    payload that claims a supported format but doesn't parse, and
+    NotImplementedError for formats that genuinely need codec
+    libraries this container doesn't ship (JPEG/WebP/video/audio)."""
+    from ..functions import bmp, png
+
+    if (payload or b"").startswith(b"BM"):
+        return bmp.decode_bmp(payload)
+    if (payload or b"").startswith(png.SIGNATURE):
+        return png.decode_png(payload)
+    raise NotImplementedError(
+        "media codecs unavailable in this environment for payloads "
+        "of this format; BMP and baseline PNG decode for real, or "
+        "pass fake=True for the deterministic test decode"
+    )
+
+
 def _real_decode(payload: bytes, media_type: str) -> dict:
     """Real decode for the formats a dependency-free decoder can
-    handle: uncompressed BMP (functions/bmp.py). Any payload with
-    the BMP magic parses for real; a corrupt/unsupported BMP is a
-    DATA problem and degrades to an ok=False row (a 100 TB decode
-    job must quarantine bad assets, not die). Payloads of other
-    formats (PNG/JPEG/mp4/wav...) still need codec libraries this
-    container doesn't have — that remains the documented
-    NotImplementedError seam."""
+    handle: uncompressed BMP and baseline PNG (decode_image). Any
+    payload with a supported magic parses for real; a corrupt or
+    out-of-subset asset is a DATA problem and degrades to an
+    ok=False row (a 100 TB decode job must quarantine bad assets,
+    not die). Other formats (JPEG/WebP/mp4/wav...) still need codec
+    libraries this container doesn't have — that remains the
+    documented NotImplementedError seam."""
     from ..functions import bmp
 
-    if not (payload or b"").startswith(b"BM"):
+    try:
+        rgb = decode_image(payload)
+        grid = bmp.luma_grid(rgb)
+    except NotImplementedError:
         raise NotImplementedError(
             "media codecs unavailable in this environment for "
-            f"{media_type} payloads of this format; BMP decodes for "
-            "real, or pass fake=True for the deterministic test decode"
-        )
-    try:
-        rgb = bmp.decode_bmp(payload)
-        grid = bmp.luma_grid(rgb)
+            f"{media_type} payloads of this format; BMP/PNG decode "
+            "for real, or pass fake=True for the deterministic test "
+            "decode"
+        ) from None
     except ValueError:
-        # claims BMP (magic matched) but doesn't parse: corrupt asset
+        # claims a supported format (magic matched) but doesn't
+        # parse: corrupt asset
         return {
             "ok": False, "width": None, "height": None,
             "n_frames": None, "feature": None,
@@ -200,13 +223,13 @@ def fake_pixels(df: DataFrame) -> DataFrame:
 
 
 def real_pixels(df: DataFrame) -> DataFrame:
-    """REAL luma downsample: decode each BMP payload (functions/
-    bmp.py) and emit its 8x8 integer mean-luma grid minus the 4
-    corners as the same ``(asset_id, cell, value)`` relation
+    """REAL luma downsample: decode each BMP/PNG payload
+    (decode_image) and emit its 8x8 integer mean-luma grid minus the
+    4 corners as the same ``(asset_id, cell, value)`` relation
     fake_pixels produces — so ahash_fingerprints / phash_duplicates
-    run unchanged on genuine image bytes. Non-BMP or corrupt assets
-    contribute no rows (quarantine-by-omission; the decode_media
-    ok=False row is the audit surface for those).
+    run unchanged on genuine image bytes. Unsupported-format or
+    corrupt assets contribute no rows (quarantine-by-omission; the
+    decode_media ok=False row is the audit surface for those).
 
     mapInPandas like decode_media: payload bytes stay in executor
     Arrow batches, never row-at-a-time and never on the driver."""
@@ -226,7 +249,7 @@ def real_pixels(df: DataFrame) -> DataFrame:
             ids, cells, values = [], [], []
             for _, row in pdf.iterrows():
                 try:
-                    grid = bmp.luma_grid(bmp.decode_bmp(row["payload"]))
+                    grid = bmp.luma_grid(decode_image(row["payload"]))
                 except (ValueError, NotImplementedError):
                     continue
                 for (i, j), c in cell_of.items():
