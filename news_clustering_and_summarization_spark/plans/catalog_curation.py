@@ -1357,7 +1357,12 @@ def q_ann_ivf_pq(spark, sf):
     recall@10 vs global brute force stays floor-asserted at 0.6
     in-plan (measured 0.8 at sf0.01; ADC alone scores 0.2-0.3 on
     these weak-structure vectors — the re-rank stage is what the
-    composition exists for)."""
+    composition exists for). The shortlist SCALES with the corpus
+    (_adc_shortlist: 200 rows per 2000 vectors, a fixed ~10%
+    reduction RATIO) — the r11 sf1 sweep caught recall@10 at 0.4
+    with the shortlist pinned at 100: a constant shortlist over a
+    growing probed set silently starves the re-rank stage; both
+    engines compute the same size from count(*)."""
     from ..operators.kmeans import (
         assign_to_centroids,
         lloyd_centroids,
@@ -1388,7 +1393,7 @@ def q_ann_ivf_pq(spark, sf):
     shortlist = (
         pq_adc_scores(probed.select("vec_id", "codes"), qv, cbs)
         .orderBy("adc_dist", "vec_id")
-        .limit(100)
+        .limit(_adc_shortlist(emb.count()))
     )
     q = qdf.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("query_vec")
@@ -1406,10 +1411,25 @@ def q_ann_ivf_pq(spark, sf):
     return _with_recall_assert(reranked, exact, floor=0.6)
 
 
+def _adc_shortlist(n: int) -> int:
+    """ADC shortlist size for an n-vector corpus: 200 rows per 2000
+    vectors (ceil) — a fixed ~10% reduction RATIO of the probed set,
+    not a fixed row count. Ratio calibrated by the r11 sf1 catch:
+    the exact top-10 on these weak-structure vectors sit near the
+    orthogonality plateau, so ADC needs depth — 5% gave recall 0.5
+    at sf1, 10% gives 0.7 (deterministic; every stage replays).
+    SQL twin: _ADC_SHORTLIST_SQL (same ceil-div on count(*))."""
+    return 200 * ((n + 1999) // 2000)
+
+
+_ADC_SHORTLIST_SQL = "200 * (((SELECT count(*) FROM e) + 1999) // 2000)"
+
+
 def oracle_ann_ivf_pq(k: int = 10) -> str:
     """Full SQL replay of the composed index: kmeans CTE chain (cells)
     + PQ encode CTEs (codes) + query-side ADC lookup-table scoring +
-    (adc_dist, vec_id) 100-row shortlist + exact-cosine rerank."""
+    (adc_dist, vec_id) corpus-scaled shortlist (_adc_shortlist) +
+    exact-cosine rerank."""
     sq = _kmeans_sqdist_sql("e.v", "c.cent", 64)
     body = _PQ_BODY_CTE.replace(
         "{SUBDIST}", _pq_sub_sql("e.v", "cb.v", "m.m", 8)
@@ -1455,7 +1475,7 @@ cand AS (
   SELECT (SELECT vec_id FROM q) AS qid, vec_id AS nid FROM (
     SELECT vec_id,
            row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
-    FROM adc) WHERE rn <= 100
+    FROM adc) WHERE rn <= {_ADC_SHORTLIST_SQL}
 ),
 {_ann_tail_sql(k, query_pred=query_pred)}
 """
