@@ -84,6 +84,10 @@ CARTESIAN_OK = {
     # cluster_lsh_verify shape)
     "cluster_ivf",
     "cluster_ivf_verify",
+    # same O(1)-row summary crossJoin — (n_nodes) x (n_edges,
+    # max_dist, 2^61 checksums) — over pairs read from the on-disk
+    # ε-pair index instead of the in-memory join
+    "cluster_ivf_index",
     # crossJoins the broadcast ONE-ROW corpus-total aggregate onto the
     # bigram table (text_analysis.collocations) — O(1)-row side
     "collocations",

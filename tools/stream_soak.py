@@ -279,27 +279,50 @@ def main() -> int:
         "stream-soak", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    cluster_res = soak_clustering(spark)
-    t1 = time.time()
-    minhash_res = soak_minhash(spark)
-    t2 = time.time()
+    # SOAK_ONLY=cluster|minhash runs a single family; with SOAK_LABEL
+    # the result lands under "<family>_<label>" MERGED into the
+    # existing JSON — so a next-decade trajectory (e.g. the r11
+    # 500k-row clustering soak, SOAK_BATCHES=100 SOAK_BATCH_ROWS=5000
+    # SOAK_ONLY=cluster SOAK_LABEL=500k) sits beside the standing
+    # 50k evidence instead of replacing it.
+    only = os.environ.get("SOAK_ONLY")
+    label = os.environ.get("SOAK_LABEL")
+    out: dict = {}
+    if label and os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.load(f)
+    out.setdefault("batches_per_soak", N_BATCHES)
+    out.setdefault("batch_rows", BATCH_ROWS)
+    suffix = f"_{label}" if label else ""
+    ok = True
+    msgs = []
+    if only in (None, "cluster"):
+        t0 = time.time()
+        cluster_res = soak_clustering(spark)
+        cluster_res["n_batches_cfg"] = N_BATCHES
+        cluster_res["batch_rows_cfg"] = BATCH_ROWS
+        out[f"clustering{suffix}"] = {
+            **cluster_res, "total_sec": round(time.time() - t0, 1)
+        }
+        msgs.append(
+            f"clustering{suffix}: pool {cluster_res['pool_final']:,} / "
+            f"{cluster_res['rows_ingested']:,} ingested "
+            f"(ratio {cluster_res['pool_over_ingested']})"
+        )
+    if only in (None, "minhash"):
+        t1 = time.time()
+        minhash_res = soak_minhash(spark)
+        minhash_res["n_batches_cfg"] = N_BATCHES
+        minhash_res["batch_rows_cfg"] = BATCH_ROWS
+        out[f"minhash{suffix}"] = {
+            **minhash_res, "total_sec": round(time.time() - t1, 1)
+        }
+        ok = minhash_res["stream_eq_batch"]
+        msgs.append(f"minhash{suffix} stream==batch: {ok}")
     spark.stop()
-    out = {
-        "batches_per_soak": N_BATCHES,
-        "batch_rows": BATCH_ROWS,
-        "clustering": {**cluster_res, "total_sec": round(t1 - t0, 1)},
-        "minhash": {**minhash_res, "total_sec": round(t2 - t1, 1)},
-    }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    ok = minhash_res["stream_eq_batch"]
-    print(
-        f"clustering: pool {cluster_res['pool_final']:,} / "
-        f"{cluster_res['rows_ingested']:,} ingested "
-        f"(ratio {cluster_res['pool_over_ingested']}); "
-        f"minhash stream==batch: {ok} -> {out_path}"
-    )
+    print("; ".join(msgs) + f" -> {out_path}")
     return 0 if ok else 1
 
 
