@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "cluster_lsh",         # sign-LSH ε-pairs, production path (candidates+verify)
     "cluster_lsh_verify",  # + recall/zero-FP certificates — the soak stays benched
     "cluster_ivf",         # IVF ε-pairs (r10): the scale-stable flagship index
+    "cluster_ivf_index",   # on-disk ε-pair index lifecycle: build+append+read (r11)
     "ann_topk",            # brute-force top-k
     "quality_score",       # text heuristics
     "token_counts",        # token stats

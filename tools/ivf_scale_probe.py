@@ -10,10 +10,15 @@ What the numbers must show vs LSH_SCALE_PROBE.json:
 - recall holds with NO growing knob (sign-LSH needed tables L=2→3→8
   across the two decades and is capped at 8 — cluster.py:230 'past
   ~8 the honest answer is a different index'; this is that index:
-  probe depth nprobe stays FIXED at every scale because cells shrink
-  only like k^(-1/dim)),
+  probe depths nprobe AND cprobe stay FIXED at every scale because
+  cells shrink only like k^(-1/dim)),
 - shuffle grows ~linearly in answer+data (the route shuffle carries
-  fan-out x corpus vectors; the kernel emits only verified pairs).
+  fan-out x corpus vectors; the kernel emits only verified pairs),
+- WALL tracks the shuffle ratio (r10 verdict item 1: one-level
+  routing was n·k·dim total FLOPs with k ∝ n — the r10 probe showed
+  the quadratic term as wall x72 at data x100 while shuffle stayed
+  exactly linear; two-level routing is (1+cprobe)·√k·dim per point,
+  so the CPU axis must now scale like the shuffle axis does).
 
 Usage: python tools/ivf_scale_probe.py [out_json]
   (expects /tmp/spark_graft_sf1 and /tmp/spark_graft_sf10 from
@@ -43,6 +48,7 @@ EPS = 0.10
 INFLATE = 25  # lsh_scale_probe's factor — identical corpus, comparable answers
 SAMPLE_MOD = 512  # cells of ~512 expected members at every scale
 NPROBE = 8  # FIXED across scales — the no-growing-knob claim
+CPROBE = 8  # coarse-group probe depth (two-level routing) — also FIXED
 RECALL_MOD = 50  # ~2% node sample for the brute-force recall floor
 
 SCALES = [
@@ -115,7 +121,8 @@ def main() -> int:
         ).localCheckpoint(eager=True)
         C.ivf_epsilon_pairs(
             warm, EPS, id_col="vec_id", vec_col="embedding",
-            sample_mod=SAMPLE_MOD, nprobe=NPROBE, both_directions=False,
+            sample_mod=SAMPLE_MOD, nprobe=NPROBE, cprobe=CPROBE,
+            both_directions=False,
         ).count()
         emb = spark.read.parquet(path)
         n_rows = emb.count() * INFLATE
@@ -136,6 +143,7 @@ def main() -> int:
             vec_col="embedding",
             sample_mod=SAMPLE_MOD,
             nprobe=NPROBE,
+            cprobe=CPROBE,
             both_directions=False,
         ).localCheckpoint(eager=True)
         n_pairs = 2 * pairs.count()  # both-directions count, same basis as LSH probe
@@ -158,6 +166,7 @@ def main() -> int:
             "n_vectors": n_rows,
             "sample_mod": SAMPLE_MOD,
             "nprobe": NPROBE,
+            "cprobe": CPROBE,
             "wall_sec": round(wall, 2),
             "shuffle_mb": round(sb / 1e6, 2),
             "eps_pairs": n_pairs,
