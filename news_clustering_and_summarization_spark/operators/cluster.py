@@ -757,7 +757,7 @@ def ivf_epsilon_pairs(
     vec_col: str = "centroid",
     sample_mod: int = 64,
     nprobe: int = 8,
-    cprobe: int = 8,
+    cprobe: int = 32,
     margin: float | None = None,
     max_block: int = 4096,
     both_directions: bool = True,
@@ -784,7 +784,11 @@ def ivf_epsilon_pairs(
     them) and probes its top-``nprobe``, margin-filtered. Per-point
     routing work is (kc + cprobe·k/kc)·dim ≈ (1+cprobe)·√k·dim —
     n^1.5 total instead of n², and at probe scales the matmuls are
-    no longer the wall. When cprobe ≥ kc every group is probed and
+    no longer the wall. The default cprobe=32 is recall-first:
+    tools/ivf_scale_probe.py measures 0.98/0.94/0.92 at 50k/500k/5M
+    with BOTH probe depths fixed (cprobe=8 is ~2x faster at 5M but
+    drops to 0.855 there — use it when approximate recall is
+    acceptable). When cprobe ≥ kc every group is probed and
     the index degrades EXACTLY to one-level semantics (the fine
     ranking then runs over all k cells), so small inputs keep the
     old behavior bit-for-bit. All distances at both levels are

@@ -94,7 +94,7 @@ def write_eps_index(
     vec_col: str = "centroid",
     sample_mod: int = 64,
     nprobe: int = 8,
-    cprobe: int = 8,
+    cprobe: int = 32,
     margin: float | None = None,
     n_buckets: int = 256,
     codebook: DataFrame | None = None,

@@ -48,7 +48,7 @@ EPS = 0.10
 INFLATE = 25  # lsh_scale_probe's factor — identical corpus, comparable answers
 SAMPLE_MOD = 512  # cells of ~512 expected members at every scale
 NPROBE = 8  # FIXED across scales — the no-growing-knob claim
-CPROBE = 8  # coarse-group probe depth (two-level routing) — also FIXED
+CPROBE = int(os.environ.get("IVF_PROBE_CPROBE", "16"))  # coarse-group probe depth (two-level routing) — FIXED across scales
 RECALL_MOD = 50  # ~2% node sample for the brute-force recall floor
 
 SCALES = [
