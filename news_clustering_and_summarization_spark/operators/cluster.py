@@ -1442,3 +1442,101 @@ def incremental_cluster_update(
         )
     )
     return {"state": new_state, "updates": updates}
+
+
+def compact_pool(
+    state: DataFrame,
+    eps: float = DEFAULT_EPS,
+    strategy: str = "auto",
+    dim: int | None = None,
+) -> dict[str, DataFrame]:
+    """Pool-maintenance sweep (r11 scale extension — an explicit
+    periodic job, NOT a per-batch reference step): full ε-graph
+    re-cluster of the POOL ROWS only, merging what the per-batch
+    semantics can never merge.
+
+    Why it exists: the reference keeps ``is_cluster`` rows forever
+    (process_records.py:386-416 — ``to_remove`` skips is_cluster
+    rows), so with APPROXIMATE candidate joins above LSH_THRESHOLD a
+    missed link at family-formation time is a PERMANENT split. The
+    r11 500k streaming soak measured it: 41,638 pool rows for 20,000
+    planted families (8.3% of rows ingested) after 50 sign-LSH
+    batches — strays and split clusters accumulate because a miss at
+    formation is never revisited. The pool is O(clusters), tiny
+    relative to the corpus, so an exact (≤ LSH_THRESHOLD) or IVF
+    exact-verified self-join over it costs seconds — running this
+    sweep every N batches (or offline) re-pins the pool at the true
+    family count. Same maintenance shape as the dedup stream's
+    compact_epochs.
+
+    Merge semantics extend the reference's batch rules: representative
+    = lowest row_id in the component; article_ids concatenate in
+    row_id order (rep's own first); centroid = mean of the member
+    POOL-ROW vectors (each pool row one vote — A2's centroids-count-
+    once rule); every merged component is a cluster. Singleton
+    components keep their row unchanged.
+
+    Returns {"state", "remaps", "updates"}: ``remaps``
+    (old_pk, new_pk) re-points serving rows of absorbed clusters;
+    ``updates`` carries (PK, number_of_articles, article_ids) for the
+    surviving reps — the merge_cluster_metadata shape."""
+    state_cols = [
+        "row_id", "cluster_id", "article_ids", "is_cluster", "centroid",
+    ]
+    if strategy == "auto":
+        strategy = "cross" if state.count() <= LSH_THRESHOLD else "ivf"
+    if strategy == "ivf":
+        edges = ivf_epsilon_pairs(
+            state, eps, id_col="row_id", vec_col="centroid",
+            both_directions=False,
+        )
+    else:
+        edges = similarity_pairs(
+            state, state, eps, id_col="row_id", vec_col="centroid",
+            strategy=strategy, dim=dim,
+        )
+    comp = connected_components(
+        state.select("row_id"), edges, id_col="row_id"
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("_n"))
+    labeled = state.join(comp, "row_id").join(sizes, "component")
+    single = labeled.where(F.col("_n") < 2).select(*state_cols)
+    multi = labeled.where(F.col("_n") >= 2)
+    rep_w = Window.partitionBy("component").orderBy("row_id")
+    multi = multi.withColumn("_rank", F.row_number().over(rep_w))
+    reps = multi.where(F.col("_rank") == 1)
+    absorbed = multi.where(F.col("_rank") > 1)
+    cent = centroids(
+        multi.select("component", "centroid"),
+        member_col="component",
+        vec_col="centroid",
+    ).withColumnRenamed("centroid", "new_centroid")
+    merged_articles = multi.groupBy("component").agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct("row_id", "article_ids"))
+            ).getField("article_ids")
+        ).alias("all_articles")
+    )
+    new_reps = (
+        reps.join(cent, "component")
+        .join(merged_articles, "component")
+        .select(
+            "row_id",
+            "cluster_id",
+            F.col("all_articles").alias("article_ids"),
+            F.lit(True).alias("is_cluster"),
+            F.col("new_centroid").alias("centroid"),
+        )
+    )
+    new_state = new_reps.unionByName(single)
+    remaps = absorbed.join(
+        reps.select("component", F.col("cluster_id").alias("new_pk")),
+        "component",
+    ).select(F.col("cluster_id").alias("old_pk"), "new_pk")
+    updates = new_reps.select(
+        F.col("cluster_id").alias("PK"),
+        F.size("article_ids").cast("long").alias("number_of_articles"),
+        "article_ids",
+    )
+    return {"state": new_state, "remaps": remaps, "updates": updates}

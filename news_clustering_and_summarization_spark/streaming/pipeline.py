@@ -341,6 +341,57 @@ class ClusteringPipeline:
         _atomic_overwrite(clusters, self.clusters_path)
         _atomic_overwrite(articles, self.articles_path)
 
+    def compact_pool(self) -> dict:
+        """Pool-maintenance sweep (C.compact_pool): merge the split
+        clusters and strays that approximate per-batch candidate
+        joins accumulate (a formation-time LSH miss is otherwise a
+        PERMANENT split — the reference never revisits is_cluster
+        rows), then repair the serving tables: absorbed clusters'
+        metadata rows are deleted, their article items re-pointed to
+        the surviving representative (idempotent on (PK, SK)), and
+        rep rows re-counted. Run every N batches or offline; the
+        pool is O(clusters), so the sweep is seconds even when the
+        corpus is not. Returns {pool_before, pool_after, merged}."""
+        pool = self.pool().localCheckpoint(eager=True)
+        pool_before = pool.count()
+        res = C.compact_pool(
+            pool, eps=self.eps, strategy=self.strategy, dim=self.embed_dim
+        )
+        new_state = res["state"].localCheckpoint(eager=True)
+        remaps = res["remaps"].localCheckpoint(eager=True)
+        updates = res["updates"].localCheckpoint(eager=True)
+        n_remaps = remaps.count()
+        if n_remaps:
+            clusters = self.clusters().join(
+                F.broadcast(remaps.select(F.col("old_pk").alias("PK"))),
+                "PK",
+                "left_anti",
+            )
+            clusters = CT.merge_cluster_metadata(clusters, updates)
+            articles = (
+                self.cluster_articles()
+                .join(
+                    F.broadcast(remaps.withColumnRenamed("old_pk", "PK")),
+                    "PK",
+                    "left",
+                )
+                .withColumn("PK", F.coalesce("new_pk", "PK"))
+                .drop("new_pk")
+                .dropDuplicates(["PK", "SK"])
+            )
+            _atomic_overwrite(new_state, self.pool_path)
+            _atomic_overwrite(
+                clusters.localCheckpoint(eager=True), self.clusters_path
+            )
+            _atomic_overwrite(
+                articles.localCheckpoint(eager=True), self.articles_path
+            )
+        return {
+            "pool_before": pool_before,
+            "pool_after": new_state.count(),
+            "merged": n_remaps,
+        }
+
     # streaming entrypoint -------------------------------------------
     def start(
         self,
