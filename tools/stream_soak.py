@@ -147,6 +147,16 @@ def soak_clustering(spark) -> dict:
             "articles_rows": _rows(spark, pipe.articles_path),
             "pending_rows": _rows(spark, pipe.pending_path),
         }
+        # SOAK_COMPACT_EVERY=N runs the r11 pool-maintenance sweep
+        # mid-stream (ClusteringPipeline.compact_pool): above
+        # LSH_THRESHOLD the approximate join accumulates permanent
+        # split clusters, so a periodic sweep is the production
+        # posture — the trajectory then shows the pool RE-PINNING at
+        # the family count under live load, not just post-hoc
+        compact_every = int(os.environ.get("SOAK_COMPACT_EVERY", "0"))
+        if compact_every and (b + 1) % compact_every == 0:
+            row["compaction"] = pipe.compact_pool()
+            row["pool_rows_after_compact"] = row["compaction"]["pool_after"]
         batches.append(row)
         if b % 10 == 0 or b == N_BATCHES - 1:
             print(
