@@ -610,6 +610,130 @@ FROM agg
 """
 
 
+_COMPACT_EPS = 0.56  # yields a mix of merges and singletons (see below)
+
+
+def q_pool_compaction(spark, sf):
+    """Pool-maintenance compaction (operators/cluster.compact_pool,
+    r11 — the fix for the 500k-soak pool-drift finding) as an oracled
+    query. A deterministic pool is built from the embeddings table
+    (every vec_id its own row; every third row pre-marked is_cluster
+    with two articles, the rest singletons with one) and compacted at
+    eps=0.56 (pairwise distances on this corpus start ~0.52, so the
+    sweep produces real merges AND surviving singletons). The output
+    certifies the full relational merge surface value-level:
+    representative selection (lowest row_id), row_id-ordered article
+    concatenation (order-sensitive art_ck hash), per-rep absorbed
+    counts and a 2^61 checksum over absorbed cluster_ids (the remap
+    set), and untouched singleton rows. The float centroid leg is
+    deliberately excluded (pytest-pinned in test_compact_pool; Spark
+    avg and DuckDB avg fold in different orders)."""
+    from ..operators.cluster import compact_pool
+
+    emb = load(spark, sf, "embeddings")
+    vid = F.col("vec_id").cast("string")
+    pool = emb.select(
+        F.col("vec_id").cast("long").alias("row_id"),
+        F.concat(F.lit("c-"), vid).alias("cluster_id"),
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.array(
+                F.concat(F.lit("a"), vid), F.concat(F.lit("b"), vid)
+            ),
+        )
+        .otherwise(F.array(F.concat(F.lit("a"), vid)))
+        .alias("article_ids"),
+        (F.col("vec_id") % 3 == 0).alias("is_cluster"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    res = compact_pool(pool, eps=_COMPACT_EPS, strategy="cross")
+    remag = res["remaps"].groupBy("new_pk").agg(
+        F.count("*").cast("long").alias("_n_abs"),
+        (
+            F.sum(H.hash64(F.col("old_pk")).cast("decimal(38,0)"))
+            % F.lit(_CK_MOD).cast("decimal(38,0)")
+        ).cast("long").alias("_abs_ck"),
+    )
+    state = res["state"]
+    return (
+        state.join(remag, state.cluster_id == remag.new_pk, "left")
+        .select(
+            "row_id",
+            "cluster_id",
+            F.size("article_ids").cast("long").alias("n_articles"),
+            H.hash64(F.concat_ws("|", F.col("article_ids"))).alias(
+                "art_ck"
+            ),
+            "is_cluster",
+            F.coalesce(F.col("_n_abs"), F.lit(0).cast("long")).alias(
+                "n_absorbed"
+            ),
+            F.coalesce(F.col("_abs_ck"), F.lit(0).cast("long")).alias(
+                "absorbed_ck"
+            ),
+        )
+    )
+
+
+def oracle_pool_compaction() -> str:
+    dist = V.cosine_distance_sql("a.centroid", "b.centroid")
+    h_art = H.hash64_sql("array_to_string(article_ids, '|')")
+    h_art_m = H.hash64_sql("array_to_string(m.all_articles, '|')")
+    h_pk = H.hash64_sql("cluster_id")
+    return f"""
+WITH RECURSIVE pool AS MATERIALIZED (
+  SELECT vec_id::BIGINT AS row_id,
+         'c-' || vec_id::VARCHAR AS cluster_id,
+         CASE WHEN vec_id % 3 = 0
+              THEN ['a' || vec_id::VARCHAR, 'b' || vec_id::VARCHAR]
+              ELSE ['a' || vec_id::VARCHAR] END AS article_ids,
+         (vec_id % 3 = 0) AS is_cluster,
+         list_transform(embedding, x -> x::DOUBLE) AS centroid
+  FROM embeddings
+),
+edges AS MATERIALIZED (
+  SELECT a.row_id AS src, b.row_id AS dst
+  FROM pool a JOIN pool b ON a.row_id <> b.row_id
+  WHERE {dist} <= {_COMPACT_EPS}
+),
+reach AS (
+  SELECT row_id AS id, row_id AS comp FROM pool
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+lab AS MATERIALIZED (
+  SELECT p.*, c.component,
+         count(*) OVER (PARTITION BY c.component) AS n,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY p.row_id) AS rk
+  FROM pool p JOIN comp c ON c.id = p.row_id
+),
+merged AS (
+  SELECT component, min(row_id) AS row_id,
+         flatten(list(article_ids ORDER BY row_id)) AS all_articles
+  FROM lab WHERE n >= 2 GROUP BY component
+),
+absorbed AS (
+  SELECT component, count(*)::BIGINT AS n_absorbed,
+         (sum(({h_pk})::HUGEINT)
+          % {_CK_MOD})::BIGINT AS absorbed_ck
+  FROM lab WHERE n >= 2 AND rk > 1 GROUP BY component
+)
+SELECT m.row_id, 'c-' || m.row_id::VARCHAR AS cluster_id,
+       len(m.all_articles)::BIGINT AS n_articles,
+       {h_art_m} AS art_ck,
+       true AS is_cluster,
+       a.n_absorbed, a.absorbed_ck
+FROM merged m JOIN absorbed a USING (component)
+UNION ALL
+SELECT row_id, cluster_id, len(article_ids)::BIGINT AS n_articles,
+       {h_art} AS art_ck, is_cluster,
+       0::BIGINT AS n_absorbed, 0::BIGINT AS absorbed_ck
+FROM lab WHERE n < 2
+"""
+
+
 def q_clustering_quality(spark, sf):
     """External cluster-evaluation metrics over the ε-graph assignment
     vs the ground-truth label column — the eval capability the
