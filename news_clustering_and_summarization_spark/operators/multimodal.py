@@ -1,14 +1,16 @@
 """Multimodal column handling (engine extension).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata (schemas.MEDIA_SCHEMA). The Spark-side plumbing — schema,
-partition-friendly batch iteration, Arrow batch shapes, UDF
-signatures — is real and tested; the actual codecs are NOT available
-in this container, so the decode step is stubbed: by default it
-raises ``NotImplementedError``, and with ``fake=True`` it produces a
-deterministic fake decode (payload-hash-seeded) so downstream
-operators (feature extract, resize bookkeeping, frame sampling) can
-be exercised end-to-end.
+metadata (schemas.MEDIA_SCHEMA). All THREE modalities decode real
+bytes with the repo's dependency-free codecs (functions/): images
+via BMP + PNG + baseline/progressive JPEG, audio via PCM/float WAV,
+video via MJPEG AVI (each frame an independent JPEG -> the image
+relation runs on frames unchanged, see ``extract_frames``). Formats
+that genuinely need codec libraries (WebP, mp3/aac, inter-frame
+video) remain an explicit ``NotImplementedError`` seam, and
+``fake=True`` keeps the deterministic payload-hash decode that the
+DuckDB oracles can replay (a SQL engine can replay a hash, not a
+codec).
 
 Design: all media transforms run through ``mapInPandas`` so each Arrow
 batch is handled once per partition with no per-row Python overhead,
@@ -74,26 +76,105 @@ def decode_image(payload: bytes):
     )
 
 
+AUDIO_WINDOW = 1024  # samples per analysis frame (n_frames unit)
+
+
+def _luma_hist(grid: np.ndarray) -> np.ndarray:
+    """16-bin normalized histogram of the 64 grid lumas (scaled
+    Rec.601 luma spans [0, 255_000)): deterministic, integer-binned."""
+    hist = np.bincount(
+        np.minimum(grid.ravel() // (255_000 // FEATURE_DIM),
+                   FEATURE_DIM - 1),
+        minlength=FEATURE_DIM,
+    ).astype(np.float32)
+    return hist / float(grid.size)
+
+
+def _decode_audio(payload: bytes) -> dict:
+    """WAV -> energy profile: the mono mix is cut into FEATURE_DIM
+    equal segments whose RMS values (L1-normalized) form the
+    feature; n_frames counts AUDIO_WINDOW-sample analysis frames."""
+    from ..functions import wav
+
+    samples, _rate = wav.decode_wav(payload)
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return {"ok": False, "width": None, "height": None,
+                "n_frames": None, "feature": None}
+    seg = np.array_split(mono, FEATURE_DIM)
+    rms = np.array(
+        [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in seg],
+        dtype=np.float32,
+    )
+    total = float(rms.sum())
+    feat = (rms / total) if total > 0 else rms
+    return {
+        "ok": True, "width": None, "height": None,
+        "n_frames": int(-(-n // AUDIO_WINDOW)),
+        "feature": feat.tolist(),
+    }
+
+
+def _decode_video(payload: bytes) -> dict:
+    """MJPEG AVI -> per-frame JPEG decode on a bounded sample (first/
+    middle/last), feature = mean of the sampled frames' luma
+    histograms — directly comparable to the image feature, so a
+    still image and a video of that still land near each other."""
+    from ..functions import avi, bmp
+
+    meta, frames = avi.parse_avi(payload)
+    if not frames:
+        return {"ok": False, "width": None, "height": None,
+                "n_frames": None, "feature": None}
+    picks = sorted({0, len(frames) // 2, len(frames) - 1})
+    hists = []
+    w = h = None
+    for i in picks:
+        rgb = decode_image(frames[i])
+        h, w = rgb.shape[:2]
+        hists.append(_luma_hist(bmp.luma_grid(rgb)))
+    return {
+        "ok": True,
+        "width": int(meta.get("width") or w),
+        "height": int(meta.get("height") or h),
+        "n_frames": len(frames),
+        "feature": np.mean(hists, axis=0).astype(np.float32).tolist(),
+    }
+
+
 def _real_decode(payload: bytes, media_type: str) -> dict:
     """Real decode for the formats a dependency-free decoder can
-    handle: uncompressed BMP, baseline PNG, and baseline/progressive
-    JPEG (decode_image). Any payload with a supported magic parses
-    for real; a corrupt or out-of-subset asset is a DATA problem and
-    degrades to an ok=False row (a 100 TB decode job must quarantine
-    bad assets, not die). Other formats (WebP/mp4/wav...) still need
-    codec libraries this container doesn't have — that remains the
-    documented NotImplementedError seam."""
+    handle: uncompressed BMP, baseline PNG, baseline/progressive
+    JPEG (decode_image), PCM/float WAV audio (functions/wav.py) and
+    MJPEG AVI video (functions/avi.py — every frame an independent
+    JPEG). Any payload with a supported magic parses for real; a
+    corrupt or out-of-subset asset is a DATA problem and degrades to
+    an ok=False row (a 100 TB decode job must quarantine bad assets,
+    not die). Inter-frame video and compressed audio (mp4/webm/mp3/
+    aac...) still need codec libraries this container doesn't have —
+    that remains the documented NotImplementedError seam."""
     from ..functions import bmp
 
     try:
+        head = payload or b""
+        if head.startswith(b"RIFF"):
+            form = head[8:12]
+            if form == b"WAVE":
+                return _decode_audio(payload)
+            if form == b"AVI ":
+                return _decode_video(payload)
+            if form == b"WEBP":
+                raise NotImplementedError("WebP requires a codec library")
+            raise ValueError(f"unsupported RIFF form {form!r}")
         rgb = decode_image(payload)
         grid = bmp.luma_grid(rgb)
     except NotImplementedError:
         raise NotImplementedError(
             "media codecs unavailable in this environment for "
-            f"{media_type} payloads of this format; BMP/PNG/JPEG "
-            "decode for real, or pass fake=True for the "
-            "deterministic test decode"
+            f"{media_type} payloads of this format; BMP/PNG/JPEG, "
+            "WAV and MJPEG-AVI decode for real, or pass fake=True "
+            "for the deterministic test decode"
         ) from None
     except ValueError:
         # claims a supported format (magic matched) but doesn't
@@ -102,30 +183,23 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
             "ok": False, "width": None, "height": None,
             "n_frames": None, "feature": None,
         }
-    # 16-bin normalized histogram of the 64 grid lumas (scaled Rec.601
-    # luma spans [0, 255_000)): a deterministic, integer-binned feature
-    hist = np.bincount(
-        np.minimum(grid.ravel() // (255_000 // FEATURE_DIM),
-                   FEATURE_DIM - 1),
-        minlength=FEATURE_DIM,
-    ).astype(np.float32)
     return {
         "ok": True,
         "width": int(rgb.shape[1]),
         "height": int(rgb.shape[0]),
         "n_frames": 1,
-        "feature": (hist / float(grid.size)).tolist(),
+        "feature": _luma_hist(grid).tolist(),
     }
 
 
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract media payloads via mapInPandas.
 
-    Real path: uncompressed BMP decodes for real (pure NumPy,
-    functions/bmp.py — no codec dependency); corrupt BMPs degrade to
-    ok=False rows. Every OTHER format still requires image/audio
-    libraries not present in this environment — that decode is a
-    STUB raising NotImplementedError. ``fake=True`` keeps the
+    Real path: BMP/PNG/JPEG images, WAV audio, MJPEG-AVI video — all
+    pure-NumPy decoders (functions/bmp|png|jpeg|wav|avi); corrupt
+    assets degrade to ok=False rows. Formats that need codec
+    libraries this environment doesn't ship raise
+    NotImplementedError (documented seam). ``fake=True`` keeps the
     deterministic payload-hash decode for oracles (DuckDB can replay
     a hash, not a codec)."""
 
@@ -152,12 +226,59 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def extract_frames(
+    media: DataFrame, every_nth: int = 5
+) -> DataFrame:
+    """REAL frame extraction for MJPEG-AVI assets: parse each
+    container, keep every ``every_nth`` frame, and emit one row per
+    sampled frame with the frame's own JPEG payload. The output is
+    itself a valid image table (asset_id = "<video>#<index>"), so
+    the whole image relation — decode_media, real_pixels, phash
+    dedup — runs on video FRAMES unchanged; cross-video near-dup
+    detection is phash_duplicates over this frame table. Non-AVI or
+    corrupt assets are dropped (quarantine semantics match
+    decode_media's ok=False rows). mapInPandas: payload bytes never
+    transit the driver, fan-out stays on executors."""
+    from ..functions import avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                if not (payload or b"")[:4] == b"RIFF" or \
+                        (payload or b"")[8:12] != b"AVI ":
+                    continue
+                try:
+                    _, frames = avi.parse_avi(payload)
+                except (ValueError, NotImplementedError):
+                    continue
+                for i in range(0, len(frames), every_nth):
+                    out.append({
+                        "asset_id": f"{row['asset_id']}#{i}",
+                        "video_id": row["asset_id"],
+                        "frame_index": i,
+                        "payload": frames[i],
+                    })
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "video_id", "frame_index", "payload"],
+            )
+
+    return media.select("asset_id", "payload").mapInPandas(
+        run,
+        schema="asset_id string, video_id string, frame_index int, "
+        "payload binary",
+    )
+
+
 def sample_frames(
     decoded: DataFrame, every_nth: int = 5
 ) -> DataFrame:
     """Frame-sampling bookkeeping: one row per sampled frame index
-    (video/audio assets only). Pure DataFrame fan-out — the actual
-    frame bytes would come from the codec in a real deployment."""
+    (video/audio assets only). Pure DataFrame fan-out over decode
+    METADATA — `extract_frames` is the byte-level twin that pulls
+    the actual JPEG frames out of MJPEG-AVI payloads."""
     return (
         decoded.where(F.col("n_frames") > 1)
         .select(
