@@ -208,3 +208,43 @@ def test_phash_pairs_videos_sharing_frames(spark):
     ).collect()
     got = sorted((r["l_id"], r["r_id"]) for r in pairs)
     assert got == [("A#0", "B#0")], got
+
+
+# -- real resize kernel ------------------------------------------------
+
+def test_resize_images_kernel_matches_plan(spark):
+    from news_clustering_and_summarization_spark.functions import bmp, png
+
+    # 100x40 gradient -> letterboxed into 64x64
+    y, x = np.mgrid[0:40, 0:100]
+    img = np.stack([(x * 255 // 99), (y * 255 // 39),
+                    np.full_like(x, 7)], axis=2).astype(np.uint8)
+    rows = [
+        ("p1", "d", "image", "image/png", png.encode_png(img),
+         None, None, None),
+        ("bad", "d", "image", "image/png", png.SIGNATURE + b"\x00" * 9,
+         None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = MM.resize_images(media, 64, 64).collect()
+    assert [r["asset_id"] for r in out] == ["p1"]  # corrupt dropped
+    r = out[0]
+    assert (r["width"], r["height"]) == (64, 64)
+    # kernel dims == resize_plan's metadata arithmetic
+    plan = MM.resize_plan(
+        MM.decode_media(media.where("asset_id = 'p1'")), 64, 64
+    ).collect()[0]
+    assert (r["content_width"], r["content_height"]) == (
+        plan["new_width"], plan["new_height"])
+    canvas = bmp.decode_bmp(r["payload"])
+    assert canvas.shape == (64, 64, 3)
+    py = (64 - r["content_height"]) // 2
+    # letterbox bands are pad_value, content band is not
+    assert (canvas[:py] == 0).all() and (canvas[-py:] == 0).all()
+    band = canvas[py: py + r["content_height"]]
+    # bilinear of a linear ramp stays a ramp: red increases left->
+    # right, green top->bottom, blue constant
+    assert band[:, :, 2].min() == band[:, :, 2].max() == 7
+    assert (np.diff(band[5, :, 0].astype(int)) >= 0).all()
+    assert (np.diff(band[:, 5, 1].astype(int)) >= 0).all()
+    assert band[0, 0, 0] < 10 and band[0, -1, 0] > 245
