@@ -980,6 +980,109 @@ ORDER BY l_id, r_id
 """
 
 
+def q_media_decode_real(spark, sf):
+    """The REAL codec path under the driver's correctness gate
+    (r11): each document becomes an 8x8 grayscale image whose pixels
+    are md5-derived (the repo's cross-engine hash64), encoded as
+    genuine BMP (even doc_id) or PNG (odd doc_id — zlib deflate +
+    scanline filters on the wire), decoded back through
+    multimodal._real_decode (the same dispatch production assets
+    take), and reduced to the 16-bin luma histogram packed into two
+    exact int64 columns. DuckDB cannot run a codec — but it CAN
+    replay the pixel -> Rec.601 luma -> bin arithmetic from the same
+    md5 stream, so a hash-green row certifies encode ∘ decode ==
+    identity plus the whole feature pipeline, bit for bit, on every
+    document. Python cost is the codec kernel itself (mapInPandas,
+    executor-side); the oracle replays construction, not decoding."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import bmp, png
+    from ..operators.multimodal import FEATURE_DIM, _real_decode
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                vals = np.array(
+                    [
+                        int(
+                            hashlib.md5(
+                                f"{did}|px|{i}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        ) % 256
+                        for i in range(64)
+                    ],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(
+                    vals.reshape(8, 8)[:, :, None], 3, axis=2
+                )
+                payload = (
+                    bmp.encode_bmp(img) if did % 2 == 0
+                    else png.encode_png(img, row_filter=4)
+                )
+                d = _real_decode(payload, "image")
+                counts = np.rint(
+                    np.array(d["feature"]) * 64
+                ).astype(np.int64)
+                lo = sum(int(c) << (8 * i)
+                         for i, c in enumerate(counts[:8]))
+                hi = sum(int(c) << (8 * i)
+                         for i, c in enumerate(counts[8:FEATURE_DIM]))
+                out.append({
+                    "doc_id": did,
+                    "fmt": "bmp" if did % 2 == 0 else "png",
+                    "width": d["width"],
+                    "height": d["height"],
+                    "n_frames": d["n_frames"],
+                    "bins_lo": lo,
+                    "bins_hi": hi,
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "fmt", "width", "height",
+                         "n_frames", "bins_lo", "bins_hi"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, fmt string, width int, height int, "
+        "n_frames int, bins_lo long, bins_hi long",
+    )
+
+
+def oracle_media_decode_real() -> str:
+    # bin width: 255_000 // 16 = 15937 (multimodal._luma_hist);
+    # gray pixel v -> luma 1000*v (299+587+114)
+    h = H.hash64_sql("doc_id::VARCHAR || '|px|' || i::VARCHAR")
+    return """
+WITH px AS (
+  SELECT doc_id, i, ({h}) % 256 AS v
+  FROM documents, range(64) t(i)
+),
+bins AS (
+  SELECT doc_id, least((1000 * v) // 15937, 15) AS b,
+         count(*)::BIGINT AS c
+  FROM px GROUP BY 1, 2
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+       8 AS width, 8 AS height, 1 AS n_frames,
+       sum(CASE WHEN b < 8 THEN c * (1::BIGINT << (8 * b))
+                ELSE 0 END)::BIGINT AS bins_lo,
+       sum(CASE WHEN b >= 8 THEN c * (1::BIGINT << (8 * (b - 8)))
+                ELSE 0 END)::BIGINT AS bins_hi
+FROM bins GROUP BY doc_id
+""".format(h=h)
+
+
 def q_multimodal_decode(spark, sf):
     """Decode -> frame-sample over mapInPandas with the deterministic
     fake codec (real codecs absent in this container — the Spark-side
