@@ -31,9 +31,12 @@ pruning (PartitionFilters): a new batch touches <= |batch|·nprobe
 cells, so the scan reads only those cells' buckets, never the whole
 history.
 
-Scale shape: build = one routing pass (zero shuffle) + one
-partitioned write; append = route ONLY the new batch against the
-frozen broadcast codebook + append its buckets; full query = per-cell
+Scale shape: build = one routing pass + ONE bucket-keyed shuffle
+into the partitioned write (the shuffle bounds the layout at one
+file per non-empty bucket — without it every routing task opens a
+writer per bucket it touches, tasks x n_buckets files); append =
+route ONLY the new batch against the frozen broadcast codebook +
+append its buckets (same bounded write); full query = per-cell
 verify kernel over the layout (no routing at all — the expensive
 fan-out is amortized across every later query); incremental query =
 route batch, prune to touched buckets, kernel with left side
@@ -165,6 +168,15 @@ def write_eps_index(
             [r["_v"] for r in cent_rows], eps, margin, nprobe, cprobe
         )
         routed = _route(df, prep, id_type, id_col, vec_col, n_buckets)
+        # One bucket-keyed shuffle before the partitioned write:
+        # without it every routing task opens a writer per bucket it
+        # touches (tasks x n_buckets files — thousands at bench
+        # scale, millions on a cluster); with it the layout is
+        # exactly one file per non-empty bucket. The shuffle moves
+        # only the 16-byte-ish routing rows + vectors once, and the
+        # downstream per-cell kernel was going to shuffle on cell
+        # anyway — this just pays part of that cost at build time.
+        routed = routed.repartition(n_buckets, "cell_bucket")
     routed.write.partitionBy("cell_bucket").mode("overwrite").parquet(
         os.path.join(path, _ROUTED)
     )
@@ -225,6 +237,8 @@ def append_eps_index(new_batch: DataFrame, path: str,
     _route(
         new_batch, prep, params["id_type"], id_col, vec_col,
         params["n_buckets"],
+    ).repartition(
+        params["n_buckets"], "cell_bucket"
     ).write.partitionBy("cell_bucket").mode("append").parquet(
         os.path.join(path, _ROUTED)
     )
