@@ -316,7 +316,9 @@ def write_ivf_index(
     assign_cells(
         corpus.select(corpus_id, corpus_vec), centroids, corpus_vec,
         corpus_id, n_cells=1,
-    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+    ).repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)  # cell-keyed shuffle: one file per cell, not per (task, cell)
 
 
 def ivf_topk_from_index(
@@ -386,7 +388,9 @@ def append_ivf_index(
     assign_cells(
         new_batch.select(corpus_id, corpus_vec), centroids, corpus_vec,
         corpus_id, n_cells=1,
-    ).write.partitionBy("cell").mode("append").parquet(path)
+    ).repartition("cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(path)  # same bounded layout as write_ivf_index
 
 
 def mine_triplets(
