@@ -60,7 +60,7 @@ def decode_image(payload: bytes):
     for formats that genuinely need codec libraries this container
     doesn't ship (WebP/video/audio, and JPEG's arithmetic/lossless/
     hierarchical variants)."""
-    from ..functions import bmp, jpeg, png
+    from ..functions import bmp, gif, jpeg, png
 
     if (payload or b"").startswith(b"BM"):
         return bmp.decode_bmp(payload)
@@ -68,15 +68,29 @@ def decode_image(payload: bytes):
         return png.decode_png(payload)
     if (payload or b"").startswith(jpeg.SOI):
         return jpeg.decode_jpeg(payload)
+    if (payload or b"")[:6] in gif.MAGICS:
+        return gif.decode_gif(payload)  # first composed frame
     raise NotImplementedError(
         "media codecs unavailable in this environment for payloads "
-        "of this format; BMP, baseline PNG and baseline/progressive "
-        "JPEG decode for real, or pass fake=True for the "
+        "of this format; BMP, PNG, baseline/progressive JPEG and "
+        "GIF decode for real, or pass fake=True for the "
         "deterministic test decode"
     )
 
 
 AUDIO_WINDOW = 1024  # samples per analysis frame (n_frames unit)
+
+
+def _gif_magics():
+    from ..functions import gif
+
+    return gif.MAGICS
+
+
+def _gif_frames(payload: bytes):
+    from ..functions import gif
+
+    return gif.decode_gif_frames(payload)
 
 
 def _luma_hist(grid: np.ndarray) -> np.ndarray:
@@ -167,7 +181,22 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
             if form == b"WEBP":
                 raise NotImplementedError("WebP requires a codec library")
             raise ValueError(f"unsupported RIFF form {form!r}")
-        rgb = decode_image(payload)
+        if head[:6] in _gif_magics():
+            frames = _gif_frames(payload)
+            if len(frames) > 1:  # animated GIF == a tiny video
+                picks = sorted({0, len(frames) // 2, len(frames) - 1})
+                hists = [_luma_hist(bmp.luma_grid(frames[i]))
+                         for i in picks]
+                h, w = frames[0].shape[:2]
+                return {
+                    "ok": True, "width": w, "height": h,
+                    "n_frames": len(frames),
+                    "feature": np.mean(hists, axis=0)
+                    .astype(np.float32).tolist(),
+                }
+            rgb = frames[0]
+        else:
+            rgb = decode_image(payload)
         grid = bmp.luma_grid(rgb)
     except NotImplementedError:
         raise NotImplementedError(
@@ -229,28 +258,36 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 def extract_frames(
     media: DataFrame, every_nth: int = 5
 ) -> DataFrame:
-    """REAL frame extraction for MJPEG-AVI assets: parse each
-    container, keep every ``every_nth`` frame, and emit one row per
-    sampled frame with the frame's own JPEG payload. The output is
+    """REAL frame extraction for multi-frame assets — MJPEG-AVI
+    (per-frame JPEG payloads, zero transcode) and animated GIF
+    (composed frames re-encoded as BMP: GIF frames are deltas, so
+    bytes-as-stored aren't standalone images). Keeps every
+    ``every_nth`` frame, one row per sampled frame. The output is
     itself a valid image table (asset_id = "<video>#<index>"), so
     the whole image relation — decode_media, real_pixels, phash
     dedup — runs on video FRAMES unchanged; cross-video near-dup
-    detection is phash_duplicates over this frame table. Non-AVI or
+    detection is phash_duplicates over this frame table. Other or
     corrupt assets are dropped (quarantine semantics match
     decode_media's ok=False rows). mapInPandas: payload bytes never
     transit the driver, fan-out stays on executors."""
-    from ..functions import avi
+    from ..functions import avi, bmp, gif
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 payload = row["payload"]
-                if not (payload or b"")[:4] == b"RIFF" or \
-                        (payload or b"")[8:12] != b"AVI ":
-                    continue
+                head = (payload or b"")
                 try:
-                    _, frames = avi.parse_avi(payload)
+                    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                        _, frames = avi.parse_avi(payload)
+                    elif head[:6] in gif.MAGICS:
+                        frames = [
+                            bmp.encode_bmp(f)
+                            for f in gif.decode_gif_frames(payload)
+                        ]
+                    else:
+                        continue
                 except (ValueError, NotImplementedError):
                     continue
                 for i in range(0, len(frames), every_nth):
