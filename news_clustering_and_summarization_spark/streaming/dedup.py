@@ -372,3 +372,146 @@ class MinhashDedupStream:
 
         for path in (self.bands_path, self.shingles_path, self.pairs_path):
             epoch_state.compact_store(self.spark, path, lambda df: df)
+
+
+# --- streaming perceptual-hash media dedup ---------------------------
+
+
+class PhashDedupStream:
+    """Streaming near-dup IMAGE dedup against the cumulative corpus —
+    the multimodal twin of MinhashDedupStream, composed from pieces
+    that already exist: real codec decode (multimodal.real_pixels →
+    BMP/PNG/JPEG/GIF bytes), integer-exact aHash fingerprints, the
+    4x15-bit pigeonhole banding join (lossless at hamming <= 3), and
+    the epoch-partitioned exactly-once layout of BloomDedupStream.
+
+    Per micro-batch of media rows (asset_id, payload): fingerprint
+    the batch, band-join it against accepted-fingerprint history ∪
+    itself, exact-hamming-verify, and accept an asset iff it has NO
+    history neighbor and no SMALLER-id batch neighbor (deterministic
+    min-id representative per within-batch near-dup group — replay
+    recomputes the same set because history excludes the replayed
+    epoch). Accepted (asset_id, phash) rows land in
+    ``accepted/epoch=<id>/`` — overwritten, never appended, on
+    replay; rejected pairs land beside them for audit.
+
+    100 TB shape: history is touched only through the banding
+    equi-join on 4 keys per fingerprint (shuffle ∝ batch + matched
+    candidates, never a history scan); fingerprints are 8 bytes per
+    asset. ``compact()`` folds finished epochs via the shared
+    crash-safe protocol."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        max_hamming: int = 3,
+        pixel_fn=None,
+    ):
+        from ..operators import multimodal as MM
+
+        if not 0 <= max_hamming <= 3:
+            raise ValueError(
+                "banding is lossless only for max_hamming <= 3"
+            )
+        self.spark = spark
+        self.state_dir = state_dir
+        self.max_hamming = max_hamming
+        self.pixel_fn = pixel_fn or MM.real_pixels
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def accepted_path(self) -> str:
+        return os.path.join(self.state_dir, "accepted")
+
+    @property
+    def pairs_path(self) -> str:
+        return os.path.join(self.state_dir, "pairs")
+
+    def _accepted_before(self, epoch_id: int) -> DataFrame:
+        if not os.path.exists(self.accepted_path):
+            return self.spark.createDataFrame(
+                [], "asset_id string, phash long"
+            )
+        return (
+            self.spark.read.option("basePath", self.accepted_path)
+            .parquet(self.accepted_path)
+            .where(F.col("epoch") != epoch_id)
+            .select("asset_id", "phash")
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..functions import hashing as H
+        from ..operators import multimodal as MM
+        from ..operators.dedup import _block_candidates
+
+        fps = (
+            MM.ahash_fingerprints(
+                self.pixel_fn(batch_df.dropDuplicates(["asset_id"]))
+            )
+            .localCheckpoint(eager=True)
+        )
+        prior = self._accepted_before(epoch_id)
+        pool = fps.unionByName(prior).select(
+            F.col("asset_id").alias("id"), F.col("phash").alias("fp")
+        )
+        cand = _block_candidates(pool)
+        pairs = cand.where(
+            H.hamming_distance(F.col("l_fp"), F.col("r_fp"))
+            <= F.lit(self.max_hamming)
+        )
+        hist_ids = prior.select(F.col("asset_id").alias("_h"))
+        # an asset is rejected if near a HISTORY asset (either side)
+        # or near a SMALLER-id asset of its own batch
+        rej_hist = (
+            pairs.join(
+                hist_ids, pairs["l_id"] == hist_ids["_h"], "inner"
+            ).select(F.col("r_id").alias("asset_id"))
+            .unionByName(
+                pairs.join(
+                    hist_ids, pairs["r_id"] == hist_ids["_h"], "inner"
+                ).select(F.col("l_id").alias("asset_id"))
+            )
+        )
+        rej_batch = (
+            pairs.join(hist_ids, pairs["l_id"] == hist_ids["_h"],
+                       "left_anti")
+            .join(hist_ids, pairs["r_id"] == hist_ids["_h"], "left_anti")
+            # _block_candidates guarantees l_id < r_id: r loses
+            .select(F.col("r_id").alias("asset_id"))
+        )
+        rejected = rej_hist.unionByName(rej_batch).distinct()
+        accepted = fps.join(rejected, "asset_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(self.accepted_path, f"epoch={int(epoch_id)}")
+        )
+        pairs.select("l_id", "r_id").write.mode("overwrite").parquet(
+            os.path.join(self.pairs_path, f"epoch={int(epoch_id)}")
+        )
+
+    def start(self, stream_df: DataFrame, checkpoint: str):
+        from . import epoch_state
+
+        epoch_state.freeze_checkpoint(self.state_dir, checkpoint)
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
+
+    def accepted(self) -> DataFrame:
+        if not os.path.exists(self.accepted_path):
+            return self.spark.createDataFrame(
+                [], "asset_id string, phash long"
+            )
+        return self.spark.read.option(
+            "basePath", self.accepted_path
+        ).parquet(self.accepted_path)
+
+    def compact(self) -> None:
+        from . import epoch_state
+
+        for path in (self.accepted_path, self.pairs_path):
+            if os.path.exists(path):
+                epoch_state.compact_store(self.spark, path, lambda df: df)
