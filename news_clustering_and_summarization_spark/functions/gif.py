@@ -183,6 +183,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > n_bytes:
+            raise ValueError("truncated GIF image descriptor")
         left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if left + fw > width or top + fh > height or fw == 0 or fh == 0:
