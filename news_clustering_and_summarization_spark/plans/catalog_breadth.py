@@ -1085,11 +1085,11 @@ FROM bins GROUP BY doc_id
 
 def q_multimodal_decode(spark, sf):
     """Decode -> frame-sample over mapInPandas with the deterministic
-    fake codec (real codecs absent in this container — the Spark-side
-    plumbing is the thing under test). The fake derives dimensions
-    from md5(payload), so the oracle can replay it in SQL; exact
-    per-row semantics are also golden-tested in
-    tests/test_multimodal.py."""
+    fake codec — the SQL-replayable twin of the real path (the real
+    codecs are exercised by `media_decode_real` and the pytest
+    suites; DuckDB can replay a hash, not a codec). The fake derives
+    dimensions from md5(payload); exact per-row semantics are also
+    golden-tested in tests/test_multimodal.py."""
     from ..operators.multimodal import decode_media, sample_frames
 
     decoded = decode_media(_media_frame(spark, sf), fake=True)
