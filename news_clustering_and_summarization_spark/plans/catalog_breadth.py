@@ -1083,6 +1083,203 @@ FROM bins GROUP BY doc_id
 """.format(h=h)
 
 
+def q_media_frames_real(spark, sf):
+    """The GIF codec + frame-extraction OPERATORS under the driver
+    gate (r11): each document becomes a 2-frame animated GIF of
+    md5-derived 8x8 gray frames, which flows through the REAL
+    production operators — extract_frames (GIF frames composed and
+    re-encoded as BMP) then decode_media (BMP decode + luma
+    histogram) — and out as exact packed int64 bins per frame.
+    DuckDB replays the md5 pixel -> luma -> bin arithmetic per
+    (doc, frame); a hash-green row certifies GIF encode ∘ LZW decode
+    ∘ composition ∘ BMP re-encode ∘ BMP decode == identity on every
+    frame of every document."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import gif
+    from ..operators import multimodal as MMOD
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                frames = []
+                for fi in range(2):
+                    vals = np.array(
+                        [
+                            int(
+                                hashlib.md5(
+                                    f"{did}|gf|{fi}|{i}".encode()
+                                ).hexdigest()[:15],
+                                16,
+                            ) % 256
+                            for i in range(64)
+                        ],
+                        dtype=np.uint8,
+                    )
+                    frames.append(
+                        np.repeat(
+                            vals.reshape(8, 8)[:, :, None], 3, axis=2
+                        )
+                    )
+                out.append({
+                    "asset_id": str(did),
+                    "media_type": "video",
+                    "payload": gif.encode_gif(frames),
+                })
+            yield pd.DataFrame(
+                out, columns=["asset_id", "media_type", "payload"]
+            )
+
+    media = docs.mapInPandas(
+        build, schema="asset_id string, media_type string, payload binary"
+    )
+    frames = MMOD.extract_frames(media, every_nth=1)
+    decoded = MMOD.decode_media(
+        frames.select(
+            "asset_id", F.lit("image").alias("media_type"), "payload"
+        )
+    )
+    packed = decoded.select(
+        F.split("asset_id", "#")[0].cast("long").alias("doc_id"),
+        F.split("asset_id", "#")[1].cast("int").alias("frame_index"),
+        "width",
+        "height",
+        F.aggregate(
+            F.slice(F.col("feature"), 1, 8),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(256)
+            + F.round(x * 64).cast("long"),
+        ).alias("bins_hi_to_lo_0_7"),
+        F.aggregate(
+            F.slice(F.col("feature"), 9, 8),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(256)
+            + F.round(x * 64).cast("long"),
+        ).alias("bins_hi_to_lo_8_15"),
+    )
+    return packed
+
+
+def oracle_media_frames_real() -> str:
+    h = H.hash64_sql(
+        "doc_id::VARCHAR || '|gf|' || f::VARCHAR || '|' || i::VARCHAR"
+    )
+    return """
+WITH px AS (
+  SELECT doc_id, f, i, ({h}) % 256 AS v
+  FROM documents, range(2) tf(f), range(64) t(i)
+),
+bins AS (
+  SELECT doc_id, f, least((1000 * v) // 15937, 15) AS b,
+         count(*)::BIGINT AS c
+  FROM px GROUP BY 1, 2, 3
+),
+dense AS (
+  SELECT d.doc_id, tf.f, tb.b, coalesce(bins.c, 0) AS c
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(2) tf(f) CROSS JOIN range(16) tb(b)
+  LEFT JOIN bins ON bins.doc_id = d.doc_id AND bins.f = tf.f
+                AND bins.b = tb.b
+)
+SELECT doc_id, f::INT AS frame_index, 8 AS width, 8 AS height,
+       sum(CASE WHEN b < 8
+                THEN c * power(256, 7 - b)::BIGINT ELSE 0 END)::BIGINT
+           AS bins_hi_to_lo_0_7,
+       sum(CASE WHEN b >= 8
+                THEN c * power(256, 15 - b)::BIGINT ELSE 0 END)::BIGINT
+           AS bins_hi_to_lo_8_15
+FROM dense GROUP BY doc_id, f
+""".format(h=h)
+
+
+def q_audio_decode_real(spark, sf):
+    """The WAV codec under the driver gate (r11): each document
+    becomes 512 md5-derived PCM16 samples, encoded as a genuine WAV,
+    decoded back through functions/wav (the production audio path),
+    and reduced to per-segment sum-of-squares energies. PCM16 decode
+    is EXACT in float32 (int16/32768 has a power-of-two divisor), so
+    rint(sample*32768) reconstructs the original integers and the
+    energies are exact int64s DuckDB replays from the same md5
+    stream — a hash-green row certifies encode ∘ decode == identity
+    on every sample of every document."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import wav
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    n, seg = 512, 128
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                ints = np.array(
+                    [
+                        int(
+                            hashlib.md5(
+                                f"{did}|au|{i}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        ) % 65536 - 32768
+                        for i in range(n)
+                    ],
+                    dtype=np.int64,
+                )
+                payload = wav.encode_wav(
+                    ints.astype(np.float64) / 32768.0, 8000, bits=16
+                )
+                decoded, rate = wav.decode_wav(payload)
+                back = np.rint(
+                    decoded[:, 0].astype(np.float64) * 32768.0
+                ).astype(np.int64)
+                row = {"doc_id": did, "sample_rate": rate,
+                       "n_samples": int(len(back))}
+                for s in range(n // seg):
+                    row[f"energy_{s}"] = int(
+                        (back[s * seg: (s + 1) * seg] ** 2).sum()
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples"]
+                + [f"energy_{s}" for s in range(n // seg)],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, sample_rate int, n_samples int, "
+        + ", ".join(f"energy_{s} long" for s in range(n // seg)),
+    )
+
+
+def oracle_audio_decode_real() -> str:
+    h = H.hash64_sql("doc_id::VARCHAR || '|au|' || i::VARCHAR")
+    energies = ", ".join(
+        f"sum(CASE WHEN i // 128 = {s} THEN v * v ELSE 0 END)::BIGINT "
+        f"AS energy_{s}"
+        for s in range(4)
+    )
+    return """
+WITH px AS (
+  SELECT doc_id, i, ({h}) % 65536 - 32768 AS v
+  FROM documents, range(512) t(i)
+)
+SELECT doc_id, 8000 AS sample_rate, 512 AS n_samples, {energies}
+FROM px GROUP BY doc_id
+""".format(h=h, energies=energies)
+
+
 def q_multimodal_decode(spark, sf):
     """Decode -> frame-sample over mapInPandas with the deterministic
     fake codec — the SQL-replayable twin of the real path (the real
