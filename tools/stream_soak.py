@@ -273,6 +273,159 @@ def soak_minhash(spark) -> dict:
     }
 
 
+def soak_phash(spark) -> dict:
+    """Streaming media near-dup dedup (PhashDedupStream) soak: a
+    corpus of REAL image bytes with planted tight near-dup families
+    — each family is ONE 8x8-cell pattern re-encoded through four
+    different codecs (BMP/PNG/JPEG/GIF; block means survive lossy
+    compression, so members are hamming-0 of each other) — members
+    hash-scattered ACROSS batches so dedup must hit history, not
+    just the in-flight batch. Invariants checked at the end, both
+    order-independent: |accepted| == n_families + n_singletons (one
+    representative each), and the accepted set is itself near-dup
+    FREE (phash_duplicates over the accepted assets returns zero
+    pairs)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from news_clustering_and_summarization_spark.functions import (
+        bmp as fbmp,
+        gif as fgif,
+        jpeg as fjpeg,
+        png as fpng,
+    )
+    from news_clustering_and_summarization_spark.operators import (
+        multimodal as MMOD,
+    )
+    from news_clustering_and_summarization_spark.streaming.dedup import (
+        PhashDedupStream,
+    )
+
+    src = os.path.join(WORK, "media_src")
+    state = os.path.join(WORK, "phash_state")
+    ckpt = os.path.join(WORK, "phash_ckpt")
+    total = N_BATCHES * BATCH_ROWS
+
+    def pattern(tag: str) -> np.ndarray:
+        bits = hashlib.md5(tag.encode()).digest()[:8]
+        cells = np.unpackbits(np.frombuffer(bits, np.uint8)) * 235 + 10
+        img = np.repeat(np.repeat(cells.reshape(8, 8), 8, 0), 8, 1)
+        return np.repeat(
+            img.astype(np.uint8)[:, :, None], 3, axis=2
+        )
+
+    encoders = [
+        lambda im: fbmp.encode_bmp(im),
+        lambda im: fpng.encode_png(im),
+        lambda im: fjpeg.encode_jpeg(im, quality=88),
+        lambda im: fgif.encode_gif(im),
+    ]
+    rows = []
+    n_fam = n_single = 0
+    for j in range(total):
+        grp, member = j // 5, j % 5
+        if member < 4:  # family of 4, one per codec
+            img = pattern(f"fam{grp}")
+            payload = encoders[member](img)
+            if member == 0:
+                n_fam += 1
+        else:  # singleton with its own pattern
+            img = pattern(f"solo{grp}")
+            payload = encoders[j % len(encoders)](img)
+            n_single += 1
+        rows.append({"asset_id": f"a{j:07d}", "payload": payload})
+    # hash-scatter across batches: family members land in DIFFERENT
+    # micro-batches, so rejection must come from persisted history
+    rows.sort(
+        key=lambda r: hashlib.md5(r["asset_id"].encode()).hexdigest()
+    )
+    pdf = pd.DataFrame(rows, columns=["asset_id", "payload"])
+    payload_by_id = {r["asset_id"]: r["payload"] for r in rows}
+
+    ded = PhashDedupStream(spark, state, max_hamming=3)
+    os.makedirs(src, exist_ok=True)
+    stream = (
+        spark.readStream.schema("asset_id string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ded.start(stream, ckpt)
+    batches = []
+    seen = 0
+    for b in range(N_BATCHES):
+        chunk = pdf.iloc[b * BATCH_ROWS: (b + 1) * BATCH_ROWS]
+        if chunk.empty:
+            break
+        _emit_file(
+            spark, chunk, "asset_id string, payload binary", src,
+            f"b{b:04d}.parquet",
+        )
+        t0 = time.time()
+        q.processAllAvailable()
+        wall = time.time() - t0
+        compacted = False
+        if b and b % 10 == 0:
+            ded.compact()
+            compacted = True
+        seen += len(chunk)
+        row = {
+            "batch": b,
+            "assets_seen": seen,
+            "wall_sec": round(wall, 2),
+            "accepted_rows": _rows(spark, ded.accepted_path),
+            "compacted": compacted,
+        }
+        batches.append(row)
+        if b % 10 == 0 or b == N_BATCHES - 1:
+            print(
+                f"phash b{b:03d} seen={seen:>7,} wall={wall:6.2f}s "
+                f"accepted={row['accepted_rows']:,}",
+                flush=True,
+            )
+    q.stop()
+
+    accepted_ids = sorted(
+        r["asset_id"] for r in ded.accepted().collect()
+    )
+    expected = n_fam + n_single
+    # independent-set check: the accepted corpus must contain zero
+    # remaining near-dup pairs
+    t0 = time.time()
+    acc_media = spark.createDataFrame(
+        pd.DataFrame(
+            [{"asset_id": a, "payload": payload_by_id[a]}
+             for a in accepted_ids],
+            columns=["asset_id", "payload"],
+        )
+    )
+    residual = MMOD.phash_duplicates(
+        acc_media, max_hamming=3, pixel_fn=MMOD.real_pixels
+    ).count()
+    eq_wall = time.time() - t0
+    return {
+        "n_batches": len(batches),
+        "assets_ingested": seen,
+        "planted_families": n_fam,
+        "planted_singletons": n_single,
+        "accepted": len(accepted_ids),
+        "accepted_eq_expected": len(accepted_ids) == expected,
+        "residual_neardup_pairs": residual,
+        "independent_set_ok": residual == 0,
+        "equality_check_sec": round(eq_wall, 2),
+        "wall_first10_avg": round(
+            sum(r["wall_sec"] for r in batches[:10])
+            / max(1, min(10, len(batches))), 2
+        ),
+        "wall_last10_avg": round(
+            sum(r["wall_sec"] for r in batches[-10:])
+            / max(1, min(10, len(batches))), 2
+        ),
+        "batches": batches,
+    }
+
+
 def main() -> int:
     out_path = (
         sys.argv[1]
@@ -329,6 +482,24 @@ def main() -> int:
         }
         ok = minhash_res["stream_eq_batch"]
         msgs.append(f"minhash{suffix} stream==batch: {ok}")
+    if only == "phash":
+        t2 = time.time()
+        phash_res = soak_phash(spark)
+        phash_res["n_batches_cfg"] = N_BATCHES
+        phash_res["batch_rows_cfg"] = BATCH_ROWS
+        out[f"phash{suffix}"] = {
+            **phash_res, "total_sec": round(time.time() - t2, 1)
+        }
+        ok = (
+            phash_res["accepted_eq_expected"]
+            and phash_res["independent_set_ok"]
+        )
+        msgs.append(
+            f"phash{suffix}: accepted {phash_res['accepted']:,} == "
+            f"planted {phash_res['planted_families'] + phash_res['planted_singletons']:,}: "
+            f"{phash_res['accepted_eq_expected']}; independent-set: "
+            f"{phash_res['independent_set_ok']}"
+        )
     spark.stop()
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
