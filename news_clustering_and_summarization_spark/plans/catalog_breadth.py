@@ -1199,6 +1199,161 @@ FROM dense GROUP BY doc_id, f
 """.format(h=h)
 
 
+def q_preprocess_stage(spark, sf):
+    """The FULL preprocess stage (P1+P2-P4+P7 composed, operators/
+    preprocess.preprocess) under the driver gate — previously its
+    pieces were oracled (`clean_text`) or pytest-only (vendor drop,
+    stage composition, corrupt/dup guards). Articles are derived
+    from documents with three planted hazards: a vendor column
+    ("spam", from schemas.VENDOR_DROP_COLUMNS — P1 must remove it or
+    the schema compare fails), VALUE-IDENTICAL duplicate ids for
+    every doc_id % 7 == 0 (P7 dedup; identical rows make the
+    arbitrary-winner choice deterministic), and corrupt_record rows
+    with NULL ids (the P7 parse guard must cut them). The oracle
+    replays clean_text/strip_tags via the shared SQL fragments on
+    the deduplicated, guard-filtered base."""
+    from ..operators.preprocess import preprocess
+
+    docs = load(spark, sf, "documents")
+    arts = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(F.lit("Title <b>"), "source", F.lit("</b> & co")
+                 ).alias("title"),
+        F.col("text").alias("text"),
+        F.concat(
+            F.lit("2024-03-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("date"),
+        F.col("lang").alias("spam"),  # planted vendor column (P1)
+        F.lit(None).cast("string").alias("corrupt_record"),
+    )
+    dups = arts.where(F.col("id").cast("long") % 7 == 0)
+    corrupt = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("date"),
+        F.lit(None).cast("string").alias("spam"),
+        F.concat(F.lit("{bad json "), F.col("doc_id").cast("string"))
+        .alias("corrupt_record"),
+    )
+    staged = arts.unionByName(dups).unionByName(corrupt)
+    return preprocess(staged).select(
+        "id",
+        "title",
+        F.length("summary").alias("summary_len"),
+        "text",
+        "publication_date",
+    )
+
+
+def oracle_preprocess_stage() -> str:
+    from ..functions.text import clean_text_sql, strip_tags_sql
+
+    title_in = "('Title <b>' || source || '</b> & co')"
+    date_in = ("('2024-03-' || lpad(((doc_id % 28) + 1)::VARCHAR,"
+               " 2, '0'))")
+    return """
+SELECT doc_id::VARCHAR AS id,
+       {title} AS title,
+       length({summary}) AS summary_len,
+       {text_out} AS text,
+       {date_out} AS publication_date
+FROM documents
+""".format(
+        title=clean_text_sql(title_in),
+        summary=clean_text_sql("text"),
+        text_out=strip_tags_sql("text"),
+        date_out=strip_tags_sql(date_in),
+    )
+
+
+def q_cluster_assignments(spark, sf):
+    """J2 under the driver gate (previously pytest-only): the
+    cluster-association lookup — (PK, article_ids array) update rows
+    exploded to one row per (PK, article_id) with duplicate
+    associations collapsed (operators/cluster_tables.
+    assignments_from_updates), then the serving-side displayable
+    predicate (serving.displayable_clusters, P10/A6's gate) applied
+    to a clusters frame derived from the same groups. Updates are
+    built from orders: PK = o_custkey % 200, with every orderkey
+    % 5 == 0 association INJECTED TWICE (the dedup must collapse
+    it). Output: one row per cluster with its deduplicated
+    association count and displayability."""
+    from ..operators.cluster_tables import assignments_from_updates
+    from ..operators.serving import displayable_clusters
+
+    orders = load(spark, sf, "orders")
+    pairs = orders.select(
+        (F.col("o_custkey") % 200).cast("long").alias("pk_num"),
+        F.col("o_orderkey").cast("string").alias("aid"),
+    )
+    doubled = pairs.unionByName(
+        pairs.where(F.col("aid").cast("long") % 5 == 0)
+    )
+    updates = doubled.groupBy("pk_num").agg(
+        F.collect_list("aid").alias("article_ids")
+    ).select(
+        F.concat(F.lit("CLUSTER#"), F.col("pk_num").cast("string"))
+        .alias("PK"),
+        "pk_num",
+        "article_ids",
+    )
+    assigns = assignments_from_updates(
+        updates.select("PK", "article_ids")
+    )
+    counts = assigns.groupBy("PK").agg(
+        F.count("*").alias("article_count")
+    )
+    clusters = updates.select(
+        "PK",
+        (F.col("pk_num") % 5 != 0).alias("is_cluster"),
+        F.when(F.col("pk_num") % 3 == 0, F.lit("")).otherwise(
+            F.lit("summary")
+        ).alias("generated_summary"),
+        F.size("article_ids").alias("number_of_articles"),
+    )
+    disp = displayable_clusters(clusters).select(
+        "PK", F.lit(True).alias("displayable")
+    )
+    return counts.join(disp, "PK", "left").select(
+        "PK",
+        "article_count",
+        F.coalesce("displayable", F.lit(False)).alias("displayable"),
+    )
+
+
+def oracle_cluster_assignments() -> str:
+    # number_of_articles counts the RAW (pre-dedup) association list,
+    # mirroring the Spark side's size(article_ids) over the doubled
+    # rows; article_count counts the deduplicated associations
+    return """
+WITH pairs AS (
+  SELECT (o_custkey % 200)::BIGINT AS pk_num,
+         o_orderkey::VARCHAR AS aid
+  FROM orders
+),
+doubled AS (
+  SELECT * FROM pairs
+  UNION ALL
+  SELECT * FROM pairs WHERE aid::BIGINT % 5 = 0
+),
+assigns AS (SELECT DISTINCT pk_num, aid FROM doubled),
+counts AS (
+  SELECT pk_num, count(*)::BIGINT AS article_count
+  FROM assigns GROUP BY pk_num
+),
+raw_n AS (
+  SELECT pk_num, count(*)::BIGINT AS n_raw FROM doubled GROUP BY pk_num
+)
+SELECT 'CLUSTER#' || c.pk_num::VARCHAR AS "PK",
+       c.article_count,
+       (c.pk_num % 5 != 0 AND c.pk_num % 3 != 0 AND r.n_raw > 2)
+           AS displayable
+FROM counts c JOIN raw_n r USING (pk_num)
+"""
+
+
 def q_audio_decode_real(spark, sf):
     """The WAV codec under the driver gate (r11): each document
     becomes 512 md5-derived PCM16 samples, encoded as a genuine WAV,
