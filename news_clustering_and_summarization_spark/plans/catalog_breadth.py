@@ -1457,6 +1457,142 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_embed_instruction(spark, sf):
+    """M2 (instruction prefixes) under the driver gate — previously
+    pytest-only: embed each document's text twice through the
+    production embedding UDF (operators/embed.make_embed_udf), once
+    bare and once with the instruction prefix 'query: ' (the
+    reference's embedding_model_utils.py:60-61 hook). The prefix
+    adds exactly one 'query' token to every token stream, so the
+    oracle replays both hash embeddings (incl. the float32 wire
+    quantization) and the per-doc cosine between them — a hash-green
+    row certifies the prefix reaches the tokenizer, shifts exactly
+    one bucket, and nothing else."""
+    from ..operators.embed import DeterministicHashEmbedder, make_embed_udf
+
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    plain_udf = make_embed_udf(DeterministicHashEmbedder())
+    inst_udf = make_embed_udf(
+        DeterministicHashEmbedder(instruction="query: ")
+    )
+    both = docs.select(
+        "id",
+        F.element_at(plain_udf("text"), 1).alias("vp"),
+        F.element_at(inst_udf("text"), 1).alias("vi"),
+    )
+
+    def _d(col):
+        return F.transform(col, lambda x: x.cast("double"))
+
+    dot = F.aggregate(
+        F.zip_with(_d("vp"), _d("vi"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(_d(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ck = F.aggregate(
+        _d("vi"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    np_, ni = nrm("vp"), nrm("vi")
+    return both.select(
+        "id",
+        F.when(np_ * ni == 0, F.lit(0.0))
+        .otherwise(F.round(dot / (np_ * ni), 6))
+        .alias("cos_plain_inst"),
+        (ck % F.lit(2**61 - 1)).alias("inst_vec_ck"),
+    )
+
+
+def oracle_embed_instruction() -> str:
+    def vec(extra: str) -> str:
+        return """
+  SELECT d.id, list(coalesce(h.v, 0.0){extra} ORDER BY b.i) AS raw
+  FROM (SELECT id FROM docs) d
+  CROSS JOIN range(0, 64) b(i)
+  LEFT JOIN hist h ON h.id = d.id AND h.bucket = b.i
+  GROUP BY d.id
+""".format(extra=extra)
+
+    quantize = """
+  SELECT id, list_transform(raw,
+           x -> (x / CASE WHEN nrm = 0 THEN 1 ELSE nrm END)::REAL::DOUBLE)
+         AS qv
+  FROM (SELECT id, raw,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(raw, x -> x*x)), (a,v) -> a+v)) AS nrm
+        FROM {src})
+"""
+    return """
+WITH docs AS (
+  SELECT doc_id::VARCHAR AS id, coalesce(text, '') AS embed_text
+  FROM documents
+),
+tok AS (
+  SELECT id, regexp_replace(t, '[^a-z0-9]', '', 'g') AS tk
+  FROM (
+    SELECT id, unnest(list_filter(
+      string_split_regex(lower(embed_text), '\\s+'), x -> x <> '')) AS t
+    FROM docs)
+),
+hashed AS (
+  SELECT id,
+    ('0x' || substr(md5('42|' || tk), 15, 2))::INT % 64 AS bucket,
+    CASE WHEN (('0x' || substr(md5('42|' || tk), 1, 2))::INT // 64) % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS sgn
+  FROM tok WHERE tk <> ''
+),
+hist AS (SELECT id, bucket, sum(sgn) AS v FROM hashed GROUP BY id, bucket),
+qtok AS (
+  SELECT ('0x' || substr(md5('42|query'), 15, 2))::INT % 64 AS qb,
+         CASE WHEN (('0x' || substr(md5('42|query'), 1, 2))::INT // 64)
+                   % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS qs
+),
+vp_raw AS ({vec_plain}),
+vi_raw AS ({vec_inst}),
+vp AS ({q_plain}),
+vi AS ({q_inst}),
+paired AS (
+  SELECT p.id, p.qv AS a, i.qv AS b FROM vp p JOIN vi i USING (id)
+),
+m AS (
+  SELECT id,
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(64), k -> a[k+1] * b[k+1])),
+      (acc, v) -> acc + v) AS dot,
+    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(a, x -> x*x)), (acc, v) -> acc + v)) AS na,
+    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(b, x -> x*x)), (acc, v) -> acc + v)) AS nb,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(b, x -> floor(x * 1e6 + 0.5)::BIGINT)),
+      (acc, v) -> acc + v) AS ck
+  FROM paired
+)
+SELECT id,
+       CASE WHEN na * nb = 0 THEN 0.0
+            ELSE round(dot / (na * nb), 6) END AS cos_plain_inst,
+       ck % 2305843009213693951 AS inst_vec_ck
+FROM m
+""".format(
+        vec_plain=vec(""),
+        vec_inst=vec(
+            " + CASE WHEN b.i = (SELECT qb FROM qtok)"
+            " THEN (SELECT qs FROM qtok) ELSE 0.0 END"
+        ),
+        q_plain=quantize.format(src="vp_raw"),
+        q_inst=quantize.format(src="vi_raw"),
+    )
+
+
 def oracle_pipeline_e2e() -> str:
     """SQL replay of preprocess → hash embed → ε-graph → counts.
 
