@@ -97,7 +97,11 @@ def inflate_vectors(
     bench/test corpus builder for exercising the LSH similarity path
     above LSH_THRESHOLD without synthesizing data files. Copies derive
     from the driver-generated embeddings table; ids become
-    ``id * factor + copy``. Pure Column expressions, shuffle-free.
+    ``id * factor + copy``. One NumPy mapInPandas pass, shuffle-free
+    (r11: the explode + interpreted transform() fold was ~1s of every
+    inflated bench query's wall; the kernel computes the identical
+    int64 LCG mix and float perturbation vectorized — values are
+    bit-equal, see the modulus argument below).
     The perturbation is an integer LCG mix of (inflated id, dim index,
     seed) — pure codegen'd int64 arithmetic that replays bit-for-bit
     in DuckDB (inflate_vectors_sql; the cluster_lsh oracle depends on
@@ -110,38 +114,65 @@ def inflate_vectors(
     errors, DuckDB errors; neither wraps silently)."""
     from pyspark.sql import functions as F
 
+    id_type = dict(emb.dtypes)[id_col]
+
+    def inflate(batches):
+        import numpy as np
+        import pandas as pd
+
+        copies = np.arange(factor, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy().astype(np.int64)
+            vecs = pdf["_v"]
+            nulls = vecs.isna().to_numpy()
+            # inflated ids, row-major: row i's copies are contiguous —
+            # the same (id, copy) pairs the explode produced
+            rep_ids = (
+                ids[:, None] * factor + copies[None, :]
+            ).reshape(-1)
+            if nulls.all():
+                yield pd.DataFrame(
+                    {id_col: rep_ids, vec_col: [None] * len(rep_ids)}
+                )
+                continue
+            X = np.array(
+                vecs[~nulls].tolist(), dtype=np.float64
+            )  # float32 -> float64 widening is exact, same as the cast
+            dim = X.shape[1]
+            keep = np.repeat(~nulls, factor)
+            Xr = np.repeat(X, factor, axis=0)
+            # the LCG mix, vectorized on int64: every intermediate is
+            # < 2^62 (M < 2^31, A ~ 1.1e9, (j+1)*B <= dim*2.7e9) and
+            # every operand non-negative, so numpy's % and * match
+            # Spark's pmod-free expression exactly
+            s1 = (rep_ids[keep] + np.int64(seed)) % np.int64(_LCG_M)
+            s2 = (s1 * np.int64(_LCG_A) + np.int64(_LCG_C)) % np.int64(
+                _LCG_M
+            )
+            j1 = np.arange(1, dim + 1, dtype=np.int64)
+            s3 = (
+                s2[:, None] * np.int64(_LCG_A)
+                + j1[None, :] * np.int64(_MIX_B)
+            ) % np.int64(_LCG_M)
+            v = s3 % np.int64(2001) - np.int64(1000)
+            # same float op order as the Column expression:
+            # x + ((v / 1000.0) * noise)
+            out = Xr + (v / 1000.0) * noise
+            if nulls.any():
+                col: list = [None] * len(rep_ids)
+                for pos, row in zip(np.nonzero(keep)[0], out):
+                    col[pos] = row
+            else:
+                col = list(out)
+            yield pd.DataFrame({id_col: rep_ids, vec_col: col})
+
     return emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_copy"),
-    ).select(
-        (F.col("_id") * factor + F.col("_copy")).alias(id_col),
-        F.transform(
-            F.col("_v").cast("array<double>"),
-            lambda x, j: x
-            + (
-                (
-                    (
-                        (
-                            F.col("_id") * factor
-                            + F.col("_copy")
-                            + F.lit(seed)
-                        )
-                        % F.lit(_LCG_M)
-                        * F.lit(_LCG_A)
-                        + F.lit(_LCG_C)
-                    )
-                    % F.lit(_LCG_M)
-                    * F.lit(_LCG_A)
-                    + (j.cast("long") + 1) * F.lit(_MIX_B)
-                )
-                % F.lit(_LCG_M)
-                % 2001
-                - 1000
-            )
-            / F.lit(1000.0)
-            * F.lit(noise),
-        ).alias(vec_col),
+    ).mapInPandas(
+        inflate, schema=f"{id_col} {id_type}, {vec_col} array<double>"
     )
 
 
