@@ -123,10 +123,22 @@ def learn_bpe_merges(
             "freq",
             _apply_merge("syms", top["l"], top["r"]).alias("syms"),
         ).localCheckpoint(eager=False)
-    merges = spark.createDataFrame(
-        rows, "step int, left string, right string, merged string, "
-        "pair_count bigint"
-    )
+    if rows:
+        from ..session import local_df
+
+        # Arrow-local relation (r11): createDataFrame(list) pays a
+        # Python-worker round trip per partition on every action
+        merges = local_df(
+            spark,
+            rows,
+            "step int, left string, right string, merged string, "
+            "pair_count bigint",
+        )
+    else:
+        merges = spark.createDataFrame(
+            [], "step int, left string, right string, merged string, "
+            "pair_count bigint"
+        )
     return merges, state
 
 

@@ -338,6 +338,7 @@ def lsh_candidate_pairs(
     symmetric: bool = False,
     n_tables: int = 1,
     vec_broadcast_bytes: int | None = None,
+    both_directions: bool = True,
 ) -> DataFrame:
     """Approximate ε-pairs via sign (random-hyperplane) LSH with
     multiprobe, verified exactly. Same output contract as
@@ -536,8 +537,18 @@ def lsh_candidate_pairs(
         # m = b_l XOR b_r), generated from one side only (r09); the
         # multi-table paths dedup candidates pre-verify above.
         verified = verified.dropDuplicates(["l_id", "r_id"])
-    if symmetric:
-        # restore the both-directions contract from the verified half
+    if symmetric and both_directions:
+        # restore the both-directions contract from the verified half.
+        # NOTE the union's two branches are the SAME unmaterialized
+        # lineage — Catalyst does not share it, so a consumer that
+        # aggregates the union executes the candidate join + verify
+        # twice. Callers that only need each unordered pair once
+        # (aggregates, canonical-pair joins) should pass
+        # both_directions=False and read the half directly: it holds
+        # every unordered pair exactly once in BUCKET-canonical
+        # orientation (probe >= own bucket), i.e. NOT sorted by id —
+        # canonicalize with least/greatest if id order matters (r11;
+        # the same contract ivf_epsilon_pairs already documents).
         verified = verified.unionAll(
             verified.select(
                 F.col("r_id").alias("l_id"),

@@ -54,6 +54,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df
 from .cluster import (
     IVF_QUANT,
     _ivf_cell_pairs_fn,
@@ -150,8 +151,12 @@ def write_eps_index(
             },
             f,
         )
-    spark.createDataFrame(
-        [(i, r["_id"], r["_v"]) for i, r in enumerate(cent_rows)],
+    # Arrow-local relation, not createDataFrame(list): the pickled
+    # Python RDD costs ~0.1s of worker round-trip PER PARTITION per
+    # action (r11: this one write was ~4s of cluster_ivf_index)
+    local_df(
+        spark,
+        [(i, r["_id"], list(r["_v"])) for i, r in enumerate(cent_rows)],
         f"cell long, _id {id_type}, _v array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _CODEBOOK)

@@ -70,26 +70,13 @@ def pagerank_fixed_point(
     the sf0.1 co-purchase graph from this cut alone).
     """
     e = edges.select("src", "dst").localCheckpoint(eager=True)
-    # nodes feeds the rank table of EVERY iteration's lineage (the
-    # uncut union+distinct re-executed once per ranks reference — the
-    # r11 plan audit counted 50 Exchanges over 3 iterations); one
-    # n-row materialization flattens that to the iteration's own ops
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    # outdeg pre-joined onto the edge table ONCE: the loop body then
-    # needs a single ranks⋈edges join per iteration instead of
-    # ranks⋈deg⋈edges (contrib per edge is rank div outdeg either
-    # way — identical integers, one fewer shuffle join per step)
-    ed = (
-        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
-               "src")
-        .localCheckpoint(eager=True)
-    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node",
@@ -102,11 +89,12 @@ def pagerank_fixed_point(
     )
     for i in range(iterations):
         contrib = (
-            ranks.join(ed, ranks.node == ed.src)
+            ranks.join(deg, ranks.node == deg.src)
             .select(
-                "dst",
+                "src",
                 F.expr("rank div outdeg").alias("contrib"),
             )
+            .join(e, "src")
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )

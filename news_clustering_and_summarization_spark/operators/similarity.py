@@ -223,7 +223,10 @@ def train_ivf_centroids(
     )
     km = KMeans(k=nlist, maxIter=max_iter, seed=seed).fit(feats)
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    from ..session import local_df
+
+    return local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, centroid array<double>",
     )
@@ -598,7 +601,10 @@ def mmr_rerank(
         (i + 1, vid, rq, ms, mm)
         for i, (vid, rq, ms, mm) in enumerate(selected)
     ]
-    return spark.createDataFrame(
+    from ..session import local_df
+
+    return local_df(
+        spark,
         rows,
         "rank long, vec_id long, rel_q long, max_sim_q long, mmr_q long",
     )

@@ -61,7 +61,14 @@ def _lsh_inflated_edges(spark, sf, eps, checkpoint_edges):
     cutting the candidate join ~3x in wall time.
     n_rows (metadata-only count * inflate factor) engages the
     broadcast vector-attach inside lsh_candidate_pairs: 50k x 64
-    doubles = 25 MB, under the 64 MiB gate."""
+    doubles = 25 MB, under the 64 MiB gate.
+
+    r11: ``edges`` is the CANONICAL HALF (both_directions=False) —
+    every unordered pair exactly once, bucket-canonical orientation.
+    The mirrored union's branches are unshared lineage, so both
+    consumers were executing the candidate join + verify kernel
+    TWICE; they now derive the both-directions aggregates from the
+    half (count x 2, same max) instead."""
     from ..testing import inflate_vectors
 
     emb = load(spark, sf, "embeddings")
@@ -73,6 +80,7 @@ def _lsh_inflated_edges(spark, sf, eps, checkpoint_edges):
     edges = C.lsh_candidate_pairs(
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
         nbits=18, dim=64, n_rows=emb.count() * 25, symmetric=True,
+        both_directions=False,
     )
     if checkpoint_edges:
         # the verify variant fans edges out to three consumers
@@ -97,9 +105,11 @@ def q_cluster_lsh(spark, sf):
     inflated, edges = _lsh_inflated_edges(
         spark, sf, eps, checkpoint_edges=False
     )
+    # edges is the canonical half: each unordered pair once, so the
+    # both-directions count is exactly 2x and the max is unchanged
     return inflated.agg(F.count("*").alias("n_nodes")).crossJoin(
         edges.agg(
-            F.count("*").alias("n_edges"),
+            (F.count("*") * 2).alias("n_edges"),
             F.round(F.max("dist"), 6).alias("max_edge_dist"),
         )
     )
@@ -130,8 +140,11 @@ def q_cluster_lsh_verify(spark, sf):
         sample, sample, eps, id_col="vec_id", vec_col="embedding",
         upper_only=True, with_dist=False,
     ).localCheckpoint(eager=True)
-    lsh_pairs = edges.where(F.col("l_id") < F.col("r_id")).select(
-        "l_id", "r_id"
+    # edges is the canonical half in BUCKET orientation — sort the
+    # ids for the id-canonical semi-join the recall leg expects
+    lsh_pairs = edges.select(
+        F.least("l_id", "r_id").alias("l_id"),
+        F.greatest("l_id", "r_id").alias("r_id"),
     )
     hits = exact.join(lsh_pairs, ["l_id", "r_id"], "left_semi").agg(
         F.count("*").alias("_n_hits")
@@ -140,7 +153,7 @@ def q_cluster_lsh_verify(spark, sf):
         inflated.agg(F.count("*").alias("n_nodes"))
         .crossJoin(
             edges.agg(
-                F.count("*").alias("n_edges"),
+                (F.count("*") * 2).alias("n_edges"),
                 F.round(F.max("dist"), 6).alias("max_edge_dist"),
             )
         )

@@ -1380,8 +1380,10 @@ def q_ann_ivf_pq(spark, sf):
     codedc = coded.select("vec_id", "codes").join(celled, "vec_id")
     qrow = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
     qv = list(qrow["v"])
-    qdf = spark.createDataFrame(
-        [(qrow["vec_id"], qv)], "vec_id long, v array<double>"
+    from ..session import local_df
+
+    qdf = local_df(
+        spark, [(qrow["vec_id"], qv)], "vec_id long, v array<double>"
     )
     probed_cells = [
         r["cluster"]

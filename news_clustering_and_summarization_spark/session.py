@@ -64,6 +64,28 @@ def _physical_ram_gb() -> int | None:
     return None
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Driver-local rows -> DataFrame via the Arrow/pandas path.
+
+    ``createDataFrame(list)`` builds a pickled Python RDD with
+    defaultParallelism partitions, and EVERY downstream action then
+    pays a Python-worker round trip per partition (~0.1s each at
+    local[32] — measured 3-4s per action in r11, with ``coalesce(1)``
+    serializing all of them into one task). Routing through a pandas
+    DataFrame keeps the rows in the JVM as one Arrow-backed local
+    relation: one conversion at build time, zero Python workers at
+    action time. Use only for simple schemas (ints / floats /
+    strings / arrays thereof) with no None in numeric columns — the
+    pandas path would coerce those to NaN."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    parsed = _parse_datatype_string(schema)
+    names = [f.name for f in parsed.fields]
+    pdf = pd.DataFrame.from_records(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=parsed)
+
+
 def get_spark(
     app_name: str = "news_clustering_spark",
     master: str | None = None,

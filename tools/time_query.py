@@ -40,6 +40,10 @@ def main() -> int:
         del args[i : i + 2]
     names = args
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    from news_clustering_and_summarization_spark.session import auto_driver_mem
+
+    # same driver-heap sizing as bench.py, or GC pressure skews A/Bs
+    os.environ.setdefault("SPARK_DRIVER_MEM", auto_driver_mem(sf, cpus))
     spark = get_spark(
         "time-query",
         master=f"local[{cpus}]",
