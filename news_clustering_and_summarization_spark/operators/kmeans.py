@@ -88,19 +88,47 @@ def assign_to_centroids(
     centroids: list[tuple[int, list[float]]],
 ) -> DataFrame:
     """Add ``(cluster, sqdist)`` for the nearest of ``centroids``
-    (list of (cluster_id, vector)). Pure projection — no shuffle."""
-    vec = F.col(vec_col)
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist(vec, cent).alias("dist"),
-                    F.lit(int(cid)).alias("cluster"),
-                )
-                for cid, cent in centroids
-            ]
-        )
+    (list of (cluster_id, vector)). Still a projection — no shuffle —
+    but vectorized (r11, guide §4.2): the k interpreted
+    aggregate/zip_with folds per row were the bulk of kmeans_assign /
+    semdedup wall. The NumPy kernel replays the same index-ordered
+    fold — acc = acc + (x_j - c_j)^2 sequentially over dims,
+    vectorized over rows, identical IEEE doubles — and the
+    (dist, cluster) lexicographic argmin is replicated by ranking
+    centroids in ascending cluster-id order (np.argmin returns the
+    FIRST minimum). ``df[vec_col]`` must be array<double> with no
+    nulls (the lloyd_kmeans contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted((int(cid), list(vec)) for cid, vec in centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+
+    # no type hints: `from __future__ import annotations` turns them
+    # into strings the UDF inferrer cannot resolve for local imports —
+    # pass the eval type explicitly instead
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf(
+        "struct<dist: double, cluster: int>", PandasUDFType.SCALAR
     )
+    def nearest(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((len(X), len(cmat)), dtype=np.float64)
+        for j in range(cmat.shape[1]):
+            d = X[:, j][:, None] - cmat[None, :, j]
+            acc = acc + d * d
+        best = np.argmin(acc, axis=1)
+        return pd.DataFrame(
+            {
+                "dist": acc[np.arange(len(X)), best],
+                "cluster": cids[best].astype(np.int32),
+            }
+        )
+
+    best = nearest(F.col(vec_col))
     return df.withColumn("cluster", best["cluster"]).withColumn(
         "sqdist", best["dist"]
     )
