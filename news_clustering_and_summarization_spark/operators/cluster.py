@@ -324,6 +324,76 @@ def _pair_verify_fn(eps: float):
     return verify
 
 
+def _pair_verify_lookup_fn(eps: float, bc):
+    """Broadcast-lookup variant of _pair_verify_fn (r11, guide §2.3/
+    §8: shuffle keys, not payloads): candidate batches carry ONLY
+    (l_id, r_id) — 16-ish bytes/row — and the kernel gathers both
+    vectors from a one-time python broadcast of the (ids, matrix)
+    pair. The old path attached vectors per CANDIDATE row via two
+    broadcast hash joins and then shipped candidates x 2 x dim
+    doubles through Arrow (~2 GB at the bench's 1.9M candidates);
+    this ships the matrix once per worker and ~30 MB of ids. The
+    arithmetic is _pair_verify_fn's fold verbatim — same gathered
+    doubles, same IEEE op order, same NaN clipping — so emitted
+    distances are bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(batches):
+        l_index, XL, r_index, XR = bc.value
+        if r_index is None:  # symmetric: left IS right
+            r_index, XR = l_index, XL
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            li = l_index.get_indexer(pdf["l_id"].to_numpy())
+            ri = r_index.get_indexer(pdf["r_id"].to_numpy())
+            A = XL[li]
+            B = XR[ri]
+            na = np.zeros(len(A), dtype=np.float64)
+            nb = np.zeros(len(A), dtype=np.float64)
+            dot = np.zeros(len(A), dtype=np.float64)
+            for j in range(A.shape[1]):
+                a = A[:, j]
+                b = B[:, j]
+                na = na + a * a
+                nb = nb + b * b
+                dot = dot + a * b
+            dist = 1.0 - dot / (np.sqrt(na) * np.sqrt(nb))
+            nanm = np.isnan(dist)
+            dist = np.minimum(1.0, np.maximum(0.0, dist))
+            dist[nanm] = 1.0
+            ok = dist <= eps
+            yield pd.DataFrame(
+                {
+                    "l_id": pdf["l_id"].to_numpy()[ok],
+                    "r_id": pdf["r_id"].to_numpy()[ok],
+                    "dist": dist[ok],
+                }
+            )
+
+    return verify
+
+
+def _collect_vec_lookup(vecs_df, id_name: str, vec_name: str):
+    """Driver-side (pd.Index over ids, float64 matrix) for the
+    verify's broadcast-lookup attach — or None when ids are not
+    unique (duplicate-id inputs keep the join path, which preserves
+    the per-duplicate pair fan-out). Same driver footprint as the
+    JVM broadcast hash relation this replaces, behind the same
+    ``n_rows * dim * 8 <= gate`` check."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = vecs_df.toPandas()
+    ids = pdf[id_name].to_numpy()
+    index = pd.Index(ids)
+    if not index.is_unique:
+        return None
+    X = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+    return index, X
+
+
 def lsh_candidate_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -515,21 +585,51 @@ def lsh_candidate_pairs(
         else vec_broadcast_bytes
     )
     small = n_rows is not None and n_rows * dim * 8 <= gate
-    if small:
-        l_vecs, r_vecs = F.broadcast(l_vecs), F.broadcast(r_vecs)
     id_type = dict(left.dtypes)[id_col]
-    verified = (
-        cand.join(l_vecs, "l_id")
-        .join(r_vecs, "r_id")
-        .select("l_id", "r_id", "_lv", "_rv")
-        # exact verify in one NumPy pass per Arrow batch instead of
-        # the interpreted per-candidate aggregate/zip_with folds —
-        # emitted dist is the same IEEE double (guide §4.2; r11)
-        .mapInPandas(
-            _pair_verify_fn(eps),
-            schema=f"l_id {id_type}, r_id {id_type}, dist double",
+    out_schema = f"l_id {id_type}, r_id {id_type}, dist double"
+    lookup = None
+    if small:
+        # r11 (guide §2.3/§8): under the gate the vector table fits
+        # in memory anyway (the old path built TWO JVM broadcast hash
+        # relations of it) — collect it ONCE, python-broadcast the
+        # (ids, matrix) pair, and let the verify kernel gather
+        # vectors by id. Candidates then cross the Arrow boundary as
+        # bare id pairs instead of 2 x dim doubles each (~2 GB ->
+        # ~30 MB at the bench's 1.9M candidates). Bit-identical dist:
+        # same doubles, same fold (_pair_verify_lookup_fn). Falls
+        # back to the join path when ids are not unique (duplicate-id
+        # inputs rely on the join's per-duplicate fan-out).
+        l_look = _collect_vec_lookup(
+            l_vecs.where(F.col("_lv").isNotNull()), "l_id", "_lv"
         )
-    )
+        if l_look is not None:
+            if symmetric:
+                lookup = (*l_look, None, None)
+            else:
+                r_look = _collect_vec_lookup(
+                    r_vecs.where(F.col("_rv").isNotNull()),
+                    "r_id",
+                    "_rv",
+                )
+                if r_look is not None:
+                    lookup = (*l_look, *r_look)
+    if lookup is not None:
+        bc = left.sparkSession.sparkContext.broadcast(lookup)
+        verified = cand.select("l_id", "r_id").mapInPandas(
+            _pair_verify_lookup_fn(eps, bc), schema=out_schema
+        )
+    else:
+        if small:
+            l_vecs, r_vecs = F.broadcast(l_vecs), F.broadcast(r_vecs)
+        verified = (
+            cand.join(l_vecs, "l_id")
+            .join(r_vecs, "r_id")
+            .select("l_id", "r_id", "_lv", "_rv")
+            # exact verify in one NumPy pass per Arrow batch instead
+            # of the interpreted per-candidate aggregate/zip_with
+            # folds — same IEEE double (guide §4.2; r11)
+            .mapInPandas(_pair_verify_fn(eps), schema=out_schema)
+        )
     if not symmetric and n_tables == 1:
         # duplicate-id inputs can repeat an (l, r) pair — dedup. The
         # SYMMETRIC single-table path needs none: an unordered pair

@@ -72,11 +72,15 @@ def _lsh_inflated_edges(spark, sf, eps, checkpoint_edges):
     from ..testing import inflate_vectors
 
     emb = load(spark, sf, "embeddings")
-    inflated = (
-        inflate_vectors(emb, 25)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # repartition the BASE rows (1 parquet file = 1 partition), not
+    # the inflated output: the kernel then runs on every core and the
+    # exchange moves base-size bytes instead of factor x that
+    # (guide §2.3 / §8 — decide placement on small rows; r11 A/B:
+    # 1.49s -> 0.59s for the inflate+materialize leg). Row values are
+    # identical — inflation is per-row deterministic.
+    inflated = inflate_vectors(
+        emb.repartition(spark.sparkContext.defaultParallelism), 25
+    ).localCheckpoint(eager=True)
     edges = C.lsh_candidate_pairs(
         inflated, inflated, eps, id_col="vec_id", vec_col="embedding",
         nbits=18, dim=64, n_rows=emb.count() * 25, symmetric=True,
@@ -286,11 +290,12 @@ def _ivf_inflated_edges(spark, sf, checkpoint_edges: bool):
     from ..testing import inflate_vectors
 
     emb = load(spark, sf, "embeddings")
-    inflated = (
-        inflate_vectors(emb, _IVF_FACTOR)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # base-side repartition before the inflate kernel — see
+    # _lsh_inflated_edges (r11, guide §2.3/§8)
+    inflated = inflate_vectors(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        _IVF_FACTOR,
+    ).localCheckpoint(eager=True)
     edges = C.ivf_epsilon_pairs(
         inflated, _IVF_EPS, id_col="vec_id", vec_col="embedding",
         sample_mod=_IVF_SAMPLE_MOD, nprobe=_IVF_NPROBE,
@@ -557,11 +562,12 @@ def _ivf_inflated_edges_input(spark, sf):
     from ..testing import inflate_vectors
 
     emb = load(spark, sf, "embeddings")
-    inflated = (
-        inflate_vectors(emb, _IVF_FACTOR)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # base-side repartition before the inflate kernel — see
+    # _lsh_inflated_edges (r11, guide §2.3/§8)
+    inflated = inflate_vectors(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        _IVF_FACTOR,
+    ).localCheckpoint(eager=True)
     return inflated, None
 
 
