@@ -1030,6 +1030,14 @@ def ivf_epsilon_pairs(
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
 
+    # r11 NOTE (guide §1.1 — measured, kept as-is): a broadcast-
+    # lookup variant (route emits (cell, id, home) only; the cell
+    # kernel gathers vectors from a python broadcast, the same trick
+    # that won 2x in the LSH verify) was A/B'd here and REJECTED:
+    # 1.91s -> 3.77s at the bench corpus. The routed fan-out is only
+    # ~7x corpus bytes, so the saved shuffle (~60 MB) was smaller
+    # than the per-task broadcast deserialization it added; the LSH
+    # win came from replacing ~2 GB of per-candidate Arrow traffic.
     routed = base.mapInPandas(
         _ivf_route_fn(bc, p, cp, mq),
         schema=f"cell long, _id {id_type}, _home boolean, "

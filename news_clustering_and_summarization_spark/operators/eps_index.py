@@ -187,7 +187,13 @@ def write_eps_index(
     )
 
 
-def _load(spark: SparkSession, path: str):
+def _load(spark: SparkSession, path: str, need_prep: bool = True):
+    """Read _params.json and (when ``need_prep``) rebuild the routing
+    geometry from the persisted codebook. Full-index readers
+    (eps_pairs_from_index) pass ``need_prep=False``: they never route,
+    and the codebook collect + numpy prep were ~0.5s of pure waste per
+    query at bench scale (r11, guide §1.2 — don't compute things you
+    throw away)."""
     with open(os.path.join(path, _PARAMS)) as f:
         params = json.load(f)
     if params["quant"] != IVF_QUANT:
@@ -195,6 +201,8 @@ def _load(spark: SparkSession, path: str):
             f"index at {path!r} was built with quant={params['quant']}, "
             f"this build uses {IVF_QUANT} — rebuild the index"
         )
+    if not need_prep:
+        return params, None
     cent_rows = (
         spark.read.parquet(os.path.join(path, _CODEBOOK))
         .orderBy("cell")
@@ -258,7 +266,7 @@ def eps_pairs_from_index(
     """All ε-pairs of the indexed corpus, straight from the persisted
     fan-out — NO routing pass: the per-cell verify kernel is the only
     compute. Output contract matches ivf_epsilon_pairs."""
-    params, _ = _load(spark, path)
+    params, _ = _load(spark, path, need_prep=False)
     id_type = params["id_type"]
     out_schema = f"l_id {id_type}, r_id {id_type}, dist double"
     routed = _read_routed(spark, path, params).select(
