@@ -1089,14 +1089,27 @@ def semantic_dedup(
     (smaller id, larger id) orientation, so threshold compares see
     identical doubles.
 
+    r11 shape (guide §2.4, measured): assignment is attached as a
+    centroid-literal projection instead of lloyd_kmeans + a
+    vecs-to-assignment id join — one exchange fewer ahead of the
+    cluster self-join. (An applyInPandas per-cluster NumPy prune
+    kernel was also A/B'd here: ~1s SLOWER at bench scale — the
+    cluster exchange + Arrow round trip outweighs vectorizing ~3e5
+    interpreted pair folds; numbers in OPTIMIZATION_r11.md.)
+
     Returns (id_col, cluster, keep) over every input row.
     """
-    from .kmeans import lloyd_kmeans
+    from .kmeans import assign_to_centroids, lloyd_centroids
 
     vecs = df.select(id_col, vec_col)
-    assign = lloyd_kmeans(
+    id_type = dict(vecs.dtypes)[id_col]
+    centroids = lloyd_centroids(
         vecs, id_col, vec_col, k=k, n_iter=n_iter, dim=dim
-    ).select(id_col, "cluster")
+    )
+    if not centroids:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cluster int, keep boolean"
+        )
     norm = F.sqrt(
         F.aggregate(
             F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x * y),
@@ -1104,14 +1117,11 @@ def semantic_dedup(
             lambda acc, v: acc + v,
         )
     )
-    sided = (
-        vecs.join(assign, id_col)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            norm.alias("_n"),
-            "cluster",
-        )
+    sided = assign_to_centroids(vecs, vec_col, centroids).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm.alias("_n"),
+        "cluster",
     )
     a, b = sided.alias("a"), sided.alias("b")
     # zero-norm vectors (empty docs embedded to zeros) have no cosine:
@@ -1460,22 +1470,28 @@ def source_jaccard_kmv(
     from ..functions import hashing as H
 
     MAXH = 1 << 60
-    hashed = (
-        df.select(
-            F.col(source_col).alias("src"),
-            F.explode(
-                H.word_shingles(H.tokens(text_col), shingle_n)
-            ).alias("g"),
-        )
-        .select("src", H.hash64(F.col("g")).alias("h"))
+    exploded = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            H.word_shingles(H.tokens(text_col), shingle_n)
+        ).alias("g"),
     )
+    hashed = exploded.select("src", H.hash64(F.col("g")).alias("h"))
     if prefilter_margin is None:
         sh = hashed.distinct()
     else:
         budget = prefilter_margin * k
-        taus = hashed.groupBy("src").agg(
+        # r11 (guide §1.2 "don't compute things you throw away"): the
+        # τ pass only needs a per-source distinct ESTIMATE, so it runs
+        # approx_count_distinct straight on the shingle strings (HLL
+        # xxhash64-hashes its input internally) instead of first
+        # computing the md5-derived sketch hash for every shingle —
+        # the md5 leg is now paid once, in the filtered pass below.
+        # τ shifts by the estimator's hash-dependent wobble only; the
+        # shortfall detector + redo keep the output exact regardless.
+        taus = exploded.groupBy("src").agg(
             F.when(
-                F.approx_count_distinct("h", 0.02) <= F.lit(budget),
+                F.approx_count_distinct("g", 0.02) <= F.lit(budget),
                 F.lit(MAXH),
             )
             .otherwise(
@@ -1483,7 +1499,7 @@ def source_jaccard_kmv(
                     F.lit(MAXH),
                     F.ceil(
                         F.lit(float(MAXH))
-                        / F.approx_count_distinct("h", 0.02)
+                        / F.approx_count_distinct("g", 0.02)
                         * F.lit(budget)
                     ),
                 )
@@ -1491,6 +1507,11 @@ def source_jaccard_kmv(
             .cast("long")
             .alias("_tau")
         )
+        # r11 (guide §1.2): taus feeds BOTH the broadcast prefilter
+        # join and the shortfall detector; un-checkpointed, the
+        # detector's join re-ran the whole explode+HLL corpus pass a
+        # second time. #sources rows — the checkpoint is free.
+        taus = taus.localCheckpoint(eager=True)
         filtered = (
             hashed.join(F.broadcast(taus), "src")
             .where(F.col("h") < F.col("_tau"))
