@@ -43,6 +43,59 @@ def language_id(text_col: Column | str) -> Column:
     return F.when(score_expr > 0, lang_expr).otherwise(F.lit("und"))
 
 
+def corpus_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document curation signals (quality features + score,
+    language prediction, token counts) computed from ONE shared
+    tokenization.
+
+    The naive composition (quality_score ∘ language_id ∘ token_counts,
+    each calling ``H.tokens`` afresh, plus the argmax when-fold
+    duplicating every score subtree) evaluates ``split(lower(text))``
+    ~97× per row once a downstream predicate is pushed into it (r11
+    corpus_build before-plan). Here each expensive alias lives in its
+    own projection and is referenced as a plain attribute: tokens once,
+    each language score once, the argmax over cheap column refs. Same
+    expressions, same values — only the evaluation count changes.
+
+    NOTE for callers that filter on the outputs: predicate pushdown
+    substitutes aliases without a cost guard, re-inlining the whole
+    tree into the pushed Filter. Cut lineage first
+    (``df.localCheckpoint(eager=False)``) when filtering on
+    quality_score/lang_pred directly above this (q_corpus_build does).
+    """
+    d = df.withColumn("__tok", H.tokens(text_col))
+    d = quality_features(d, text_col, tokens_col="__tok")
+    d = token_counts(d, text_col, tokens_col="__tok")
+    langs = sorted(LANG_MARKERS.items())
+    d = d.withColumns(
+        {f"__s_{lang}": _lang_score(F.col("__tok"), ws) for lang, ws in langs}
+    )
+    len_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0
+    ).otherwise(0.25)
+    wl_ok = F.when(
+        (F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0), 1.0
+    ).otherwise(0.5)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.5)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    lang_expr, score_expr = F.lit(langs[0][0]), F.col(f"__s_{langs[0][0]}")
+    for lang, _ in langs[1:]:
+        sc = F.col(f"__s_{lang}")
+        lang_expr = F.when(sc > score_expr, F.lit(lang)).otherwise(lang_expr)
+        score_expr = F.when(sc > score_expr, sc).otherwise(score_expr)
+    d = d.withColumns(
+        {
+            "quality_score": F.round(
+                (len_ok * wl_ok * stop_ok * punct_ok).cast("double"), 6
+            ),
+            "lang_pred": F.when(score_expr > 0, lang_expr).otherwise(
+                F.lit("und")
+            ),
+        }
+    )
+    return d.drop("__tok", *[f"__s_{lang}" for lang, _ in langs])
+
+
 def language_id_sql(expr: str) -> str:
     tok = H.tokens_sql(expr)
     parts_score = []
@@ -73,8 +126,18 @@ def language_id_sql(expr: str) -> str:
 _STOPWORDS_EN = LANG_MARKERS["en"]
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    tok = H.tokens(text_col)
+def quality_features(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
+    """When ``tokens_col`` is None the token array is materialized once
+    in its own projection (r11: the three token-derived features would
+    otherwise each re-evaluate the regex split per row — CollapseProject
+    keeps a non-cheap, multi-referenced alias in its own Project)."""
+    drop_tok = tokens_col is None
+    if tokens_col is None:
+        tokens_col = "__qf_tok"
+        df = df.withColumn(tokens_col, H.tokens(text_col))
+    tok = F.col(tokens_col)
     c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
     n_tokens = F.size(tok)
@@ -84,7 +147,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_word_len = F.when(n_tokens > 0,
         F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens
     ).otherwise(F.lit(0.0))
-    return df.withColumns(
+    out = df.withColumns(
         {
             "n_chars": n_chars.cast("long"),
             "n_tokens": n_tokens.cast("long"),
@@ -97,13 +160,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_word_len": mean_word_len.cast("double"),
         }
     )
+    return out.drop("__qf_tok") if drop_tok else out
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Composite [0,1] quality score: in-range length, sane mean word
     length, some stopwords, low punctuation density (C4/Gopher-style
     rules re-expressed as smooth penalties)."""
-    feats = quality_features(df, text_col)
+    feats = quality_features(df, text_col, tokens_col=tokens_col)
     len_ok = F.when(
         (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0
     ).otherwise(0.25)
@@ -159,7 +225,9 @@ def quality_score_sql(text_expr: str) -> str:
 # --- token counting --------------------------------------------------
 
 
-def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_counts(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Whitespace tokens plus a BPE-ish subword estimate: words are
     split every 4 characters (ceil(len/4) pieces), digits/punctuation
     count singly — a deterministic stand-in for a real tokenizer's
@@ -168,7 +236,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ws_tokens = F.size(
         F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
     )
-    tok = H.tokens(text_col)
+    tok = F.col(tokens_col) if tokens_col else H.tokens(text_col)
     bpe_est = F.aggregate(
         tok,
         F.lit(0),

@@ -584,3 +584,42 @@ def test_ctfidf_top_terms_hand_case(spark):
     assert (g2["term"], g2["tf"], g2["score_q"]) == ("beta", 1, ln2q)
     assert got[("g1", 2)]["term"] == "shared"
     assert got[("g1", 2)]["score_q"] == 0
+
+
+def test_corpus_signals_matches_naive_composition(spark, docs):
+    """r11: corpus_signals shares ONE tokenization across all signals;
+    every value must equal the naive per-operator composition."""
+    naive = TA.token_counts(
+        TA.quality_score(docs).withColumn("lang_pred", TA.language_id("text"))
+    )
+    fused = TA.corpus_signals(docs)
+    cols = [
+        "doc_id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio",
+        "mean_word_len", "quality_score", "lang_pred", "ws_token_count",
+        "bpe_token_estimate",
+    ]
+    a = sorted(map(tuple, naive.select(cols).collect()))
+    b = sorted(map(tuple, fused.select(cols).collect()))
+    assert a == b
+
+
+def test_quality_features_tokens_col_reuse(spark, docs):
+    """Passing a pre-materialized tokens_col must not change values."""
+    pre = docs.withColumn("_tok", H.tokens("text"))
+    a = sorted(
+        map(
+            tuple,
+            TA.quality_features(docs)
+            .select("doc_id", "n_tokens", "stopword_ratio", "mean_word_len")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            TA.quality_features(pre, tokens_col="_tok")
+            .select("doc_id", "n_tokens", "stopword_ratio", "mean_word_len")
+            .collect(),
+        )
+    )
+    assert a == b
