@@ -237,6 +237,7 @@ def dsir_importance_weights(
     id_col: str,
     text_col: str,
     n_buckets: int = 1024,
+    target_predicate: Column | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023):
     score every source document by how target-like its hashed-bigram
@@ -275,8 +276,19 @@ def dsir_importance_weights(
     # bucket-count aggregate and the scoring join — tokenize+shingle
     # is the expensive expression tree (same pattern as
     # dedup.ngram_jaccard_pairs)
-    src = bigram_instances(source, id_col).localCheckpoint(eager=True)
-    tgt = bigram_instances(target)
+    if target_predicate is not None:
+        # r11: when the caller declares target = source.where(pred)
+        # (q_dsir_select: lang == 'en'), carry the predicate as a flag
+        # through the ONE materialized bigram stream instead of
+        # tokenizing the target subset a second time — identical
+        # instances, one corpus pass fewer (guide §1.2).
+        src = bigram_instances(
+            source.withColumn("_is_tgt", target_predicate), id_col, "_is_tgt"
+        ).localCheckpoint(eager=True)
+        tgt = src.where(F.col("_is_tgt"))
+    else:
+        src = bigram_instances(source, id_col).localCheckpoint(eager=True)
+        tgt = bigram_instances(target)
     src_cnt = src.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
     tgt_cnt = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
     src_tot = src_cnt.agg(F.sum("sc").alias("st"))

@@ -2170,7 +2170,17 @@ def q_dsir_select(spark, sf):
 
     docs = widen(spark, load(spark, sf, "documents"))
     target = docs.where(F.col("lang") == "en")
-    w = dsir_importance_weights(docs, target, "doc_id", "text", 1024)
+    # r11: target is source.where(lang='en'), so pass the predicate and
+    # let the operator derive target counts from its one materialized
+    # bigram stream instead of tokenizing the subset again (§1.2).
+    w = dsir_importance_weights(
+        docs,
+        target,
+        "doc_id",
+        "text",
+        1024,
+        target_predicate=F.col("lang") == "en",
+    )
     return (
         w.join(docs.select("doc_id", "lang"), "doc_id")
         .select(

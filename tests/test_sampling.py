@@ -401,3 +401,45 @@ def test_stratified_kfold_balance_and_determinism(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_dsir_target_predicate_matches_two_frame_path(spark):
+    """r11: target_predicate (one materialized bigram pass) must give
+    exactly the weights of tokenizing target = source.where(pred)."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    source = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta", "en"),
+            (2, "alpha beta gamma delta", "en"),
+            (3, "gamma delta epsilon zeta gamma delta", "de"),
+            (4, None, "en"),
+            (5, "solo", None),
+        ],
+        ["id", "text", "lang"],
+    )
+    target = source.where(F.col("lang") == "en")
+    two_frame = sorted(
+        map(
+            tuple,
+            dsir_importance_weights(source, target, "id", "text", 64).collect(),
+        )
+    )
+    pred = sorted(
+        map(
+            tuple,
+            dsir_importance_weights(
+                source,
+                target,
+                "id",
+                "text",
+                64,
+                target_predicate=F.col("lang") == "en",
+            ).collect(),
+        )
+    )
+    assert two_frame == pred
