@@ -771,38 +771,41 @@ def winnow_fingerprints(
     original picks rightmost, which changes selection, not the
     guarantee.)
 
-    Plan: shingle hashes are a projection; the window min PARTITIONS
-    BY DOCUMENT (parallel across docs, never global); the distinct
-    collapses the ~2/(w+1)-density selection. Output: one row per
-    selected fingerprint (id_col, fp_hash, fp_pos).
+    Plan: the whole selection runs in the ARRAY domain — shingle
+    hashes are a projection, and the per-window min is a transform
+    over each document's own hash array, so no shuffle happens before
+    the final distinct (r11; the window formulation shuffled every
+    shingle row twice). The per-doc array_distinct collapses the
+    ~2/(w+1)-density selection before the explode; the trailing
+    row-level distinct only guards duplicate-``id_col`` inputs.
+    Output: one row per selected fingerprint (id_col, fp_hash,
+    fp_pos).
     """
-    shingled = df.select(
+    hashed = df.select(
         F.col(id_col), H.tokens(F.col(text_col)).alias("_tok")
     ).select(
         id_col,
-        F.posexplode(
-            F.transform(
-                H.word_shingles(F.col("_tok"), k),
-                lambda s: H.hash64(s),
-            )
-        ).alias("pos", "h"),
+        F.transform(
+            H.word_shingles(F.col("_tok"), k), lambda s: H.hash64(s)
+        ).alias("_hs"),
     )
-    wfull = Window.partitionBy(id_col)
-    wmin = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    # `_hs` must stay a materialized column reference inside the
+    # nested lambdas (same CollapseProject reasoning as
+    # textrank_edges: an inlined expression would re-run the
+    # tokenizer per array index)
+    sel = (
+        f"CASE WHEN size(_hs) < {w} THEN "
+        f"cast(array() AS array<struct<h bigint, pos int>>) "
+        f"ELSE array_distinct(transform(sequence(0, size(_hs) - {w}), "
+        f"i -> array_min(transform(sequence(i, i + {w - 1}), "
+        f"j -> struct(_hs[j] AS h, j AS pos))))) END"
     )
     return (
-        shingled.withColumn("n", F.count(F.lit(1)).over(wfull))
-        .withColumn(
-            "sel", F.min(F.struct("h", "pos")).over(wmin)
-        )
-        .where(F.col("pos") <= F.col("n") - w)
+        hashed.select(id_col, F.explode(F.expr(sel)).alias("_sel"))
         .select(
             id_col,
-            F.col("sel.h").alias("fp_hash"),
-            F.col("sel.pos").alias("fp_pos"),
+            F.col("_sel.h").alias("fp_hash"),
+            F.col("_sel.pos").alias("fp_pos"),
         )
         .distinct()
     )
