@@ -93,6 +93,11 @@ def learn_bpe_merges(
     fold lineage.
     """
     spark = words.sparkSession
+    # eager checkpoint of the vocab-sized initial state: iteration 1's
+    # argmax action and iteration 2's lazy-checkpoint materialization
+    # of state-1 would otherwise EACH re-run the corpus word-frequency
+    # lineage behind ``words`` (r11, guide §5.3 — the corpus tokenize
+    # pass was paid twice; A/B'd below in OPTIMIZATION_r11.md)
     state = words.select(
         "word",
         "freq",
@@ -100,7 +105,7 @@ def learn_bpe_merges(
             "transform(sequence(1, length(word)), "
             "i -> substr(word, i, 1))"
         ).alias("syms"),
-    )
+    ).localCheckpoint(eager=True)
     rows = []
     for step in range(1, n_merges + 1):
         pairs = (
