@@ -113,7 +113,15 @@ def main() -> None:
     # warm the Python/Arrow UDF path too: daemon + worker spin-up and
     # first Arrow batch cost ~2-7s that otherwise lands entirely on
     # whichever UDF query runs first (pd imported at module level —
-    # pandas_udf type-hint resolution requires it)
+    # pandas_udf type-hint resolution requires it).
+    # r11 measurement-bug fix (declared in OPTIMIZATION_r11.md): the
+    # old `.select(_warm(...)).count()` let Catalyst PRUNE the UDF
+    # column — count() needs no columns, so no Python worker was ever
+    # spawned and the "warmup" was a no-op (verified by process
+    # inspection: zero pyspark.daemon children after the job). The
+    # noop sink computes every column (guide §1.4), so this now
+    # actually spins up one worker per core before the discarded
+    # rep -1 sweep. Timed queries and their action are unchanged.
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -121,7 +129,11 @@ def main() -> None:
     def _warm(s: pd.Series) -> pd.Series:
         return s * 1.0
 
-    spark.range(256).select(_warm(F.col("id").cast("double"))).count()
+    (
+        spark.range(256 * cpus, numPartitions=cpus)
+        .select(_warm(F.col("id").cast("double")).alias("x"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}

@@ -95,6 +95,17 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # The preloading worker daemon (worker_daemon.py) must be
+    # importable by the bare `python -m` the JVM spawns — put this
+    # package's parent on PYTHONPATH before the gateway starts, so
+    # neither the daemon nor cloudpickle's import-by-reference of UDF
+    # modules depends on the driver's cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -103,6 +114,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fork workers from a daemon that has numpy/pandas/pyarrow
+        # already imported (worker_daemon.py): new workers inherit the
+        # stack via fork COW instead of each paying the full import
+        # (guide §4.5 — heavyweight init once per daemon, not per
+        # worker; measured as the dominant worker-side cost in r11)
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get(
+                "SPARK_GRAFT_PY_DAEMON",
+                "news_clustering_and_summarization_spark.worker_daemon",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # managed-table location (bucketed tables, sources/tables.py);
