@@ -116,62 +116,109 @@ def inflate_vectors(
 
     id_type = dict(emb.dtypes)[id_col]
 
-    def inflate(batches):
-        import numpy as np
-        import pandas as pd
+    def _perturb(rep_ids, Xr, np):
+        """The LCG mix, vectorized on int64: every intermediate is
+        < 2^62 (M < 2^31, A ~ 1.1e9, (j+1)*B <= dim*2.7e9) and every
+        operand non-negative, so numpy's % and * match Spark's
+        pmod-free expression exactly."""
+        dim = Xr.shape[1]
+        s1 = (rep_ids + np.int64(seed)) % np.int64(_LCG_M)
+        s2 = (s1 * np.int64(_LCG_A) + np.int64(_LCG_C)) % np.int64(
+            _LCG_M
+        )
+        j1 = np.arange(1, dim + 1, dtype=np.int64)
+        s3 = (
+            s2[:, None] * np.int64(_LCG_A)
+            + j1[None, :] * np.int64(_MIX_B)
+        ) % np.int64(_LCG_M)
+        v = s3 % np.int64(2001) - np.int64(1000)
+        # same float op order as the Column expression:
+        # x + ((v / 1000.0) * noise)
+        return Xr + (v / 1000.0) * noise
 
-        copies = np.arange(factor, dtype=np.int64)
-        for pdf in batches:
-            if pdf.empty:
+    def inflate(batches):
+        """mapInArrow kernel (r11 session 2, guide §4.2): vector
+        columns cross the boundary as flat Arrow buffers reshaped
+        zero-copy — the previous mapInPandas form paid a per-row
+        object conversion on BOTH sides (Arrow list -> np.ndarray
+        cell -> .tolist() on input; list-of-arrays object column ->
+        Arrow on output), ~1s/200k rows/side single-core. Float
+        arithmetic is byte-for-byte the old kernel's (_perturb)."""
+        import numpy as np
+        import pyarrow as pa
+
+        out_id_t = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            ids = pdf["_id"].to_numpy().astype(np.int64)
-            vecs = pdf["_v"]
-            nulls = vecs.isna().to_numpy()
+            ids_a = rb.column(0)
+            v = rb.column(1)
+            if out_id_t is None:
+                out_id_t = ids_a.type
+            ids = ids_a.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = v.flatten()
+            if v.null_count == 0 and len(vals) == 0 and n > 0:
+                # degenerate: all-empty lists — keep the shape
+                vals_np = np.zeros((n, 0), dtype=np.float64)
+                X = vals_np
+            elif v.null_count == 0 and len(vals) % n == 0:
+                dim = len(vals) // n
+                X = (
+                    vals.to_numpy(zero_copy_only=False)
+                    .astype(np.float64)  # float32 widening is exact
+                    .reshape(n, dim)
+                )
+            else:
+                X = None  # nulls or ragged: slow path below
+            copies = np.arange(factor, dtype=np.int64)
             # inflated ids, row-major: row i's copies are contiguous —
             # the same (id, copy) pairs the explode produced
-            rep_ids = (
-                ids[:, None] * factor + copies[None, :]
-            ).reshape(-1)
-            if nulls.all():
-                yield pd.DataFrame(
-                    {id_col: rep_ids, vec_col: [None] * len(rep_ids)}
+            rep_ids = (ids[:, None] * factor + copies[None, :]).reshape(-1)
+            rep_id_arr = pa.array(rep_ids).cast(out_id_t)
+            if X is not None:
+                dim = X.shape[1]
+                Xr = np.repeat(X, factor, axis=0)
+                out = _perturb(rep_ids, Xr, np)
+                offs = pa.array(
+                    np.arange(len(rep_ids) + 1, dtype=np.int64) * dim,
+                    type=pa.int32(),
                 )
-                continue
-            X = np.array(
-                vecs[~nulls].tolist(), dtype=np.float64
-            )  # float32 -> float64 widening is exact, same as the cast
-            dim = X.shape[1]
-            keep = np.repeat(~nulls, factor)
-            Xr = np.repeat(X, factor, axis=0)
-            # the LCG mix, vectorized on int64: every intermediate is
-            # < 2^62 (M < 2^31, A ~ 1.1e9, (j+1)*B <= dim*2.7e9) and
-            # every operand non-negative, so numpy's % and * match
-            # Spark's pmod-free expression exactly
-            s1 = (rep_ids[keep] + np.int64(seed)) % np.int64(_LCG_M)
-            s2 = (s1 * np.int64(_LCG_A) + np.int64(_LCG_C)) % np.int64(
-                _LCG_M
-            )
-            j1 = np.arange(1, dim + 1, dtype=np.int64)
-            s3 = (
-                s2[:, None] * np.int64(_LCG_A)
-                + j1[None, :] * np.int64(_MIX_B)
-            ) % np.int64(_LCG_M)
-            v = s3 % np.int64(2001) - np.int64(1000)
-            # same float op order as the Column expression:
-            # x + ((v / 1000.0) * noise)
-            out = Xr + (v / 1000.0) * noise
-            if nulls.any():
-                col: list = [None] * len(rep_ids)
-                for pos, row in zip(np.nonzero(keep)[0], out):
-                    col[pos] = row
+                lists = pa.ListArray.from_arrays(
+                    offs, pa.array(out.reshape(-1), type=pa.float64())
+                )
             else:
-                col = list(out)
-            yield pd.DataFrame({id_col: rep_ids, vec_col: col})
+                # null/ragged rows: per-row assembly (rare; tests only)
+                nulls = np.array(
+                    [not v[i].is_valid for i in range(n)], dtype=bool
+                )
+                rows = [
+                    None
+                    if nulls[i]
+                    else np.asarray(v[i].as_py(), dtype=np.float64)
+                    for i in range(n)
+                ]
+                col: list = []
+                for i in range(n):
+                    for c in range(factor):
+                        if rows[i] is None:
+                            col.append(None)
+                        else:
+                            rid = np.array(
+                                [ids[i] * factor + c], dtype=np.int64
+                            )
+                            col.append(
+                                _perturb(rid, rows[i][None, :], np)[0]
+                            )
+                lists = pa.array(col, type=pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [rep_id_arr, lists], names=[id_col, vec_col]
+            )
 
     return emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-    ).mapInPandas(
+    ).mapInArrow(
         inflate, schema=f"{id_col} {id_type}, {vec_col} array<double>"
     )
 
