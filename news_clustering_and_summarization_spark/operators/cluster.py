@@ -719,26 +719,51 @@ def _ivf_prep_from_vecs(vecs, eps, margin, nprobe, cprobe):
     }
 
 
+def _arrow_vec_matrix(col, n, np):
+    """(n, dim) float64 view of an Arrow list column with no nulls —
+    one flat-buffer reshape instead of a per-row object conversion
+    (r11 session 2, guide §4.2). Raises on nulls/ragged input, which
+    the callers' `.where(col.isNotNull())` + fixed-dim contract
+    already exclude (the old tolist() path would have failed there
+    too, just later)."""
+    if col.null_count:
+        raise ValueError("vector column contains nulls")
+    vals = col.flatten()
+    if n == 0 or len(vals) % n:
+        raise ValueError("ragged vector column")
+    return (
+        vals.to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+        .reshape(n, len(vals) // n)
+    )
+
+
 def _ivf_route_fn(bc, p: int, cp: int, mq: float):
-    """mapInPandas routing-kernel factory: quantize each batch, rank
+    """mapInArrow routing-kernel factory: quantize each batch, rank
     the coarse rows (level 1), exact-rank the probed groups' fine
     cells (level 2) via one (d2, cell) lexsort, margin-cap, and emit
     (cell, _id, _home, _v) fan-out rows. ``bc`` broadcasts the
     _ivf_prep_from_vecs arrays; shared by ivf_epsilon_pairs and the
-    on-disk index so build/append/query all route identically."""
+    on-disk index so build/append/query all route identically.
+    r11 session 2 (guide §4.2): vectors cross the boundary as flat
+    Arrow buffers (zero-copy reshape in, flat-buffer gather out)
+    instead of pandas object columns; the routing arithmetic —
+    quantization, integer d2 ranks, lexsort, margin cap — is
+    unchanged, so the fan-out is row-for-row identical."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     def route(batches):
         Cm, csq, Gm, gsq, members = bc.value
         n_grp = len(members)
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            ids_arrow = rb.column(rb.schema.get_field_index("_id"))
+            v_col = rb.column(rb.schema.get_field_index("_v"))
+            X = _arrow_vec_matrix(v_col, n, np)
             Xq = np.floor(X * IVF_QUANT + 0.5)
-            ids_all = pdf["_id"].to_numpy()
-            vs_all = pdf["_v"].to_numpy()
             a_cell, a_idx, a_home = [], [], []
             # row-chunked so the distance blocks stay flat
             for r0 in range(0, len(Xq), 1024):
@@ -803,33 +828,55 @@ def _ivf_route_fn(bc, p: int, cp: int, mq: float):
             o_home = (
                 np.concatenate(a_home) if a_home else np.array([], dtype=bool)
             )
-            yield pd.DataFrame(
-                {
-                    "cell": np.array(o_cell, dtype=np.int64),
-                    "_id": ids_all[o_idx],
-                    "_home": np.array(o_home, dtype=bool),
-                    "_v": vs_all[o_idx],
-                }
+            dim = X.shape[1]
+            out_v = X[o_idx]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_cell.astype(np.int64, copy=False)),
+                    ids_arrow.take(pa.array(o_idx, type=pa.int64())),
+                    pa.array(o_home),
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(len(o_idx) + 1, dtype=np.int64)
+                            * dim,
+                            type=pa.int32(),
+                        ),
+                        pa.array(
+                            out_v.reshape(-1), type=pa.float64()
+                        ),
+                    ),
+                ],
+                names=["cell", "_id", "_home", "_v"],
             )
 
     return route
 
 
 def _ivf_cell_pairs_fn(eps: float, max_block: int):
-    """applyInPandas per-cell verify-kernel factory. Full mode emits
+    """applyInArrow per-cell verify-kernel factory. Full mode emits
     every within-cell ε-pair (canonical l_id < r_id, home-flag
     dedup); when the input carries a ``_new`` boolean column the
     kernel runs INCREMENTALLY — left side restricted to new rows, so
-    settled pool×pool pairs are never recomputed."""
+    settled pool×pool pairs are never recomputed. r11 session 2
+    (guide §4.2): per-group Arrow tables instead of pandas frames —
+    vectors come in as one flat-buffer reshape, pairs go out as plain
+    Arrow arrays; the verify arithmetic (normalized prefilter matmul
+    + exact fold recompute for survivors) is unchanged."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_id"].to_numpy()
-        home = pdf["_home"].to_numpy()
-        inc = "_new" in pdf.columns
-        newm = pdf["_new"].to_numpy() if inc else None
-        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+    def cell_pairs(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        id_arr = tbl.column("_id").combine_chunks()
+        ids = id_arr.to_numpy(zero_copy_only=False)
+        home = tbl.column("_home").to_numpy(zero_copy_only=False)
+        inc = "_new" in tbl.column_names
+        newm = (
+            tbl.column("_new").to_numpy(zero_copy_only=False)
+            if inc
+            else None
+        )
+        X = _arrow_vec_matrix(tbl.column("_v").combine_chunks(), n, np)
         # fold-order norms: sequential over dims, vectorized over rows
         # (bit-identical to V.norm / norm_sql)
         acc = np.zeros(len(X), dtype=np.float64)
@@ -903,13 +950,22 @@ def _ivf_cell_pairs_fn(eps: float, max_block: int):
                             home[gi] | home[gj]
                         )
                     emit(gi[keep], gj[keep])
+        idt = id_arr.type
         if not out_l:
-            return pd.DataFrame({"l_id": [], "r_id": [], "dist": []})
-        return pd.DataFrame(
+            return pa.table(
+                {
+                    "l_id": pa.array([], type=idt),
+                    "r_id": pa.array([], type=idt),
+                    "dist": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
             {
-                "l_id": np.concatenate(out_l),
-                "r_id": np.concatenate(out_r),
-                "dist": np.concatenate(out_d),
+                "l_id": pa.array(np.concatenate(out_l)).cast(idt),
+                "r_id": pa.array(np.concatenate(out_r)).cast(idt),
+                "dist": pa.array(
+                    np.concatenate(out_d), type=pa.float64()
+                ),
             }
         )
 
@@ -1038,7 +1094,7 @@ def ivf_epsilon_pairs(
     # ~7x corpus bytes, so the saved shuffle (~60 MB) was smaller
     # than the per-task broadcast deserialization it added; the LSH
     # win came from replacing ~2 GB of per-candidate Arrow traffic.
-    routed = base.mapInPandas(
+    routed = base.mapInArrow(
         _ivf_route_fn(bc, p, cp, mq),
         schema=f"cell long, _id {id_type}, _home boolean, "
         "_v array<double>",
@@ -1046,7 +1102,7 @@ def ivf_epsilon_pairs(
 
     verified = (
         routed.groupBy("cell")
-        .applyInPandas(
+        .applyInArrow(
             _ivf_cell_pairs_fn(eps, max_block), schema=out_schema
         )
         # a pair can surface in home(u) AND home(v) — answer-bound dedup

@@ -80,7 +80,7 @@ def _route(df, prep, id_type, id_col, vec_col, n_buckets):
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
     bc = spark.sparkContext.broadcast(prep["arrays"])
-    routed = base.mapInPandas(
+    routed = base.mapInArrow(
         _ivf_route_fn(bc, prep["p"], prep["cp"], prep["mq"]),
         schema=f"cell long, _id {id_type}, _home boolean, "
         "_v array<double>",
@@ -274,7 +274,7 @@ def eps_pairs_from_index(
     )
     verified = (
         routed.groupBy("cell")
-        .applyInPandas(
+        .applyInArrow(
             _ivf_cell_pairs_fn(params["eps"], max_block),
             schema=out_schema,
         )
@@ -336,7 +336,7 @@ def eps_pairs_incremental(
     )
     verified = (
         both.groupBy("cell")
-        .applyInPandas(
+        .applyInArrow(
             _ivf_cell_pairs_fn(params["eps"], max_block),
             schema=out_schema,
         )
