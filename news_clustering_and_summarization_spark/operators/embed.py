@@ -52,34 +52,44 @@ class DeterministicHashEmbedder:
         self.dim = dim
         self.seed = seed
         self.instruction = instruction
-        # token -> (bucket, sign) memo: natural-language corpora repeat
-        # a small vocabulary, so the md5 cost collapses to one call per
-        # distinct token per worker (capped to bound memory)
-        self._memo: dict[str, tuple[int, float]] = {}
+        # RAW token -> (bucket, sign) | None memo (r11: keyed on the
+        # token as split, BEFORE the per-char alnum strip, so repeats
+        # skip the strip loop AND the md5 — natural-language corpora
+        # repeat a small vocabulary, collapsing both costs to one per
+        # distinct raw token per worker; capped to bound memory).
+        # None records "strips to empty".
+        self._memo: dict[str, tuple[int, float] | None] = {}
 
-    def _bucket_sign(self, token: str) -> tuple[int, float]:
-        hit = self._memo.get(token)
-        if hit is not None:
+    def _bucket_sign(self, raw: str) -> tuple[int, float] | None:
+        hit = self._memo.get(raw)
+        if hit is not None or raw in self._memo:
             return hit
-        h = int.from_bytes(
-            hashlib.md5(f"{self.seed}|{token}".encode()).digest()[:8], "big"
-        )
-        val = (h % self.dim, 1.0 if (h >> 62) & 1 else -1.0)
+        token = "".join(ch for ch in raw if ch.isalnum())
+        if not token:
+            val = None
+        else:
+            h = int.from_bytes(
+                hashlib.md5(f"{self.seed}|{token}".encode()).digest()[:8],
+                "big",
+            )
+            val = (h % self.dim, 1.0 if (h >> 62) & 1 else -1.0)
         if len(self._memo) < 1_000_000:
-            self._memo[token] = val
+            self._memo[raw] = val
         return val
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        bucket_sign = self._bucket_sign
         for row, text in enumerate(texts):
             if not text:
                 continue
-            for token in (self.instruction + text).lower().split():
-                token = "".join(ch for ch in token if ch.isalnum())
-                if not token:
-                    continue
-                bucket, sign = self._bucket_sign(token)
-                out[row, bucket] += sign
+            r = out[row]
+            for raw in (self.instruction + text).lower().split():
+                bs = bucket_sign(raw)
+                if bs is not None:
+                    # += in split order: same float accumulation order
+                    # as the unmemoized loop — bit-identical histograms
+                    r[bs[0]] += bs[1]
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         return out / norms
