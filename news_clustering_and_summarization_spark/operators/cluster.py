@@ -385,12 +385,19 @@ def _collect_vec_lookup(vecs_df, id_name: str, vec_name: str):
     import numpy as np
     import pandas as pd
 
-    pdf = vecs_df.toPandas()
-    ids = pdf[id_name].to_numpy()
+    # r11 session 2: toArrow + one flat-buffer reshape instead of
+    # toPandas + per-row tolist — the collect was ~1s of every
+    # lookup-gated LSH query's wall at the 50k bench corpus
+    tbl = vecs_df.toArrow()
+    if tbl.num_rows == 0:
+        return None  # join path handles the empty corpus
+    ids = tbl.column(id_name).to_numpy(zero_copy_only=False)
     index = pd.Index(ids)
     if not index.is_unique:
         return None
-    X = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+    X = _arrow_vec_matrix(
+        tbl.column(vec_name).combine_chunks(), tbl.num_rows, np
+    )
     return index, X
 
 
@@ -457,7 +464,7 @@ def lsh_candidate_pairs(
     size collapsed the corpus into a handful of buckets and the
     "scale path" degenerated into a quadratic within-bucket join —
     unusable at exactly the >LSH_THRESHOLD sizes it exists for."""
-    from .similarity import lsh_bucket_udf, probe_masks
+    from .similarity import lsh_bucket_rows, probe_masks
 
     if nbits is None and probe_radius is None:
         # n_rows spares the extra count job when the caller (e.g.
@@ -503,15 +510,19 @@ def lsh_candidate_pairs(
     # broadcast-attached when provably small (n_rows & dim known,
     # under _VEC_BROADCAST_BYTES), hash-join otherwise.
     def _cand_one_table(t: int):
-        bucket = lsh_bucket_udf(dim, nbits, seed + t)
-        lb = l_vecs.withColumn(
-            "_b0", bucket(F.col("_lv").cast("array<double>"))
-        )
+        # r11 session 2: lsh_bucket_rows (mapInArrow) replaces the
+        # withColumn pandas_udf — the candidate paths only ever keep
+        # (id, bucket), so bucketing emits exactly that and vectors
+        # never enter a pandas object column (guide §4.2). Quantized
+        # integer dots are order-free: bit-identical buckets.
         probes = F.array(
             *[
                 F.col("_b0").bitwiseXOR(F.lit(m)).cast("long")
                 for m in masks
             ]
+        )
+        lvd = l_vecs.select(
+            "l_id", F.col("_lv").cast("array<double>").alias("_lv")
         )
         if symmetric:
             # left IS right: reuse the one Arrow matmul instead of
@@ -519,7 +530,9 @@ def lsh_candidate_pairs(
             # bench query was the duplicate bucket pass). Checkpoint
             # only (id, bucket) — materializing the vector column the
             # verify re-attaches anyway would be pure waste.
-            lb = lb.select("l_id", "_b0").localCheckpoint(eager=True)
+            lb = lsh_bucket_rows(
+                lvd, "l_id", "_lv", dim, nbits, seed + t
+            ).localCheckpoint(eager=True)
             rb = lb.select(
                 F.col("l_id").alias("r_id"),
                 F.col("_b0").alias("_bucket"),
@@ -544,9 +557,18 @@ def lsh_candidate_pairs(
                 )
                 .select("l_id", "r_id")
             )
-        rb = r_vecs.withColumn(
-            "_bucket", bucket(F.col("_rv").cast("array<double>"))
-        ).select("r_id", "_bucket")
+        lb = lsh_bucket_rows(lvd, "l_id", "_lv", dim, nbits, seed + t)
+        rb = lsh_bucket_rows(
+            r_vecs.select(
+                "r_id", F.col("_rv").cast("array<double>").alias("_rv")
+            ),
+            "r_id",
+            "_rv",
+            dim,
+            nbits,
+            seed + t,
+            bucket_out="_bucket",
+        )
         lbe = lb.select("l_id", F.explode(probes).alias("_bucket"))
         return (
             lbe.join(rb, "_bucket")

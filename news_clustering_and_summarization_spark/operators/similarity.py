@@ -70,6 +70,55 @@ def lsh_bucket_udf(dim: int, nbits: int = 10, seed: int = 42):
     return bucket
 
 
+def lsh_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nbits: int = 10,
+    seed: int = 42,
+    id_out: str | None = None,
+    bucket_out: str = "_b0",
+):
+    """(id, bucket) rows via one mapInArrow matmul — the bucketing
+    form the candidate-join paths want (they drop the vector column
+    right after bucketing anyway). Same quantized-integer dot as
+    lsh_bucket_udf / lsh_bucket_col — integer sums are order-free, so
+    all three are bit-identical. r11 session 2 (guide §4.2): the
+    pandas_udf form paid a per-row object conversion of every vector
+    into the worker; here vectors arrive as one flat Arrow buffer
+    reshaped zero-copy, and only (id, bucket) leaves."""
+    import pyarrow as pa
+
+    from .cluster import _arrow_vec_matrix
+
+    id_out = id_out or id_col
+    planes = np.array(_sign_hyperplanes(dim, nbits, seed)).astype(np.int64)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    id_type = dict(df.dtypes)[id_col]
+
+    def bucket_rows(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            m = _arrow_vec_matrix(
+                rb.column(rb.schema.get_field_index(vec_col)), n, np
+            )
+            x = m * float(V.SIGN_QUANT)
+            w = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            bits = (w @ planes.T) > 0
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(bits @ weights)],
+                names=[id_out, bucket_out],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        bucket_rows, schema=f"{id_out} {id_type}, {bucket_out} long"
+    )
+
+
 def probe_masks(nbits: int, probe_radius: int) -> list[int]:
     """XOR masks covering every bucket within hamming distance
     ``probe_radius`` of a base bucket (own bucket first). Shared by
