@@ -86,11 +86,27 @@ def _median(xs: list[float]) -> float:
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
 
 
+def _mem_bw_gbps() -> float:
+    """Single-thread streaming-read bandwidth probe (GB/s). The r11
+    session-2 box showed host-level memory-bandwidth throttling (7.7
+    -> 0.3 GB/s at unchanged CPU clock) that inflated memory-heavy
+    queries 2-10x while CPU-bound work was unaffected — like
+    load_before/after, this marker makes a contaminated run visible
+    in the recorded payload itself."""
+    import numpy as np
+
+    buf = np.ones(50_000_000)  # 400 MB
+    t0 = time.time()
+    buf.sum()
+    return round(0.4 / max(time.time() - t0, 1e-9), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     load_before = round(os.getloadavg()[0], 2)
+    bw_before = _mem_bw_gbps()
     # size the driver heap from the input tier (session.auto_driver_mem;
     # r08 verdict item 7) — pointing SPARK_GRAFT_SF_DIR at an inflated
     # set must not require remembering SPARK_DRIVER_MEM by hand
@@ -173,6 +189,8 @@ def main() -> None:
             "agg": "median",
             "load_before": load_before,
             "load_after": load_after,
+            "mem_bw_before": bw_before,
+            "mem_bw_after": _mem_bw_gbps(),
             "all_runs": {
                 k: [round(x, 3) for x in v] for k, v in runs.items()
             },
