@@ -747,17 +747,31 @@ def _arrow_vec_matrix(col, n, np):
     (r11 session 2, guide §4.2). Raises on nulls/ragged input, which
     the callers' `.where(col.isNotNull())` + fixed-dim contract
     already exclude (the old tolist() path would have failed there
-    too, just later)."""
+    too, just later). Row width is validated from the list OFFSETS
+    (r11 advice): total-length divisibility alone would let mixed-dim
+    rows whose flattened length happens to divide n reshape into
+    silently wrong vectors."""
     if col.null_count:
         raise ValueError("vector column contains nulls")
-    vals = col.flatten()
-    if n == 0 or len(vals) % n:
+    if n == 0 or not _arrow_uniform_width(col, np):
         raise ValueError("ragged vector column")
+    vals = col.flatten()
     return (
         vals.to_numpy(zero_copy_only=False)
         .astype(np.float64, copy=False)
         .reshape(n, len(vals) // n)
     )
+
+
+def _arrow_uniform_width(col, np):
+    """True iff every list in a no-null Arrow list column has the
+    same length, checked from the offsets buffer (np.diff over the
+    n+1 offsets — O(n) ints, no value materialization)."""
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    if len(offs) <= 2:
+        return True
+    widths = np.diff(offs)
+    return bool((widths == widths[0]).all())
 
 
 def _ivf_route_fn(bc, p: int, cp: int, mq: float):

@@ -114,18 +114,6 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # fork workers from a daemon that has numpy/pandas/pyarrow
-        # already imported (worker_daemon.py): new workers inherit the
-        # stack via fork COW instead of each paying the full import
-        # (guide §4.5 — heavyweight init once per daemon, not per
-        # worker; measured as the dominant worker-side cost in r11)
-        .config(
-            "spark.python.daemon.module",
-            os.environ.get(
-                "SPARK_GRAFT_PY_DAEMON",
-                "news_clustering_and_summarization_spark.worker_daemon",
-            ),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # managed-table location (bucketed tables, sources/tables.py);
@@ -140,6 +128,22 @@ def get_spark(
             ),
         )
     )
+    # fork workers from a daemon that has numpy/pandas/pyarrow already
+    # imported (worker_daemon.py): new workers inherit the stack via
+    # fork COW instead of each paying the full import (guide §4.5 —
+    # heavyweight init once per daemon, not per worker; measured as
+    # the dominant worker-side cost in r11). Guarded to local masters
+    # (r11 advice): on a real cluster the executor Pythons may not be
+    # able to import this package (driver PYTHONPATH does not
+    # propagate), and a missing daemon module fails EVERY worker —
+    # remote deployments get the stock daemon unless the operator
+    # opts in via SPARK_GRAFT_PY_DAEMON (set it to "pyspark.daemon"
+    # to disable the preload even locally — the fork-hang rollback).
+    daemon_mod = os.environ.get("SPARK_GRAFT_PY_DAEMON")
+    if daemon_mod is None and master.startswith("local"):
+        daemon_mod = "news_clustering_and_summarization_spark.worker_daemon"
+    if daemon_mod:
+        builder = builder.config("spark.python.daemon.module", daemon_mod)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -84,6 +84,18 @@ class FakeSageMakerRuntime:
         }
 
 
+def _uniform_width(col, np):
+    """True iff every list in a no-null Arrow list column has the same
+    length, checked from the offsets buffer (see
+    operators/cluster._arrow_uniform_width — duplicated here so the
+    testing module keeps zero operator imports in kernels)."""
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    if len(offs) <= 2:
+        return True
+    widths = np.diff(offs)
+    return bool((widths == widths[0]).all())
+
+
 def inflate_vectors(
     emb,
     factor: int,
@@ -162,7 +174,10 @@ def inflate_vectors(
                 # degenerate: all-empty lists — keep the shape
                 vals_np = np.zeros((n, 0), dtype=np.float64)
                 X = vals_np
-            elif v.null_count == 0 and len(vals) % n == 0:
+            elif v.null_count == 0 and _uniform_width(v, np):
+                # width uniformity checked from the offsets (r11
+                # advice): divisibility alone would zero-copy-reshape
+                # ragged-but-divisible batches into wrong vectors
                 dim = len(vals) // n
                 X = (
                     vals.to_numpy(zero_copy_only=False)

@@ -23,18 +23,38 @@ JVM run ``python -m news_clustering_and_summarization_spark.
 worker_daemon [worker-module]``; the argv-based worker-module
 dispatch lives in ``pyspark.daemon``'s module body and sees the same
 ``sys.argv``, so behavior is otherwise identical to the stock daemon.
+
+Fork-safety (r11 advice): preloading numpy before the daemon forks
+means any BLAS/OpenMP thread pool initialised pre-fork is inherited
+by children, which on some OpenBLAS/pyarrow builds can hang a forked
+worker. The env caps below pin the BLAS pools to one thread BEFORE
+numpy loads (set only if the user has not chosen a value) — correct
+for Spark's one-task-per-worker model anyway, where 32 concurrent
+workers each spawning a thread pool would oversubscribe the box.
+**Rollback for any fork-related worker hang**: set
+``SPARK_GRAFT_PY_DAEMON=pyspark.daemon`` (session.get_spark passes it
+through) to restore the stock daemon with zero preloading.
 """
 
-import numpy  # noqa: F401
-import pandas  # noqa: F401
-import pyarrow  # noqa: F401
+import os
+
+for _var in (
+    "OPENBLAS_NUM_THREADS",
+    "OMP_NUM_THREADS",
+    "MKL_NUM_THREADS",
+):
+    os.environ.setdefault(_var, "1")
+
+import numpy  # noqa: F401,E402
+import pandas  # noqa: F401,E402
+import pyarrow  # noqa: F401,E402
 
 # pyarrow.compute builds its ~1000 wrapped kernel functions at import
 # time (visible as _make_global_functions in worker profiles); pandas
 # pulls it in lazily otherwise. Pay it once, pre-fork.
-import pyarrow.compute  # noqa: F401
+import pyarrow.compute  # noqa: F401,E402
 
-from pyspark.daemon import manager
+from pyspark.daemon import manager  # noqa: E402
 
 if __name__ == "__main__":
     manager()

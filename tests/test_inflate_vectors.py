@@ -90,3 +90,39 @@ def test_inflate_float32_input_widens_exactly(spark):
     base = [float(np.float32(0.1)), float(np.float32(0.2))]
     for c in range(2):
         assert got[3 * 2 + c] == _expected(base, 3 * 2 + c, 2)
+
+
+def test_inflate_ragged_divisible_takes_slow_path(spark):
+    """r12 advice fix: mixed-dim rows whose total flattened length
+    divides n (dims [2, 4] with n=2 -> 6 values) must NOT take the
+    zero-copy reshape; the offsets-based width check routes them to
+    the per-row slow path, which reproduces each row at its own dim."""
+    emb = spark.createDataFrame(
+        [(1, [0.5, 1.5]), (2, [2.5, 3.5, 4.5, 5.5])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)  # one Arrow batch -> the ragged-divisible shape
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in inflate_vectors(emb, 2).collect()
+    }
+    assert got[1 * 2 + 0] == _expected([0.5, 1.5], 2, 2)
+    assert got[2 * 2 + 1] == _expected([2.5, 3.5, 4.5, 5.5], 5, 4)
+
+
+def test_arrow_vec_matrix_rejects_ragged_divisible():
+    """r12 advice fix: _arrow_vec_matrix must raise on ragged input
+    even when the flattened length divides n."""
+    import pyarrow as pa
+
+    from news_clustering_and_summarization_spark.operators.cluster import (
+        _arrow_vec_matrix,
+    )
+
+    ragged = pa.array([[1.0, 2.0], [3.0, 4.0, 5.0, 6.0]])
+    with pytest.raises(ValueError, match="ragged"):
+        _arrow_vec_matrix(ragged, 2, np)
+    sliced = pa.array([[9.0], [1.0, 2.0], [3.0, 4.0]]).slice(1, 2)
+    assert _arrow_vec_matrix(sliced, 2, np).tolist() == [
+        [1.0, 2.0],
+        [3.0, 4.0],
+    ]
