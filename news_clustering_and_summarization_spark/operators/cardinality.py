@@ -75,10 +75,18 @@ def hll_build(
     value_col: str,
     m: int,
     group_cols: list[str] | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Build per-group HLL registers from value rows (duplicates are
     harmless — max absorbs them). Returns (group..., bucket, r) with
-    at most m rows per group."""
+    at most m rows per group.
+
+    ``count_col`` (r12) additionally emits the per-bucket value-row
+    count under that name — when ``df`` is already distinct on
+    (group, value), summing it per group recovers the EXACT distinct
+    count from the same single aggregation pipeline (buckets
+    partition the distinct values), which is how q_hll_distinct
+    computes its exact leg without a second corpus pass."""
     groups = list(group_cols or [])
     v = F.col(value_col)
     bucket = (H.hash64(v, seed=HLL_BUCKET_SEED) % F.lit(m)).alias("bucket")
@@ -107,20 +115,30 @@ def hll_build(
         .withColumn("__hll_h2", H.hash64(v, seed=HLL_RHO_SEED))
         .select(*groups, bucket, rho)
     )
-    return cells.groupBy(*groups, "bucket").agg(F.max("rho").alias("r"))
+    aggs = [F.max("rho").alias("r")]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    return cells.groupBy(*groups, "bucket").agg(*aggs)
 
 
 def hll_estimate(
     registers: DataFrame,
     m: int,
     group_cols: list[str] | None = None,
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """Collapse registers to one ``hll_estimate`` double per group.
 
     The harmonic sum uses exact integer terms (1L << (61-r), summed as
     decimal(38,0) — up to m * 2^61 ≈ 2^71 never overflows 38 digits)
     plus V * 2^61 for the V untouched registers, so both engines see
-    the identical double at the final division."""
+    the identical double at the final division.
+
+    ``extra_aggs`` (r12): additional aliased aggregate Columns folded
+    into the SAME per-group aggregation (e.g. summing hll_build's
+    ``count_col`` to an exact distinct count) — their outputs are
+    returned before ``hll_estimate`` so callers get estimate + extras
+    from one pipeline instead of joining two."""
     groups = list(group_cols or [])
     alpha = hll_alpha(m)
     agg = registers.groupBy(*groups).agg(
@@ -134,6 +152,7 @@ def hll_estimate(
             F.lit(0).cast("decimal(38,0)"),
         ).alias("ssum"),
         F.count(F.lit(1)).alias("present"),
+        *(extra_aggs or []),
     )
     v_empty = F.lit(m) - F.col("present")
     total = (
@@ -145,7 +164,8 @@ def hll_estimate(
         (raw <= F.lit(2.5 * m)) & (v_empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
     ).otherwise(raw)
-    return agg.select(*groups, est.alias("hll_estimate"))
+    extras = [c for c in agg.columns if c not in (*groups, "ssum", "present")]
+    return agg.select(*groups, *extras, est.alias("hll_estimate"))
 
 
 def hll_estimate_sql(

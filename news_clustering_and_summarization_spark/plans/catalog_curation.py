@@ -620,24 +620,39 @@ def q_hll_distinct(spark, sf):
         "lang",
         F.explode(H.word_shingles(F.col("_tok"), 3)).alias("sh"),
     )
-    regs = hll_build(sh, "sh", m, ["lang"])
-    est = hll_estimate(regs, m, ["lang"])
-    exact = sh.groupBy("lang").agg(
-        F.countDistinct("sh").alias("exact_distinct")
+    # r12 (guide §1.2 don't repeat passes, §2.4 remove shuffles): ONE
+    # aggregation pipeline for both legs. Before, the register leg
+    # and the exact countDistinct each ran the full tokenize+shingle+
+    # explode corpus pass (two unrelated exchanges — AQE's stage cache
+    # did not unify them even when both were rooted at an identical
+    # distinct, verified on the executed plan), then met in a join.
+    # HLL registers are duplicate-insensitive (max of rho), so built
+    # from the distinct (lang, sh) pairs they are bit-identical — and
+    # because buckets PARTITION the distinct values, the per-bucket
+    # distinct count (hll_build's count_col) sums to the exact
+    # distinct count per lang inside hll_estimate's own aggregation
+    # (extra_aggs). Corpus pass: 2 → 1; join: gone; md5 now hashes
+    # distinct shingles only. The two isNotNull filters mirror the
+    # old semantics exactly: countDistinct ignored NULL shingles, and
+    # the old inner join on lang dropped NULL langs.
+    dis = (
+        sh.where(F.col("sh").isNotNull() & F.col("lang").isNotNull())
+        .distinct()
     )
-    return (
-        exact.join(F.broadcast(est), "lang")
-        .select(
-            "lang",
-            "exact_distinct",
-            F.round("hll_estimate", 2).alias("hll_estimate"),
-            (
-                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
-                <= F.lit(0.15) * F.col("exact_distinct")
-            ).alias("hll_ok"),
-        )
-        .orderBy("lang")
+    regs = hll_build(dis, "sh", m, ["lang"], count_col="_nsh")
+    out = hll_estimate(
+        regs, m, ["lang"],
+        extra_aggs=[F.sum("_nsh").alias("exact_distinct")],
     )
+    return out.select(
+        "lang",
+        "exact_distinct",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        (
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            <= F.lit(0.15) * F.col("exact_distinct")
+        ).alias("hll_ok"),
+    ).orderBy("lang")
 
 
 def oracle_hll_distinct(m: int = 1024) -> str:

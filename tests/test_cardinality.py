@@ -147,3 +147,42 @@ def test_kmv_distinct_sql_twin(spark):
         con.execute(kmv_distinct_sql("t", "v", k=64)).fetchall()[0]
     )
     assert got == want
+
+
+def test_count_col_and_extra_aggs_single_pipeline(spark):
+    """r12: hll_build(count_col=...) over a distinct value set +
+    hll_estimate(extra_aggs=[sum(count_col)]) must reproduce BOTH the
+    exact distinct count and the identical estimate of the join-based
+    two-pass formulation."""
+    from pyspark.sql import functions as F
+
+    from news_clustering_and_summarization_spark.operators.cardinality import (
+        hll_build,
+        hll_estimate,
+    )
+
+    rows = [("en", f"w{i % 700}") for i in range(5000)] + [
+        ("fr", f"w{i % 41}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "v"])
+    dis = df.distinct()
+    fused = hll_estimate(
+        hll_build(dis, "v", 256, ["lang"], count_col="_n"),
+        256,
+        ["lang"],
+        extra_aggs=[F.sum("_n").alias("exact_distinct")],
+    )
+    got = {
+        r["lang"]: (r["exact_distinct"], r["hll_estimate"])
+        for r in fused.collect()
+    }
+    # exact legs
+    assert got["en"][0] == 700 and got["fr"][0] == 41
+    # estimate identical to the plain (no-extras) path
+    plain = {
+        r["lang"]: r["hll_estimate"]
+        for r in hll_estimate(
+            hll_build(df, "v", 256, ["lang"]), 256, ["lang"]
+        ).collect()
+    }
+    assert got["en"][1] == plain["en"] and got["fr"][1] == plain["fr"]
