@@ -325,3 +325,32 @@ def test_seasonal_residuals_weekday_aware(spark):
     # the spike scores exactly +1.5, the normal ones exactly -0.5
     assert got["2024-01-10"]["z_q"] == 1_500_000
     assert got["2024-01-03"]["z_q"] == -500_000
+
+
+def test_load_metadata_cache_identical_frames(spark):
+    """r12: the session-scoped table-metadata cache must change
+    nothing observable — identical schema and rows on a cache hit
+    (including the events ts special case), and widen()'s cached
+    partition probe must equal the direct .rdd probe."""
+    from news_clustering_and_summarization_spark.plans import (
+        catalog_shared as CS,
+    )
+
+    CS._META_CACHE.clear()
+    first = CS.load(spark, SF_SMOKE, "events")
+    hit = CS.load(spark, SF_SMOKE, "events")
+    assert hit.schema == first.schema
+    assert dict(hit.dtypes)["ts"] == "timestamp"
+    assert sorted(map(tuple, hit.collect())) == sorted(
+        map(tuple, first.collect())
+    )
+    docs = CS.load(spark, SF_SMOKE, "documents")
+    direct = docs.rdd.getNumPartitions()
+    CS.widen(spark, docs)  # fills the probe cache
+    key = (spark.sparkContext.applicationId, SF_SMOKE, "documents")
+    assert CS._META_CACHE[key]["scan_partitions"] == direct
+    # widened output parallelism respects the gate either way
+    w = CS.widen(spark, CS.load(spark, SF_SMOKE, "documents"))
+    assert w.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, direct
+    )
