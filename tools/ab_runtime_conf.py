@@ -65,8 +65,11 @@ def main() -> int:
     base = {k: spark.conf.get(k, None) for k in confs}
 
     def run_once(name: str) -> float:
-        df = catalog.QUERIES[name](spark, sf)
+        # time construction + action, like bench.py: eager
+        # localCheckpoints at construction ARE the heavy legs of
+        # several flagship queries
         t0 = time.time()
+        df = catalog.QUERIES[name](spark, sf)
         if noop:
             df.write.format("noop").mode("overwrite").save()
         else:
@@ -84,25 +87,42 @@ def main() -> int:
     for n in names:
         run_once(n)
 
+    # base/var back-to-back PER QUERY (seconds apart, not minutes):
+    # the host throttle moves on minute scales, so the paired ratio
+    # var/base of adjacent runs is robust to it even when absolute
+    # times are not; alternate which variant goes first per rep so a
+    # monotone drift cannot bias one side.
     times: dict[tuple[str, str], list[float]] = {}
+    ratios: dict[str, list[float]] = {}
     for rep in range(reps):
-        for variant, vals in (("base", base), ("var", confs)):
-            set_confs(vals)
-            for n in names:
+        order = (
+            (("base", base), ("var", confs))
+            if rep % 2 == 0
+            else (("var", confs), ("base", base))
+        )
+        for n in names:
+            pair: dict[str, float] = {}
+            for variant, vals in order:
+                set_confs(vals)
                 dt = run_once(n)
+                pair[variant] = dt
                 times.setdefault((n, variant), []).append(dt)
                 print(
                     f"rep{rep} {variant:4} {n:24} {dt:7.3f}s", flush=True
                 )
+            ratios.setdefault(n, []).append(pair["var"] / pair["base"])
     set_confs(base)
-    print("\n== medians ==")
+    print("\n== medians (paired ratio = median over per-rep var/base) ==")
     tot = {"base": 0.0, "var": 0.0}
     for n in names:
         b = statistics.median(times[(n, "base")])
         v = statistics.median(times[(n, "var")])
         tot["base"] += b
         tot["var"] += v
-        print(f"{n:24} base {b:7.3f}  var {v:7.3f}  ratio {v / b:5.2f}")
+        r = statistics.median(ratios[n])
+        print(
+            f"{n:24} base {b:7.3f}  var {v:7.3f}  paired-ratio {r:5.2f}"
+        )
     print(
         f"{'TOTAL':24} base {tot['base']:7.3f}  var {tot['var']:7.3f}"
         f"  ratio {tot['var'] / tot['base']:5.2f}"
