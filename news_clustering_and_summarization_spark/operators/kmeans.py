@@ -42,6 +42,39 @@ __all__ = [
     "probe_cells",
 ]
 
+# Driver-local Lloyd gate (r12): beneath this many n*dim double cells
+# (~32 MB) the iteration loop runs on ONE collected matrix instead of
+# n_iter collect-jobs — the same small-input escape hatch
+# connected_components takes (LOCAL_CC_EDGES). At bench scale each
+# distributed iteration is a fixed-cost job (~0.5s) over k-bounded
+# data; at real scale the distributed path engages unchanged.
+LOCAL_KMEANS_CELLS = 4_000_000
+
+
+def _sqdist_matrix(X, cmat, np):
+    """(n, k) squared-distance matrix via the SAME index-ordered fold
+    as the documented kernel: acc = acc + (x_j - c_j)^2 sequentially
+    over dims, vectorized over rows — identical IEEE doubles in the
+    distributed UDF and the driver-local loop (shared by both)."""
+    acc = np.zeros((len(X), len(cmat)), dtype=np.float64)
+    for j in range(cmat.shape[1]):
+        d = X[:, j][:, None] - cmat[None, :, j]
+        acc = acc + d * d
+    return acc
+
+
+def _round_half_up_9(x: float) -> float:
+    """Replicate Spark's round(double, 9): BigDecimal.valueOf uses the
+    SHORTEST decimal representation (Double.toString == Python repr),
+    then HALF_UP at scale 9, then back to double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1E-9"), rounding=ROUND_HALF_UP
+        )
+    )
+
 
 def probe_cells(
     df: DataFrame,
@@ -116,10 +149,7 @@ def assign_to_centroids(
     )
     def nearest(vs):
         X = np.asarray(vs.tolist(), dtype=np.float64)
-        acc = np.zeros((len(X), len(cmat)), dtype=np.float64)
-        for j in range(cmat.shape[1]):
-            d = X[:, j][:, None] - cmat[None, :, j]
-            acc = acc + d * d
+        acc = _sqdist_matrix(X, cmat, np)
         best = np.argmin(acc, axis=1)
         return pd.DataFrame(
             {
@@ -176,8 +206,44 @@ def lloyd_centroids(
     downstream assign). Empty corpus -> []."""
     if k < 1 or n_iter < 0:
         raise ValueError("k >= 1 and n_iter >= 0 required")
+    vecs = df.select(id_col, vec_col)
+    n = vecs.count()
+    if n == 0:
+        return []
+    if n * max(dim, 1) <= LOCAL_KMEANS_CELLS:
+        # r12 driver-local path: one id-ordered collect replaces the
+        # init job + n_iter assignment/update collect-jobs. Arithmetic
+        # is the SAME index-ordered fold (_sqdist_matrix — shared with
+        # the distributed UDF), the same first-min/ascending-cid
+        # argmin, and the same per-iteration round(mean, 9) pin
+        # (_round_half_up_9 replicates Spark's HALF_UP exactly). The
+        # only order that differs is the mean's summation order —
+        # which the 9dp rounding contract already absorbs between
+        # Spark's unordered partial aggregation and DuckDB (module
+        # docstring); equality with the distributed path is pinned by
+        # tests/test_kmeans_local.py.
+        import numpy as np
+
+        rows = vecs.orderBy(id_col).collect()
+        X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+        centroids = [
+            (i, [float(x) for x in X[i]]) for i in range(min(k, n))
+        ]
+        for _ in range(n_iter):
+            cids = np.array([c for c, _ in centroids], dtype=np.int64)
+            cmat = np.array([v for _, v in centroids], dtype=np.float64)
+            best = np.argmin(_sqdist_matrix(X, cmat, np), axis=1)
+            by: dict[int, list[float]] = {}
+            for pos in np.unique(best):
+                members = X[best == pos]
+                mean = members.sum(axis=0) / len(members)
+                by[int(cids[pos])] = [
+                    _round_half_up_9(v) for v in mean
+                ]
+            centroids = sorted(by.items())
+        return [(c, list(v)) for c, v in centroids]
     init = (
-        df.select(id_col, vec_col)
+        vecs
         .orderBy(id_col)
         .limit(k)
         .collect()
